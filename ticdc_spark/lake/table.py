@@ -1,0 +1,427 @@
+"""LakeTable — a minimal Iceberg-semantics table format on plain parquet.
+
+The production design targets Iceberg `MERGE INTO` (SURVEY.md §2.10: the
+set-oriented replacement for the reference's REPLACE/DELETE SQL generation,
+cdc/sink/mysql.go:947-1034). This container has no Iceberg runtime jar, so the
+engine ships its own thin snapshot layer with the exact semantics the CDC
+contract needs — all heavy lifting still done by Spark DataFrame ops:
+
+  * versioned snapshots: `_manifests/v{n}.json` + atomic CURRENT pointer
+    (Iceberg's catalog swap; here an os.replace on local fs)
+  * bucket partitioning by hash(key) % n_buckets — the index-value dispatcher
+    (cdc/sink/dispatcher/index_value.go:33-53): all versions of one key live
+    in one bucket, so MERGE rewrites only touched buckets (copy-on-write)
+    and untouched buckets carry forward by file reference (metadata-only)
+  * idempotent epoch commits: each commit records its epoch_id; re-applying
+    an already-committed epoch is a no-op — at-least-once delivery +
+    idempotent apply = exactly-once final state (cdc/owner.go:706-800 +
+    retry loop mysql.go:875-937)
+  * conditional merge: rows carry (_commit_ts, _seq) version columns and the
+    winner per key is max(commit_ts, seq, op_rank) — so replayed or
+    out-of-order epochs can never regress state; deletes persist as
+    tombstones (_deleted) so older events can't resurrect a deleted key
+  * schema evolution by stable field ids (Iceberg-style): add / widen /
+    rename are metadata-only commits; readers project old files to the
+    current schema by field id (cdc/entry/schema_storage.go multi-version
+    snapshot analog)
+
+Scale notes (100 TB / 10^10 events): n_buckets sizes the rewrite quantum —
+at scale use O(10^4-10^5) buckets so an epoch touching 1% of keys rewrites
+~1% of data; the merge join is a broadcast anti-join when the epoch's key set
+is small, else a shuffle join that AQE skew-splits. File listing is manifest
+-driven (no directory scans), as in Iceberg.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model import (
+    KEY_COL,
+    OP_DELETE,
+    SYS_COMMIT_TS,
+    SYS_DELETED,
+    SYS_SEQ,
+)
+from ..operators.lww import lww_latest_agg
+
+_SYS_FIELDS = [
+    T.StructField(SYS_COMMIT_TS, T.LongType(), False),
+    T.StructField(SYS_SEQ, T.LongType(), False),
+    T.StructField(SYS_DELETED, T.BooleanType(), False),
+]
+
+
+def _schema_to_json(fields: list[dict]) -> list[dict]:
+    return fields
+
+
+def _fields_to_struct(fields: list[dict], with_sys: bool = False) -> T.StructType:
+    cols = [
+        T.StructField(f["name"], T._parse_datatype_string(f["type"]), f.get("nullable", True))
+        for f in fields
+    ]
+    return T.StructType(cols + (_SYS_FIELDS if with_sys else []))
+
+
+class LakeTable:
+    """One CDC-maintained table. Single-writer (the streaming driver), as in
+    Structured Streaming's sink contract."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._manifest = self._load_current()
+
+    # ---------------- manifest plumbing ----------------
+    @property
+    def _mdir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    def _load_current(self) -> dict:
+        cur = os.path.join(self._mdir, "CURRENT")
+        with open(cur) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self._mdir, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    def refresh(self) -> "LakeTable":
+        self._manifest = self._load_current()
+        return self
+
+    def _commit_manifest(self, m: dict) -> None:
+        """Write manifest v{n}, then atomically swing CURRENT (the 'catalog
+        swap'). Crash between the two leaves CURRENT at the parent — the
+        orphaned manifest/data are invisible and the epoch re-applies cleanly."""
+        os.makedirs(self._mdir, exist_ok=True)
+        path = os.path.join(self._mdir, f"v{m['version']:08d}.json")
+        with open(path, "w") as f:
+            json.dump(m, f, indent=1)
+        tmp = os.path.join(self._mdir, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(m["version"]))
+        os.replace(tmp, os.path.join(self._mdir, "CURRENT"))
+        self._manifest = m
+
+    # ---------------- creation ----------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        fields: list[dict] | None = None,
+        n_buckets: int = 16,
+        key_col: str = KEY_COL,
+    ) -> "LakeTable":
+        """fields: [{"id":1,"name":"doc_id","type":"string"}, ...]. Default =
+        the input_hint token-table shape."""
+        if fields is None:
+            fields = [
+                {"id": 1, "name": "doc_id", "type": "string", "nullable": False},
+                {"id": 2, "name": "tokens", "type": "array<int>"},
+                {"id": 3, "name": "n_tok", "type": "int"},
+                {"id": 4, "name": "source", "type": "string"},
+            ]
+        m = {
+            "version": 0,
+            "parent": None,
+            "epoch_id": None,
+            "n_buckets": n_buckets,
+            "key_col": key_col,
+            "schema_version": 0,
+            "schemas": {"0": _schema_to_json(fields)},
+            "buckets": {},
+            "committed_epochs": [],
+            "stats": {"rows_live": 0},
+        }
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        tbl = cls.__new__(cls)
+        tbl.spark = spark
+        tbl.root = root
+        tbl._manifest = m
+        tbl._commit_manifest(m)
+        return tbl
+
+    # ---------------- schema ----------------
+    @property
+    def schema_version(self) -> int:
+        return self._manifest["schema_version"]
+
+    @property
+    def current_fields(self) -> list[dict]:
+        return self._manifest["schemas"][str(self.schema_version)]
+
+    @property
+    def schema(self) -> T.StructType:
+        return _fields_to_struct(self.current_fields)
+
+    @property
+    def key_col(self) -> str:
+        return self._manifest["key_col"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self._manifest["n_buckets"]
+
+    @property
+    def committed_epochs(self) -> set:
+        return set(self._manifest["committed_epochs"])
+
+    def update_schema(self, ddl_type: str, spec: dict, epoch_id: str | None = None) -> bool:
+        """Metadata-only schema commit. ddl_type ∈ {add_column, widen_column,
+        rename_column} (FIXTURES.md F3; reference DDL application:
+        cdc/entry/schema_storage.go:539-624). Field ids are stable across
+        rename/widen — Iceberg's evolution rule."""
+        if epoch_id is not None and epoch_id in self.committed_epochs:
+            return False
+        fields = [dict(f) for f in self.current_fields]
+        if ddl_type == "add_column":
+            next_id = max(f["id"] for f in fields) + 1
+            fields.append({"id": next_id, "name": spec["name"], "type": spec["type"]})
+        elif ddl_type == "widen_column":
+            for f in fields:
+                if f["name"] == spec["name"]:
+                    f["type"] = spec["to"]
+                    break
+            else:
+                raise KeyError(spec["name"])
+        elif ddl_type == "rename_column":
+            for f in fields:
+                if f["name"] == spec["from"]:
+                    f["name"] = spec["to"]
+                    break
+            else:
+                raise KeyError(spec["from"])
+        else:
+            raise ValueError(f"unsupported ddl_type {ddl_type}")
+        m = json.loads(json.dumps(self._manifest))
+        m["parent"] = m["version"]
+        m["version"] += 1
+        m["schema_version"] += 1
+        m["schemas"][str(m["schema_version"])] = fields
+        m["epoch_id"] = epoch_id
+        if epoch_id is not None:
+            m["committed_epochs"].append(epoch_id)
+        self._commit_manifest(m)
+        return True
+
+    # ---------------- read ----------------
+    def _read_files(self, entries: list[dict]) -> DataFrame | None:
+        """Read manifest file entries, projecting every schema version to the
+        current schema by field id (select-by-old-name → rename → cast;
+        missing field id → NULL). Mirrors the mounter's choose-snapshot-by-ts
+        decode (cdc/entry/mounter.go:242-247) done at read time."""
+        if not entries:
+            return None
+        by_ver: dict[int, list[str]] = {}
+        for e in entries:
+            by_ver.setdefault(e["schema_version"], []).append(
+                os.path.join(self.root, e["path"])
+            )
+        cur = self.current_fields
+        parts = []
+        for ver, paths in by_ver.items():
+            old = self._manifest["schemas"][str(ver)]
+            old_by_id = {f["id"]: f for f in old}
+            physical = _fields_to_struct(old, with_sys=True)
+            df = self.spark.read.schema(physical).parquet(*paths)
+            sel = []
+            for f in cur:
+                o = old_by_id.get(f["id"])
+                if o is None:
+                    sel.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                else:
+                    sel.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
+            sel += [F.col(c.name) for c in _SYS_FIELDS]
+            parts.append(df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _bucket_entries(self, buckets: list[int] | None = None) -> list[dict]:
+        bmap = self._manifest["buckets"]
+        keys = [str(b) for b in buckets] if buckets is not None else list(bmap)
+        return [e for k in keys for e in bmap.get(k, [])]
+
+    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current rows incl. tombstones and system columns."""
+        df = self._read_files(self._bucket_entries(buckets))
+        if df is None:
+            return self.spark.createDataFrame([], _fields_to_struct(self.current_fields, with_sys=True))
+        return df
+
+    def read(self) -> DataFrame:
+        """The visible table: live rows, logical schema only."""
+        return (
+            self.read_raw()
+            .filter(~F.col(SYS_DELETED))
+            .select(*[f["name"] for f in self.current_fields])
+        )
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read an old snapshot (Iceberg snapshot-id read)."""
+        saved = self._manifest
+        try:
+            with open(os.path.join(self._mdir, f"v{version:08d}.json")) as f:
+                self._manifest = json.load(f)
+            return self.read()
+        finally:
+            self._manifest = saved
+
+    # ---------------- merge (the CDC apply) ----------------
+    def _bucket_expr(self, col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
+
+    def merge_epoch(
+        self,
+        changes: DataFrame,
+        epoch_id: str,
+        broadcast_threshold: int = 2_000_000,
+    ) -> dict:
+        """Apply one epoch of deduped change winners. Exactly-once by
+        epoch_id; conditional on (commit_ts, seq, op_rank) recency.
+
+        changes columns: key_col, op, commit_ts, seq, + current payload cols.
+        Rows are winners per key (use operators.lww first); if not, we
+        re-collapse here anyway (cheap second reduce).
+
+        Returns stats dict {committed, touched_buckets, rows_written}.
+        """
+        if epoch_id in self.committed_epochs:
+            return {"committed": False, "reason": "epoch already committed"}
+
+        key = self.key_col
+        payload_names = [f["name"] for f in self.current_fields if f["name"] != key]
+
+        # normalize change rows → (key, payload..., sys cols, op)
+        ch = changes.select(
+            F.col(key),
+            *[F.col(c) for c in payload_names],
+            F.col("commit_ts").alias(SYS_COMMIT_TS),
+            F.col("seq").alias(SYS_SEQ),
+            (F.col("op") == OP_DELETE).alias(SYS_DELETED),
+        ).withColumn("_bucket", self._bucket_expr(key))
+
+        touched = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
+        if not touched:
+            # still record the epoch (empty epochs advance the checkpoint:
+            # heap_sorter.go:115-122 empty-flush analog is a metadata commit)
+            self._finalize_commit(epoch_id, {}, 0, touched)
+            return {"committed": True, "touched_buckets": 0, "rows_written": 0}
+
+        old = self._read_files(self._bucket_entries(touched))
+
+        # union old + new, collapse per key by (commit_ts, seq, op_rank).
+        # op_rank: tombstone/delete = 0 < live/put = 1 (entry_sorter.go:62-72)
+        new_part = ch.drop("_bucket").withColumn(
+            "op", F.when(F.col(SYS_DELETED), F.lit("D")).otherwise(F.lit("U"))
+        )
+        if old is not None:
+            old_part = old.withColumn(
+                "op", F.when(F.col(SYS_DELETED), F.lit("D")).otherwise(F.lit("U"))
+            )
+            unioned = old_part.unionByName(new_part)
+        else:
+            unioned = new_part
+        # lww operates on commit_ts/seq column names
+        merged = lww_latest_agg(
+            unioned.withColumnRenamed(SYS_COMMIT_TS, "commit_ts").withColumnRenamed(SYS_SEQ, "seq"),
+            [key],
+        )
+        out = (
+            merged.withColumn(SYS_DELETED, F.col("op") == "D")
+            .withColumnRenamed("commit_ts", SYS_COMMIT_TS)
+            .withColumnRenamed("seq", SYS_SEQ)
+            .select(
+                F.col(key),
+                *[F.col(c) for c in payload_names],
+                F.col(SYS_COMMIT_TS),
+                F.col(SYS_SEQ),
+                F.col(SYS_DELETED),
+            )
+            .withColumn("_bucket", self._bucket_expr(key))
+        )
+
+        new_version = self._manifest["version"] + 1
+        data_dir = f"data/v{new_version:08d}"
+        abs_dir = os.path.join(self.root, data_dir)
+        (
+            out.repartition(max(1, min(len(touched), 256)), "_bucket")
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(abs_dir)
+        )
+        # collect written files per bucket from the output dir
+        new_entries: dict[str, list[dict]] = {}
+        rows_written = 0
+        for bdir in glob.glob(os.path.join(abs_dir, "_bucket=*")):
+            b = bdir.split("_bucket=")[-1]
+            files = [
+                {
+                    "path": os.path.relpath(p, self.root),
+                    "schema_version": self.schema_version,
+                }
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            ]
+            new_entries[b] = files
+        self._finalize_commit(epoch_id, new_entries, rows_written, touched)
+        return {
+            "committed": True,
+            "touched_buckets": len(touched),
+            "rows_written": rows_written,
+            "version": self._manifest["version"],
+        }
+
+    def _finalize_commit(
+        self, epoch_id: str, new_entries: dict, rows_written: int, touched: list[int]
+    ) -> None:
+        m = json.loads(json.dumps(self._manifest))
+        m["parent"] = m["version"]
+        m["version"] += 1
+        m["epoch_id"] = epoch_id
+        m["committed_epochs"].append(epoch_id)
+        for b in touched:
+            m["buckets"][str(b)] = new_entries.get(str(b), [])
+        self._commit_manifest(m)
+
+    # ---------------- maintenance ----------------
+    def compact(self, purge_tombstones: bool = True) -> dict:
+        """Rewrite every bucket at the current schema version: merges small
+        files, drops tombstones (safe once no replayable epoch can carry
+        older events — the GC-safepoint analog, cdc/owner.go:752-795)."""
+        df = self.read_raw()
+        if purge_tombstones:
+            df = df.filter(~F.col(SYS_DELETED))
+        out = df.withColumn("_bucket", self._bucket_expr(self.key_col))
+        new_version = self._manifest["version"] + 1
+        data_dir = f"data/v{new_version:08d}"
+        abs_dir = os.path.join(self.root, data_dir)
+        (
+            out.repartition(self.n_buckets, "_bucket")
+            .sortWithinPartitions(self.key_col)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(abs_dir)
+        )
+        new_entries: dict[str, list[dict]] = {}
+        for bdir in glob.glob(os.path.join(abs_dir, "_bucket=*")):
+            b = bdir.split("_bucket=")[-1]
+            new_entries[b] = [
+                {"path": os.path.relpath(p, self.root), "schema_version": self.schema_version}
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            ]
+        m = json.loads(json.dumps(self._manifest))
+        m["parent"] = m["version"]
+        m["version"] += 1
+        m["buckets"] = new_entries
+        self._commit_manifest(m)
+        return {"version": m["version"], "buckets": len(new_entries)}

@@ -1,0 +1,74 @@
+"""Event model — the Spark analog of the reference's change-record structs.
+
+Reference mapping (see SURVEY.md §1):
+  - RawKVEntry / RowChangedEvent  (cdc/model/kv.go:71-84, cdc/model/sink.go:218-235)
+      → one flat binlog row: (table, doc_id, op, tokens, n_tok, source,
+        commit_ts, seq, part, schema_version)
+  - delete ⟺ empty after-image    (cdc/model/sink.go:238-240)
+      → op = 'D', payload columns NULL
+  - DDLEvent                      (cdc/model/sink.go:364-371)
+      → (commit_ts, ddl_type, table, spec-json)
+  - sort order: commit_ts asc, ties Delete(0) before Put(1)
+                                  (cdc/puller/entry_sorter.go:62-72)
+      → OP_RANK column; last-write-wins rank key is (commit_ts, seq, op_rank)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- ops ------------------------------------------------------------------
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+# entry_sorter.go:62-72 — at equal commit-ts a delete sorts/applies BEFORE a
+# put, so when both land at the same (commit_ts, seq) the put is the later
+# write and wins; a bare delete wins as a delete.
+OP_RANK = {OP_DELETE: 0, OP_INSERT: 1, OP_UPDATE: 1}
+
+# --- target table (input_hint shape, exact) ---------------------------------
+TARGET_FIELDS = [
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("n_tok", T.IntegerType(), True),
+    T.StructField("source", T.StringType(), True),
+]
+TARGET_SCHEMA = T.StructType(TARGET_FIELDS)
+
+# payload columns carried by the binlog after-image (subset of target)
+PAYLOAD_COLS = ["tokens", "n_tok", "source"]
+KEY_COL = "doc_id"  # the HandleKey (cdc/model/sink.go:49 HandleKeyFlag analog)
+
+# --- binlog change stream ---------------------------------------------------
+BINLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_ts", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("schema_version", T.IntegerType(), False),
+    ]
+)
+
+# --- DDL stream --------------------------------------------------------------
+DDL_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_ts", T.LongType(), False),
+        T.StructField("ddl_type", T.StringType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("spec", T.StringType(), False),
+    ]
+)
+
+# system columns the lake table stores alongside the payload so that MERGE is
+# conditional on recency (order-tolerant + idempotent; see lake/table.py)
+SYS_COMMIT_TS = "_commit_ts"
+SYS_SEQ = "_seq"
+SYS_DELETED = "_deleted"
+SYS_COLS = [SYS_COMMIT_TS, SYS_SEQ, SYS_DELETED]

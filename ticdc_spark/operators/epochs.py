@@ -1,0 +1,79 @@
+"""Resolved-ts frontier, epoch slicing, txn grouping, late-event contract.
+
+The reference's consistency machinery is a family of min/max folds
+(SURVEY.md §2.5): per-span resolved-ts frontier = min over span watermarks
+(cdc/puller/frontier/frontier.go:65-119), owner checkpoint = min over task
+positions (cdc/changefeed.go:795-954), MQ checkpoint = min over per-partition
+flushed ts (cdc/sink/mq.go:187-226, kafka_consumer/main.go:531-544). In Spark
+each is ONE aggregation — the skiplist/heap machinery existed only because
+TiKV regions split and merge; Spark partitions don't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolved_frontier(df: DataFrame, part_col: str = "part", ts_col: str = "commit_ts") -> int:
+    """Global resolved-ts = min over partitions of (max commit_ts seen).
+
+    Mirror of kafka_consumer/main.go:531-544 (per-partition resolvedTs, global
+    = min) and frontier.Frontier() (puller/frontier/frontier.go:65-73).
+    Returns -1 for an empty stream.
+    """
+    row = (
+        df.groupBy(part_col)
+        .agg(F.max(ts_col).alias("part_resolved"))
+        .agg(F.min("part_resolved").alias("resolved"))
+        .collect()[0]
+    )
+    return row["resolved"] if row["resolved"] is not None else -1
+
+
+def epoch_slice(df: DataFrame, resolved_ts: int, ts_col: str = "commit_ts") -> DataFrame:
+    """Events safe to apply: commit_ts <= resolved_ts.
+
+    The EntrySorter release rule (cdc/puller/entry_sorter.go:119-155): on each
+    resolved event, emit everything ordered with commit_ts <= maxResolvedTs;
+    rows above the watermark are the carry-over tail for the next epoch.
+    """
+    return df.filter(F.col(ts_col) <= F.lit(resolved_ts))
+
+
+def epoch_tail(df: DataFrame, resolved_ts: int, ts_col: str = "commit_ts") -> DataFrame:
+    """The retained carry-over: events beyond the watermark."""
+    return df.filter(F.col(ts_col) > F.lit(resolved_ts))
+
+
+def assert_no_late_events(df: DataFrame, resolved_ts: int, ts_col: str = "commit_ts") -> None:
+    """Hard late-data contract: an event below the already-resolved watermark
+    is a bug, not data to drop — the reference panics
+    (cdc/puller/puller.go:163-168). Raises on violation."""
+    n = df.filter(F.col(ts_col) <= F.lit(resolved_ts)).limit(1).count()
+    if n:
+        raise AssertionError(
+            f"late event at or below resolved_ts={resolved_ts} — watermark contract violated"
+        )
+
+
+def txn_group(df: DataFrame) -> DataFrame:
+    """Group rows into transactions by (table, commit_ts) — SingleTableTxn
+    assembly (cdc/sink/common/common.go:74-102; txn identity is start-ts,
+    ours is the (table, commit_ts) pair since the synthetic log has no
+    two-phase ts). Returns per-txn row counts and seq span."""
+    return df.groupBy("table", "commit_ts").agg(
+        F.count(F.lit(1)).alias("txn_rows"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
+def lineage_stats(df: DataFrame, part_col: str = "part", ts_col: str = "commit_ts") -> DataFrame:
+    """Per-partition progress record (TaskPosition analog,
+    cdc/model/owner.go:77-86): event count, max commit ts, delete count."""
+    return df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.max(ts_col).alias("max_commit_ts"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("delete_count"),
+    )

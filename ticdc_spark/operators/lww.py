@@ -1,0 +1,93 @@
+"""Last-write-wins dedup — the core CDC collapse operator.
+
+Semantics (SURVEY.md §2.6): the reference applies every change event in
+(CRTs, delete-before-put) order (cdc/puller/entry_sorter.go:62-72, apply loop
+cdc/sink/mysql.go:947-1034), so the final state per handle key equals the
+LAST write under the total order (commit_ts, seq, op_rank) with
+op_rank(D)=0 < op_rank(I/U)=1. We collapse explicitly instead of replaying:
+
+  winner(key) = max_{events of key} (commit_ts, seq, op_rank)
+
+Three physical strategies, all producing identical results:
+
+1. lww_latest_agg  — groupBy(key).agg(max_by(payload, rank_struct)).
+   THE production path: a hash aggregate with map-side partial aggregation,
+   so hot keys collapse before the shuffle — skew-immune, one shuffle,
+   no window sort. This is what runs at 10^10 events.
+2. lww_latest_window — row_number() over (partition by key order by rank
+   desc) = 1. The literal north-rule formulation; used as a semantic
+   cross-check. Skew-sensitive (one partition per key lands on one task).
+3. lww_latest_salted — explicit two-phase reduce: partial LWW within
+   (key, salt) then final LWW over the S survivors per key. Demonstrates the
+   hot-region mitigation the reference gets from TiKV region splits
+   (pkg/scheduler/table_number.go analog); with strategy 1 Spark's partial
+   aggregation already does this implicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..model import KEY_COL, OP_DELETE
+
+
+def op_rank_col(op: str | Column = "op") -> Column:
+    """Delete sorts before put at equal (commit_ts, seq):
+    cdc/puller/entry_sorter.go:62-72."""
+    c = F.col(op) if isinstance(op, str) else op
+    return F.when(c == OP_DELETE, F.lit(0)).otherwise(F.lit(1))
+
+
+def rank_struct(df: DataFrame) -> Column:
+    """The LWW total-order key."""
+    return F.struct(
+        F.col("commit_ts"), F.col("seq"), op_rank_col().alias("op_rank")
+    )
+
+
+def lww_latest_agg(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """One winning event per key via max_by — map-side-combining aggregate.
+
+    Returns the original columns of df (winner's values), one row per key.
+    """
+    key_cols = key_cols or [KEY_COL]
+    payload = [c for c in df.columns if c not in key_cols]
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload]), rank_struct(df))
+    out = df.groupBy(*key_cols).agg(winner.alias("_w"))
+    return out.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+
+def lww_latest_window(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Window-ranking formulation (north-rule literal): rn = 1 keeps winner."""
+    key_cols = key_cols or [KEY_COL]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("commit_ts").desc(), F.col("seq").desc(), op_rank_col().desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lww_latest_salted(
+    df: DataFrame, key_cols: list[str] | None = None, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase salted reduce for hot keys (explicit skew mitigation).
+
+    Phase 1 groups by (key, salt) — hot keys split across `salt_buckets`
+    reducers; phase 2 reduces the ≤S survivors per key. Equivalent to
+    lww_latest_agg because max_by over (commit_ts, seq, op_rank) is
+    associative and commutative.
+    """
+    key_cols = key_cols or [KEY_COL]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col("seq")), F.lit(salt_buckets)))
+    p1 = lww_latest_agg(salted, key_cols + ["_salt"]).drop("_salt")
+    return lww_latest_agg(p1, key_cols)
+
+
+def final_state(deduped: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """Drop tombstone winners → the visible final table (delete ⟺ removed,
+    cdc/model/sink.go:238-240)."""
+    return deduped.filter(F.col("op") != OP_DELETE).select(KEY_COL, *payload_cols)

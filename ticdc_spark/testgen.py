@@ -1,0 +1,189 @@
+"""Deterministic synthetic binlog / DDL generator (FIXTURES.md F2/F3).
+
+Pure numpy + pyarrow (no Spark needed to generate), fully vectorized so the
+bench can synthesize millions of events in seconds. Mirrors the reference's
+randomized-workload test inputs (tests/dailytest/{data,rand}.go: random
+insert/update/delete batches) plus the knobs our correctness tests need:
+hot-key zipf skew, equal-commit-ts ties with delete+put pairs
+(cdc/puller/entry_sorter_test.go ordering cases), and out-of-order delivery
+within a partition (the sorter's job, cdc/puller/entry_sorter.go:119-155).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OPS = np.array(["I", "U", "D"])
+
+
+@dataclass
+class BinlogSpec:
+    n_events: int = 100_000
+    n_keys: int = 10_000
+    seed: int = 42
+    # insert/update/delete mix (dailytest default-ish 60/30/10)
+    p_insert: float = 0.6
+    p_update: float = 0.3
+    p_delete: float = 0.1
+    # hot-key skew: zipf-ish; 0 = uniform. fraction of events drawn from the
+    # hottest `hot_keys` keys (region hot-spot analog).
+    hot_frac: float = 0.0
+    hot_keys: int = 1
+    # fraction of events that share a commit_ts with the previous event
+    # (txn with multiple rows / resolved-ts tie cases)
+    tie_frac: float = 0.2
+    # fraction of DELETE events that are immediately followed by a PUT at the
+    # SAME (commit_ts, seq) — exercises delete-before-put op_rank ordering
+    # (entry_sorter.go:62-72): the put must win.
+    dup_seq_tie_frac: float = 0.05
+    # shuffle events within each partition to simulate out-of-order arrival
+    out_of_order: bool = True
+    n_parts: int = 8
+    table: str = "target_tokens"
+    min_tok: int = 4
+    max_tok: int = 64
+    vocab: int = 50_000
+    start_ts: int = 1_000_000
+
+
+def _keys(rng: np.random.Generator, spec: BinlogSpec) -> np.ndarray:
+    """Pick a key index per event with optional hot-key skew."""
+    n = spec.n_events
+    uniform = rng.integers(0, spec.n_keys, size=n)
+    if spec.hot_frac <= 0:
+        return uniform
+    hot_mask = rng.random(n) < spec.hot_frac
+    hot = rng.integers(0, max(1, spec.hot_keys), size=n)
+    return np.where(hot_mask, hot, uniform)
+
+
+def generate_binlog(spec: BinlogSpec) -> pa.Table:
+    """Return the binlog as one pyarrow Table (schema = model.BINLOG_SCHEMA)."""
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+
+    key_idx = _keys(rng, spec)
+    doc_id = np.char.add("doc_", key_idx.astype("U12"))
+
+    op_idx = rng.choice(3, size=n, p=[spec.p_insert, spec.p_update, spec.p_delete])
+    op = OPS[op_idx]
+
+    # commit_ts: non-decreasing with ties (consecutive events share a ts with
+    # prob tie_frac); seq = global arrival order within the ts stream
+    advance = (rng.random(n) >= spec.tie_frac).astype(np.int64)
+    advance[0] = 1
+    commit_ts = spec.start_ts + np.cumsum(advance)
+    seq = np.arange(n, dtype=np.int64)
+
+    # delete+put same-(commit_ts, seq) pairs: for a sample of deletes, clone
+    # the row as a PUT with identical commit_ts and seq — op_rank must decide.
+    del_pos = np.flatnonzero(op == "D")
+    n_pairs = int(len(del_pos) * spec.dup_seq_tie_frac)
+    pair_pos = rng.choice(del_pos, size=n_pairs, replace=False) if n_pairs else np.array([], dtype=np.int64)
+
+    # payload (only for non-delete rows; deletes carry NULL after-image,
+    # cdc/model/sink.go:238-240)
+    n_tok = rng.integers(spec.min_tok, spec.max_tok + 1, size=n).astype(np.int32)
+    total = int(n_tok.sum())
+    token_values = rng.integers(0, spec.vocab, size=total, dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    sources = np.array(["web", "book", "code", "wiki"])[rng.integers(0, 4, size=n)]
+
+    part = (key_idx % spec.n_parts).astype(np.int32)
+
+    def build(sel: np.ndarray, force_put: bool) -> dict[str, pa.Array]:
+        o = np.full(sel.shape, "U") if force_put else op[sel]
+        is_del = o == "D"
+        full = len(sel) == n and np.array_equal(sel, np.arange(n))
+        if full:
+            vals = token_values
+        elif len(sel):
+            vals = np.concatenate([token_values[offsets[i] : offsets[i + 1]] for i in sel])
+        else:
+            vals = np.array([], dtype=np.int32)
+        toks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(n_tok[sel])]), type=pa.int32()),
+            pa.array(vals, type=pa.int32()),
+        )
+        mask = pa.array(is_del)
+        return {
+            "commit_ts": pa.array(commit_ts[sel], type=pa.int64()),
+            "seq": pa.array(seq[sel], type=pa.int64()),
+            "table": pa.array(np.full(len(sel), spec.table)),
+            "op": pa.array(o),
+            "doc_id": pa.array(doc_id[sel]),
+            "tokens": _mask_list(toks, mask),
+            "n_tok": pa.array(np.ma.masked_array(n_tok[sel], mask=is_del)),
+            "source": pa.array(np.ma.masked_array(sources[sel], mask=is_del)),
+            "part": pa.array(part[sel], type=pa.int32()),
+            "schema_version": pa.array(np.zeros(len(sel), dtype=np.int32)),
+        }
+
+    base = build(np.arange(n), force_put=False)
+    tbl = pa.table(base)
+    if len(pair_pos):
+        # regenerate fresh payload for the cloned puts so the winner is distinct
+        extra = build(pair_pos, force_put=True)
+        tbl = pa.concat_tables([tbl, pa.table(extra)])
+
+    if spec.out_of_order:
+        # shuffle full arrival order (puller receives regions interleaved)
+        perm = rng.permutation(len(tbl))
+        tbl = tbl.take(pa.array(perm))
+    return tbl
+
+
+def _mask_list(arr: pa.ListArray, mask: pa.BooleanArray) -> pa.ListArray:
+    """Apply a null mask to a list array (deletes carry NULL tokens)."""
+    if not pa.compute.any(mask).as_py():
+        return arr
+    indices = pa.compute.if_else(mask, pa.scalar(None, pa.int64()), pa.array(np.arange(len(arr)), pa.int64()))
+    return arr.take(indices)
+
+
+def write_binlog(spec: BinlogSpec, out_dir: str, files_per_part: int = 1) -> str:
+    """Write the binlog as parquet under out_dir (one or more files).
+
+    Multiple files let Structured Streaming pick them up as separate
+    micro-batch inputs (maxFilesPerTrigger).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = generate_binlog(spec)
+    nfiles = max(1, files_per_part)
+    step = (len(tbl) + nfiles - 1) // nfiles
+    for i in range(nfiles):
+        chunk = tbl.slice(i * step, step)
+        if len(chunk):
+            pq.write_table(chunk, os.path.join(out_dir, f"binlog-{i:05d}.parquet"))
+    return out_dir
+
+
+@dataclass
+class DDLSpec:
+    """FIXTURES.md F3 — add / widen / rename DDLs at fixed barrier points."""
+
+    table: str = "target_tokens"
+    ddls: list[tuple[int, str, dict]] = field(default_factory=list)
+
+    def to_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "commit_ts": pa.array([ts for ts, _, _ in self.ddls], pa.int64()),
+                "ddl_type": pa.array([t for _, t, _ in self.ddls]),
+                "table": pa.array([self.table] * len(self.ddls)),
+                "spec": pa.array([json.dumps(s) for _, _, s in self.ddls]),
+            }
+        )
+
+
+def write_ddl(spec: DDLSpec, out_dir: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(spec.to_table(), os.path.join(out_dir, "ddl-00000.parquet"))
+    return out_dir
