@@ -1,0 +1,136 @@
+"""DDL×DML mid-stream schema evolution (tests/multi_source/main.go:74-131
+analog): add / widen / rename DDLs interleaved with DML, applied at
+resolved-ts barriers; final schema AND data must match the raw-mode oracle.
+
+Also pins the equals-uses-pre-DDL-schema rule (cdc/entry/mounter.go:242-247)
+and the registry's version_at arithmetic.
+"""
+
+import pyarrow as pa
+import pytest
+
+from ticdc_spark.lake.table import LakeTable
+from ticdc_spark.oracle import apply_binlog_raw, diff_tables
+from ticdc_spark.streaming.changefeed import ChangeFeed
+from ticdc_spark.streaming.registry import SchemaRegistry
+from ticdc_spark.testgen import BinlogSpec, binlog_to_raw, generate_binlog, write_raw_binlog
+
+BASE = [
+    {"id": 1, "name": "doc_id", "type": "string"},
+    {"id": 2, "name": "tokens", "type": "array<int>"},
+    {"id": 3, "name": "n_tok", "type": "int"},
+    {"id": 4, "name": "source", "type": "string"},
+]
+
+
+def test_registry_version_at():
+    reg = SchemaRegistry(BASE, [(100, "add_column", {"name": "lang", "type": "string"})])
+    # DML at commit_ts == DDL finished_ts uses the PRE-ddl schema
+    assert reg.version_at(99) == 0
+    assert reg.version_at(100) == 0
+    assert reg.version_at(101) == 1
+    assert [f["name"] for f in reg.fields(1)] == ["doc_id", "tokens", "n_tok", "source", "lang"]
+
+
+def test_registry_widen_rename():
+    reg = SchemaRegistry(
+        BASE,
+        [
+            (10, "widen_column", {"name": "n_tok", "to": "bigint"}),
+            (20, "rename_column", {"from": "source", "to": "origin"}),
+        ],
+    )
+    assert dict((f["name"], f["type"]) for f in reg.fields(2))["n_tok"] == "bigint"
+    assert [f["name"] for f in reg.fields(2)] == ["doc_id", "tokens", "n_tok", "origin"]
+    with pytest.raises(ValueError):
+        reg.add_ddl(15, "add_column", {"name": "x", "type": "int"})  # non-monotone ts
+
+
+def _mk_ddls(typed: pa.Table):
+    """Barriers at 1/4, 1/2, 3/4 through the ACTUAL commit-ts range."""
+    import pyarrow.compute as pc
+
+    lo = pc.min(typed.column("commit_ts")).as_py()
+    hi = pc.max(typed.column("commit_ts")).as_py()
+    q = (hi - lo) // 4
+    return [
+        (lo + q, "add_column", {"name": "lang", "type": "string"}),
+        (lo + 2 * q, "widen_column", {"name": "n_tok", "to": "bigint"}),
+        (lo + 3 * q, "rename_column", {"from": "source", "to": "origin"}),
+    ]
+
+
+def _lake_arrow(table):
+    pdf = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.string()),
+            "tokens": pa.array([None if t is None else list(t) for t in pdf["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.array(pdf["n_tok"], pa.int64()),
+            "origin": pa.array(pdf["origin"], pa.string()),
+            "lang": pa.array(pdf["lang"], pa.string()),
+        }
+    )
+
+
+def test_ddl_mid_stream_matches_oracle(spark, tmp_path):
+    spec = BinlogSpec(n_events=12_000, n_keys=1_200, seed=41, p_delete=0.15, p_insert=0.55, tie_frac=0.3)
+    typed = generate_binlog(spec)
+    ddls = _mk_ddls(typed)
+    raw = binlog_to_raw(typed, ddls)
+    write_raw_binlog(raw, str(tmp_path / "binlog"), n_files=5)
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+    ddl_rows = [
+        {"commit_ts": ts, "ddl_type": typ, "spec": s} for ts, typ, s in ddls
+    ]
+    cf = ChangeFeed(
+        t,
+        str(tmp_path / "binlog"),
+        str(tmp_path / "ckpt"),
+        mode="raw",
+        ddl_rows=ddl_rows,
+        max_files_per_trigger=2,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    # all three DDLs must have executed (barriers below final resolved)
+    assert t.schema_version == 3
+    assert [f["name"] for f in t.current_fields] == ["doc_id", "tokens", "n_tok", "origin", "lang"]
+    assert dict((f["name"], f["type"]) for f in t.current_fields)["n_tok"] == "bigint"
+
+    expected = apply_binlog_raw(raw, BASE, ddls, upto_ts=resolved)
+    problems = diff_tables(expected, _lake_arrow(t))
+    assert not problems, problems[:3]
+
+
+def test_ddl_barrier_not_applied_before_frontier(spark, tmp_path):
+    """A DDL whose finished-ts is beyond the resolved frontier must NOT
+    execute (checkpoint capped at FinishedTS-1, changefeed.go:899-910)."""
+    import os
+
+    from ticdc_spark.streaming.changefeed import RAW_BINLOG_SCHEMA
+
+    rows = [
+        (100, 1, "t", "I", "a", '{"tokens":[1],"n_tok":1,"source":"web"}', 0, 0),
+        (100, 2, "t", "I", "b", '{"tokens":[2],"n_tok":1,"source":"web"}', 1, 0),
+    ]
+    os.makedirs(str(tmp_path / "binlog"))
+    spark.createDataFrame(rows, schema=RAW_BINLOG_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage"))
+    import glob, shutil
+
+    for f in glob.glob(str(tmp_path / "stage/*.parquet")):
+        shutil.copy(f, str(tmp_path / "binlog"))
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    cf = ChangeFeed(
+        t,
+        str(tmp_path / "binlog"),
+        str(tmp_path / "ckpt"),
+        mode="raw",
+        ddl_rows=[{"commit_ts": 500, "ddl_type": "add_column", "spec": '{"name":"lang","type":"string"}'}],
+    )
+    cf.run_available()
+    assert t.schema_version == 0  # barrier at 500 > frontier 100 → deferred
+    assert {r["doc_id"] for r in t.read().collect()} == {"a", "b"}

@@ -280,10 +280,17 @@ class LakeTable:
     def _bucket_expr(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
 
+    @property
+    def part_watermarks(self) -> dict[str, int]:
+        """Per-source-partition resolved watermarks (TaskPosition analog,
+        cdc/model/owner.go:77-86), persisted with each commit."""
+        return dict(self._manifest.get("part_watermarks", {}))
+
     def merge_epoch(
         self,
         changes: DataFrame,
         epoch_id: str,
+        watermarks: dict | None = None,
         broadcast_threshold: int = 2_000_000,
     ) -> dict:
         """Apply one epoch of deduped change winners. Exactly-once by
@@ -314,7 +321,7 @@ class LakeTable:
         if not touched:
             # still record the epoch (empty epochs advance the checkpoint:
             # heap_sorter.go:115-122 empty-flush analog is a metadata commit)
-            self._finalize_commit(epoch_id, {}, 0, touched)
+            self._finalize_commit(epoch_id, {}, 0, touched, watermarks)
             return {"committed": True, "touched_buckets": 0, "rows_written": 0}
 
         old = self._read_files(self._bucket_entries(touched))
@@ -373,7 +380,7 @@ class LakeTable:
                 for p in glob.glob(os.path.join(bdir, "*.parquet"))
             ]
             new_entries[b] = files
-        self._finalize_commit(epoch_id, new_entries, rows_written, touched)
+        self._finalize_commit(epoch_id, new_entries, rows_written, touched, watermarks)
         return {
             "committed": True,
             "touched_buckets": len(touched),
@@ -382,7 +389,12 @@ class LakeTable:
         }
 
     def _finalize_commit(
-        self, epoch_id: str, new_entries: dict, rows_written: int, touched: list[int]
+        self,
+        epoch_id: str,
+        new_entries: dict,
+        rows_written: int,
+        touched: list[int],
+        watermarks: dict | None = None,
     ) -> None:
         m = json.loads(json.dumps(self._manifest))
         m["parent"] = m["version"]
@@ -391,6 +403,12 @@ class LakeTable:
         m["committed_epochs"].append(epoch_id)
         for b in touched:
             m["buckets"][str(b)] = new_entries.get(str(b), [])
+        if watermarks:
+            wm = m.setdefault("part_watermarks", {})
+            for k, v in watermarks.items():
+                k = str(k)
+                # watermarks are monotone (puller.go:163-168 contract)
+                wm[k] = max(int(v), int(wm.get(k, -1)))
         self._commit_manifest(m)
 
     # ---------------- maintenance ----------------

@@ -48,6 +48,60 @@ def apply_binlog(binlog: pa.Table, upto_ts: int | None = None) -> pa.Table:
     return pa.table(out)
 
 
+def apply_binlog_raw(
+    binlog: pa.Table,
+    base_fields: list[dict],
+    ddls: list[tuple[int, str, dict]],
+    upto_ts: int | None = None,
+) -> "pa.Table":
+    """Raw-mode oracle: decode payload JSON per event schema version, project
+    by field id into the FINAL schema, LWW-apply. Returns final state sorted
+    by doc_id with the final column names/types."""
+    import bisect
+    import json
+
+    from .streaming.registry import SchemaRegistry
+
+    reg = SchemaRegistry(base_fields, ddls)
+    final_fields = [f for f in reg.fields(len(reg.versions) - 1) if f["name"] != "doc_id"]
+    cols = binlog.to_pydict()
+    n = len(binlog)
+    order = sorted(
+        range(n),
+        key=lambda i: (cols["commit_ts"][i], cols["seq"][i], _OP_RANK_MAP[cols["op"][i]]),
+    )
+    state: dict[str, dict] = {}
+    for i in order:
+        if upto_ts is not None and cols["commit_ts"][i] > upto_ts:
+            continue
+        k = cols["doc_id"][i]
+        if cols["op"][i] == "D":
+            state.pop(k, None)
+            continue
+        v = bisect.bisect_left(reg.ddl_ts, cols["commit_ts"][i])
+        vals = json.loads(cols["payload"][i])
+        by_id = {
+            f["id"]: vals.get(f["name"])
+            for f in reg.fields(v)
+            if f["name"] != "doc_id"
+        }
+        state[k] = {f["name"]: by_id.get(f["id"]) for f in final_fields}
+    keys = sorted(state)
+
+    def _pa_type(t: str):
+        return {
+            "string": pa.string(),
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "array<int>": pa.list_(pa.int32()),
+        }[t]
+
+    out = {"doc_id": pa.array(keys, pa.string())}
+    for f in final_fields:
+        out[f["name"]] = pa.array([state[k][f["name"]] for k in keys], _pa_type(f["type"]))
+    return pa.table(out)
+
+
 def _list_neq(e: pa.Array, a: pa.Array) -> "np.ndarray":
     """Vectorized per-row inequality for list arrays: null masks, lengths,
     then the flattened value buffers — no per-row Python."""

@@ -1,0 +1,288 @@
+"""ChangeFeed — the Structured Streaming replication job (the whole TiCDC
+pipeline as one Spark streaming query).
+
+Per micro-batch (SURVEY.md §3.2, cdc/processor/pipeline/table.go:136-169
+`puller → sorter → mounter → sink` collapsed into foreachBatch):
+
+  1. union new files with the carried-over tail (EntrySorter's retained
+     suffix: events above the previous resolved-ts,
+     cdc/puller/entry_sorter.go:119-155)
+  2. advance per-partition watermarks monotonically; global resolved-ts =
+     min over partitions (frontier.Frontier(), kafka_consumer/main.go:531-544)
+  3. events ≤ resolved-ts are releasable; the rest become the next tail —
+     so applied state is always a commit-ts-prefix of the stream, exactly
+     the reference's sink consistency guarantee
+  4. DDL barriers: a DDL with finished_ts ≤ resolved-ts splits the batch —
+     DML with commit_ts ≤ ddl_ts applies on the old schema (the equals case
+     uses the PRE-ddl schema, cdc/entry/mounter.go:242-247; checkpoint
+     capped at FinishedTS-1, cdc/changefeed.go:899-910), then the lake
+     schema advances, then the remainder applies
+  5. each slice: mount (per-version decode) → LWW dedup → idempotent
+     conditional MERGE keyed by (batch_id, slice) — Structured Streaming
+     replays a failed batch with the same batch_id, the lake skips
+     already-committed epoch ids → exactly-once final state
+  6. per-partition lineage row per epoch (TaskPosition,
+     cdc/model/owner.go:77-86) appended transaction-adjacent (data commit
+     is the source of truth; lineage is reconciled idempotently by key)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.table import LakeTable
+from ..model import BINLOG_SCHEMA
+from ..operators.lww import lww_latest_agg
+from ..operators.mounter import mount_raw, mount_typed
+from .registry import SchemaRegistry
+
+RAW_BINLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_ts", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("schema_version", T.IntegerType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = (
+    "batch_id long, epoch_id string, part int, event_count long, "
+    "max_commit_ts long, delete_count long, resolved_ts long, committed boolean"
+)
+
+
+class ChangeFeed:
+    def __init__(
+        self,
+        table: LakeTable,
+        binlog_dir: str,
+        checkpoint_dir: str,
+        mode: str = "typed",  # "typed" (columnar binlog) | "raw" (payload json)
+        ddl_rows: list | None = None,  # ordered (commit_ts, ddl_type, spec) dicts/Rows
+        lineage_dir: str | None = None,
+        pending_dir: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.table = table
+        self.spark = table.spark
+        self.binlog_dir = binlog_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.mode = mode
+        self.lineage_dir = lineage_dir
+        self.pending_dir = pending_dir or os.path.join(checkpoint_dir, "pending")
+        self.max_files_per_trigger = max_files_per_trigger
+        base = [dict(f) for f in table._manifest["schemas"]["0"]]
+        ddls = [
+            (r["commit_ts"], r["ddl_type"], json.loads(r["spec"]) if isinstance(r["spec"], str) else r["spec"])
+            for r in (ddl_rows or [])
+        ]
+        self.registry = SchemaRegistry(base, ddls)
+        self.batch_summaries: list[dict] = []
+
+    # ---------- pending tail ----------
+    def _read_pending(self) -> DataFrame | None:
+        if not os.path.isdir(self.pending_dir):
+            return None
+        dirs = [
+            os.path.join(self.pending_dir, d)
+            for d in sorted(os.listdir(self.pending_dir))
+            if d.startswith("batch-")
+        ]
+        dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
+        if not dirs:
+            return None
+        schema = RAW_BINLOG_SCHEMA if self.mode == "raw" else self._typed_stream_schema()
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    def _write_tail(self, tail: DataFrame, batch_id: int, had_rows: bool) -> None:
+        out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
+        if had_rows:
+            tail.coalesce(4).write.mode("overwrite").parquet(out)
+        older = [
+            d
+            for d in (os.listdir(self.pending_dir) if os.path.isdir(self.pending_dir) else [])
+            if d.startswith("batch-") and d != f"batch-{batch_id:010d}"
+        ]
+        for d in older:
+            shutil.rmtree(os.path.join(self.pending_dir, d), ignore_errors=True)
+
+    # ---------- the micro-batch ----------
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        pending = self._read_pending()
+        events = batch_df.unionByName(pending) if pending is not None else batch_df
+        events = events.persist()
+        try:
+            # 2. watermark advance (monotone via stored max)
+            part_stats = (
+                events.groupBy("part")
+                .agg(
+                    F.max("commit_ts").alias("max_ts"),
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
+                )
+                .collect()
+            )
+            stored = {int(k): int(v) for k, v in self.table.part_watermarks.items()}
+            for r in part_stats:
+                stored[int(r["part"])] = max(stored.get(int(r["part"]), -1), int(r["max_ts"]))
+            resolved = min(stored.values()) if stored else -1
+            watermarks = {str(k): v for k, v in stored.items()}
+
+            # 3. releasable prefix / carried tail
+            ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
+            tail = events.filter(F.col("commit_ts") > F.lit(resolved))
+
+            # 4. DDL barriers inside the releasable range
+            barriers = [
+                (i + 1, ts)
+                for i, ts in enumerate(self.registry.ddl_ts)
+                if ts <= resolved and f"ddl-{ts}" not in self.table.committed_epochs
+                and self.table.schema_version < i + 1
+            ]
+            slices: list[tuple[int | None, int | None]] = []
+            lo = None
+            for ver, ts in barriers:
+                slices.append((lo, ts))
+                lo = ts
+            slices.append((lo, None))
+
+            epoch_stats = []
+            for k, (slo, shi) in enumerate(slices):
+                sl = ready
+                if slo is not None:
+                    sl = sl.filter(F.col("commit_ts") > F.lit(slo))
+                if shi is not None:
+                    sl = sl.filter(F.col("commit_ts") <= F.lit(shi))
+                epoch_id = f"cf-{batch_id:010d}-s{k}"
+                st = self._apply_slice(sl, epoch_id, watermarks)
+                epoch_stats.append((epoch_id, st))
+                if shi is not None:
+                    ver = self.registry.ddl_ts.index(shi) + 1
+                    # advance lake schema to `ver` (metadata-only commit)
+                    fields_next = self.registry.fields(ver)
+                    self._advance_lake_schema(ver, fields_next, f"ddl-{shi}")
+
+            # 5. persist tail for the next batch
+            n_tail = tail.limit(1).count()
+            self._write_tail(tail, batch_id, had_rows=bool(n_tail))
+
+            # 6. lineage
+            if self.lineage_dir:
+                self._write_lineage(batch_id, epoch_stats, part_stats, resolved)
+            self.batch_summaries.append(
+                {
+                    "batch_id": batch_id,
+                    "resolved_ts": resolved,
+                    "slices": len(slices),
+                    "events": sum(int(r["cnt"]) for r in part_stats),
+                }
+            )
+        finally:
+            events.unpersist()
+
+    def _advance_lake_schema(self, ver: int, fields_next: list[dict], epoch_id: str) -> None:
+        """Diff current lake fields vs target and emit add/widen/rename ops.
+        (The registry and lake share field ids, so the diff is exact.)"""
+        cur = {f["id"]: f for f in self.table.current_fields}
+        for f in fields_next:
+            c = cur.get(f["id"])
+            if c is None:
+                self.table.update_schema("add_column", {"name": f["name"], "type": f["type"]}, epoch_id)
+            elif c["name"] != f["name"]:
+                self.table.update_schema("rename_column", {"from": c["name"], "to": f["name"]}, epoch_id)
+            elif c["type"] != f["type"]:
+                self.table.update_schema("widen_column", {"name": f["name"], "to": f["type"]}, epoch_id)
+
+    def _apply_slice(self, sl: DataFrame, epoch_id: str, watermarks: dict) -> dict:
+        target_ver = self.table.schema_version
+        if self.mode == "raw":
+            mounted = mount_raw(sl, self.registry, target_ver)
+        else:
+            mounted = mount_typed(sl, self.registry, target_ver)
+        key = self.table.key_col
+        payload = [f["name"] for f in self.table.current_fields if f["name"] != key]
+        winners = lww_latest_agg(
+            mounted.select(key, "op", "commit_ts", "seq", *payload), [key]
+        )
+        return self.table.merge_epoch(winners, epoch_id, watermarks=watermarks)
+
+    def _write_lineage(self, batch_id, epoch_stats, part_stats, resolved) -> None:
+        rows = []
+        for epoch_id, st in epoch_stats:
+            for r in part_stats:
+                rows.append(
+                    (
+                        batch_id,
+                        epoch_id,
+                        int(r["part"]),
+                        int(r["cnt"]),
+                        int(r["max_ts"]),
+                        int(r["dels"]),
+                        int(resolved),
+                        bool(st.get("committed", False)),
+                    )
+                )
+        out = os.path.join(self.lineage_dir, f"batch-{batch_id:010d}")
+        self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
+            os.path.join(self.lineage_dir, "batch-*")
+        )
+
+    # ---------- run ----------
+    def _typed_stream_schema(self) -> T.StructType:
+        """Typed mode reads with meta cols + the FINAL registry version's
+        payload fields: files written before an add_column read as NULL.
+        (widen/rename need raw mode — a single physical schema can't carry
+        two names/types for one field.)"""
+        meta = [f for f in BINLOG_SCHEMA.fields if f.name in
+                ("commit_ts", "seq", "table", "op", "doc_id", "part", "schema_version")]
+        payload = [
+            T.StructField(f["name"], T._parse_datatype_string(f["type"]))
+            for f in self.registry.fields(len(self.registry.versions) - 1)
+            if f["name"] != "doc_id"
+        ]
+        return T.StructType(payload + meta)
+
+    def _stream(self) -> DataFrame:
+        schema = RAW_BINLOG_SCHEMA if self.mode == "raw" else self._typed_stream_schema()
+        r = self.spark.readStream.schema(schema)
+        if self.max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+        return r.parquet(self.binlog_dir)
+
+    def run_available(self) -> list[dict]:
+        """Process everything currently in the binlog dir (availableNow),
+        then stop. Resumable: the streaming checkpoint + idempotent epochs."""
+        q = (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.batch_summaries
+
+    def start(self, processing_time: str = "5 seconds"):
+        """Continuous micro-batching (production mode)."""
+        return (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )

@@ -1,0 +1,76 @@
+"""Multi-version schema registry — the SchemaStorage analog.
+
+Reference: cdc/entry/schema_storage.go:638-651 keeps an append-only list of
+schema snapshots keyed by DDL FinishedTS; a row decodes against the snapshot
+current at CRTs-1 (mounter.go:242-247: a DML whose commit-ts EQUALS a DDL's
+finished-ts uses the schema *before* the DDL).
+
+Ours: ordered versions of field lists with stable field ids (shared with
+lake.table). version_at(commit_ts) = number of DDLs with finished_ts
+STRICTLY BELOW commit_ts — the `<` encodes the equals-uses-pre-DDL rule.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+
+from pyspark.sql import types as T
+
+
+def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[dict]:
+    out = [dict(f) for f in fields]
+    if ddl_type == "add_column":
+        out.append({"id": max(f["id"] for f in out) + 1, "name": spec["name"], "type": spec["type"]})
+    elif ddl_type == "widen_column":
+        for f in out:
+            if f["name"] == spec["name"]:
+                f["type"] = spec["to"]
+                return out
+        raise KeyError(spec["name"])
+    elif ddl_type == "rename_column":
+        for f in out:
+            if f["name"] == spec["from"]:
+                f["name"] = spec["to"]
+                return out
+        raise KeyError(spec["from"])
+    else:
+        raise ValueError(f"unsupported ddl_type {ddl_type}")
+    return out
+
+
+class SchemaRegistry:
+    """versions[0] = base; versions[v] = base + first v DDLs applied."""
+
+    def __init__(self, base_fields: list[dict], ddls: list[tuple[int, str, dict]] | None = None):
+        """ddls: ordered [(finished_ts, ddl_type, spec)]."""
+        self.versions: list[list[dict]] = [[dict(f) for f in base_fields]]
+        self.ddl_ts: list[int] = []
+        for ts, typ, spec in ddls or []:
+            self.add_ddl(ts, typ, spec)
+
+    def add_ddl(self, finished_ts: int, ddl_type: str, spec: dict) -> int:
+        if self.ddl_ts and finished_ts <= self.ddl_ts[-1]:
+            raise ValueError("DDL finished-ts must be strictly increasing")
+        self.versions.append(apply_ddl_to_fields(self.versions[-1], ddl_type, spec))
+        self.ddl_ts.append(finished_ts)
+        return len(self.versions) - 1
+
+    def fields(self, version: int) -> list[dict]:
+        return self.versions[version]
+
+    def struct(self, version: int) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f["name"], T._parse_datatype_string(f["type"])) for f in self.fields(version)]
+        )
+
+    def version_at(self, commit_ts: int) -> int:
+        """Snapshot-at-CRTs-1 rule: DDL at finished_ts == commit_ts NOT yet
+        visible (mounter.go:242-247)."""
+        return bisect.bisect_left(self.ddl_ts, commit_ts)
+
+    @classmethod
+    def from_ddl_rows(cls, base_fields: list[dict], rows: list) -> "SchemaRegistry":
+        """rows: (commit_ts, ddl_type, table, spec-json) sorted by commit_ts."""
+        ddls = [(r["commit_ts"], r["ddl_type"], json.loads(r["spec"])) for r in rows]
+        return cls(base_fields, ddls)

@@ -165,6 +165,77 @@ def write_binlog(spec: BinlogSpec, out_dir: str, files_per_part: int = 1) -> str
     return out_dir
 
 
+def binlog_to_raw(
+    tbl: pa.Table,
+    ddls: list[tuple[int, str, dict]] | None = None,
+    lang_values: tuple[str, ...] = ("en", "de", "fr", "zh", "es"),
+    seed: int = 7,
+) -> pa.Table:
+    """Re-encode a typed binlog as the RAW wire form: payload = JSON string,
+    schema_version = #{ddl : finished_ts < commit_ts} (the snapshot-at-CRTs-1
+    rule, cdc/entry/mounter.go:242-247). Events at versions that include an
+    added `lang` field carry a value for it; renames change the JSON key.
+
+    Test-side generator — per-row Python is fine here (never in the engine).
+    """
+    import bisect
+
+    from .streaming.registry import SchemaRegistry
+
+    base = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "tokens", "type": "array<int>"},
+        {"id": 3, "name": "n_tok", "type": "int"},
+        {"id": 4, "name": "source", "type": "string"},
+    ]
+    reg = SchemaRegistry(base, ddls or [])
+    rng = np.random.default_rng(seed)
+    d = tbl.to_pydict()
+    n = len(tbl)
+    langs = rng.integers(0, len(lang_values), size=n)
+    payloads, versions = [], []
+    for i in range(n):
+        v = bisect.bisect_left(reg.ddl_ts, d["commit_ts"][i])
+        versions.append(v)
+        if d["op"][i] == "D":
+            payloads.append(None)
+            continue
+        fields = [f for f in reg.fields(v) if f["name"] != "doc_id"]
+        vals = {}
+        for f in fields:
+            if f["id"] == 2:
+                vals[f["name"]] = d["tokens"][i]
+            elif f["id"] == 3:
+                vals[f["name"]] = d["n_tok"][i]
+            elif f["id"] == 4:
+                vals[f["name"]] = d["source"][i]
+            else:  # added columns (e.g. lang)
+                vals[f["name"]] = lang_values[langs[i]]
+        payloads.append(json.dumps(vals))
+    return pa.table(
+        {
+            "commit_ts": pa.array(d["commit_ts"], pa.int64()),
+            "seq": pa.array(d["seq"], pa.int64()),
+            "table": pa.array(d["table"]),
+            "op": pa.array(d["op"]),
+            "doc_id": pa.array(d["doc_id"]),
+            "payload": pa.array(payloads, pa.string()),
+            "part": pa.array(d["part"], pa.int32()),
+            "schema_version": pa.array(versions, pa.int32()),
+        }
+    )
+
+
+def write_raw_binlog(tbl: pa.Table, out_dir: str, n_files: int = 1) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    step = (len(tbl) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = tbl.slice(i * step, step)
+        if len(chunk):
+            pq.write_table(chunk, os.path.join(out_dir, f"raw-{i:05d}.parquet"))
+    return out_dir
+
+
 @dataclass
 class DDLSpec:
     """FIXTURES.md F3 — add / widen / rename DDLs at fixed barrier points."""
