@@ -1,38 +1,822 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the engine's operator inventory (SURVEY.md §2) plus the training-data
+pipeline operators onto the driver's testdata tables so every operator has a
+DuckDB-checkable oracle:
+
+  * cdc_*     — the CDC dataflow (LWW dedup, frontier/watermark folds, epoch
+    slicing, txn grouping, dispatch, sorter ordering, filters, mounter
+    decode, sink stats) over `events` normalized as a change stream
+    (ticdc_spark.operators.feed). The token-payload path of the same
+    operators is exercised by the pytest suite against a replay oracle.
+  * text_* / dedup_* / ann_* — training-data pipeline over `documents` /
+    `embeddings` (exact + MinHash-LSH + SimHash + n-gram-Jaccard +
+    embedding-cosine dedup; brute-force & LSH ANN; quality/langid/
+    fingerprint/token-count analysis).
+  * tpch-ish — scan/agg/join coverage (q1_pricing, q3_segment).
+  * multimodal_meta — binary-column plumbing roundtrip (pack → mapInPandas
+    decode), oracle recomputes the deterministic metadata relationally.
+
+Cross-engine determinism rules used throughout: md5-based 60-bit hashes
+(functions.hashing), float sums via integer cents, cosine/jaccard rounded,
+int32 → int64 casts, arrays serialized as CSV strings.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ticdc_spark.functions.hashing import MERSENNE_P, bucket_sql, h60_sql, perm_params
+from ticdc_spark.functions.text import (
+    BPE_RE,
+    STOPWORDS,
+    TOKENS_SQL,
+    bpe_tokens_col,
+    fingerprint_columns,
+    fingerprint_sql,
+    langid_columns,
+    quality_columns,
+    tokens_col,
+)
+from ticdc_spark.operators.feed import FEED_SQL, N_PARTS, changelog
+from ticdc_spark.operators.lww import lww_latest_agg, lww_latest_window, op_rank_col
+from ticdc_spark.pipeline import dedup as dd
+from ticdc_spark.pipeline import multimodal as mm
+from ticdc_spark.pipeline import similarity as sim
+
+# ---------------------------------------------------------------------------
+# helpers
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _longify(df: DataFrame) -> DataFrame:
+    """Promote int32→int64 and float32→float64 so Spark and DuckDB schemas
+    agree (DuckDB count/len/etc. are BIGINT/DOUBLE)."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.IntegerType, T.ShortType, T.ByteType)):
+            c = c.cast("long")
+        elif isinstance(f.dataType, T.FloatType):
+            c = c.cast("double")
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_CENTS = "cast(round({x} * 100) as bigint)"
+
+
+def _cents(col):
+    return F.round(col * 100, 0).cast("long")
+
+
+OP_RANK_SQL = "CASE WHEN op = 'D' THEN 0 ELSE 1 END"
+LWW_SQL = f"""
+WITH feed AS ({FEED_SQL}),
+ranked AS (
+  SELECT doc_id, commit_ts, seq, op, event_type, value,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC
+         ) AS rn
+  FROM feed
+)
+"""
+
+# ---------------------------------------------------------------------------
+# CDC dataflow queries (events as change stream)
+
+
+def q_cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule LWW formulation: row_number over key partition
+    (SURVEY.md §2.6; cdc/puller/entry_sorter.go:62-72 ordering)."""
+    feed = changelog(spark, sf_dir)
+    w = lww_latest_window(feed, ["doc_id"])
+    return w.select(
+        "doc_id", "commit_ts", "seq", "op", F.round("value", 6).alias("val")
+    )
+
+
+def q_cdc_lww_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same winners via max_by hash-aggregate (the skew-immune production
+    path — map-side partial aggregation, no window sort)."""
+    feed = changelog(spark, sf_dir)
+    w = lww_latest_agg(feed, ["doc_id"])
+    return w.select(
+        "doc_id", "commit_ts", "seq", "op", F.round("value", 6).alias("val")
+    )
+
+
+_LWW_ORACLE = (
+    LWW_SQL
+    + """
+SELECT doc_id, commit_ts, seq, op, round(value, 6) AS val
+FROM ranked WHERE rn = 1
+"""
+)
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible final table after replay: LWW winners minus tombstones
+    (delete ⟺ removed, cdc/model/sink.go:238-240)."""
+    feed = changelog(spark, sf_dir)
+    w = lww_latest_agg(feed, ["doc_id"])
+    return w.filter(F.col("op") != "D").select(
+        "doc_id", "commit_ts", "seq", "event_type", F.round("value", 6).alias("val")
+    )
+
+
+def q_cdc_resolved_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-frontier fold (cdc/puller/frontier/frontier.go:65-119): global
+    resolved-ts = min over partitions of per-partition max commit_ts."""
+    feed = changelog(spark, sf_dir)
+    per = feed.groupBy("part").agg(F.max("commit_ts").alias("part_resolved"))
+    frontier = per.agg(F.min("part_resolved").alias("frontier"))
+    return per.crossJoin(F.broadcast(frontier)).select(
+        "part", "part_resolved", "frontier"
+    )
+
+
+def q_cdc_epoch_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorter release rule (entry_sorter.go:119-155): only events with
+    commit_ts <= resolved frontier are emitted this epoch."""
+    feed = changelog(spark, sf_dir)
+    frontier = (
+        feed.groupBy("part")
+        .agg(F.max("commit_ts").alias("m"))
+        .agg(F.min("m").alias("frontier"))
+    )
+    sliced = feed.join(F.broadcast(frontier), F.col("commit_ts") <= F.col("frontier"))
+    return sliced.groupBy("op").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("doc_id").alias("n_keys"),
+        F.max("commit_ts").alias("max_commit_ts"),
+    )
+
+
+def q_cdc_txn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnresolvedTxnCache assembly (cdc/sink/common/common.go:74-102): group
+    rows into txns by (key, commit_ts)."""
+    feed = changelog(spark, sf_dir)
+    return feed.groupBy("doc_id", "commit_ts").agg(
+        F.count("*").alias("n_rows"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
+def q_cdc_dispatch_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-value dispatcher (cdc/sink/dispatcher/index_value.go:33-53):
+    stable hash(key) % K routing; per-bucket load stats."""
+    from ticdc_spark.functions.hashing import bucket
+
+    feed = changelog(spark, sf_dir)
+    return (
+        feed.withColumn("bucket", bucket("doc_id", 16))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("doc_id").alias("n_keys"))
+    )
+
+
+def q_cdc_op_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EntrySorter comparator (entry_sorter.go:62-72): per-key apply order =
+    commit_ts asc, seq asc, delete-before-put on ties."""
+    feed = changelog(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("commit_ts").asc(), F.col("seq").asc(), op_rank_col().asc()
+    )
+    return feed.select(
+        "doc_id", "commit_ts", "seq", "op", F.row_number().over(w).alias("apply_rank")
+    )
+
+
+def q_cdc_checkpoint_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaskPosition / checkpoint-lag metric (cdc/model/owner.go:77-86,
+    processor checkpoint lag gauge): per-partition progress vs global max."""
+    feed = changelog(spark, sf_dir)
+    per = feed.groupBy("part").agg(
+        F.count("*").alias("n_events"), F.max("commit_ts").alias("part_resolved")
+    )
+    g = per.agg(F.max("part_resolved").alias("global_max"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "part",
+        "n_events",
+        "part_resolved",
+        (F.col("global_max") - F.col("part_resolved")).alias("lag_us"),
+    )
+
+
+def q_cdc_sink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink statistics fold (cdc/sink/statistics.go:29-132): row counters
+    and exact value totals (integer cents — no float-sum nondeterminism)."""
+    feed = changelog(spark, sf_dir)
+    return feed.groupBy("op").agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("doc_id").alias("n_keys"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
+def q_cdc_mounter_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mounter decode+project (cdc/entry/mounter.go:290-332): raw payload
+    (JSON props) → typed columns, fused into the scan by Catalyst."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        (F.get_json_object("props", "$.k").cast("long") % 7).alias("k_mod7"),
+    )
+
+
+def q_cdc_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table/event filter (pkg/filter/filter.go:34-113): allowlist predicate
+    pushed to the scan; surviving counts per type."""
+    feed = changelog(spark, sf_dir)
+    keep = feed.filter(
+        (F.col("op") != "D") & (F.col("event_type").isin("click", "purchase", "signup"))
+    )
+    return keep.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_cdc_mark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic-mark filter (pkg/cyclic/filter.go:44-130): drop txns whose key
+    appears in the mark set — broadcast left-anti join."""
+    feed = changelog(spark, sf_dir)
+    marks = (
+        feed.filter((F.col("event_type") == "signup") & (F.col("value") >= 90))
+        .select("doc_id")
+        .distinct()
+    )
+    rest = feed.join(F.broadcast(marks), "doc_id", "left_anti")
+    return rest.groupBy("op").agg(
+        F.count("*").alias("n_events"), F.countDistinct("doc_id").alias("n_keys")
+    )
+
+
+def q_cdc_tokens_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW over a token-array payload (input_hint shape): tokens derived
+    deterministically per event, final state per key after replay; arrays
+    serialized as CSV for the cross-engine hash."""
+    feed = changelog(spark, sf_dir)
+    toks = F.sequence(F.lit(0), (F.col("seq") % 8).cast("long"))
+    with_payload = feed.withColumn(
+        "tokens", F.when(F.col("op") != "D", toks)
+    ).withColumn("n_tok", F.size(F.col("tokens")).cast("long"))
+    w = lww_latest_agg(with_payload, ["doc_id"])
+    return w.filter(F.col("op") != "D").select(
+        "doc_id",
+        "commit_ts",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias("tokens_csv"),
+        "n_tok",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish scan/agg/join coverage
+
+
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_q3_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join: orders ⋈ customer on custkey."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return _longify(
+        d.select(
+            "doc_id",
+            F.size(tokens_col("text")).alias("n_words"),
+            F.size(bpe_tokens_col("text")).alias("n_bpe"),
+            F.length("text").alias("n_chars_out"),
+        )
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(quality_columns(_docs(spark, sf_dir)))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(langid_columns(_docs(spark, sf_dir)))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(fingerprint_columns(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(dd.exact_dedup(_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8))
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(dd.minhash_signatures(_docs(spark, sf_dir), n=3))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(dd.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.7))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(dd.simhash_pairs_blocked(_docs(spark, sf_dir), max_hamming=3))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(sim.cosine_pairs(_emb(spark, sf_dir), threshold=0.4))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _longify(sim.cosine_topk(emb, queries, k=5))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _longify(sim.ann_lsh_topk(emb, queries, k=5, n_bits=6, dim=64))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (pack → binary column → mapInPandas decode)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip: synthesize fake media blobs from documents (deterministic
+    header per doc_id), decode via Arrow-batched mapInPandas, emit typed
+    metadata. The oracle recomputes the same metadata relationally — the
+    check verifies the binary plumbing end-to-end."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"))
+
+    def pack(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            rows = []
+            for i in ids:
+                mid = str(int(i))
+                blob = mm.pack_fake_media(
+                    mid,
+                    kind=int(i) % 3,
+                    width=16 * (int(i) % 32 + 1),
+                    height=16 * (int(i) % 24 + 1),
+                    n_frames=int(i) % 100 + 1,
+                    sr=16000,
+                )
+                rows.append((mid, blob))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.mapInPandas(
+        pack,
+        T.StructType(
+            [
+                T.StructField("media_id", T.StringType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        ),
+    )
+    meta = mm.decode_image_meta(media)
+    return _longify(meta)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _dedup_shingle_sql(n: int = 3) -> str:
+    toks = TOKENS_SQL.format(t="text")
+    gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    return f"""
+t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-{n - 1}, 0))) AS i, toks FROM t),
+sh AS (SELECT DISTINCT doc_id, {gram} AS shingle FROM g),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, n_inter,
+         round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+def _minhash_sig_from_sh(n_perms: int = 16) -> str:
+    """The sig CTE, assuming an `sh(doc_id, shingle)` CTE is in scope."""
+    h = f"({h60_sql('shingle')} % {MERSENNE_P})"
+    mins = []
+    for i in range(n_perms):
+        a, b = perm_params(i)
+        mins.append(f"min(({a} * {h} + {b}) % {MERSENNE_P}) AS mh_{i}")
+    return f"sig AS (SELECT doc_id, {', '.join(mins)} FROM sh GROUP BY doc_id)"
+
+
+def _minhash_sig_sql(n: int = 3, n_perms: int = 16) -> str:
+    toks = TOKENS_SQL.format(t="text")
+    gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    return f"""
+t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-{n - 1}, 0))) AS i, toks FROM t),
+sh AS (SELECT DISTINCT doc_id, {gram} AS shingle FROM g),
+{_minhash_sig_from_sh(n_perms)}
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    toks = TOKENS_SQL.format(t="text")
+    h = h60_sql("tok")
+    sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s_{j}" for j in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN 1::BIGINT ELSE 0 END << {j})" for j in range(bits)
+    )
+    return f"""
+t AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+th AS (SELECT doc_id, {h} AS h FROM tok),
+agg AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {packed} AS simhash FROM agg)
+"""
+
+
+def _lsh_band_sql(n_perms: int = 16, bands: int = 4) -> str:
+    r = n_perms // bands
+    parts = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"cast(mh_{b * r + j} as varchar)" for j in range(r)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig")
+    return "banded AS (" + " UNION ALL ".join(parts) + ")"
+
+
+def _hyperplane_literal(plane_id: int, dim: int) -> str:
+    import hashlib
+
+    signs = []
+    for d in range(dim):
+        bit = int(hashlib.md5(f"{plane_id}:{d}".encode()).hexdigest()[0], 16) & 1
+        signs.append("1.0" if bit else "-1.0")
+    return "[" + ", ".join(signs) + "]"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+    )
+
+
+def _ann_lsh_sql(n_bits: int, dim: int, k: int) -> str:
+    terms = []
+    for p in range(n_bits):
+        plane = _hyperplane_literal(p, dim)
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) > 0 "
+            f"THEN 1::BIGINT ELSE 0 END << {p})"
+        )
+    sig = " + ".join(terms)
+    cos = _cos_sql("c.embedding", "q.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding, bucket FROM b),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+_SW_ALL = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
+
+
+def _langid_sql() -> str:
+    toks = TOKENS_SQL.format(t="text")
+    scores = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in STOPWORDS.items()
+    }
+    score_cols = ", ".join(f"{expr} AS score_{lang}" for lang, expr in scores.items())
+    best = f"greatest({', '.join('score_' + lang for lang in STOPWORDS)})"
+    pred = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in STOPWORDS:
+        pred += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM t)
+SELECT doc_id, score_en, score_de, score_fr, score_es, {pred} AS lang_pred FROM s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = TOKENS_SQL.format(t="text")
+    n_parts = N_PARTS
+    frontier_sql = f"(SELECT min(m) FROM (SELECT max(commit_ts) AS m FROM ({FEED_SQL}) GROUP BY part))"
+    return {
+        "cdc_lww_window": _LWW_ORACLE,
+        "cdc_lww_agg": _LWW_ORACLE,
+        "cdc_final_state": LWW_SQL
+        + "SELECT doc_id, commit_ts, seq, event_type, round(value, 6) AS val "
+        "FROM ranked WHERE rn = 1 AND op != 'D'",
+        "cdc_resolved_frontier": f"""
+WITH feed AS ({FEED_SQL}),
+p AS (SELECT part, max(commit_ts) AS part_resolved FROM feed GROUP BY part)
+SELECT part, part_resolved, (SELECT min(part_resolved) FROM p) AS frontier FROM p
+""",
+        "cdc_epoch_slice": f"""
+WITH feed AS ({FEED_SQL})
+SELECT op, count(*) AS n_events, count(DISTINCT doc_id) AS n_keys,
+       max(commit_ts) AS max_commit_ts
+FROM feed WHERE commit_ts <= {frontier_sql} GROUP BY op
+""",
+        "cdc_txn_group": f"""
+WITH feed AS ({FEED_SQL})
+SELECT doc_id, commit_ts, count(*) AS n_rows,
+       min(seq) AS first_seq, max(seq) AS last_seq
+FROM feed GROUP BY doc_id, commit_ts
+""",
+        "cdc_dispatch_buckets": f"""
+WITH feed AS ({FEED_SQL})
+SELECT {bucket_sql("doc_id", 16)} AS bucket, count(*) AS n_events,
+       count(DISTINCT doc_id) AS n_keys
+FROM feed GROUP BY 1
+""",
+        "cdc_op_ordering": f"""
+WITH feed AS ({FEED_SQL})
+SELECT doc_id, commit_ts, seq, op,
+       row_number() OVER (
+         PARTITION BY doc_id ORDER BY commit_ts ASC, seq ASC, {OP_RANK_SQL} ASC
+       ) AS apply_rank
+FROM feed
+""",
+        "cdc_checkpoint_lag": f"""
+WITH feed AS ({FEED_SQL}),
+p AS (SELECT part, count(*) AS n_events, max(commit_ts) AS part_resolved
+      FROM feed GROUP BY part)
+SELECT part, n_events, part_resolved,
+       (SELECT max(part_resolved) FROM p) - part_resolved AS lag_us
+FROM p
+""",
+        "cdc_sink_stats": f"""
+WITH feed AS ({FEED_SQL})
+SELECT op, count(*) AS total_rows, count(DISTINCT doc_id) AS n_keys,
+       cast(sum({_CENTS.format(x="value")}) as bigint) AS value_cents,
+       min(value) AS min_val, max(value) AS max_val
+FROM feed GROUP BY op
+""",
+        "cdc_mounter_decode": """
+SELECT event_id AS seq, cast(user_id AS varchar) AS doc_id,
+       cast(props->>'$.k' AS bigint) AS k,
+       cast(props->>'$.k' AS bigint) % 7 AS k_mod7
+FROM events
+""",
+        "cdc_table_filter": f"""
+WITH feed AS ({FEED_SQL})
+SELECT event_type, count(*) AS n FROM feed
+WHERE op != 'D' AND event_type IN ('click', 'purchase', 'signup')
+GROUP BY event_type
+""",
+        "cdc_mark_filter": f"""
+WITH feed AS ({FEED_SQL}),
+marks AS (SELECT DISTINCT doc_id FROM feed WHERE event_type = 'signup' AND value >= 90)
+SELECT op, count(*) AS n_events, count(DISTINCT doc_id) AS n_keys
+FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM marks)
+GROUP BY op
+""",
+        "cdc_tokens_final_state": f"""
+WITH feed AS ({FEED_SQL}),
+payload AS (
+  SELECT *, CASE WHEN op != 'D'
+                 THEN generate_series(0, cast(seq % 8 AS bigint)) END AS tokens
+  FROM feed
+),
+ranked AS (
+  SELECT doc_id, commit_ts, op, tokens,
+         coalesce(len(tokens), 0)::BIGINT AS n_tok,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM payload
+)
+SELECT doc_id, commit_ts,
+       coalesce(array_to_string(tokens, ','), '') AS tokens_csv, n_tok
+FROM ranked WHERE rn = 1 AND op != 'D'
+""",
+        "q1_pricing": f"""
+SELECT l_returnflag, l_linestatus,
+       cast(sum({_CENTS.format(x="l_quantity")}) as bigint) AS sum_qty_cents,
+       cast(sum({_CENTS.format(x="l_extendedprice")}) as bigint) AS sum_price_cents,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_segment": f"""
+SELECT c_mktsegment, count(*) AS n_orders,
+       cast(sum({_CENTS.format(x="o_totalprice")}) as bigint) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "text_tokens": f"""
+SELECT doc_id,
+       len({toks})::BIGINT AS n_words,
+       len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT AS n_bpe,
+       length(text)::BIGINT AS n_chars_out
+FROM documents
+""",
+        "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS toks, length(text) AS n_chars,
+         len({toks}) AS n_words,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+         len(list_filter({toks}, x -> x IN ({_SW_ALL}))) AS sw
+  FROM documents
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars_q, n_words::BIGINT AS n_words,
+       round(n_chars * 1.0 / n_words, 6) AS mean_word_len,
+       round(punct * 1.0 / n_chars, 6) AS punct_ratio,
+       round(alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+       round(digit * 1.0 / n_chars, 6) AS digit_ratio,
+       round(sw * 1.0 / n_words, 6) AS stopword_ratio,
+       (CASE WHEN n_words >= 5 AND punct * 1.0 / n_chars < 0.2
+             THEN 1 ELSE 0 END)::BIGINT AS passes_quality
+FROM t
+""",
+        "text_langid": _langid_sql(),
+        "text_fingerprint": fingerprint_sql(),
+        "dedup_exact": """
+SELECT md5(lower(trim(text))) AS content_md5, count(*) AS dup_count,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": "WITH "
+        + _dedup_shingle_sql()
+        + "SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= 0.8",
+        "dedup_minhash_sig": "WITH " + _minhash_sig_sql() + "\nSELECT * FROM sig",
+        "dedup_minhash_lsh": "WITH "
+        + _dedup_shingle_sql()  # t/g/sh/sizes/inter/jac CTEs
+        + ", "
+        + _minhash_sig_from_sh()  # sig CTE built on sh
+        + ", "
+        + _lsh_band_sql()
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard FROM cand c
+JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.7""",
+        "dedup_simhash": "WITH "
+        + _simhash_sql()
+        + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "dedup_embedding": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
+""",
+        "ann_topk": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql("c.embedding", "q.embedding")} AS cos_sim
+  FROM embeddings c
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q ON c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+        "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5),
+        "multimodal_meta": """
+SELECT cast(doc_id AS varchar) AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       (16 * (doc_id % 32 + 1))::BIGINT AS width,
+       (16 * (doc_id % 24 + 1))::BIGINT AS height,
+       (doc_id % 100 + 1)::BIGINT AS n_frames,
+       16000::BIGINT AS sample_rate,
+       (15 + least(8 * length(cast(doc_id AS varchar)), 64))::BIGINT AS n_bytes,
+       true AS valid
+FROM documents
+""",
+    }
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: CDC LWW final state on sf0.001 (the engine's core collapse)."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "cdc_lww_window": q_cdc_lww_window,
+        "cdc_lww_agg": q_cdc_lww_agg,
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_resolved_frontier": q_cdc_resolved_frontier,
+        "cdc_epoch_slice": q_cdc_epoch_slice,
+        "cdc_txn_group": q_cdc_txn_group,
+        "cdc_dispatch_buckets": q_cdc_dispatch_buckets,
+        "cdc_op_ordering": q_cdc_op_ordering,
+        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
+        "cdc_sink_stats": q_cdc_sink_stats,
+        "cdc_mounter_decode": q_cdc_mounter_decode,
+        "cdc_table_filter": q_cdc_table_filter,
+        "cdc_mark_filter": q_cdc_mark_filter,
+        "cdc_tokens_final_state": q_cdc_tokens_final_state,
+        "q1_pricing": q_q1_pricing,
+        "q3_segment": q_q3_segment,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+    }

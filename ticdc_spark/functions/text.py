@@ -1,0 +1,152 @@
+"""Text-analysis functions for the training-data pipeline.
+
+All pure Column expressions (codegen'd, no Python in the hot path):
+tokenization, word n-gram shingles, quality scoring, n-gram language-ID
+heuristic, and rolling-hash document fingerprinting (winnowing-lite).
+
+At 100 TB these run as a single narrow projection over the scan — no shuffle,
+no UDF serialization; Catalyst fuses them into the parquet-read stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h60_sql
+
+# small deterministic stopword lists per language for the lang-ID heuristic
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "pour", "que"),
+    "es": ("el", "los", "que", "de", "la", "en", "un", "una", "por", "con"),
+}
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    """Whitespace tokenization (lowercased). BPE-ish variant below."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+TOKENS_SQL = r"regexp_split_to_array(lower(trim({t})), '\s+')"
+
+# BPE-ish sub-word regex: words, numbers, or single punctuation marks —
+# the GPT-2 pre-tokenizer shape without the library dependency.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_RE), 0)
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram shingles as space-joined strings; [] when < n tokens.
+
+    transform over a sequence of start offsets — stays in codegen.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_sql(n: int, toks_expr: str = "toks") -> str:
+    """DuckDB rendering of word_ngrams: per-row generate_series + list slice
+    (unnested by the caller)."""
+    # caller unnests: unnest(generate_series(1, greatest(len(toks)-n+1, 0))) i
+    return f"array_to_string({toks_expr}[i:i+{n - 1}], ' ')"
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, word stats, punctuation/alpha/digit
+    ratios, stopword ratio. Mirrors what a pre-training quality filter keys on
+    (C4/Gopher-style rules) — deterministic, oracle-checkable.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(toks)
+    all_sw = tuple(w for ws in STOPWORDS.values() for w in ws)
+    sw_hits = F.size(F.filter(toks, lambda x: x.isin(*all_sw)))
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?\'\"]", ""))
+    alpha = F.length(t) - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_words.alias("n_words"),
+        F.round(n_chars / n_words, 6).alias("mean_word_len"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(alpha / n_chars, 6).alias("alpha_ratio"),
+        F.round(digit / n_chars, 6).alias("digit_ratio"),
+        F.round(sw_hits / n_words, 6).alias("stopword_ratio"),
+        ((n_words >= 5) & (punct / n_chars < F.lit(0.2))).cast("int").alias("passes_quality"),
+    )
+
+
+def langid_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = #tokens in each language's
+    stopword list; argmax wins, ties/zero → 'und'. Deterministic tie-break by
+    fixed language order en > de > fr > es."""
+    toks = tokens_col(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*ws))) for lang, ws in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order = tie-break priority
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = df.select(
+        "doc_id",
+        *[s.alias(f"score_{lang}") for lang, s in scores.items()],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint_columns(df: DataFrame, text_col: str = "text", w: int = 5) -> DataFrame:
+    """Document fingerprint: full-content hash + winnowing-lite rolling
+    fingerprint = min over word-w-gram hashes (robust to local edits).
+    Cross-engine reproducible (md5-based h60)."""
+    toks = tokens_col(text_col)
+    grams = word_ngrams(toks, w)
+    gram_hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    return df.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("content_md5"),
+        F.when(F.size(gram_hashes) > 0, F.array_min(gram_hashes))
+        .otherwise(F.conv(F.substring(F.md5(F.lower(F.trim(F.col(text_col)))), 1, 15), 16, 10).cast("long"))
+        .alias("min_gram_fp"),
+        F.size(grams).alias("n_grams"),
+    )
+
+
+def fingerprint_sql(w: int = 5) -> str:
+    """DuckDB oracle for fingerprint_columns."""
+    toks = TOKENS_SQL.format(t="text")
+    gram = "array_to_string(toks[i:i+" + str(w - 1) + "], ' ')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, md5(lower(trim(text))) AS content_md5, {toks} AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-{w - 1}, 0))) AS i, toks
+  FROM t
+), agg AS (
+  SELECT doc_id, min({h60_sql(gram)}) AS min_fp,
+         count(*) AS n_grams
+  FROM g GROUP BY doc_id
+)
+SELECT t.doc_id, t.content_md5,
+       coalesce(agg.min_fp, {h60_sql("t.content_md5")}) AS min_gram_fp,
+       coalesce(agg.n_grams, 0) AS n_grams
+FROM t LEFT JOIN agg USING (doc_id)
+"""

@@ -1,0 +1,261 @@
+"""Deduplication operators over the documents table.
+
+Five families, each Spark-first (no per-row Python, every hash cross-engine
+reproducible via functions.hashing so the DuckDB oracle can verify values):
+
+  * exact            — content-hash groupBy; survivor = min(doc_id).
+                       One shuffle on a 32-hex key; map-side combine.
+  * ngram_jaccard    — exact word-n-gram Jaccard via shingle explode +
+                       self-equi-join on shingle + group count. Quadratic only
+                       within shingle buckets; at 100 TB use minhash_lsh below
+                       to pre-filter candidates.
+  * minhash_lsh      — MinHash signatures (K universal-hash perms over 60-bit
+                       shingle hashes) banded into B bands; candidate pairs
+                       share ≥1 band; verified with exact Jaccard. The scale
+                       path: shuffle is O(docs × B), never all-pairs.
+  * simhash          — 32-bit SimHash over distinct tokens; near-dup pairs =
+                       hamming(simhash_a, simhash_b) ≤ r via bit_count(xor).
+  * embedding_cosine — near-dup by cosine over an embedding column
+                       (array<float>); see pipeline.similarity for the ANN
+                       scale path.
+
+Scale notes: the explode(shingles) width is bounded by doc length; the
+band-join is an equi-join on (band_id, band_hash) — AQE skew-split handles
+hot bands (boilerplate docs). All joins here are shuffle equi-joins with
+partial aggregation pushed below the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, h60, perm_params
+from ..functions.text import tokens_col, word_ngrams
+
+# LSH defaults: K = BANDS * ROWS_PER_BAND signatures
+N_PERMS = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical (lowercased, trimmed) content; emit one row per
+    distinct content with its duplicate count and canonical (min) doc_id."""
+    return (
+        docs.select(
+            F.col("doc_id"), F.md5(F.lower(F.trim(F.col(text_col)))).alias("content_md5")
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word-n-gram shingles per doc: (doc_id, shingle)."""
+    toks = tokens_col(text_col)
+    return (
+        docs.select("doc_id", F.explode(word_ngrams(toks, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ threshold.
+
+    Plan: explode shingles → self-equi-join on shingle (doc_a < doc_b) →
+    count per pair = intersection; set sizes joined back (broadcast — it's
+    one row per doc). The shingle join is the only quadratic step and only
+    within identical shingles.
+    """
+    sh = shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, n_perms: int = N_PERMS, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{K-1}) — min over shingles of perm_i(h60(shingle)).
+
+    One explode + one groupBy with K min() aggregates: partial aggregation
+    collapses each partition's shingles before the shuffle, so the shuffle
+    carries ≤ K longs per (doc, partition).
+    """
+    sh = shingles(docs, n, text_col)
+    h = (h60(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
+    base = sh.select("doc_id", h)
+    aggs = []
+    for i in range(n_perms):
+        a, b = perm_params(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        )
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    bands: int = BANDS,
+    threshold: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Bands of r = n_perms/bands rows; band key = md5 of the concatenated
+    signature slice. Candidates = pairs sharing any (band_id, band_hash);
+    each candidate is verified with exact n-gram Jaccard, so output has no
+    false positives (recall is the LSH knob: P[detect] = 1-(1-s^r)^b).
+    """
+    r = n_perms // bands
+    sig = minhash_signatures(docs, n, n_perms, text_col)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, 0.0, text_col).withColumnRenamed("jaccard", "jaccard")
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over the doc's DISTINCT token set.
+
+    bit_j(doc) = [ Σ_tokens (2·bit_j(h60(token)) − 1) > 0 ]; packed into one
+    long. All bit sums are a single groupBy with 32 sum() aggregates.
+    """
+    tok = (
+        docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", h60(F.col("tok")))
+    )
+    sums = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    packed = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, j)
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Local form is an all-pairs join (fine ≤10^5 docs); the scale path blocks
+    on simhash chunks (pigeonhole: ≤r differing bits ⇒ some 32/(r+1)-bit
+    chunk is identical) — see simhash_pairs_blocked.
+    """
+    sig = simhash_signatures(docs, text_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_blocked(
+    docs: DataFrame, max_hamming: int = 6, n_blocks: int | None = None, text_col: str = "text"
+) -> DataFrame:
+    """Scale path: pigeonhole blocking. Split the 32-bit signature into
+    n_blocks = max_hamming+1 chunks; any pair within distance ≤ max_hamming
+    agrees on at least one chunk → equi-join per chunk, union, distinct,
+    verify. Shuffle is O(docs × n_blocks), not all-pairs."""
+    n_blocks = n_blocks or (max_hamming + 1)
+    width = SIMHASH_BITS // n_blocks
+    sig = simhash_signatures(docs, text_col)
+    chunks = []
+    for c in range(n_blocks):
+        mask = ((1 << width) - 1) << (c * width)
+        chunks.append(
+            sig.select(
+                "doc_id",
+                "simhash",
+                F.lit(c).alias("chunk_id"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("chunk_val"),
+            )
+        )
+    blocked = chunks[0]
+    for ch in chunks[1:]:
+        blocked = blocked.unionByName(ch)
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, schema
+(by sorted column names), and order-insensitive values.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
+            df[c] = s.map(lambda b: b.hex())
+        elif s.dtype == bool or str(s.dtype) == "boolean":
+            df[c] = s.astype("int64")
+        elif str(s.dtype).startswith("float"):
+            df[c] = s.astype("float64").round(9)
+        elif str(s.dtype).startswith(("int", "uint", "Int")):
+            df[c] = s.astype("int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name, spark_pdf, duck_pdf):
+    errs = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        errs.append(f"columns spark={sc} duck={dc}")
+        return errs
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].values, b[c].values
+            if str(a[c].dtype).startswith("float"):
+                bad = ~np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+            else:
+                bad = ~((pd.isna(av) & pd.isna(bv)) | (av == bv))
+            if bad.any():
+                i = int(np.argmax(bad))
+                errs.append(f"col {c}: {int(bad.sum())} diffs, first at row {i}: spark={av[i]!r} duck={bv[i]!r}")
+    return errs
+
+
+def main(only: list[str]) -> int:
+    import __spark_entry__ as entrymod
+    from ticdc_spark.session import build_session
+
+    spark = build_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = only or list(qs)
+    failed = []
+    for name in names:
+        t0 = time.time()
+        try:
+            spdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only check: {len(spdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            dpdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        errs = compare(name, spdf, dpdf)
+        if errs:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            for e in errs:
+                print(f"   {e}")
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names)-len(failed)}/{len(names)} pass")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
