@@ -67,11 +67,21 @@ def _longify(df: DataFrame) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # testdata ships one small file per table → a single input split; spread
+    # the expensive per-doc work (md5 shingles, signatures) across cores.
+    # At real scale the source is already many splits and this coalesces to
+    # a no-op-sized shuffle of the doc corpus.
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 _CENTS = "cast(round({x} * 100) as bigint)"

@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract): run the headline workload at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line.
+
+Two parts:
+  1. cdc_replay — the engine's reason to exist: synthesize a deterministic
+     binlog (size scaled to the sf of the input dir), replay it through
+     LWW dedup + epoch MERGE into the lake table; report wall seconds
+     (events/sec derivable from n_events, also included).
+  2. operator queries from __spark_entry__.queries() executed to a noop sink
+     (full execution, no driver collect).
+
+Scaling evidence (N vs 4N cores) is produced by tools/scaling_bench.py,
+which re-invokes this file at two parallelism levels on the SAME input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# binlog events for the replay headline; overridable for scaling runs
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+
+BENCH_QUERIES = [
+    "cdc_lww_agg",
+    "cdc_final_state",
+    "cdc_tokens_final_state",
+    "q1_pricing",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_lsh_topk",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_replay(spark, work_root: str, n_events: int) -> dict:
+    """End-to-end CDC apply: binlog (pre-generated, excluded from timing) →
+    LWW dedup per epoch → idempotent bucket MERGE commits."""
+    from ticdc_spark.engine.replay import open_binlog, replay_binlog
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+    binlog_dir = os.path.join(work_root, f"binlog_{n_events}")
+    if not os.path.exists(os.path.join(binlog_dir, "_DONE")):
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        spec = BinlogSpec(
+            n_events=n_events,
+            n_keys=max(1000, n_events // 10),
+            seed=42,
+            hot_frac=0.05,
+            hot_keys=8,
+            n_parts=32,
+        )
+        write_binlog(spec, binlog_dir, files_per_part=32)
+        open(os.path.join(binlog_dir, "_DONE"), "w").write("ok")
+
+    tbl_dir = os.path.join(work_root, "bench_tbl")
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    events = open_binlog(spark, binlog_dir)
+
+    t0 = time.time()
+    stats = replay_binlog(table, events, n_epochs=4, epoch_prefix="bench")
+    dt = time.time() - t0
+    rows = table.read().count()
+    return {
+        "sec": round(dt, 3),
+        "n_events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+        "epochs": len(stats),
+        "final_rows": rows,
+    }
+
+
+def main() -> None:
+    from ticdc_spark.session import build_session
+
+    import __spark_entry__ as entrymod
+
+    spark = build_session("ticdc-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    work_root = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/ticdc_bench")
+    os.makedirs(work_root, exist_ok=True)
+
+    qtimes: dict[str, float] = {}
+    replay = bench_replay(spark, work_root, N_EVENTS)
+    qtimes["cdc_replay"] = replay["sec"]
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, SF_DIR)
+        df.count()  # warm: plan + scan caches
+        t0 = time.time()
+        _noop(qs[name](spark, SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_operator_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": _sf_of(SF_DIR),
+                "replay": replay,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

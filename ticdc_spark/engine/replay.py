@@ -18,17 +18,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
-from ..operators.epochs import epoch_slice, resolved_frontier
-from ..operators.lww import lww_latest_agg
+from ..operators.epochs import epoch_slice, frontier_and_bounds, resolved_frontier
+from ..operators.lww import lww_latest_agg, lww_latest_semijoin
 
 
 def replay_epoch(table: LakeTable, events: DataFrame, epoch_id: str) -> dict:
-    """Dedup one epoch's events and merge. events: binlog-schema rows."""
+    """Dedup one epoch's events and merge. events: binlog-schema rows.
+
+    Winners are persisted across merge_epoch's two actions (touched-bucket
+    discovery + the write) so the LWW shuffle runs once, not twice.
+    """
     key = table.key_col
     payload = [f["name"] for f in table.current_fields if f["name"] != key]
     cols = [key, "op", "commit_ts", "seq", *payload]
-    winners = lww_latest_agg(events.select(*cols), [key])
-    return table.merge_epoch(winners, epoch_id)
+    winners = lww_latest_semijoin(events.select(*cols), [key]).persist()
+    try:
+        return table.merge_epoch(winners, epoch_id, assume_deduped=True)
+    finally:
+        winners.unpersist()
 
 
 def replay_binlog(
@@ -44,25 +51,31 @@ def replay_binlog(
     a restarted replay re-derives identical epochs → idempotent re-commits.
     stop_after_epoch simulates a crash for resume tests.
     """
-    resolved = resolved_frontier(events)
+    # cache the binlog across the epoch loop: each epoch filters a commit_ts
+    # range of the same data, and the parquet scan (token arrays) dominates
+    events = events.persist()
+    lo, resolved = frontier_and_bounds(events)
     if resolved < 0:
+        events.unpersist()
         return []
-    lo = events.agg(F.min("commit_ts")).collect()[0][0]
     stats = []
     width = max(1, (resolved - lo + 1 + n_epochs - 1) // n_epochs)
     prev_hi = lo - 1
-    for e in range(n_epochs):
-        hi = min(resolved, lo + (e + 1) * width - 1)
-        sl = events.filter(
-            (F.col("commit_ts") > prev_hi) & (F.col("commit_ts") <= hi)
-        )
-        epoch_id = f"{epoch_prefix}-{e:05d}-{hi}"
-        stats.append(replay_epoch(table, sl, epoch_id))
-        prev_hi = hi
-        if stop_after_epoch is not None and e >= stop_after_epoch:
-            break
-        if hi >= resolved:
-            break
+    try:
+        for e in range(n_epochs):
+            hi = min(resolved, lo + (e + 1) * width - 1)
+            sl = events.filter(
+                (F.col("commit_ts") > prev_hi) & (F.col("commit_ts") <= hi)
+            )
+            epoch_id = f"{epoch_prefix}-{e:05d}-{hi}"
+            stats.append(replay_epoch(table, sl, epoch_id))
+            prev_hi = hi
+            if stop_after_epoch is not None and e >= stop_after_epoch:
+                break
+            if hi >= resolved:
+                break
+    finally:
+        events.unpersist()
     return stats
 
 

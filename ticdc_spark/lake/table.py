@@ -292,6 +292,7 @@ class LakeTable:
         epoch_id: str,
         watermarks: dict | None = None,
         broadcast_threshold: int = 2_000_000,
+        assume_deduped: bool = False,
     ) -> dict:
         """Apply one epoch of deduped change winners. Exactly-once by
         epoch_id; conditional on (commit_ts, seq, op_rank) recency.
@@ -336,13 +337,22 @@ class LakeTable:
                 "op", F.when(F.col(SYS_DELETED), F.lit("D")).otherwise(F.lit("U"))
             )
             unioned = old_part.unionByName(new_part)
+        elif assume_deduped:
+            # first epoch fast path: caller guarantees one winner per key,
+            # nothing to reconcile against — skip the collapse shuffle
+            unioned = None
         else:
             unioned = new_part
-        # lww operates on commit_ts/seq column names
-        merged = lww_latest_agg(
-            unioned.withColumnRenamed(SYS_COMMIT_TS, "commit_ts").withColumnRenamed(SYS_SEQ, "seq"),
-            [key],
-        )
+        if unioned is None:
+            merged = new_part.withColumnRenamed(SYS_COMMIT_TS, "commit_ts").withColumnRenamed(
+                SYS_SEQ, "seq"
+            )
+        else:
+            # lww operates on commit_ts/seq column names
+            merged = lww_latest_agg(
+                unioned.withColumnRenamed(SYS_COMMIT_TS, "commit_ts").withColumnRenamed(SYS_SEQ, "seq"),
+                [key],
+            )
         out = (
             merged.withColumn(SYS_DELETED, F.col("op") == "D")
             .withColumnRenamed("commit_ts", SYS_COMMIT_TS)

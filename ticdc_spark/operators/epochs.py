@@ -31,6 +31,21 @@ def resolved_frontier(df: DataFrame, part_col: str = "part", ts_col: str = "comm
     return row["resolved"] if row["resolved"] is not None else -1
 
 
+def frontier_and_bounds(
+    df: DataFrame, part_col: str = "part", ts_col: str = "commit_ts"
+) -> tuple[int, int]:
+    """(min commit_ts, resolved frontier) in ONE aggregation pass — the
+    replay loop needs both and the binlog scan is the dominant cost."""
+    rows = (
+        df.groupBy(part_col)
+        .agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+        .collect()
+    )
+    if not rows:
+        return -1, -1
+    return min(r["lo"] for r in rows), min(r["hi"] for r in rows)
+
+
 def epoch_slice(df: DataFrame, resolved_ts: int, ts_col: str = "commit_ts") -> DataFrame:
     """Events safe to apply: commit_ts <= resolved_ts.
 

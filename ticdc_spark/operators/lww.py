@@ -71,6 +71,42 @@ def lww_latest_window(df: DataFrame, key_cols: list[str] | None = None) -> DataF
     )
 
 
+def lww_latest_semijoin(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Rank-only shuffle + winner join-back — the wide-payload fast path.
+
+    max_by/window shuffle the full payload (token arrays dominate row size);
+    here only (key, commit_ts, seq, op_rank) goes through the shuffle
+    (~24 B/row), then the winner set joins back against the un-shuffled
+    events to pick up payloads map-side. With AQE the join-back is a
+    broadcast when the winner set is small (one epoch's keys) and degrades
+    to a shuffle join — never worse than max_by — when it isn't.
+
+    PRECONDITION: (commit_ts, seq, op_rank) is unique per key — true for a
+    CDC log where seq is the arrival order (ties across op are the
+    delete/put pairs, split by op_rank). merge-time re-collapse of
+    at-least-once duplicates still uses lww_latest_agg.
+    """
+    key_cols = key_cols or [KEY_COL]
+    rank = F.struct(F.col("commit_ts"), F.col("seq"), op_rank_col().alias("op_rank"))
+    wins = (
+        df.groupBy(*key_cols)
+        .agg(F.max(rank).alias("_r"))
+        .select(
+            *[F.col(k).alias(f"_wk_{k}") for k in key_cols],
+            F.col("_r.commit_ts").alias("_wc"),
+            F.col("_r.seq").alias("_ws"),
+            F.col("_r.op_rank").alias("_wo"),
+        )
+    )
+    cond = [F.col(k) == F.col(f"_wk_{k}") for k in key_cols] + [
+        F.col("commit_ts") == F.col("_wc"),
+        F.col("seq") == F.col("_ws"),
+        op_rank_col() == F.col("_wo"),
+    ]
+    joined = df.join(wins, cond, "inner")
+    return joined.select(*df.columns)
+
+
 def lww_latest_salted(
     df: DataFrame, key_cols: list[str] | None = None, salt_buckets: int = 16
 ) -> DataFrame:
