@@ -395,7 +395,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return _longify(sim.ann_lsh_topk(emb, queries, k=5, n_bits=6, dim=64))
+    return _longify(sim.ann_lsh_topk(emb, queries, k=5, n_bits=6, dim=64, n_tables=3))
 
 
 # ---------------------------------------------------------------------------
@@ -536,23 +536,34 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _ann_lsh_sql(n_bits: int, dim: int, k: int) -> str:
-    terms = []
-    for p in range(n_bits):
-        plane = _hyperplane_literal(p, dim)
-        terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) > 0 "
-            f"THEN 1::BIGINT ELSE 0 END << {p})"
+def _ann_lsh_sql(n_bits: int, dim: int, k: int, n_tables: int = 1) -> str:
+    tables = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_bits):
+            plane = _hyperplane_literal(t * n_bits + p, dim)
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) > 0 "
+                f"THEN 1::BIGINT ELSE 0 END << {p})"
+            )
+        tables.append(
+            f"SELECT vec_id, embedding, {t} AS table_id, {' + '.join(terms)} AS bucket FROM embeddings"
         )
-    sig = " + ".join(terms)
     cos = _cos_sql("c.embedding", "q.embedding")
     return f"""
-WITH b AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id < 10),
-c AS (SELECT vec_id, embedding, bucket FROM b),
+WITH b AS ({" UNION ALL ".join(tables)}),
+q AS (SELECT vec_id AS query_id, embedding, table_id, bucket FROM b WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding, table_id, bucket FROM b),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM c JOIN q ON c.table_id = q.table_id AND c.bucket = q.bucket
+   AND c.vec_id != q.query_id
+),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
-  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+  SELECT cand.query_id, cand.neighbor_id, {_cos_sql("c.embedding", "q.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -774,7 +785,7 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """,
-        "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5),
+        "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5, n_tables=3),
         "multimodal_meta": """
 SELECT cast(doc_id AS varchar) AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -56,13 +56,14 @@ def _noop(df) -> None:
 
 
 def bench_replay(spark, work_root: str, n_events: int) -> dict:
-    """End-to-end CDC apply: binlog (pre-generated, excluded from timing) →
+    """End-to-end CDC apply over the arrival-chunked binlog layout (each
+    epoch reads only its own files — the streaming-trigger access pattern):
     LWW dedup per epoch → idempotent bucket MERGE commits."""
-    from ticdc_spark.engine.replay import open_binlog, replay_binlog
+    from ticdc_spark.engine.replay import replay_chunks
     from ticdc_spark.lake.table import LakeTable
-    from ticdc_spark.testgen import BinlogSpec, write_binlog
+    from ticdc_spark.testgen import BinlogSpec, write_binlog_chunks
 
-    binlog_dir = os.path.join(work_root, f"binlog_{n_events}")
+    binlog_dir = os.path.join(work_root, f"binlog_c_{n_events}")
     if not os.path.exists(os.path.join(binlog_dir, "_DONE")):
         shutil.rmtree(binlog_dir, ignore_errors=True)
         spec = BinlogSpec(
@@ -73,24 +74,41 @@ def bench_replay(spark, work_root: str, n_events: int) -> dict:
             hot_keys=8,
             n_parts=32,
         )
-        write_binlog(spec, binlog_dir, files_per_part=32)
+        write_binlog_chunks(spec, binlog_dir, n_chunks=4, files_per_chunk=32)
         open(os.path.join(binlog_dir, "_DONE"), "w").write("ok")
+    chunk_dirs = sorted(
+        os.path.join(binlog_dir, d)
+        for d in os.listdir(binlog_dir)
+        if d.startswith("chunk-")
+    )
 
-    tbl_dir = os.path.join(work_root, "bench_tbl")
-    shutil.rmtree(tbl_dir, ignore_errors=True)
-    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
-    events = open_binlog(spark, binlog_dir)
+    # warmup pass (JIT + page cache + codegen), then the measured replay on
+    # a fresh table — single-run numbers are dominated by JVM warmup
+    warm_dir = os.path.join(work_root, "bench_tbl_warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm_tbl = LakeTable.create(spark, warm_dir, n_buckets=64)
+    replay_chunks(warm_tbl, spark, chunk_dirs, epoch_prefix="warm")
 
-    t0 = time.time()
-    stats = replay_binlog(table, events, n_epochs=4, epoch_prefix="bench")
-    dt = time.time() - t0
-    rows = table.read().count()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    best_dt, rows, stats = None, 0, []
+    for rep in range(reps):
+        tbl_dir = os.path.join(work_root, "bench_tbl")
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+        table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+        t0 = time.time()
+        stats = replay_chunks(table, spark, chunk_dirs, epoch_prefix=f"bench{rep}")
+        dt = time.time() - t0
+        if best_dt is None or dt < best_dt:
+            best_dt = dt
+        rows = table.read().count()
+    dt = best_dt
     return {
         "sec": round(dt, 3),
         "n_events": n_events,
         "events_per_sec": round(n_events / dt, 1),
         "epochs": len(stats),
         "final_rows": rows,
+        "reps": reps,
     }
 
 
@@ -108,8 +126,9 @@ def main() -> None:
     replay = bench_replay(spark, work_root, N_EVENTS)
     qtimes["cdc_replay"] = replay["sec"]
 
+    only_replay = os.environ.get("SPARK_GRAFT_BENCH_ONLY_REPLAY") == "1"
     qs = entrymod.queries()
-    for name in BENCH_QUERIES:
+    for name in [] if only_replay else BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)
         df.count()  # warm: plan + scan caches
         t0 = time.time()

@@ -1,0 +1,261 @@
+"""Training-data pipeline operators: dedup family, similarity search, text
+analysis, multimodal plumbing. Mirrors the reference's test strategy
+(SURVEY.md §5): property checks against independently-computed ground truth
+(brute force / pure-python oracles) on the driver-provided testdata.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------- dedup ----------------
+
+
+def test_exact_dedup_partitions_the_corpus(docs):
+    from ticdc_spark.pipeline.dedup import exact_dedup
+
+    out = exact_dedup(docs).collect()
+    assert sum(r["dup_count"] for r in out) == docs.count()
+    # canonical id is a member min — every group's canonical <= any doc in it
+    assert all(r["dup_count"] >= 1 for r in out)
+
+
+def test_ngram_jaccard_pairs_match_python_bruteforce(docs):
+    from ticdc_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    shingle = {}
+    for r in rows:
+        toks = r["text"].lower().strip().split()
+        shingle[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+    ids = sorted(shingle)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shingle[a] & shingle[b])
+            union = len(shingle[a] | shingle[b])
+            if union and round(inter / union, 6) >= 0.8:
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want
+    assert len(want) > 0  # testdata contains real near-dups
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH with verification: no false positives by construction; recall vs
+    brute force measured — must be total on the testdata's high-sim pairs
+    (s >= 0.9 -> detect prob ~1 at 4 bands x 4 rows)."""
+    from ticdc_spark.pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert lsh <= exact  # exact-Jaccard verification: no false positives
+    assert exact, "testdata should contain 0.9+ near-dup pairs"
+    recall = len(lsh) / len(exact)
+    # P[detect] = 1-(1-s^4)^4 ~ 0.986 at s=0.9 — allow a small miss band
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_simhash_blocked_equals_allpairs(docs):
+    from ticdc_spark.pipeline.dedup import simhash_pairs, simhash_pairs_blocked
+
+    sample = docs.limit(120)
+    allp = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in simhash_pairs(sample, 3).collect()}
+    blocked = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs_blocked(sample, 3).collect()
+    }
+    assert blocked == allp  # pigeonhole blocking is complete
+
+
+def test_simhash_near_dups_have_close_signatures(docs):
+    from ticdc_spark.pipeline.dedup import ngram_jaccard_pairs, simhash_signatures
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    near = ngram_jaccard_pairs(docs, n=3, threshold=0.95).collect()
+    assert near, "expect some 0.95+ near-dup pairs in testdata"
+    for r in near:
+        ham = bin(sig[r["doc_a"]] ^ sig[r["doc_b"]]).count("1")
+        assert ham <= 8, f"jaccard {r['jaccard']} pair has hamming {ham}"
+
+
+# ---------------- similarity ----------------
+
+
+def test_cosine_topk_matches_numpy(emb):
+    import numpy as np
+
+    from ticdc_spark.pipeline.similarity import cosine_topk
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = cosine_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+    for q in range(5):
+        sims = []
+        for vid, v in vecs.items():
+            if vid == q:
+                continue
+            c = float(v @ vecs[q] / (np.linalg.norm(v) * np.linalg.norm(vecs[q])))
+            sims.append((round(c, 6), -vid))
+        sims.sort(reverse=True)
+        want_ids = [-s[1] for s in sims[:3]]
+        got_ids = [x[1] for x in sorted(by_q[q])]
+        assert got_ids == want_ids
+
+
+def test_ann_lsh_is_subset_with_decent_recall(emb):
+    from ticdc_spark.pipeline.similarity import ann_lsh_topk, cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx_rows = ann_lsh_topk(emb, queries, k=5, n_bits=3, dim=64, n_tables=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # every approx neighbor is a real vector scored with true cosine; with 4
+    # tables of 3 bits, P[collide] for a near pair (cos~0.5, p~0.67/bit) is
+    # 1-(1-p^3)^4 ~ 0.75 — demand well-above-random recall
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.4, f"recall {recall}"
+
+
+def test_embedding_near_dup_pairs_symmetric_and_thresholded(emb):
+    from ticdc_spark.pipeline.similarity import cosine_pairs
+
+    out = cosine_pairs(emb.limit(100), threshold=0.3)
+    rows = out.collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["cos_sim"] >= 0.3 for r in rows)
+
+
+# ---------------- text ----------------
+
+
+def test_quality_and_langid_deterministic(docs):
+    from ticdc_spark.functions.text import langid_columns, quality_columns
+
+    q = quality_columns(docs).collect()
+    assert all(abs(r["punct_ratio"]) <= 1 and 0 <= r["stopword_ratio"] <= 1 for r in q)
+    l1 = {r["doc_id"]: r["lang_pred"] for r in langid_columns(docs).collect()}
+    l2 = {r["doc_id"]: r["lang_pred"] for r in langid_columns(docs).collect()}
+    assert l1 == l2
+
+
+def test_fingerprint_stable_under_local_edit(spark):
+    """Winnowing property: min-gram fingerprint usually survives a point
+    edit; content hash never does."""
+    from ticdc_spark.functions.text import fingerprint_columns
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    edited = base.replace("theta", "THETA-X", 1)
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in fingerprint_columns(df).collect()}
+    assert rows[1]["content_md5"] != rows[2]["content_md5"]
+    assert rows[1]["n_grams"] > 0
+
+
+# ---------------- multimodal ----------------
+
+
+def test_media_roundtrip_decode(spark):
+    import pandas as pd
+
+    from ticdc_spark.pipeline import multimodal as mm
+
+    blobs = [
+        ("a", mm.pack_fake_media("a", 0, 640, 480, 1, 0)),
+        ("b", mm.pack_fake_media("b", 2, 1920, 1080, 90, 0)),
+        ("c", b"not-media"),
+    ]
+    media = spark.createDataFrame(blobs, "media_id string, content binary")
+    out = {r["media_id"]: r for r in mm.decode_image_meta(media).collect()}
+    assert out["a"]["kind"] == "image" and out["a"]["width"] == 640
+    assert out["b"]["kind"] == "video" and out["b"]["n_frames"] == 90
+    assert not out["c"]["valid"] and out["c"]["kind"] is None
+
+
+def test_extract_features_requires_decoder_and_runs_with_fake(spark):
+    from ticdc_spark.pipeline import multimodal as mm
+
+    media = spark.createDataFrame(
+        [("x", mm.pack_fake_media("x", 1, 0, 0, 1, 16000))],
+        "media_id string, content binary",
+    )
+    with pytest.raises(NotImplementedError):
+        mm.extract_features(media).count()
+
+    def fake_decoder(b: bytes):
+        return [float(len(b)), float(b[0])] + [0.0] * 14
+
+    rows = mm.extract_features(media, decoder=fake_decoder).collect()
+    assert len(rows[0]["features"]) == 16
+
+
+def test_frame_sample_plan(spark):
+    from ticdc_spark.pipeline import multimodal as mm
+
+    meta = spark.createDataFrame(
+        [("v", "video", 25)], "media_id string, kind string, n_frames int"
+    )
+    idx = [r["frame_idx"] for r in mm.frame_sample_plan(meta, every_n=10).collect()]
+    assert idx == [0, 10, 20]
+
+
+# ---------------- feed / hashing ----------------
+
+
+def test_changelog_op_mapping(spark):
+    from ticdc_spark.operators.feed import changelog
+
+    feed = changelog(spark, SF)
+    ops = {r["event_type"]: r["op"] for r in feed.select("event_type", "op").distinct().collect()}
+    assert ops["signup"] == "I" and ops["error"] == "D"
+    assert all(v == "U" for k, v in ops.items() if k not in ("signup", "error"))
+
+
+def test_h60_matches_duckdb(spark):
+    import duckdb
+
+    from ticdc_spark.functions.hashing import h60, h60_sql
+
+    df = spark.createDataFrame([("abc",), ("spark",), ("",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", h60("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for s, h in got.items():
+        want = con.execute(f"select {h60_sql('?')}", [s]).fetchone()[0]
+        assert h == want, s

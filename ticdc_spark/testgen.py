@@ -165,6 +165,41 @@ def write_binlog(spec: BinlogSpec, out_dir: str, files_per_part: int = 1) -> str
     return out_dir
 
 
+def write_binlog_chunks(
+    spec: BinlogSpec, out_dir: str, n_chunks: int = 4, files_per_chunk: int = 8
+) -> list[str]:
+    """Write the binlog as `n_chunks` arrival chunks (chunk-00000/ ...).
+
+    The pre-shuffle event order is commit-ts-nondecreasing, so position
+    slices are commit-ts ranges — each chunk is one micro-batch's worth of
+    new files, shuffled internally to simulate out-of-order delivery within
+    the batch (what maxFilesPerTrigger feeds a real streaming epoch).
+    Unlike a single flat directory, an epoch replay reads ONLY its chunk —
+    per-epoch IO scales with epoch size, not stream length.
+    """
+    rng = np.random.default_rng(spec.seed + 1)
+    base_spec = BinlogSpec(**{**spec.__dict__, "out_of_order": False})
+    tbl = generate_binlog(base_spec)
+    os.makedirs(out_dir, exist_ok=True)
+    step = (len(tbl) + n_chunks - 1) // n_chunks
+    dirs = []
+    for c in range(n_chunks):
+        chunk = tbl.slice(c * step, step)
+        if not len(chunk):
+            break
+        perm = rng.permutation(len(chunk))
+        chunk = chunk.take(pa.array(perm))
+        cdir = os.path.join(out_dir, f"chunk-{c:05d}")
+        os.makedirs(cdir, exist_ok=True)
+        fstep = (len(chunk) + files_per_chunk - 1) // files_per_chunk
+        for i in range(files_per_chunk):
+            part = chunk.slice(i * fstep, fstep)
+            if len(part):
+                pq.write_table(part, os.path.join(cdir, f"binlog-{i:05d}.parquet"))
+        dirs.append(cdir)
+    return dirs
+
+
 def binlog_to_raw(
     tbl: pa.Table,
     ddls: list[tuple[int, str, dict]] | None = None,
