@@ -295,6 +295,54 @@ def q_cdc_tokens_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prewrite x commit matcher (cdc/kv/matcher.go:43-99): equi-join on the
+    txn key, rollback prewrites dropped. Mapped onto events: view=prewrite,
+    purchase=commit, error=rollback; txn key = (user, props.k)."""
+    from ticdc_spark.operators.matcher import match_prewrite_commit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.col("value"),
+    )
+    pre = ev.filter(F.col("event_type") == "view").select(
+        "doc_id", "k", F.col("event_id").alias("pre_seq"), F.round("value", 6).alias("val")
+    )
+    com = ev.filter(F.col("event_type") == "purchase").select(
+        "doc_id", "k", F.col("event_id").alias("com_seq")
+    )
+    rb = ev.filter(F.col("event_type") == "error").select("doc_id", "k")
+    m = match_prewrite_commit(pre, com, rollbacks=rb, join_cols=["doc_id", "k"])
+    return m["matched"].select("doc_id", "k", "pre_seq", "com_seq", "val")
+
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-Protocol JSON codec round trip (cdc/sink/codec/json.go:127-234):
+    encode -> (key_json, value_json) -> decode; must reproduce the rows.
+    Oracle is the identity projection -- the check verifies the codec."""
+    from ticdc_spark.functions.codec import decode_open_protocol, encode_open_protocol
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    payload = ["event_type", "value"]
+    enc = encode_open_protocol(feed, payload)
+    dec = decode_open_protocol(
+        enc,
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    return dec.select(
+        "commit_ts", "seq", "table", "op", "doc_id", "event_type",
+        F.round("value", 6).alias("val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish scan/agg/join coverage
 
@@ -690,6 +738,29 @@ SELECT doc_id, commit_ts,
        coalesce(array_to_string(tokens, ','), '') AS tokens_csv, n_tok
 FROM ranked WHERE rn = 1 AND op != 'D'
 """,
+        "cdc_matcher": """
+WITH ev AS (
+  SELECT event_id, cast(user_id AS varchar) AS doc_id, event_type,
+         cast(props->>'$.k' AS bigint) AS k, value
+  FROM events
+),
+pre AS (
+  SELECT doc_id, k, event_id AS pre_seq, round(value, 6) AS val FROM ev
+  WHERE event_type = 'view'
+    AND NOT EXISTS (SELECT 1 FROM ev r WHERE r.event_type = 'error'
+                    AND r.doc_id = ev.doc_id AND r.k = ev.k)
+),
+com AS (SELECT doc_id, k, event_id AS com_seq FROM ev WHERE event_type = 'purchase')
+SELECT com.doc_id, com.k, pre_seq, com_seq, val
+FROM com JOIN pre ON com.doc_id = pre.doc_id AND com.k = pre.k
+""",
+        "codec_roundtrip": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       CASE WHEN op != 'D' THEN event_type END AS event_type,
+       CASE WHEN op != 'D' THEN round(value, 6) END AS val
+FROM feed
+""",
         "q1_pricing": f"""
 SELECT l_returnflag, l_linestatus,
        cast(sum({_CENTS.format(x="l_quantity")}) as bigint) AS sum_qty_cents,
@@ -825,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_filter": q_cdc_table_filter,
         "cdc_mark_filter": q_cdc_mark_filter,
         "cdc_tokens_final_state": q_cdc_tokens_final_state,
+        "cdc_matcher": q_cdc_matcher,
+        "codec_roundtrip": q_codec_roundtrip,
         "q1_pricing": q_q1_pricing,
         "q3_segment": q_q3_segment,
         "text_tokens": q_text_tokens,

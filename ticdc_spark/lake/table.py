@@ -176,14 +176,21 @@ class LakeTable:
 
     def update_schema(self, ddl_type: str, spec: dict, epoch_id: str | None = None) -> bool:
         """Metadata-only schema commit. ddl_type ∈ {add_column, widen_column,
-        rename_column} (FIXTURES.md F3; reference DDL application:
-        cdc/entry/schema_storage.go:539-624). Field ids are stable across
-        rename/widen — Iceberg's evolution rule."""
+        rename_column, drop_column} (FIXTURES.md F3; reference DDL
+        application: cdc/entry/schema_storage.go:539-624). Field ids are
+        stable across rename/widen; a dropped id simply stops being
+        projected — old files keep the bytes, readers skip them (Iceberg's
+        evolution rule)."""
         if epoch_id is not None and epoch_id in self.committed_epochs:
             return False
         fields = [dict(f) for f in self.current_fields]
         if ddl_type == "add_column":
-            next_id = max(f["id"] for f in fields) + 1
+            # ids are NEVER reused (Iceberg's last-column-id rule) — a
+            # re-added same-named column must not resurrect dropped bytes
+            all_ids = [
+                f["id"] for sch in self._manifest["schemas"].values() for f in sch
+            ]
+            next_id = max([*all_ids, self._manifest.get("last_field_id", 0)]) + 1
             fields.append({"id": next_id, "name": spec["name"], "type": spec["type"]})
         elif ddl_type == "widen_column":
             for f in fields:
@@ -199,6 +206,13 @@ class LakeTable:
                     break
             else:
                 raise KeyError(spec["from"])
+        elif ddl_type == "drop_column":
+            if spec["name"] == self.key_col:
+                raise ValueError("cannot drop the handle key")
+            kept = [f for f in fields if f["name"] != spec["name"]]
+            if len(kept) == len(fields):
+                raise KeyError(spec["name"])
+            fields = kept
         else:
             raise ValueError(f"unsupported ddl_type {ddl_type}")
         m = json.loads(json.dumps(self._manifest))
@@ -420,6 +434,23 @@ class LakeTable:
                 # watermarks are monotone (puller.go:163-168 contract)
                 wm[k] = max(int(v), int(wm.get(k, -1)))
         self._commit_manifest(m)
+
+    def truncate(self, epoch_id: str | None = None) -> bool:
+        """TRUNCATE TABLE: metadata-only commit dropping every bucket's file
+        references (reference: truncate swaps in a fresh table id and the
+        old rows vanish, cdc/entry/schema_storage.go:539-624 truncate case).
+        Data files become unreferenced — physical GC is compact()'s job."""
+        if epoch_id is not None and epoch_id in self.committed_epochs:
+            return False
+        m = json.loads(json.dumps(self._manifest))
+        m["parent"] = m["version"]
+        m["version"] += 1
+        m["buckets"] = {}
+        m["epoch_id"] = epoch_id
+        if epoch_id is not None:
+            m["committed_epochs"].append(epoch_id)
+        self._commit_manifest(m)
+        return True
 
     # ---------------- maintenance ----------------
     def compact(self, purge_tombstones: bool = True) -> dict:

@@ -34,6 +34,11 @@ def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[d
                 f["name"] = spec["to"]
                 return out
         raise KeyError(spec["from"])
+    elif ddl_type == "drop_column":
+        kept = [f for f in out if f["name"] != spec["name"]]
+        if len(kept) == len(out):
+            raise KeyError(spec["name"])
+        return kept
     else:
         raise ValueError(f"unsupported ddl_type {ddl_type}")
     return out
