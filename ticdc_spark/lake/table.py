@@ -265,12 +265,28 @@ class LakeTable:
         keys = [str(b) for b in buckets] if buckets is not None else list(bmap)
         return [e for k in keys for e in bmap.get(k, [])]
 
+    def _collapse(self, df: DataFrame) -> DataFrame:
+        """Read-time LWW: one winner per key by (commit_ts, seq, op_rank)
+        with tombstone(0) < live(1) — merge-on-read over base + delta files
+        (the same total order the sorter applies, entry_sorter.go:62-72)."""
+        key = self.key_col
+        payload = [c for c in df.columns if c != key]
+        rank = F.struct(
+            F.col(SYS_COMMIT_TS),
+            F.col(SYS_SEQ),
+            (~F.col(SYS_DELETED)).cast("int").alias("_op_rank"),
+        )
+        w = df.groupBy(key).agg(
+            F.max_by(F.struct(*[F.col(c) for c in payload]), rank).alias("_w")
+        )
+        return w.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
     def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current rows incl. tombstones and system columns."""
+        """Current state incl. tombstones and system columns (collapsed)."""
         df = self._read_files(self._bucket_entries(buckets))
         if df is None:
             return self.spark.createDataFrame([], _fields_to_struct(self.current_fields, with_sys=True))
-        return df
+        return self._collapse(df)
 
     def read(self) -> DataFrame:
         """The visible table: live rows, logical schema only."""
@@ -305,16 +321,22 @@ class LakeTable:
         changes: DataFrame,
         epoch_id: str,
         watermarks: dict | None = None,
-        broadcast_threshold: int = 2_000_000,
         assume_deduped: bool = False,
+        mode: str = "mor",
     ) -> dict:
-        """Apply one epoch of deduped change winners. Exactly-once by
-        epoch_id; conditional on (commit_ts, seq, op_rank) recency.
+        """Apply one epoch of change rows. Exactly-once by epoch_id;
+        conditional on (commit_ts, seq, op_rank) recency.
+
+        mode="mor" (default): MERGE-ON-READ — the epoch's winners append as
+        delta files per bucket; readers collapse base+deltas by LWW and
+        compact() folds them. ONE Spark job per epoch (the delta write): no
+        old-bucket read, no union re-aggregation, no touched-bucket pre-pass
+        — the high-throughput CDC ingest path (Iceberg MOR equivalent).
+
+        mode="cow": COPY-ON-WRITE — read touched buckets, union, collapse,
+        rewrite; read() stays collapse-free cheap. Used by compact().
 
         changes columns: key_col, op, commit_ts, seq, + current payload cols.
-        Rows are winners per key (use operators.lww first); if not, we
-        re-collapse here anyway (cheap second reduce).
-
         Returns stats dict {committed, touched_buckets, rows_written}.
         """
         if epoch_id in self.committed_epochs:
@@ -323,7 +345,7 @@ class LakeTable:
         key = self.key_col
         payload_names = [f["name"] for f in self.current_fields if f["name"] != key]
 
-        # normalize change rows → (key, payload..., sys cols, op)
+        # normalize change rows -> (key, payload..., sys cols)
         ch = changes.select(
             F.col(key),
             *[F.col(c) for c in payload_names],
@@ -331,59 +353,69 @@ class LakeTable:
             F.col("seq").alias(SYS_SEQ),
             (F.col("op") == OP_DELETE).alias(SYS_DELETED),
         ).withColumn("_bucket", self._bucket_expr(key))
+        if not assume_deduped:
+            # collapse within the epoch so deltas carry one row per key
+            ch = self._collapse(ch)
 
-        touched = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
-        if not touched:
-            # still record the epoch (empty epochs advance the checkpoint:
-            # heap_sorter.go:115-122 empty-flush analog is a metadata commit)
-            self._finalize_commit(epoch_id, {}, 0, touched, watermarks)
-            return {"committed": True, "touched_buckets": 0, "rows_written": 0}
-
-        old = self._read_files(self._bucket_entries(touched))
-
-        # union old + new, collapse per key by (commit_ts, seq, op_rank).
-        # op_rank: tombstone/delete = 0 < live/put = 1 (entry_sorter.go:62-72)
-        new_part = ch.drop("_bucket").withColumn(
-            "op", F.when(F.col(SYS_DELETED), F.lit("D")).otherwise(F.lit("U"))
-        )
-        if old is not None:
-            old_part = old.withColumn(
-                "op", F.when(F.col(SYS_DELETED), F.lit("D")).otherwise(F.lit("U"))
-            )
-            unioned = old_part.unionByName(new_part)
-        elif assume_deduped:
-            # first epoch fast path: caller guarantees one winner per key,
-            # nothing to reconcile against — skip the collapse shuffle
-            unioned = None
-        else:
-            unioned = new_part
-        if unioned is None:
-            merged = new_part.withColumnRenamed(SYS_COMMIT_TS, "commit_ts").withColumnRenamed(
-                SYS_SEQ, "seq"
-            )
-        else:
-            # lww operates on commit_ts/seq column names
-            merged = lww_latest_agg(
-                unioned.withColumnRenamed(SYS_COMMIT_TS, "commit_ts").withColumnRenamed(SYS_SEQ, "seq"),
-                [key],
-            )
-        out = (
-            merged.withColumn(SYS_DELETED, F.col("op") == "D")
-            .withColumnRenamed("commit_ts", SYS_COMMIT_TS)
-            .withColumnRenamed("seq", SYS_SEQ)
-            .select(
-                F.col(key),
-                *[F.col(c) for c in payload_names],
-                F.col(SYS_COMMIT_TS),
-                F.col(SYS_SEQ),
-                F.col(SYS_DELETED),
-            )
-            .withColumn("_bucket", self._bucket_expr(key))
-        )
+        if mode == "cow":
+            return self._merge_cow(ch, epoch_id, watermarks)
 
         new_version = self._manifest["version"] + 1
         data_dir = f"data/v{new_version:08d}"
         abs_dir = os.path.join(self.root, data_dir)
+        (
+            ch.repartition(self.n_buckets, "_bucket")
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(abs_dir)
+        )
+        new_entries = self._scan_written(abs_dir)
+        touched = list(new_entries)
+        self._finalize_commit(
+            epoch_id, new_entries, 0, [int(b) for b in touched], watermarks, replace=False
+        )
+        return {
+            "committed": True,
+            "touched_buckets": len(touched),
+            "rows_written": 0,
+            "version": self._manifest["version"],
+            "mode": "mor",
+        }
+
+    def _scan_written(self, abs_dir: str) -> dict:
+        """Collect written files per bucket from a partitioned write dir."""
+        out: dict[str, list[dict]] = {}
+        for bdir in glob.glob(os.path.join(abs_dir, "_bucket=*")):
+            b = bdir.split("_bucket=")[-1]
+            out[b] = [
+                {
+                    "path": os.path.relpath(p, self.root),
+                    "schema_version": self.schema_version,
+                }
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            ]
+        return out
+
+    def _merge_cow(self, ch: DataFrame, epoch_id: str, watermarks: dict | None) -> dict:
+        """Copy-on-write apply: read touched buckets, collapse old ∪ new,
+        rewrite those buckets (the set-oriented MERGE INTO equivalent of the
+        reference's REPLACE/DELETE SQL, cdc/sink/mysql.go:947-1034)."""
+        key = self.key_col
+
+        touched = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
+        if not touched:
+            # empty epochs still advance the checkpoint
+            # (heap_sorter.go:115-122 empty-flush analog: metadata commit)
+            self._finalize_commit(epoch_id, {}, 0, touched, watermarks)
+            return {"committed": True, "touched_buckets": 0, "rows_written": 0}
+
+        old = self._read_files(self._bucket_entries(touched))
+        unioned = ch.drop("_bucket") if old is None else old.unionByName(ch.drop("_bucket"))
+        out = self._collapse(unioned).withColumn("_bucket", self._bucket_expr(key))
+
+        new_version = self._manifest["version"] + 1
+        abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
         (
             out.repartition(max(1, min(len(touched), 256)), "_bucket")
             .sortWithinPartitions(key)
@@ -391,25 +423,14 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(abs_dir)
         )
-        # collect written files per bucket from the output dir
-        new_entries: dict[str, list[dict]] = {}
-        rows_written = 0
-        for bdir in glob.glob(os.path.join(abs_dir, "_bucket=*")):
-            b = bdir.split("_bucket=")[-1]
-            files = [
-                {
-                    "path": os.path.relpath(p, self.root),
-                    "schema_version": self.schema_version,
-                }
-                for p in glob.glob(os.path.join(bdir, "*.parquet"))
-            ]
-            new_entries[b] = files
-        self._finalize_commit(epoch_id, new_entries, rows_written, touched, watermarks)
+        new_entries = self._scan_written(abs_dir)
+        self._finalize_commit(epoch_id, new_entries, 0, touched, watermarks, replace=True)
         return {
             "committed": True,
             "touched_buckets": len(touched),
-            "rows_written": rows_written,
+            "rows_written": 0,
             "version": self._manifest["version"],
+            "mode": "cow",
         }
 
     def _finalize_commit(
@@ -419,6 +440,7 @@ class LakeTable:
         rows_written: int,
         touched: list[int],
         watermarks: dict | None = None,
+        replace: bool = True,
     ) -> None:
         m = json.loads(json.dumps(self._manifest))
         m["parent"] = m["version"]
@@ -426,7 +448,10 @@ class LakeTable:
         m["epoch_id"] = epoch_id
         m["committed_epochs"].append(epoch_id)
         for b in touched:
-            m["buckets"][str(b)] = new_entries.get(str(b), [])
+            if replace:
+                m["buckets"][str(b)] = new_entries.get(str(b), [])
+            else:
+                m["buckets"].setdefault(str(b), []).extend(new_entries.get(str(b), []))
         if watermarks:
             wm = m.setdefault("part_watermarks", {})
             for k, v in watermarks.items():
@@ -457,13 +482,12 @@ class LakeTable:
         """Rewrite every bucket at the current schema version: merges small
         files, drops tombstones (safe once no replayable epoch can carry
         older events — the GC-safepoint analog, cdc/owner.go:752-795)."""
-        df = self.read_raw()
+        df = self.read_raw()  # collapsed: folds all MOR deltas
         if purge_tombstones:
             df = df.filter(~F.col(SYS_DELETED))
         out = df.withColumn("_bucket", self._bucket_expr(self.key_col))
         new_version = self._manifest["version"] + 1
-        data_dir = f"data/v{new_version:08d}"
-        abs_dir = os.path.join(self.root, data_dir)
+        abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
         (
             out.repartition(self.n_buckets, "_bucket")
             .sortWithinPartitions(self.key_col)
@@ -471,13 +495,7 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(abs_dir)
         )
-        new_entries: dict[str, list[dict]] = {}
-        for bdir in glob.glob(os.path.join(abs_dir, "_bucket=*")):
-            b = bdir.split("_bucket=")[-1]
-            new_entries[b] = [
-                {"path": os.path.relpath(p, self.root), "schema_version": self.schema_version}
-                for p in glob.glob(os.path.join(bdir, "*.parquet"))
-            ]
+        new_entries = self._scan_written(abs_dir)
         m = json.loads(json.dumps(self._manifest))
         m["parent"] = m["version"]
         m["version"] += 1
