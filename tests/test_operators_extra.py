@@ -114,3 +114,23 @@ def test_registry_drop_column(spark):
     assert [f["name"] for f in reg.fields(1)] == ["doc_id", "tokens"]
     assert reg.version_at(100) == 0  # equals-ts uses pre-DDL schema
     assert reg.version_at(101) == 1
+
+
+def test_mor_maybe_compact_bounds_delta_files(spark, tmp_path):
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for e in range(6):
+        ch = spark.createDataFrame(
+            [(f"d{i}", "U", e * 10 + i, e * 10 + i, [e], 1, "s") for i in range(4)],
+            "doc_id string, op string, commit_ts long, seq long, "
+            "tokens array<int>, n_tok int, source string",
+        )
+        t.merge_epoch(ch, f"e{e}")
+    assert t.max_files_per_bucket() >= 6  # one delta per epoch
+    before = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert t.maybe_compact(max_deltas=3) is not None
+    assert t.max_files_per_bucket() <= 3
+    after = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert before == after and before["d0"] == [5]  # last epoch won
+    assert t.maybe_compact(max_deltas=3) is None  # already bounded

@@ -478,6 +478,18 @@ class LakeTable:
         return True
 
     # ---------------- maintenance ----------------
+    def max_files_per_bucket(self) -> int:
+        return max((len(v) for v in self._manifest["buckets"].values()), default=0)
+
+    def maybe_compact(self, max_deltas: int = 32, purge_tombstones: bool = False) -> dict | None:
+        """MOR hygiene: fold delta files once any bucket accumulates more
+        than max_deltas — keeps read-time collapse bounded. Tombstone purge
+        stays opt-in (safe only past the replay GC-safepoint,
+        cdc/owner.go:752-795 analog)."""
+        if self.max_files_per_bucket() <= max_deltas:
+            return None
+        return self.compact(purge_tombstones=purge_tombstones)
+
     def compact(self, purge_tombstones: bool = True) -> dict:
         """Rewrite every bucket at the current schema version: merges small
         files, drops tombstones (safe once no replayable epoch can carry

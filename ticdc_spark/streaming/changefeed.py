@@ -72,6 +72,7 @@ class ChangeFeed:
         lineage_dir: str | None = None,
         pending_dir: str | None = None,
         max_files_per_trigger: int | None = None,
+        compact_max_deltas: int = 64,
     ):
         self.table = table
         self.spark = table.spark
@@ -81,6 +82,7 @@ class ChangeFeed:
         self.lineage_dir = lineage_dir
         self.pending_dir = pending_dir or os.path.join(checkpoint_dir, "pending")
         self.max_files_per_trigger = max_files_per_trigger
+        self.compact_max_deltas = compact_max_deltas
         base = [dict(f) for f in table._manifest["schemas"]["0"]]
         ddls = [
             (r["commit_ts"], r["ddl_type"], json.loads(r["spec"]) if isinstance(r["spec"], str) else r["spec"])
@@ -171,6 +173,9 @@ class ChangeFeed:
                     # advance lake schema to `ver` (metadata-only commit)
                     fields_next = self.registry.fields(ver)
                     self._advance_lake_schema(ver, fields_next, f"ddl-{shi}")
+
+            # 4b. MOR hygiene: fold deltas when a bucket accumulates too many
+            self.table.maybe_compact(self.compact_max_deltas)
 
             # 5. persist tail for the next batch
             n_tail = tail.limit(1).count()
