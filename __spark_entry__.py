@@ -137,6 +137,31 @@ FROM ranked WHERE rn = 1
 )
 
 
+def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase LWW (hot-region mitigation, SURVEY.md §4): partial
+    winners per (key, salt) then final reduce — same result, skew-split."""
+    from ticdc_spark.operators.lww import lww_latest_salted
+
+    feed = changelog(spark, sf_dir)
+    w = lww_latest_salted(feed, ["doc_id"], salt_buckets=8)
+    return w.select(
+        "doc_id", "commit_ts", "seq", "op", F.round("value", 6).alias("val")
+    )
+
+
+def q_cdc_lww_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-only-shuffle LWW (the wide-payload fast path used by the replay
+    engine): winners by narrow agg, payload attached via shuffled-hash
+    join-back."""
+    from ticdc_spark.operators.lww import lww_latest_semijoin
+
+    feed = changelog(spark, sf_dir)
+    w = lww_latest_semijoin(feed, ["doc_id"])
+    return w.select(
+        "doc_id", "commit_ts", "seq", "op", F.round("value", 6).alias("val")
+    )
+
+
 def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible final table after replay: LWW winners minus tombstones
     (delete ⟺ removed, cdc/model/sink.go:238-240)."""
@@ -434,6 +459,53 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: multi-table RP-LSH candidate
+    blocking + exact-cosine verification (no false positives; recall =
+    1-(1-p^b)^T). Shuffle O(n*T) instead of the all-pairs cross join."""
+    from ticdc_spark.pipeline.similarity import cosine, rp_lsh_buckets
+
+    emb = _emb(spark, sf_dir)
+    n_bits, n_tables = 4, 3
+    per = []
+    for t in range(n_tables):
+        from ticdc_spark.pipeline.similarity import hyperplane_sign
+
+        sig = None
+        for p in range(n_bits):
+            bit = hyperplane_sign(F.col("embedding"), t * n_bits + p, 64)
+            term = F.shiftleft(bit, p)
+            sig = term if sig is None else sig + term
+        per.append(
+            emb.select(
+                F.col("vec_id"), F.col("embedding"), F.lit(t).alias("table_id"), sig.alias("bucket")
+            )
+        )
+    b = per[0]
+    for x in per[1:]:
+        b = b.unionByName(x)
+    a_, b_ = b.alias("a"), b.alias("b")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _longify(
+        cand.select("id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -644,6 +716,34 @@ SELECT doc_id, score_en, score_de, score_fr, score_es, {pred} AS lang_pred FROM 
 """
 
 
+
+def _dedup_embedding_lsh_sql(n_bits: int = 4, n_tables: int = 3, threshold: float = 0.35) -> str:
+    tables = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_bits):
+            plane = _hyperplane_literal(t * n_bits + p, 64)
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) > 0 "
+                f"THEN 1::BIGINT ELSE 0 END << {p})"
+            )
+        tables.append(
+            f"SELECT vec_id, embedding, {t} AS table_id, {' + '.join(terms)} AS bucket FROM embeddings"
+        )
+    cos = _cos_sql("x.embedding", "y.embedding")
+    return f"""
+WITH b AS ({" UNION ALL ".join(tables)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM b a JOIN b b ON a.table_id = b.table_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cos_sim
+FROM cand JOIN embeddings x ON x.vec_id = id_a JOIN embeddings y ON y.vec_id = id_b
+WHERE {cos} >= {threshold}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = TOKENS_SQL.format(t="text")
     n_parts = N_PARTS
@@ -651,6 +751,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_window": _LWW_ORACLE,
         "cdc_lww_agg": _LWW_ORACLE,
+        "cdc_lww_salted": _LWW_ORACLE,
+        "cdc_lww_semijoin": _LWW_ORACLE,
         "cdc_final_state": LWW_SQL
         + "SELECT doc_id, commit_ts, seq, event_type, round(value, 6) AS val "
         "FROM ranked WHERE rn = 1 AND op != 'D'",
@@ -842,6 +944,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
 """,
+        "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         "ann_topk": f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -884,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_window": q_cdc_lww_window,
         "cdc_lww_agg": q_cdc_lww_agg,
+        "cdc_lww_salted": q_cdc_lww_salted,
+        "cdc_lww_semijoin": q_cdc_lww_semijoin,
         "cdc_final_state": q_cdc_final_state,
         "cdc_resolved_frontier": q_cdc_resolved_frontier,
         "cdc_epoch_slice": q_cdc_epoch_slice,
@@ -910,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
