@@ -455,6 +455,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(sim.cosine_pairs(_emb(spark, sf_dir), threshold=0.4))
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality filter -> langid -> exact dedup ->
+    near-dup dedup (pipeline.curate) — the composed training-data pipeline
+    over the CDC-maintained document table."""
+    from ticdc_spark.pipeline.curate import curate
+
+    return _longify(curate(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -744,6 +753,50 @@ WHERE {cos} >= {threshold}
 """
 
 
+
+def _curate_sql(threshold: float = 0.8) -> str:
+    toks = TOKENS_SQL.format(t="text")
+    scores = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in STOPWORDS.items()
+    }
+    score_sel = ", ".join(f"{e} AS score_{lang}" for lang, e in scores.items())
+    best = f"greatest({', '.join('score_' + lang for lang in STOPWORDS)})"
+    pred = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in STOPWORDS:
+        pred += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+WITH tq AS (
+  SELECT doc_id, text, {toks} AS toks, length(text) AS n_chars,
+         len({toks}) AS n_words,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?''\"]', '', 'g')) AS punct,
+         len(list_filter({toks}, x -> x IN ({_SW_ALL}))) AS sw
+  FROM documents
+),
+keep_q AS (
+  SELECT doc_id, n_words::BIGINT AS n_words,
+         round(sw * 1.0 / n_words, 6) AS stopword_ratio
+  FROM tq WHERE n_words >= 5 AND punct * 1.0 / n_chars < 0.2
+),
+lang AS (
+  SELECT doc_id, {pred} AS lang_pred
+  FROM (SELECT doc_id, {score_sel} FROM tq)
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+),
+{_dedup_shingle_sql().strip().rstrip()},
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= {threshold})
+SELECT k.doc_id, k.n_words, k.stopword_ratio, lang.lang_pred
+FROM keep_q k
+JOIN canon USING (doc_id)
+LEFT JOIN dropped d ON d.doc_id = k.doc_id
+JOIN lang ON lang.doc_id = k.doc_id
+WHERE d.doc_id IS NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = TOKENS_SQL.format(t="text")
     n_parts = N_PARTS
@@ -906,6 +959,7 @@ FROM t
 """,
         "text_langid": _langid_sql(),
         "text_fingerprint": fingerprint_sql(),
+        "curate_corpus": _curate_sql(),
         "dedup_exact": """
 SELECT md5(lower(trim(text))) AS content_md5, count(*) AS dup_count,
        min(doc_id) AS canonical_doc_id
@@ -1009,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "curate_corpus": q_curate_corpus,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sig": q_dedup_minhash_sig,

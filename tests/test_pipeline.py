@@ -259,3 +259,16 @@ def test_h60_matches_duckdb(spark):
     for s, h in got.items():
         want = con.execute(f"select {h60_sql('?')}", [s]).fetchone()[0]
         assert h == want, s
+
+
+def test_curate_lsh_equals_exact_path(docs):
+    """The LSH-backed curation equals the brute-force path whenever LSH
+    recall is total at the threshold (true on this corpus at 0.8+)."""
+    from ticdc_spark.pipeline.curate import curate
+
+    a = {r["doc_id"] for r in curate(docs, use_lsh=False).collect()}
+    b = {r["doc_id"] for r in curate(docs, use_lsh=True).collect()}
+    assert a, "curated corpus should be non-empty"
+    # LSH may only differ by missed near-dup pairs -> extra survivors
+    assert a <= b
+    assert len(b - a) <= max(2, len(a) // 50)
