@@ -119,3 +119,56 @@ def test_idempotence_under_ddl_epoch(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
     assert t.update_schema("add_column", {"name": "lang", "type": "string"}, "d1") is True
     assert t.update_schema("add_column", {"name": "lang", "type": "string"}, "d1") is False
+
+
+def test_empty_epoch_advances_checkpoint(spark, tmp_path):
+    """Empty epochs still commit (metadata-only) — the empty-flush analog
+    (heap_sorter.go:115-122): checkpoint advances, state untouched."""
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    ch = spark.createDataFrame(
+        [("a", "U", 1, 1, [1], 1, "s")],
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t.merge_epoch(ch, "e0")
+    empty = ch.limit(0)
+    st = t.merge_epoch(empty, "e1")
+    assert st["committed"]
+    assert "e1" in t.committed_epochs
+    assert t.read().count() == 1
+    # replaying the empty epoch is still a no-op
+    assert not t.merge_epoch(empty, "e1")["committed"]
+
+
+def test_expire_versions_gc(spark, tmp_path):
+    import glob as g
+
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for e in range(5):
+        ch = spark.createDataFrame(
+            [("a", "U", e + 1, e + 1, [e], 1, "s")],
+            "doc_id string, op string, commit_ts long, seq long, "
+            "tokens array<int>, n_tok int, source string",
+        )
+        t.merge_epoch(ch, f"e{e}")
+    t.compact()  # deltas folded; old delta files now unreferenced by CURRENT
+    n_before = len(g.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    stats = t.expire_versions(keep_last=1)
+    n_after = len(g.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    assert stats["removed_files"] > 0 and n_after < n_before
+    # current state survives
+    assert [r["tokens"] for r in t.read().collect()] == [[4]]
+    # and stays mergeable
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("b", "U", 10, 10, [9], 1, "s")],
+            "doc_id string, op string, commit_ts long, seq long, "
+            "tokens array<int>, n_tok int, source string",
+        ),
+        "e9",
+    )
+    assert t.read().count() == 2

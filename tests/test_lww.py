@@ -91,3 +91,52 @@ def test_delete_before_put_tie(spark):
         assert set(out) == {"a", "c"}, strat.__name__
         assert out["a"] == ([1, 2], "web")
         assert out["c"] == ([5, 6], "book")
+
+
+def test_lww_strategies_agree_hypothesis(spark):
+    """Fuzz the tie semantics: all four physical strategies must agree with
+    the sequential apply oracle on arbitrary event interleavings, including
+    same-(commit_ts, seq) delete/put pairs (entry_sorter.go:62-72)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ticdc_spark.operators.lww import (
+        lww_latest_agg,
+        lww_latest_salted,
+        lww_latest_semijoin,
+        lww_latest_window,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),      # key idx
+                st.integers(0, 1),      # op: 0=put 1=delete
+                st.integers(100, 104),  # commit_ts
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def run(events):
+        rows = []
+        for i, (k, is_del, ts) in enumerate(events):
+            rows.append((f"k{k}", "D" if is_del else "U", ts, i, i * 10))
+        df = spark.createDataFrame(
+            rows, "doc_id string, op string, commit_ts long, seq long, payload long"
+        )
+        # sequential oracle: apply in (commit_ts, seq, delete-before-put) order
+        state = {}
+        for doc, op, ts, seq, payload in sorted(
+            rows, key=lambda r: (r[2], r[3], 0 if r[1] == "D" else 1)
+        ):
+            state[doc] = (op, ts, seq, payload)
+        want = {d: v for d, v in state.items()}
+        for strat in (lww_latest_agg, lww_latest_window, lww_latest_semijoin, lww_latest_salted):
+            got = {
+                r["doc_id"]: (r["op"], r["commit_ts"], r["seq"], r["payload"])
+                for r in strat(df, ["doc_id"]).collect()
+            }
+            assert got == want, strat.__name__
+
+    run()

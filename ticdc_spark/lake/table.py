@@ -490,6 +490,42 @@ class LakeTable:
             return None
         return self.compact(purge_tombstones=purge_tombstones)
 
+    def expire_versions(self, keep_last: int = 2) -> dict:
+        """Snapshot expiry (Iceberg expire_snapshots / the reference's GC
+        safepoint, cdc/owner.go:752-795): drop manifest versions older than
+        the last `keep_last`, delete data files referenced by NO kept
+        version. Time travel to expired versions stops working — that's the
+        point. CURRENT is never expired."""
+        cur_v = self._manifest["version"]
+        keep = set(range(max(0, cur_v - keep_last + 1), cur_v + 1))
+        referenced: set[str] = set()
+        all_versions = []
+        for f in os.listdir(self._mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                all_versions.append(int(f[1:-5]))
+        for v in all_versions:
+            if v not in keep:
+                continue
+            with open(os.path.join(self._mdir, f"v{v:08d}.json")) as fh:
+                m = json.load(fh)
+            for entries in m["buckets"].values():
+                referenced.update(e["path"] for e in entries)
+        removed_files = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, self.root)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.remove(p)
+                    removed_files += 1
+        removed_manifests = 0
+        for v in all_versions:
+            if v not in keep:
+                os.remove(os.path.join(self._mdir, f"v{v:08d}.json"))
+                removed_manifests += 1
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
     def compact(self, purge_tombstones: bool = True) -> dict:
         """Rewrite every bucket at the current schema version: merges small
         files, drops tombstones (safe once no replayable epoch can carry
