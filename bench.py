@@ -112,6 +112,49 @@ def bench_replay(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_streaming(spark, work_root: str, n_events: int) -> dict:
+    """Structured Streaming path: ChangeFeed availableNow over the chunked
+    binlog glob (maxFilesPerTrigger-sized micro-batches, watermark gating,
+    carry-over tail, idempotent epoch merges).
+
+    NOTE: final_rows here reflects the watermark contract — only events at
+    or below the last batch's resolved frontier are applied; the tail above
+    it stays pending (sink-consistency prefix guarantee). Batch replay
+    applies whole chunks, so the two final counts may differ by the tail's
+    effect; each matches its own oracle slice (see tests/test_streaming.py).
+    """
+    import glob as g
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    binlog_dir = os.path.join(work_root, f"binlog_c_{n_events}")
+    stream_glob = os.path.join(binlog_dir, "chunk-*")
+    n_files = len(g.glob(os.path.join(binlog_dir, "chunk-*", "*.parquet")))
+    tbl_dir = os.path.join(work_root, "stream_tbl")
+    ckpt = os.path.join(work_root, "stream_ckpt")
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    cf = ChangeFeed(
+        table,
+        stream_glob,
+        checkpoint_dir=ckpt,
+        mode="typed",
+        lineage_dir=os.path.join(ckpt, "lineage"),
+        max_files_per_trigger=max(1, n_files // 4),
+    )
+    t0 = time.time()
+    summaries = cf.run_available()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(summaries),
+        "final_rows": table.read().count(),
+    }
+
+
 def main() -> None:
     from ticdc_spark.session import build_session
 
@@ -125,6 +168,8 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     replay = bench_replay(spark, work_root, N_EVENTS)
     qtimes["cdc_replay"] = replay["sec"]
+    stream = bench_streaming(spark, work_root, N_EVENTS)
+    qtimes["cdc_stream_replay"] = stream["sec"]
 
     only_replay = os.environ.get("SPARK_GRAFT_BENCH_ONLY_REPLAY") == "1"
     qs = entrymod.queries()
@@ -145,6 +190,7 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": _sf_of(SF_DIR),
                 "replay": replay,
+                "stream": stream,
                 "cpus": int(CPUS),
             }
         )
