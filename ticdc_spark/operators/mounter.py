@@ -46,9 +46,12 @@ def mount_raw(
     versions_present: optional hint to skip the distinct() scan.
     """
     if versions_present is None:
-        versions_present = [
-            r["schema_version"] for r in raw.select("schema_version").distinct().collect()
-        ]
+        if len(registry.versions) == 1:
+            versions_present = [0]  # no DDLs -> no scan needed
+        else:
+            versions_present = [
+                r["schema_version"] for r in raw.select("schema_version").distinct().collect()
+            ]
     to_fields = [f for f in registry.fields(target_version) if f["name"] != "doc_id"]
     parts = []
     for v in sorted(versions_present):
@@ -72,7 +75,10 @@ def mount_raw(
 def mount_typed(df: DataFrame, registry: SchemaRegistry, target_version: int) -> DataFrame:
     """Fast path for an already-typed binlog written at ONE schema version
     (schema_version column says which): pure projection, no JSON decode."""
-    versions = [r["schema_version"] for r in df.select("schema_version").distinct().collect()]
+    if len(registry.versions) == 1:
+        versions = [0]
+    else:
+        versions = [r["schema_version"] for r in df.select("schema_version").distinct().collect()]
     to_fields = [f for f in registry.fields(target_version) if f["name"] != "doc_id"]
     parts = []
     for v in sorted(versions):

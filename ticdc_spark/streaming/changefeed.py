@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from ..lake.table import LakeTable
 from ..model import BINLOG_SCHEMA
-from ..operators.lww import lww_latest_agg
+from ..operators.lww import lww_latest_semijoin
 from ..operators.mounter import mount_raw, mount_typed
 from .registry import SchemaRegistry
 
@@ -122,7 +122,9 @@ class ChangeFeed:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         pending = self._read_pending()
         events = batch_df.unionByName(pending) if pending is not None else batch_df
-        events = events.persist()
+        # NO persist: the wide-row columnar cache build costs more than the
+        # re-scans it saves (part_stats and the tail probe are column-pruned
+        # by Catalyst; only the apply and the tail write read full rows).
         try:
             # 2. watermark advance (monotone via stored max)
             part_stats = (
@@ -193,7 +195,7 @@ class ChangeFeed:
                 }
             )
         finally:
-            events.unpersist()
+            pass
 
     def _advance_lake_schema(self, ver: int, fields_next: list[dict], epoch_id: str) -> None:
         """Diff current lake fields vs target and emit add/widen/rename ops.
@@ -225,31 +227,51 @@ class ChangeFeed:
             mounted = mount_typed(sl, self.registry, target_ver)
         key = self.table.key_col
         payload = [f["name"] for f in self.table.current_fields if f["name"] != key]
-        winners = lww_latest_agg(
+        # rank-only-shuffle LWW (payload stays out of the shuffle) + MOR
+        # delta append: the same one-job-per-epoch fast path as batch replay
+        winners = lww_latest_semijoin(
             mounted.select(key, "op", "commit_ts", "seq", *payload), [key]
         )
-        return self.table.merge_epoch(winners, epoch_id, watermarks=watermarks)
+        return self.table.merge_epoch(
+            winners, epoch_id, watermarks=watermarks, assume_deduped=True
+        )
 
     def _write_lineage(self, batch_id, epoch_stats, part_stats, resolved) -> None:
-        rows = []
+        """Driver-side metadata write (32-ish rows/batch): plain pyarrow, no
+        Spark job — a createDataFrame round trip measured ~4.5s/batch."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = {k: [] for k in (
+            "batch_id", "epoch_id", "part", "event_count", "max_commit_ts",
+            "delete_count", "resolved_ts", "committed")}
         for epoch_id, st in epoch_stats:
             for r in part_stats:
-                rows.append(
-                    (
-                        batch_id,
-                        epoch_id,
-                        int(r["part"]),
-                        int(r["cnt"]),
-                        int(r["max_ts"]),
-                        int(r["dels"]),
-                        int(resolved),
-                        bool(st.get("committed", False)),
-                    )
-                )
+                cols["batch_id"].append(batch_id)
+                cols["epoch_id"].append(epoch_id)
+                cols["part"].append(int(r["part"]))
+                cols["event_count"].append(int(r["cnt"]))
+                cols["max_commit_ts"].append(int(r["max_ts"]))
+                cols["delete_count"].append(int(r["dels"]))
+                cols["resolved_ts"].append(int(resolved))
+                cols["committed"].append(bool(st.get("committed", False)))
+        tbl = pa.table(
+            {
+                "batch_id": pa.array(cols["batch_id"], pa.int64()),
+                "epoch_id": pa.array(cols["epoch_id"], pa.string()),
+                "part": pa.array(cols["part"], pa.int32()),
+                "event_count": pa.array(cols["event_count"], pa.int64()),
+                "max_commit_ts": pa.array(cols["max_commit_ts"], pa.int64()),
+                "delete_count": pa.array(cols["delete_count"], pa.int64()),
+                "resolved_ts": pa.array(cols["resolved_ts"], pa.int64()),
+                "committed": pa.array(cols["committed"], pa.bool_()),
+            }
+        )
         out = os.path.join(self.lineage_dir, f"batch-{batch_id:010d}")
-        self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out)
+        os.makedirs(out, exist_ok=True)
+        tmp = os.path.join(out, ".lineage.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(out, "lineage.parquet"))
 
     def read_lineage(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
