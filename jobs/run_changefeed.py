@@ -1,0 +1,77 @@
+"""Run a changefeed with spark-submit (the `cdc cli changefeed create`
+analog, SURVEY.md §3.1):
+
+    spark-submit --py-files ticdc_spark.zip jobs/run_changefeed.py \
+        --binlog /data/binlog/'chunk-*' --table /lake/target_tokens \
+        --checkpoint /ckpt/feed1 --lineage /lake/_lineage/feed1 \
+        [--mode typed|raw] [--ddl /data/ddl] [--trigger "10 seconds"] \
+        [--available-now] [--max-files-per-trigger 32] [--buckets 256]
+
+On a cluster, masters/executors come from spark-submit; locally this builds
+a local[*] session. The job creates the lake table if missing, then runs the
+Structured Streaming changefeed (resumable from the checkpoint; exactly-once
+via idempotent epoch merges).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--binlog", required=True, help="binlog dir or glob")
+    p.add_argument("--table", required=True, help="lake table root")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--mode", choices=["typed", "raw"], default="typed")
+    p.add_argument("--ddl", default=None, help="DDL-events parquet dir")
+    p.add_argument("--trigger", default="10 seconds")
+    p.add_argument("--available-now", action="store_true")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--buckets", type=int, default=256)
+    args = p.parse_args()
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.session import build_session
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    spark = build_session("ticdc-changefeed")
+    if os.path.exists(os.path.join(args.table, "_manifests", "CURRENT")):
+        table = LakeTable(spark, args.table)
+    else:
+        table = LakeTable.create(spark, args.table, n_buckets=args.buckets)
+
+    ddl_rows = None
+    if args.ddl:
+        ddl_rows = (
+            spark.read.parquet(args.ddl)
+            .orderBy("commit_ts")
+            .collect()
+        )
+
+    cf = ChangeFeed(
+        table,
+        args.binlog,
+        checkpoint_dir=args.checkpoint,
+        mode=args.mode,
+        ddl_rows=ddl_rows,
+        lineage_dir=args.lineage,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    if args.available_now:
+        summaries = cf.run_available()
+        print(json.dumps({"batches": len(summaries), "summaries": summaries[-3:]}))
+        return 0
+    q = cf.start(processing_time=args.trigger)
+    q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
