@@ -399,6 +399,50 @@ def q_q3_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q5_region_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast join chain: orders ⋈ customer ⋈ nation ⋈ region →
+    revenue per region (TPC-H Q5 shape; dims broadcast, fact streams)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum of
+    session starts per user — the session-window operator as pure window
+    functions; per-user session stats."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    starts = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("is_start", starts).withColumn(
+        "session_no", F.sum("is_start").over(w)
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_events_per_session"),
+        F.sum("n_events").alias("total_events"),
+        F.max("dur_us").alias("max_session_dur_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -930,6 +974,39 @@ SELECT c_mktsegment, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
+        "q5_region_orders": f"""
+SELECT r_name, count(*) AS n_orders,
+       cast(sum({_CENTS.format(x="o_totalprice")}) as bigint) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "events_sessionize": """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+),
+lagged AS (
+  SELECT user_id, ts_us, event_id,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_no
+  FROM lagged
+),
+per AS (
+  SELECT user_id, session_no, count(*) AS n_events,
+         max(ts_us) - min(ts_us) AS dur_us
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events_per_session,
+       cast(sum(n_events) as bigint) AS total_events, max(dur_us) AS max_session_dur_us
+FROM per GROUP BY user_id
+""",
         "text_tokens": f"""
 SELECT doc_id,
        len({toks})::BIGINT AS n_words,
@@ -1059,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "q1_pricing": q_q1_pricing,
         "q3_segment": q_q3_segment,
+        "q5_region_orders": q_q5_region_orders,
+        "events_sessionize": q_events_sessionize,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
