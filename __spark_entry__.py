@@ -508,6 +508,17 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(curate(_docs(spark, sf_dir)))
 
 
+def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (pipeline.pack): concat documents in
+    doc_id order, cut every 512 BPE tokens; per-sequence fill stats."""
+    from ticdc_spark.pipeline.pack import pack_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(bpe_tokens_col("text")).cast("long").alias("n_tok")
+    )
+    return _longify(pack_stats(d, seq_len=512))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -1037,6 +1048,28 @@ FROM t
         "text_langid": _langid_sql(),
         "text_fingerprint": fingerprint_sql(),
         "curate_corpus": _curate_sql(),
+        "tokens_pack": f"""
+WITH d AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT AS n_tok
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS start_off,
+         sum(n_tok) OVER (ORDER BY doc_id) AS end_off
+  FROM d
+),
+x AS (
+  SELECT *, cast(floor(start_off / 512) as bigint) AS seq_id,
+         (cast(floor(start_off / 512) as bigint)
+          != cast(floor((end_off - 1) / 512) as bigint)) AS spans
+  FROM off
+)
+SELECT seq_id, count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tokens,
+       cast(sum(CASE WHEN spans THEN 1 ELSE 0 END) as bigint) AS n_spanning,
+       cast(min(start_off) as bigint) AS first_off
+FROM x GROUP BY seq_id
+""",
         "dedup_exact": """
 SELECT md5(lower(trim(text))) AS content_md5, count(*) AS dup_count,
        min(doc_id) AS canonical_doc_id
@@ -1143,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "curate_corpus": q_curate_corpus,
+        "tokens_pack": q_tokens_pack,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sig": q_dedup_minhash_sig,

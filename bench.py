@@ -165,13 +165,15 @@ def main() -> None:
     work_root = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/ticdc_bench")
     os.makedirs(work_root, exist_ok=True)
 
+    only_replay = os.environ.get("SPARK_GRAFT_BENCH_ONLY_REPLAY") == "1"
     qtimes: dict[str, float] = {}
     replay = bench_replay(spark, work_root, N_EVENTS)
     qtimes["cdc_replay"] = replay["sec"]
-    stream = bench_streaming(spark, work_root, N_EVENTS)
-    qtimes["cdc_stream_replay"] = stream["sec"]
+    stream = None
+    if not only_replay:
+        stream = bench_streaming(spark, work_root, N_EVENTS)
+        qtimes["cdc_stream_replay"] = stream["sec"]
 
-    only_replay = os.environ.get("SPARK_GRAFT_BENCH_ONLY_REPLAY") == "1"
     qs = entrymod.queries()
     for name in [] if only_replay else BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)

@@ -272,3 +272,24 @@ def test_curate_lsh_equals_exact_path(docs):
     # LSH may only differ by missed near-dup pairs -> extra survivors
     assert a <= b
     assert len(b - a) <= max(2, len(a) // 50)
+
+
+def test_pack_offsets_contiguous_and_sharded(docs, spark):
+    from ticdc_spark.pipeline.pack import pack_offsets
+
+    d = docs.selectExpr("doc_id", "cast(n_chars as long) as n_tok")
+    off = pack_offsets(d, seq_len=1000).orderBy("doc_id").collect()
+    # offsets are a contiguous concatenation in doc_id order
+    pos = 0
+    for r in off:
+        assert r["start_off"] == pos
+        pos = r["end_off"]
+    assert pos == sum(r["n_tok"] for r in off)
+    # sharded variant: offsets restart per shard, fully parallel
+    d2 = d.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+    off2 = pack_offsets(d2, seq_len=1000, shard_col="shard").collect()
+    by_shard = {}
+    for r in sorted(off2, key=lambda r: (r["shard"], r["doc_id"])):
+        p = by_shard.get(r["shard"], 0)
+        assert r["start_off"] == p
+        by_shard[r["shard"]] = r["end_off"]
