@@ -1,0 +1,33 @@
+"""Guard the driver contract: every queries() entry must build (analyze)
+against the testdata schemas, every oracle key must exist, and entry() must
+execute. Catches bit-rot in __spark_entry__ before the driver's gate does.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_queries_analyze_and_oracles_align(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle keys must be a subset of queries"
+    missing_oracle = set(qs) - set(oracles)
+    assert not missing_oracle, f"queries without oracle: {missing_oracle}"
+    for name, fn in qs.items():
+        df = fn(spark, SF)
+        assert df.schema.fields, name  # forces analysis
+        assert len(set(df.columns)) == len(df.columns), f"dup columns in {name}"
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.schema.fields
