@@ -31,6 +31,8 @@ N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 
 BENCH_QUERIES = [
     "cdc_lww_agg",
+    "cdc_lww_semijoin",
+    "codec_roundtrip",
     "cdc_final_state",
     "cdc_tokens_final_state",
     "q1_pricing",
@@ -40,6 +42,10 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_topk",
     "ann_lsh_topk",
+    "curate_corpus",
+    "tokens_pack",
+    "events_sessionize",
+    "q5_region_orders",
 ]
 
 
