@@ -673,7 +673,7 @@ sh AS (SELECT DISTINCT doc_id, {gram} AS shingle FROM g),
 """
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_sql(bits: int = 60) -> str:
     toks = TOKENS_SQL.format(t="text")
     h = h60_sql("tok")
     sums = ", ".join(

@@ -187,11 +187,13 @@ def minhash_lsh_pairs(
     )
 
 
-SIMHASH_BITS = 32
+# 60 bits (not 64): the packed value stays positive in engines that check
+# int64 overflow on shifts/sums; 4 pigeonhole chunks of 15 bits.
+SIMHASH_BITS = 60
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over the doc's DISTINCT token set.
+    """60-bit SimHash over the doc's DISTINCT token set.
 
     bit_j(doc) = [ Σ_tokens (2·bit_j(h60(token)) − 1) > 0 ]; packed into one
     long. All bit sums are a single groupBy with 32 sum() aggregates.
