@@ -172,3 +172,42 @@ def test_expire_versions_gc(spark, tmp_path):
         "e9",
     )
     assert t.read().count() == 2
+
+
+def test_crash_between_write_and_commit_is_invisible(spark, tmp_path):
+    """Exactly-once under partial failure: if the process dies after delta
+    files are written but BEFORE the manifest CURRENT pointer swings, the
+    files are orphans — reads are unaffected and re-applying the epoch
+    succeeds cleanly (cdc/owner.go:706-800 lease-commit analog)."""
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    schema = (
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string"
+    )
+    t.merge_epoch(spark.createDataFrame([("a", "U", 1, 1, [1], 1, "s")], schema), "e0")
+
+    boom = RuntimeError("crash before manifest swing")
+    orig = t._commit_manifest
+
+    def crashing(m):
+        raise boom
+
+    t._commit_manifest = crashing
+    ch = spark.createDataFrame([("b", "U", 2, 2, [2], 1, "s")], schema)
+    try:
+        t.merge_epoch(ch, "e1")
+        raise AssertionError("expected crash")
+    except RuntimeError:
+        pass
+    t._commit_manifest = orig
+
+    # fresh reader sees only the committed state
+    t2 = LakeTable(spark, str(tmp_path / "t"))
+    assert {r["doc_id"] for r in t2.read().collect()} == {"a"}
+    assert "e1" not in t2.committed_epochs
+    # replaying the epoch now lands it exactly once
+    assert t2.merge_epoch(ch, "e1")["committed"]
+    assert {r["doc_id"] for r in t2.read().collect()} == {"a", "b"}
+    assert not t2.merge_epoch(ch, "e1")["committed"]
