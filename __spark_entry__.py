@@ -368,6 +368,56 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-flat JSON codec round trip (cdc/sink/codec/canal_flat.go:1-249):
+    all values stringified, deletes carry only the handle key; decode must
+    reproduce the typed rows (un-stringify by cast)."""
+    from ticdc_spark.functions.codec import decode_canal_flat, encode_canal_flat
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    enc = encode_canal_flat(feed, ["event_type", "value"])
+    dec = decode_canal_flat(enc, {"event_type": "string", "value": "double"})
+    return dec.select(
+        "commit_ts", "seq", "table", "op", "doc_id", "event_type",
+        F.round("value", 6).alias("val"),
+    )
+
+
+def q_codec_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell JSON codec round trip (cdc/sink/codec/maxwell.go:1-370):
+    native JSON value types, delete events carry the full deleted image."""
+    from ticdc_spark.functions.codec import decode_maxwell, encode_maxwell
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    enc = encode_maxwell(feed, ["event_type", "value"])
+    dec = decode_maxwell(
+        enc,
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    return dec.select(
+        "commit_ts", "seq", "table", "op", "doc_id", "event_type",
+        F.round("value", 6).alias("val"),
+    )
+
+
+def q_cdc_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causality conflict detection (cdc/sink/causality.go:29-142): txns
+    routed to workers by key hash; a txn whose keys span >1 worker would
+    force the reference's flush-all barrier."""
+    from ticdc_spark.operators.causality import txn_conflicts
+
+    feed = changelog(spark, sf_dir)
+    return txn_conflicts(feed, n_workers=16).select(
+        "commit_ts", "n_rows", "n_keys", "n_workers", "first_worker",
+        F.col("conflict").cast("int").alias("conflict"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish scan/agg/join coverage
 
@@ -971,6 +1021,31 @@ SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
        CASE WHEN op != 'D' THEN round(value, 6) END AS val
 FROM feed
 """,
+        "codec_canal_flat": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       CASE WHEN op != 'D' THEN event_type END AS event_type,
+       CASE WHEN op != 'D' THEN round(value, 6) END AS val
+FROM feed
+""",
+        "codec_maxwell": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       event_type, round(value, 6) AS val
+FROM feed
+""",
+        "cdc_causality": f"""
+WITH feed AS ({FEED_SQL}),
+t AS (
+  SELECT commit_ts, count(*) AS n_rows, count(DISTINCT doc_id) AS n_keys,
+         count(DISTINCT {bucket_sql("doc_id", 16)}) AS n_workers,
+         min({bucket_sql("doc_id", 16)}) AS first_worker
+  FROM feed GROUP BY commit_ts
+)
+SELECT commit_ts, n_rows, n_keys, n_workers, first_worker,
+       CASE WHEN n_workers > 1 THEN 1 ELSE 0 END AS conflict
+FROM t
+""",
         "q1_pricing": f"""
 SELECT l_returnflag, l_linestatus,
        cast(sum({_CENTS.format(x="l_quantity")}) as bigint) AS sum_qty_cents,
@@ -1167,6 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tokens_final_state": q_cdc_tokens_final_state,
         "cdc_matcher": q_cdc_matcher,
         "codec_roundtrip": q_codec_roundtrip,
+        "codec_canal_flat": q_codec_canal_flat,
+        "codec_maxwell": q_codec_maxwell,
+        "cdc_causality": q_cdc_causality,
         "q1_pricing": q_q1_pricing,
         "q3_segment": q_q3_segment,
         "q5_region_orders": q_q5_region_orders,

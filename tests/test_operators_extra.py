@@ -134,3 +134,126 @@ def test_mor_maybe_compact_bounds_delta_files(spark, tmp_path):
     after = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     assert before == after and before["d0"] == [5]  # last epoch won
     assert t.maybe_compact(max_deltas=3) is None  # already bounded
+
+
+def test_canal_flat_roundtrip(spark):
+    """canal_flat.go semantics: all-string values, delete carries only the
+    handle key, type INSERT/UPDATE/DELETE maps back to I/U/D."""
+    from ticdc_spark.functions.codec import decode_canal_flat, encode_canal_flat
+
+    df = spark.createDataFrame(
+        [
+            (100, 1, "t", "I", "k1", "click", 1.5),
+            (101, 2, "t", "U", "k1", "view", 2.25),
+            (102, 3, "t", "D", "k1", "error", 9.0),
+        ],
+        "commit_ts long, seq long, table string, op string, doc_id string, "
+        "event_type string, value double",
+    )
+    enc = encode_canal_flat(df, ["event_type", "value"])
+    raw = enc.collect()[0]["canal_json"]
+    assert '"type":"INSERT"' in raw and '"pkNames":["doc_id"]' in raw
+    dec = decode_canal_flat(enc, {"event_type": "string", "value": "double"})
+    got = {r["op"]: r for r in dec.collect()}
+    assert got["I"]["value"] == 1.5 and got["U"]["event_type"] == "view"
+    # delete keeps identity, sheds payload
+    assert got["D"]["doc_id"] == "k1" and got["D"]["value"] is None
+    assert got["U"]["commit_ts"] == 101 and got["U"]["seq"] == 2
+
+
+def test_maxwell_roundtrip(spark):
+    """maxwell.go semantics: native JSON types, delete carries full image."""
+    from pyspark.sql import types as T
+
+    from ticdc_spark.functions.codec import decode_maxwell, encode_maxwell
+
+    df = spark.createDataFrame(
+        [
+            (1_000_000, 1, "t", "I", "k1", "click", 1.5),
+            (2_000_000, 2, "t", "D", "k2", "error", 3.0),
+        ],
+        "commit_ts long, seq long, table string, op string, doc_id string, "
+        "event_type string, value double",
+    )
+    enc = encode_maxwell(df, ["event_type", "value"])
+    raw = enc.collect()[0]["maxwell_json"]
+    assert '"type":"insert"' in raw and '"ts":1' in raw  # seconds
+    dec = decode_maxwell(
+        enc,
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    got = {r["op"]: r for r in dec.collect()}
+    assert got["D"]["value"] == 3.0  # full delete image survives
+    assert got["I"]["commit_ts"] == 1_000_000 and got["I"]["seq"] == 1
+
+
+def test_causality_conflicts(spark):
+    """causality.go:43-71: a txn whose keys span >1 worker conflicts; a
+    single-key txn never does; worker routing is the stable h60 bucket."""
+    from ticdc_spark.functions.hashing import bucket
+    from ticdc_spark.operators.causality import conflict_barriers, txn_conflicts
+
+    feed = spark.createDataFrame(
+        [
+            (100, 1, "a"), (100, 2, "a"),            # same-key txn: no conflict
+            (200, 3, "a"), (200, 4, "b"), (200, 5, "c"),  # multi-key txn
+            (300, 6, "z"),
+        ],
+        "commit_ts long, seq long, doc_id string",
+    )
+    t = {r["commit_ts"]: r for r in txn_conflicts(feed, n_workers=16).collect()}
+    assert not t[100]["conflict"] and t[100]["n_rows"] == 2
+    # multi-key conflicts unless all keys hash to one worker — check actual
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in feed.select("doc_id", bucket("doc_id", 16).alias("b")).collect()
+    }
+    expect = len({buckets[k] for k in ("a", "b", "c")}) > 1
+    assert t[200]["conflict"] == expect and t[200]["n_keys"] == 3
+    assert not t[300]["conflict"]
+    s = conflict_barriers(feed, n_workers=16).collect()[0]
+    assert s["n_txns"] == 3 and s["n_rows"] == 6
+    assert s["n_conflicts"] == (1 if expect else 0)
+
+
+def test_avro_schema_registry():
+    """avro.go:233-264 + schema_registry.go:117-278: nullable-union columns
+    (handle key not-null), deterministic JSON, idempotent register, versioned
+    subject lookup across a DDL."""
+    import json
+
+    from ticdc_spark.functions.avro_schema import AvroSchemaRegistry, avro_schema
+    from ticdc_spark.streaming.registry import SchemaRegistry
+
+    base = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "tokens", "type": "array<int>"},
+        {"id": 3, "name": "n_tok", "type": "int"},
+    ]
+    sreg = SchemaRegistry(base, [(100, "widen_column", {"name": "n_tok", "to": "long"})])
+    s0 = avro_schema("seqs", sreg.fields(0))
+    s1 = avro_schema("seqs", sreg.fields(1))
+    rec = json.loads(s0)
+    by_name = {f["name"]: f for f in rec["fields"]}
+    assert by_name["doc_id"]["type"] == "string"          # handle key not-null
+    assert by_name["tokens"]["type"] == ["null", {"items": "int", "type": "array"}]
+    assert by_name["n_tok"]["default"] is None
+    assert json.loads(s1)["fields"][2]["type"] == ["null", "long"]  # widened
+    assert avro_schema("seqs", sreg.fields(0)) == s0       # deterministic
+
+    reg = AvroSchemaRegistry()
+    id0 = reg.register("seqs", s0)
+    assert reg.register("seqs", s0) == id0                 # idempotent re-post
+    id1 = reg.register("seqs", s1)
+    assert id1 != id0 and reg.n_versions("seqs") == 2
+    assert reg.lookup("seqs") == (id1, s1)                 # latest wins
+    reg.clear_subject("seqs")
+    import pytest
+
+    with pytest.raises(KeyError):
+        reg.lookup("seqs")

@@ -46,3 +46,139 @@ def decode_open_protocol(df: DataFrame, payload_schema: T.StructType) -> DataFra
         F.from_json("value_json", payload_schema).alias("_v"),
     )
     return out.select("_k.*", "_v.*")
+
+
+# ---------------------------------------------------------------------------
+# Canal-flat codec (cdc/sink/codec/canal_flat.go:1-249): one JSON message per
+# row change — {database, table, pkNames, isDdl, type INSERT/UPDATE/DELETE,
+# es (commit-ts ms), ts, data:[{col:stringval}], old:null}. Canal stringifies
+# every value (java type mapping, codec/canal.go java.go:1-152); deletes carry
+# only the handle key in `data` (mysql whereSlice semantics).
+# ---------------------------------------------------------------------------
+
+_CANAL_TYPE = (
+    F.when(F.col("op") == "I", F.lit("INSERT"))
+    .when(F.col("op") == "U", F.lit("UPDATE"))
+    .otherwise(F.lit("DELETE"))
+)
+
+
+def encode_canal_flat(
+    df: DataFrame, payload_cols: list[str], database: str = "cdc"
+) -> DataFrame:
+    """Rows → one canal-flat JSON string per change event."""
+    data_map = F.create_map(
+        F.lit("doc_id"),
+        F.col("doc_id"),
+        *[x for c in payload_cols for x in (F.lit(c), F.col(c).cast("string"))],
+    )
+    # delete events carry the handle key only (canal_flat.go delete case)
+    data = F.when(
+        F.col("op") == "D", F.create_map(F.lit("doc_id"), F.col("doc_id"))
+    ).otherwise(data_map)
+    msg = F.struct(
+        F.lit(database).alias("database"),
+        F.col("table"),
+        F.array(F.lit("doc_id")).alias("pkNames"),
+        F.lit(False).alias("isDdl"),
+        _CANAL_TYPE.alias("type"),
+        (F.col("commit_ts") / 1000).cast("long").alias("es"),
+        F.col("commit_ts").alias("ts"),
+        F.col("seq").alias("seq"),
+        F.array(data).alias("data"),
+    )
+    return df.select(F.to_json(msg).alias("canal_json"))
+
+
+def decode_canal_flat(df: DataFrame, payload_types: dict[str, str]) -> DataFrame:
+    """canal_json → typed change rows (values un-stringified by cast)."""
+    schema = T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("pkNames", T.ArrayType(T.StringType())),
+            T.StructField("isDdl", T.BooleanType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("es", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+        ]
+    )
+    m = df.select(F.from_json("canal_json", schema).alias("_m")).select("_m.*")
+    op = (
+        F.when(F.col("type") == "INSERT", F.lit("I"))
+        .when(F.col("type") == "UPDATE", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    row = F.col("data")[0]
+    return m.select(
+        F.col("ts").alias("commit_ts"),
+        F.col("seq"),
+        F.col("table"),
+        op.alias("op"),
+        row["doc_id"].alias("doc_id"),
+        *[row[c].cast(t).alias(c) for c, t in payload_types.items()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maxwell codec (cdc/sink/codec/maxwell.go:1-370): {database, table, type
+# insert/update/delete, ts (seconds), xid, data:{col:val}} — values keep
+# native JSON types (unlike canal's all-strings).
+# ---------------------------------------------------------------------------
+
+_MAXWELL_TYPE = (
+    F.when(F.col("op") == "I", F.lit("insert"))
+    .when(F.col("op") == "U", F.lit("update"))
+    .otherwise(F.lit("delete"))
+)
+
+
+def encode_maxwell(
+    df: DataFrame, payload_cols: list[str], database: str = "cdc"
+) -> DataFrame:
+    """Rows → one maxwell JSON string per change event."""
+    data = F.struct(
+        F.col("doc_id"), *[F.col(c) for c in payload_cols]
+    )
+    msg = F.struct(
+        F.lit(database).alias("database"),
+        F.col("table"),
+        _MAXWELL_TYPE.alias("type"),
+        (F.col("commit_ts") / 1_000_000).cast("long").alias("ts"),
+        F.col("commit_ts").alias("commit_ts"),
+        F.col("seq").alias("xid"),
+        data.alias("data"),
+    )
+    return df.select(F.to_json(msg).alias("maxwell_json"))
+
+
+def decode_maxwell(df: DataFrame, payload_schema: T.StructType) -> DataFrame:
+    """maxwell_json → typed change rows."""
+    data_fields = [T.StructField("doc_id", T.StringType())] + list(payload_schema)
+    schema = T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("commit_ts", T.LongType()),
+            T.StructField("xid", T.LongType()),
+            T.StructField("data", T.StructType(data_fields)),
+        ]
+    )
+    m = df.select(F.from_json("maxwell_json", schema).alias("_m")).select("_m.*")
+    op = (
+        F.when(F.col("type") == "insert", F.lit("I"))
+        .when(F.col("type") == "update", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    return m.select(
+        F.col("commit_ts"),
+        F.col("xid").alias("seq"),
+        F.col("table"),
+        op.alias("op"),
+        F.col("data.doc_id").alias("doc_id"),
+        *[F.col(f"data.{f.name}").alias(f.name) for f in payload_schema],
+    )
