@@ -109,7 +109,10 @@ class ChangeFeed:
     def _write_tail(self, tail: DataFrame, batch_id: int, had_rows: bool) -> None:
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
         if had_rows:
-            tail.coalesce(4).write.mode("overwrite").parquet(out)
+            # repartition, not coalesce: coalesce(4) would collapse the wide
+            #-row scan itself to 4 tasks; a shuffle of the (small) tail is
+            # cheaper than an 8x-less-parallel scan
+            tail.repartition(4).write.mode("overwrite").parquet(out)
         older = [
             d
             for d in (os.listdir(self.pending_dir) if os.path.isdir(self.pending_dir) else [])
@@ -120,6 +123,10 @@ class ChangeFeed:
 
     # ---------- the micro-batch ----------
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        timings: dict[str, float] = {}
+        t0 = _time.time()
         pending = self._read_pending()
         events = batch_df.unionByName(pending) if pending is not None else batch_df
         # NO persist: the wide-row columnar cache build costs more than the
@@ -136,6 +143,8 @@ class ChangeFeed:
                 )
                 .collect()
             )
+            timings["part_stats"] = _time.time() - t0
+            t0 = _time.time()
             stored = {int(k): int(v) for k, v in self.table.part_watermarks.items()}
             for r in part_stats:
                 stored[int(r["part"])] = max(stored.get(int(r["part"]), -1), int(r["max_ts"]))
@@ -175,23 +184,33 @@ class ChangeFeed:
                     # advance lake schema to `ver` (metadata-only commit)
                     fields_next = self.registry.fields(ver)
                     self._advance_lake_schema(ver, fields_next, f"ddl-{shi}")
+            timings["apply"] = _time.time() - t0
+            t0 = _time.time()
 
             # 4b. MOR hygiene: fold deltas when a bucket accumulates too many
             self.table.maybe_compact(self.compact_max_deltas)
+            timings["compact"] = _time.time() - t0
+            t0 = _time.time()
 
-            # 5. persist tail for the next batch
-            n_tail = tail.limit(1).count()
-            self._write_tail(tail, batch_id, had_rows=bool(n_tail))
+            # 5. persist tail for the next batch. Existence is known from
+            # part_stats (tail nonempty ⟺ some partition's max is above the
+            # global min) — no extra probe job.
+            had_tail = any(int(r["max_ts"]) > resolved for r in part_stats)
+            self._write_tail(tail, batch_id, had_rows=had_tail)
+            timings["tail"] = _time.time() - t0
+            t0 = _time.time()
 
             # 6. lineage
             if self.lineage_dir:
                 self._write_lineage(batch_id, epoch_stats, part_stats, resolved)
+            timings["lineage"] = _time.time() - t0
             self.batch_summaries.append(
                 {
                     "batch_id": batch_id,
                     "resolved_ts": resolved,
                     "slices": len(slices),
                     "events": sum(int(r["cnt"]) for r in part_stats),
+                    "timings": {k: round(v, 3) for k, v in timings.items()},
                 }
             )
         finally:
