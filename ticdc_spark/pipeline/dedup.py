@@ -135,19 +135,21 @@ def minhash_lsh_pairs(
     """
     r = n_perms // bands
     sig = minhash_signatures(docs, n, n_perms, text_col)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"),
+    # ONE posexplode, not a union of per-band selects: a union would paste
+    # the signature subtree (explode + K-way min agg) once per band into the
+    # plan, recomputing it B times per join side (measured ~2x whole-query)
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
             )
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash")
+    ).repartition(64, "band_id", "band_hash")
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (
@@ -248,20 +250,18 @@ def simhash_pairs_blocked(
     n_blocks = n_blocks or (max_hamming + 1)
     width = SIMHASH_BITS // n_blocks
     sig = simhash_signatures(docs, text_col)
-    chunks = []
-    for c in range(n_blocks):
-        mask = ((1 << width) - 1) << (c * width)
-        chunks.append(
-            sig.select(
-                "doc_id",
-                "simhash",
-                F.lit(c).alias("chunk_id"),
-                F.col("simhash").bitwiseAND(F.lit(mask)).alias("chunk_val"),
-            )
-        )
-    blocked = chunks[0]
-    for ch in chunks[1:]:
-        blocked = blocked.unionByName(ch)
+    # ONE posexplode over the chunk array (see minhash_lsh_pairs: a union of
+    # per-chunk selects recomputes the 60-agg signature per branch), then an
+    # explicit repartition on the block key — the tiny post-AQE shuffle would
+    # otherwise coalesce the pair-expansion join to one task
+    masks = [((1 << width) - 1) << (c * width) for c in range(n_blocks)]
+    blocked = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.col("simhash").bitwiseAND(F.lit(m)) for m in masks])
+        ).alias("chunk_id", "chunk_val"),
+    ).repartition(64, "chunk_id", "chunk_val")
     a = blocked.alias("a")
     b = blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
