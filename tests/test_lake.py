@@ -211,3 +211,27 @@ def test_crash_between_write_and_commit_is_invisible(spark, tmp_path):
     assert t2.merge_epoch(ch, "e1")["committed"]
     assert {r["doc_id"] for r in t2.read().collect()} == {"a", "b"}
     assert not t2.merge_epoch(ch, "e1")["committed"]
+
+
+def test_syncpoints_point_in_time(spark, tmp_path):
+    """Syncpoint store analog (cdc/sink/mysql.go:1364-1426): each
+    watermarked commit maps primary_ts (resolved frontier) -> snapshot
+    version; version_at_ts gives the point-in-time read."""
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for e, ts in enumerate([100, 200, 300]):
+        ch = spark.createDataFrame(
+            [(f"d{e}", "U", ts, ts, [e], 1, "s")],
+            "doc_id string, op string, commit_ts long, seq long, "
+            "tokens array<int>, n_tok int, source string",
+        )
+        t.merge_epoch(ch, f"e{e}", watermarks={"0": ts})
+    sps = t.syncpoints
+    assert [sp["primary_ts"] for sp in sps] == [100, 200, 300]
+    assert t.version_at_ts(50) is None
+    v150 = t.version_at_ts(150)
+    assert v150 == sps[0]["version"]
+    assert {r["doc_id"] for r in t.read_version(v150).collect()} == {"d0"}
+    assert t.version_at_ts(10**9) == sps[-1]["version"]
+    assert {r["doc_id"] for r in t.read().collect()} == {"d0", "d1", "d2"}

@@ -458,7 +458,34 @@ class LakeTable:
                 k = str(k)
                 # watermarks are monotone (puller.go:163-168 contract)
                 wm[k] = max(int(v), int(wm.get(k, -1)))
+            # syncpoint record (cdc/sink/mysql.go:1364-1426 analog): map the
+            # upstream consistency point (primary_ts = resolved frontier) to
+            # the downstream snapshot (secondary = this manifest version) so
+            # a point-in-time read of "upstream state at ts" is
+            # read_version(syncpoint.version)
+            m.setdefault("syncpoints", []).append(
+                {
+                    "epoch_id": epoch_id,
+                    "primary_ts": min(int(v) for v in wm.values()),
+                    "version": m["version"],
+                }
+            )
         self._commit_manifest(m)
+
+    @property
+    def syncpoints(self) -> list[dict]:
+        """Ordered (epoch_id, primary_ts, version) consistency mappings."""
+        return list(self._manifest.get("syncpoints", []))
+
+    def version_at_ts(self, primary_ts: int) -> int | None:
+        """Snapshot version holding the upstream state as of primary_ts —
+        greatest syncpoint with primary_ts ≤ ts (the point-in-time read the
+        reference's syncpoint table enables)."""
+        best = None
+        for sp in self.syncpoints:
+            if sp["primary_ts"] <= primary_ts:
+                best = sp["version"]
+        return best
 
     def truncate(self, epoch_id: str | None = None) -> bool:
         """TRUNCATE TABLE: metadata-only commit dropping every bucket's file
