@@ -1,0 +1,95 @@
+"""Physical-plan audit: dump `explain(formatted)` for the headline queries
+and grep for the scale-critical properties (what you'd check in the Spark UI
+before a 100 TB run):
+
+  * column pruning    — parquet ReadSchema carries only referenced columns
+  * predicate pushdown— PushedFilters non-empty where the query filters
+  * codegen           — WholeStageCodegen spans cover the hot path
+  * join strategy     — broadcasts where a side is small, no accidental
+                        cartesian products
+  * exchange reuse    — self-joins reuse one shuffle (ReusedExchange)
+
+Usage: python tools/plan_audit.py [query ...]   (default: the audit set)
+The pytest guard (tests/test_plans.py) asserts the non-negotiable subset.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+AUDIT = [
+    "q1_pricing",
+    "q5_region_orders",
+    "cdc_lww_agg",
+    "cdc_lww_semijoin",
+    "cdc_final_state",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "curate_corpus",
+    "tokens_pack",
+]
+
+
+def plan_of(df, executed: bool = True) -> str:
+    if executed:
+        # materialize THROUGH THIS DataFrame's own QueryExecution (a write
+        # would clone the plan) so AQE finalizes: the pre-execution
+        # AdaptiveSparkPlan hides codegen spans and runtime join choices
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> list[str]:
+    findings = []
+    # executed trees mark codegen stages with "*(n)" stars
+    if "*(" not in plan and "WholeStageCodegen" not in plan:
+        findings.append("no WholeStageCodegen span")
+    if "CartesianProduct" in plan:
+        findings.append("CartesianProduct present")
+    for line in plan.splitlines():
+        if "ReadSchema" in line and ("text" in line or "comment" in line):
+            # full-text columns should only be read by text-processing queries
+            if name.startswith(("q1", "q5", "cdc_")):
+                findings.append(f"scan reads text/comment column: {line.strip()[:120]}")
+    return findings
+
+
+def main(only: list[str]) -> int:
+    from ticdc_spark.session import build_session
+
+    import __spark_entry__ as entrymod
+
+    spark = build_session("plan-audit", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    bad = 0
+    for name in only or AUDIT:
+        df = qs[name](spark, SF_DIR)
+        plan = plan_of(df)
+        formatted = plan_of(df, executed=False)
+        findings = audit(name, plan)
+        status = "WARN" if findings else "OK"
+        bad += bool(findings)
+        print(f"== {name}: {status}")
+        for f in findings:
+            print(f"   - {f}")
+        if only:  # explicit ask → show scan details + executed tree
+            print(formatted)
+            print(plan)
+    spark.stop()
+    return bad
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
