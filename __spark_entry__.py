@@ -579,25 +579,24 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-p^b)^T). Shuffle O(n*T) instead of the all-pairs cross join."""
     from ticdc_spark.pipeline.similarity import cosine, rp_lsh_buckets
 
+    from ticdc_spark.pipeline.similarity import hyperplane_sign
+
     emb = _emb(spark, sf_dir)
     n_bits, n_tables = 4, 3
-    per = []
+    sigs = []
     for t in range(n_tables):
-        from ticdc_spark.pipeline.similarity import hyperplane_sign
-
         sig = None
         for p in range(n_bits):
             bit = hyperplane_sign(F.col("embedding"), t * n_bits + p, 64)
             term = F.shiftleft(bit, p)
             sig = term if sig is None else sig + term
-        per.append(
-            emb.select(
-                F.col("vec_id"), F.col("embedding"), F.lit(t).alias("table_id"), sig.alias("bucket")
-            )
-        )
-    b = per[0]
-    for x in per[1:]:
-        b = b.unionByName(x)
+        sigs.append(sig)
+    # single-scan banding (posexplode) — see pipeline.similarity.ann_lsh_topk
+    b = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.posexplode(F.array(*sigs)).alias("table_id", "bucket"),
+    ).repartition(64, "table_id", "bucket")
     a_, b_ = b.alias("a"), b.alias("b")
     cand = (
         a_.join(

@@ -147,25 +147,22 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     def buckets(df: DataFrame, out_id: str, keep_vec: str) -> DataFrame:
-        per_table = []
+        # one posexplode over the per-table signature array — a union of
+        # per-table selects would paste T copies of the scan+projection
+        # subtree into the plan (same fix as dedup.minhash_lsh_pairs)
+        sigs = []
         for t in range(n_tables):
             sig = None
             for p in range(n_bits):
                 bit = hyperplane_sign(F.col(vec_col), t * n_bits + p, dim)
                 term = F.shiftleft(bit, p)
                 sig = term if sig is None else sig + term
-            per_table.append(
-                df.select(
-                    F.col(id_col).alias(out_id),
-                    F.col(vec_col).alias(keep_vec),
-                    F.lit(t).alias("table_id"),
-                    sig.alias("bucket"),
-                )
-            )
-        out = per_table[0]
-        for x in per_table[1:]:
-            out = out.unionByName(x)
-        return out
+            sigs.append(sig)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(keep_vec),
+            F.posexplode(F.array(*sigs)).alias("table_id", "bucket"),
+        )
 
     corpus = buckets(emb, "neighbor_id", "cvec")
     q = buckets(queries, "query_id", "qvec")
