@@ -137,3 +137,51 @@ def test_watermark_gating_holds_unresolved_tail(spark, workspace):
     # frontier now min(301, 300) = 300: d applies; e (ts 301) stays pending —
     # the applied state is always a commit-ts prefix
     assert keys == {"a", "b", "c", "d"}
+
+
+def test_continuous_tailing_files_arrive_mid_stream(spark, workspace):
+    """Production mode: ChangeFeed.start() with a processing-time trigger,
+    new binlog files LANDING WHILE THE QUERY RUNS (the actual 'tail the
+    change log' flow, cdc/kv/client.go realtime push analog). The applied
+    state must converge to the oracle at the final resolved frontier."""
+    import time
+
+    spec = BinlogSpec(n_events=8_000, n_keys=800, seed=77, p_delete=0.15, p_insert=0.55)
+    staging = workspace["binlog"] + "-stage"
+    write_binlog(spec, staging, files_per_part=6)
+    files = sorted(glob.glob(staging + "/*.parquet"))
+    os.makedirs(workspace["binlog"])
+    for f in files[:2]:
+        os.link(f, os.path.join(workspace["binlog"], os.path.basename(f)))
+
+    t = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t,
+        workspace["binlog"],
+        workspace["ckpt"],
+        lineage_dir=workspace["lineage"],
+        max_files_per_trigger=2,
+    )
+    q = cf.start(processing_time="1 second")
+    try:
+        deadline = time.time() + 60
+        # drip the remaining files in while the query is live
+        for f in files[2:]:
+            os.link(f, os.path.join(workspace["binlog"], os.path.basename(f)))
+            time.sleep(0.5)
+        # wait until every file is consumed and the feed goes idle
+        while time.time() < deadline:
+            n_batches = len(cf.batch_summaries)
+            total_seen = sum(s["events"] for s in cf.batch_summaries)
+            if cf.batch_summaries and total_seen >= spec.n_events and not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.5)
+        assert cf.batch_summaries, "no batches processed before deadline"
+    finally:
+        q.stop()
+    resolved = max(s["resolved_ts"] for s in cf.batch_summaries)
+    binlog = pq.read_table(staging)
+    expected = apply_binlog(binlog, upto_ts=resolved)
+    problems = diff_tables(expected, _lake_arrow(t))
+    assert not problems, problems[:3]
+    assert len(cf.batch_summaries) >= 2  # genuinely incremental
