@@ -1,0 +1,113 @@
+"""Multi-table changefeed: per-table routing, boundary-ts add, stop-at-ts
+(cdc/processor/processor.go:322-447 handleTableOperation analog)."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ticdc_spark.lake.table import LakeTable
+from ticdc_spark.oracle import apply_binlog, diff_tables
+from ticdc_spark.streaming.multi import MultiTableChangeFeed
+from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+
+def _lake_arrow(table):
+    pdf = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.string()),
+            "tokens": pa.array([list(t) for t in pdf["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.array(pdf["n_tok"], pa.int32()),
+            "source": pa.array(pdf["source"], pa.string()),
+        }
+    )
+
+
+def _mk_two_table_binlog(tmp_path, n=6_000):
+    """Two tables' events interleaved in one binlog dir."""
+    stage_a = str(tmp_path / "stage_a")
+    stage_b = str(tmp_path / "stage_b")
+    write_binlog(BinlogSpec(n_events=n, n_keys=n // 10, seed=51, table="ta", p_delete=0.15, p_insert=0.55), stage_a, files_per_part=3)
+    write_binlog(BinlogSpec(n_events=n, n_keys=n // 10, seed=52, table="tb", p_delete=0.1, p_insert=0.6), stage_b, files_per_part=3)
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    for tag, stage in (("a", stage_a), ("b", stage_b)):
+        for f in glob.glob(stage + "/*.parquet"):
+            os.link(f, os.path.join(binlog, f"{tag}-{os.path.basename(f)}"))
+    ev_a = pq.read_table(stage_a)
+    ev_b = pq.read_table(stage_b)
+    return binlog, ev_a, ev_b
+
+
+def test_two_tables_replicate_independently(spark, tmp_path):
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path)
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    summaries = cf.run_available()
+    assert len(summaries) >= 2
+    resolved = summaries[-1]["resolved_ts"]
+    for tbl, ev in ((ta, ev_a), (tb, ev_b)):
+        expected = apply_binlog(ev, upto_ts=resolved)
+        problems = diff_tables(expected, _lake_arrow(tbl))
+        assert not problems, problems[:3]
+    # every batch committed both tables
+    assert all(all(s["tables"].values()) for s in summaries)
+
+
+def test_add_table_at_boundary_and_stop(spark, tmp_path):
+    """An added table only receives events ABOVE its boundary-ts; a removed
+    table stops at stop-ts (inclusive)."""
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path)
+    lo = pc.min(ev_b.column("commit_ts")).as_py()
+    hi = pc.max(ev_b.column("commit_ts")).as_py()
+    boundary = (lo + hi) // 2
+    stop_a = (lo + hi) // 2
+
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta}, binlog, str(tmp_path / "ckpt"), max_files_per_trigger=4,
+        stop_ts={"ta": stop_a},
+    )
+    cf.add_table("tb", tb, boundary_ts=boundary)
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+
+    # ta stopped at stop_a
+    expected_a = apply_binlog(ev_a, upto_ts=min(stop_a, resolved))
+    assert not diff_tables(expected_a, _lake_arrow(ta))
+    # tb sees only (boundary, resolved]
+    ev_b_above = ev_b.filter(pc.greater(ev_b.column("commit_ts"), boundary))
+    expected_b = apply_binlog(ev_b_above, upto_ts=resolved)
+    assert not diff_tables(expected_b, _lake_arrow(tb))
+    assert resolved > boundary  # the boundary actually bit
+
+
+def test_multi_table_resume_idempotent(spark, tmp_path):
+    """Restart over the same checkpoint: per-table epoch ids make re-applied
+    batches no-ops for tables that already committed."""
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=3_000)
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    ck = str(tmp_path / "ckpt")
+    cf1 = MultiTableChangeFeed({"ta": ta, "tb": tb}, binlog, ck, max_files_per_trigger=3)
+    s1 = cf1.run_available()
+    v_a, v_b = ta._manifest["version"], tb._manifest["version"]
+    # re-run (nothing new): no batches or no commits; state unchanged
+    cf2 = MultiTableChangeFeed(
+        {"ta": LakeTable(spark, str(tmp_path / "ta")), "tb": LakeTable(spark, str(tmp_path / "tb"))},
+        binlog, ck, max_files_per_trigger=3,
+    )
+    s2 = cf2.run_available()
+    assert all(not any(s["tables"].values()) for s in s2)
+    assert LakeTable(spark, str(tmp_path / "ta"))._manifest["version"] == v_a
+    assert LakeTable(spark, str(tmp_path / "tb"))._manifest["version"] == v_b
+    resolved = s1[-1]["resolved_ts"]
+    expected = apply_binlog(ev_a, upto_ts=resolved)
+    assert not diff_tables(expected, _lake_arrow(LakeTable(spark, str(tmp_path / "ta"))))
