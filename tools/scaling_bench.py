@@ -88,12 +88,21 @@ def main() -> None:
     print(f"aggregate copy bandwidth GB/s: {bw}")
 
     levels = [2, 8] + ([32] if with_32 else [])
+    # INTERLEAVE levels across trials: this VM's background load drifts on
+    # the ~10-minute scale (single-level back-to-back runs measured the same
+    # binary at 195k..229k ev/s on 2 cores), so consecutive per-level runs
+    # would alias machine drift into the efficiency ratio. Each trial runs
+    # every level once; best-of over trials per level.
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
     results = {}
-    for cpus in levels:
-        r = run_level(cpus, n_events)
-        results[cpus] = r
-        print(f"local[{cpus}]: {r['replay']['sec']}s best-of-{r['replay']['reps']}, "
-              f"{r['replay']['events_per_sec']} events/s")
+    for trial in range(trials):
+        for cpus in levels:
+            r = run_level(cpus, n_events, reps=2)
+            cur = results.get(cpus)
+            if cur is None or r["replay"]["events_per_sec"] > cur["replay"]["events_per_sec"]:
+                results[cpus] = r
+            print(f"trial {trial} local[{cpus}]: {r['replay']['sec']}s, "
+                  f"{r['replay']['events_per_sec']} events/s")
     thr2 = results[2]["replay"]["events_per_sec"]
     thr8 = results[8]["replay"]["events_per_sec"]
     eff = (thr8 / thr2) / 4
@@ -102,6 +111,7 @@ def main() -> None:
     appendix = ""
     if with_32:
         thr32 = results[32]["replay"]["events_per_sec"]
+        eff32 = (thr32 / thr8) / 4
         appendix = f"""
 ## Appendix: 8 → 32 threads (beyond the bandwidth ceiling)
 
@@ -110,10 +120,11 @@ def main() -> None:
 | 8  | local[8]  | {results[8]["replay"]["sec"]} | {thr8:,.0f} |
 | 32 | local[32] | {results[32]["replay"]["sec"]} | {thr32:,.0f} |
 
-At 32 threads the job is pinned at the box's ~13 GB/s copy-bandwidth
-ceiling (vs ~10.7 GB/s already consumed by 8 streams), so throughput is
-flat-to-noisy — a single-box artifact, not an engine property; real 4N
-scaling adds nodes (and memory channels), which this sandbox cannot.
+8→32 threads yields {thr32 / thr8:.2f}x for 4x threads (eff {eff32:.2f}):
+the job is pinned near the box's measured {bw.get(32)} GB/s aggregate
+copy-bandwidth ceiling (vs {bw.get(8)} GB/s already consumed by 8
+streams) — a single-box artifact, not an engine property; real 4N scaling
+adds nodes (and memory channels), which this sandbox cannot.
 """
 
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
@@ -124,7 +135,9 @@ Replaying a deterministic {n_events:,}-event synthetic binlog
 (hot-key skew 5%, 32 source partitions, 4 arrival chunks = 4 resolved-ts
 epochs, each epoch reading only its own files) through LWW dedup +
 idempotent bucketed epoch merges into the lake table. Same input, JVM
-warmed (one full replay), best of 3 measured replays per level.
+warmed (one full replay per invocation); levels INTERLEAVED across trials
+(this box's background load drifts on the ~10-min scale — interleaving
+keeps the drift out of the N-vs-4N ratio), best measured replay per level.
 
 ## Memory-bandwidth ceiling of this box (why N=2 vs 4N=8)
 
