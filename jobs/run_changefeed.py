@@ -35,6 +35,11 @@ def main() -> int:
     p.add_argument("--available-now", action="store_true")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--buckets", type=int, default=256)
+    p.add_argument(
+        "--start-ts", type=int, default=None,
+        help="replicate events with commit_ts > start_ts (pair with a "
+        "LakeTable.bootstrap snapshot at start_ts)",
+    )
     args = p.parse_args()
 
     from ticdc_spark.lake.table import LakeTable
@@ -63,6 +68,7 @@ def main() -> int:
         ddl_rows=ddl_rows,
         lineage_dir=args.lineage,
         max_files_per_trigger=args.max_files_per_trigger,
+        start_ts=args.start_ts,
     )
     if args.available_now:
         summaries = cf.run_available()

@@ -235,3 +235,77 @@ def test_syncpoints_point_in_time(spark, tmp_path):
     assert {r["doc_id"] for r in t.read_version(v150).collect()} == {"d0"}
     assert t.version_at_ts(10**9) == sps[-1]["version"]
     assert {r["doc_id"] for r in t.read().collect()} == {"d0", "d1", "d2"}
+
+
+def test_lookup_prunes_buckets(spark, tmp_path):
+    """Point lookup reads only the keyed buckets (dispatch-hash pruning) and
+    returns exactly the live rows for the requested keys."""
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=16)
+    ch = spark.createDataFrame(
+        [(f"d{i}", "U", i + 1, i + 1, [i], 1, "s") for i in range(200)]
+        + [("d7", "D", 1000, 1000, None, None, None)],  # delete one key
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t.merge_epoch(ch, "e0")
+    got = {r["doc_id"]: r["tokens"] for r in t.lookup(["d3", "d7", "d42", "nope"]).collect()}
+    assert got == {"d3": [3], "d42": [42]}  # d7 deleted, nope absent
+
+
+def test_bootstrap_then_changefeed_equals_full_replay(spark, tmp_path):
+    """Snapshot restore + changefeed --start-ts (SURVEY.md §3.1): bootstrap
+    the table from the state at start_ts, stream only events above it; the
+    result must equal replaying the WHOLE log. Pre-start events redelivered
+    at-least-once must lose to the snapshot rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.oracle import apply_binlog, diff_tables
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+    from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+    spec = BinlogSpec(n_events=10_000, n_keys=1_000, seed=61, p_delete=0.15, p_insert=0.55)
+    binlog_dir = write_binlog(spec, str(tmp_path / "binlog"), files_per_part=4)
+    full = pq.read_table(binlog_dir)
+    import pyarrow.compute as pc
+
+    lo = pc.min(full.column("commit_ts")).as_py()
+    hi = pc.max(full.column("commit_ts")).as_py()
+    start_ts = (lo + hi) // 2
+
+    # snapshot = oracle state at start_ts (what dumpling would have exported)
+    snap = apply_binlog(full, upto_ts=start_ts)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+    st = t.bootstrap(spark.createDataFrame(snap.to_pandas()), as_of_ts=start_ts)
+    assert st["committed"]
+    assert not t.bootstrap(spark.createDataFrame(snap.to_pandas()), as_of_ts=start_ts)[
+        "committed"
+    ]  # idempotent
+
+    cf = ChangeFeed(
+        t,
+        binlog_dir,
+        str(tmp_path / "ckpt"),
+        start_ts=start_ts,
+        max_files_per_trigger=8,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    expected = apply_binlog(full, upto_ts=resolved)
+    pdf = t.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    import pyarrow as pa
+
+    actual = pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.string()),
+            "tokens": pa.array([list(v) for v in pdf["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.Array.from_pandas(pdf["n_tok"], type=pa.int32()),
+            "source": pa.array(pdf["source"], pa.string()),
+        }
+    )
+    problems = diff_tables(expected, actual)
+    assert not problems, problems[:3]

@@ -296,6 +296,42 @@ class LakeTable:
             .select(*[f["name"] for f in self.current_fields])
         )
 
+    def lookup(self, keys: list[str]) -> DataFrame:
+        """Point lookup: read ONLY the buckets the keys hash to (partition
+        pruning via the dispatch hash — at 10^5 buckets a lookup touches
+        ~len(keys) files, not the table). Same collapse semantics as read()."""
+        kdf = self.spark.createDataFrame([(k,) for k in keys], f"{self.key_col} string")
+        rows = kdf.select(self._bucket_expr(self.key_col).alias("b")).distinct().collect()
+        buckets = sorted(int(r["b"]) for r in rows)
+        df = self._read_files(self._bucket_entries(buckets))
+        if df is None:
+            return self.spark.createDataFrame([], _fields_to_struct(self.current_fields))
+        return (
+            self._collapse(df)
+            .filter(~F.col(SYS_DELETED))
+            .filter(F.col(self.key_col).isin(keys))
+            .select(*[f["name"] for f in self.current_fields])
+        )
+
+    def bootstrap(self, snapshot: DataFrame, as_of_ts: int, epoch_id: str = "bootstrap") -> dict:
+        """Initialize the table from a full snapshot taken at `as_of_ts` (the
+        dumpling/BR restore that precedes `changefeed create --start-ts`,
+        SURVEY.md §3.1: start-ts must be >= the snapshot ts). Rows carry
+        (_commit_ts=as_of_ts, _seq=-1) so any change event with
+        commit_ts > as_of_ts — or at the same ts with seq >= 0 — wins the
+        conditional merge, and replayed pre-snapshot events cannot regress
+        the state. Idempotent by epoch_id like any other commit."""
+        key = self.key_col
+        payload = [f["name"] for f in self.current_fields if f["name"] != key]
+        ch = snapshot.select(
+            F.col(key),
+            *[F.col(c) for c in payload],
+            F.lit("I").alias("op"),
+            F.lit(as_of_ts).alias("commit_ts"),
+            F.lit(-1).cast("long").alias("seq"),
+        )
+        return self.merge_epoch(ch, epoch_id, assume_deduped=True)
+
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read an old snapshot (Iceberg snapshot-id read)."""
         saved = self._manifest

@@ -73,7 +73,12 @@ class ChangeFeed:
         pending_dir: str | None = None,
         max_files_per_trigger: int | None = None,
         compact_max_deltas: int = 64,
+        start_ts: int | None = None,
     ):
+        """start_ts: replicate only events with commit_ts > start_ts — the
+        `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
+        below start_ts comes from the bootstrap snapshot
+        (LakeTable.bootstrap), not the log."""
         self.table = table
         self.spark = table.spark
         self.binlog_dir = binlog_dir
@@ -83,6 +88,7 @@ class ChangeFeed:
         self.pending_dir = pending_dir or os.path.join(checkpoint_dir, "pending")
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_max_deltas = compact_max_deltas
+        self.start_ts = start_ts
         base = [dict(f) for f in table._manifest["schemas"]["0"]]
         ddls = [
             (r["commit_ts"], r["ddl_type"], json.loads(r["spec"]) if isinstance(r["spec"], str) else r["spec"])
@@ -129,6 +135,9 @@ class ChangeFeed:
         t0 = _time.time()
         pending = self._read_pending()
         events = batch_df.unionByName(pending) if pending is not None else batch_df
+        if self.start_ts is not None:
+            # pre-start events belong to the bootstrap snapshot (§3.1)
+            events = events.filter(F.col("commit_ts") > F.lit(self.start_ts))
         # NO persist: the wide-row columnar cache build costs more than the
         # re-scans it saves (part_stats and the tail probe are column-pruned
         # by Catalyst; only the apply and the tail write read full rows).
