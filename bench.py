@@ -118,6 +118,55 @@ def bench_replay(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_replay_skew(spark, work_root: str, n_events: int) -> dict:
+    """Skew-stress replay: 60% of events hit 4 hot keys (the hot-region
+    case the reference handles with TiKV region splits + table rebalancing).
+    The LWW agg collapses hot keys map-side (partial aggregation), so
+    throughput should stay comparable to the uniform case — this row is the
+    evidence. Same event count, chunking, and warmup protocol as the
+    uniform replay so the two rows compare apples-to-apples."""
+    from ticdc_spark.engine.replay import replay_chunks
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.testgen import BinlogSpec, write_binlog_chunks
+
+    binlog_dir = os.path.join(work_root, f"binlog_skew_{n_events}")
+    if not os.path.exists(os.path.join(binlog_dir, "_DONE")):
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        spec = BinlogSpec(
+            n_events=n_events,
+            n_keys=max(1000, n_events // 10),
+            seed=43,
+            hot_frac=0.6,
+            hot_keys=4,
+            n_parts=32,
+        )
+        write_binlog_chunks(spec, binlog_dir, n_chunks=4, files_per_chunk=32)
+        open(os.path.join(binlog_dir, "_DONE"), "w").write("ok")
+    chunk_dirs = sorted(
+        os.path.join(binlog_dir, d)
+        for d in os.listdir(binlog_dir)
+        if d.startswith("chunk-")
+    )
+    warm_dir = os.path.join(work_root, "bench_tbl_skew_warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    replay_chunks(LakeTable.create(spark, warm_dir, n_buckets=64), spark, chunk_dirs, epoch_prefix="warmskew")
+    tbl_dir = os.path.join(work_root, "bench_tbl_skew")
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    t0 = time.time()
+    stats = replay_chunks(table, spark, chunk_dirs, epoch_prefix="skew")
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "n_events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+        "hot_frac": 0.6,
+        "hot_keys": 4,
+        "epochs": len(stats),
+        "final_rows": table.read().count(),
+    }
+
+
 def bench_streaming(spark, work_root: str, n_events: int) -> dict:
     """Structured Streaming path: ChangeFeed availableNow over the chunked
     binlog glob (maxFilesPerTrigger-sized micro-batches, watermark gating,
@@ -176,9 +225,12 @@ def main() -> None:
     replay = bench_replay(spark, work_root, N_EVENTS)
     qtimes["cdc_replay"] = replay["sec"]
     stream = None
+    skew = None
     if not only_replay:
         stream = bench_streaming(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_replay"] = stream["sec"]
+        skew = bench_replay_skew(spark, work_root, N_EVENTS)
+        qtimes["cdc_replay_skew"] = skew["sec"]
 
     qs = entrymod.queries()
     for name in [] if only_replay else BENCH_QUERIES:
@@ -199,6 +251,7 @@ def main() -> None:
                 "sf": _sf_of(SF_DIR),
                 "replay": replay,
                 "stream": stream,
+                "replay_skew": skew,
                 "cpus": int(CPUS),
             }
         )
