@@ -573,6 +573,52 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 
 
+def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing any 8-gram with a
+    deterministic held-out eval slice (h60(doc_id)%20==0) — the standard
+    n-gram-overlap contamination rule of pre-training pipelines."""
+    from ticdc_spark.functions.hashing import bucket
+    from ticdc_spark.pipeline.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir).withColumn("_sid", F.col("doc_id").cast("string"))
+    is_eval = bucket(F.col("_sid"), 20) == 0
+    ev = docs.filter(is_eval)
+    tr = docs.filter(~is_eval)
+    out = decontaminate(tr, ev, n=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency (tie-break by token)."""
+    from ticdc_spark.pipeline.decontam import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), k=100).select(
+        "token", F.col("cnt").cast("long").alias("cnt"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample (hash-threshold, no rand()): per-source
+    totals vs sampled counts — the reproducible-subset op every training-data
+    pipeline needs for ablations."""
+    from ticdc_spark.pipeline.decontam import sample_deterministic
+
+    docs = _docs(spark, sf_dir)
+    sampled = sample_deterministic(docs, 0.1).groupBy("source").agg(
+        F.count("*").alias("n_sampled")
+    )
+    total = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    return total.join(sampled, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: multi-table RP-LSH candidate
     blocking + exact-cosine verification (no false positives; recall =
@@ -1182,6 +1228,48 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
 """,
+        "curate_decontaminate": f"""
+WITH t AS (
+  SELECT doc_id, {bucket_sql("cast(doc_id AS varchar)", 20)} = 0 AS is_eval,
+         {TOKENS_SQL.format(t="text")} AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_eval,
+         unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks
+  FROM t
+),
+gd AS (SELECT DISTINCT doc_id, is_eval,
+              array_to_string(toks[i:i+7], ' ') AS gram FROM g),
+eg AS (SELECT DISTINCT gram FROM gd WHERE is_eval),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM gd
+  WHERE NOT is_eval AND gram IN (SELECT gram FROM eg)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
+       CASE WHEN coalesce(hits.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM t LEFT JOIN hits USING (doc_id) WHERE NOT t.is_eval
+""",
+        "text_vocab_topk": f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL.format(t="text")}) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM tok WHERE token != '' GROUP BY token),
+r AS (SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM c)
+SELECT token, cnt, rank FROM r WHERE rank <= 100
+""",
+        "corpus_sample": f"""
+WITH d AS (
+  SELECT source,
+         ({h60_sql("cast(doc_id AS varchar)")} % 1000000) < 100000 AS keep
+  FROM documents
+)
+SELECT source, count(*) AS n_total,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_sampled
+FROM d GROUP BY source
+""",
         "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         "ann_topk": f"""
 WITH scored AS (
@@ -1261,6 +1349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "curate_decontaminate": q_curate_decontaminate,
+        "text_vocab_topk": q_text_vocab_topk,
+        "corpus_sample": q_corpus_sample,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,

@@ -293,3 +293,49 @@ def test_pack_offsets_contiguous_and_sharded(docs, spark):
         p = by_shard.get(r["shard"], 0)
         assert r["start_off"] == p
         by_shard[r["shard"]] = r["end_off"]
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from ticdc_spark.pipeline.decontam import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "something about the quick brown fox jumps over the lazy dog today ok"),
+            (11, "completely unrelated content with no overlap at all whatsoever here"),
+            (12, "short text"),  # fewer tokens than n -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(train, eval_docs, n=8).collect()}
+    assert got[10]["contaminated"] == 1 and got[10]["n_hit_grams"] >= 1
+    assert got[11]["contaminated"] == 0 and got[11]["n_hit_grams"] == 0
+    assert got[12]["contaminated"] == 0
+    assert set(got) == {10, 11, 12}  # every train doc reported exactly once
+
+
+def test_vocab_stats_topk_and_ties(spark):
+    from ticdc_spark.pipeline.decontam import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b z  z")], "doc_id long, text string"
+    )
+    rows = vocab_stats(docs, k=3).collect()
+    assert [(r["token"], r["cnt"], r["rank"]) for r in rows] == [
+        ("a", 3, 1), ("b", 3, 2), ("z", 2, 3),  # tie a/b broken by token asc
+    ]
+
+
+def test_sample_deterministic_stable_and_proportional(spark):
+    from ticdc_spark.pipeline.decontam import sample_deterministic
+
+    docs = spark.createDataFrame([(i, "x") for i in range(5000)], "doc_id long, text string")
+    s1 = {r["doc_id"] for r in sample_deterministic(docs, 0.2).collect()}
+    s2 = {r["doc_id"] for r in sample_deterministic(docs, 0.2).collect()}
+    assert s1 == s2  # reproducible, no rand()
+    assert 0.15 < len(s1) / 5000 < 0.25
+    s_small = {r["doc_id"] for r in sample_deterministic(docs, 0.1).collect()}
+    assert s_small <= s1  # nested: thresholds are monotone
