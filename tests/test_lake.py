@@ -309,3 +309,79 @@ def test_bootstrap_then_changefeed_equals_full_replay(spark, tmp_path):
     )
     problems = diff_tables(expected, actual)
     assert not problems, problems[:3]
+
+
+def test_merge_epoch_any_cover_any_order_converges_hypothesis(spark, tmp_path):
+    """Exactly-once property, fuzzed: applying ANY cover of the event set by
+    epochs (overlapping allowed = at-least-once redelivery), in ANY order,
+    with within-epoch collapse, converges to the sequential-oracle state —
+    because the merge is conditional on (commit_ts, seq, op_rank) recency
+    and deletes persist as tombstones."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ticdc_spark.lake.table import LakeTable
+
+    counter = itertools.count()
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.data(),
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),      # key idx
+                st.integers(0, 1),      # 0=put 1=delete
+                st.integers(100, 103),  # commit_ts
+            ),
+            min_size=1,
+            max_size=14,
+        ),
+    )
+    def run(data, raw_events):
+        events = [
+            (f"k{k}", "D" if d else "U", ts, seq)
+            for seq, (k, d, ts) in enumerate(raw_events)
+        ]
+        n_epochs = data.draw(st.integers(1, 3))
+        # each event lands in >=1 epoch; epochs may overlap (redelivery)
+        assignment = [
+            data.draw(
+                st.sets(st.integers(0, n_epochs - 1), min_size=1, max_size=n_epochs)
+            )
+            for _ in events
+        ]
+        order = data.draw(st.permutations(list(range(n_epochs))))
+
+        tid = next(counter)
+        t = LakeTable.create(spark, str(tmp_path / f"t{tid}"), n_buckets=2)
+        for e in order:
+            rows = [
+                (k, op, ts, seq, [seq] if op != "D" else None,
+                 1 if op != "D" else None, "s" if op != "D" else None)
+                for (k, op, ts, seq), eps in zip(events, assignment)
+                if e in eps
+            ]
+            if not rows:
+                continue
+            ch = spark.createDataFrame(
+                rows,
+                "doc_id string, op string, commit_ts long, seq long, "
+                "tokens array<int>, n_tok int, source string",
+            )
+            t.merge_epoch(ch, f"t{tid}-e{e}")  # assume_deduped=False: collapse in-merge
+
+        # sequential oracle over ALL events in (commit_ts, seq, op_rank) order
+        state = {}
+        for k, op, ts, seq in sorted(
+            events, key=lambda r: (r[2], r[3], 0 if r[1] == "D" else 1)
+        ):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = [seq]
+        got = {r["doc_id"]: list(r["tokens"]) for r in t.read().collect()}
+        assert got == state, (events, assignment, order)
+
+    run()
