@@ -185,3 +185,60 @@ def test_continuous_tailing_files_arrive_mid_stream(spark, workspace):
     problems = diff_tables(expected, _lake_arrow(t))
     assert not problems, problems[:3]
     assert len(cf.batch_summaries) >= 2  # genuinely incremental
+
+
+def test_strict_watermarks_late_event_raises(spark, workspace):
+    """Puller contract (cdc/puller/puller.go:163-168): in strict mode an
+    event arriving at or below the already-resolved frontier is an ERROR;
+    in default (tolerant) mode it is applied conditionally and loses."""
+    from ticdc_spark.model import BINLOG_SCHEMA
+
+    os.makedirs(workspace["binlog"])
+
+    def stage(rows, name):
+        spark.createDataFrame(rows, schema=BINLOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(workspace["binlog"] + "-" + name)
+        for f in glob.glob(workspace["binlog"] + "-" + name + "/*.parquet"):
+            os.link(f, os.path.join(workspace["binlog"], f"{name}-{os.path.basename(f)}"))
+
+    # batch 1: both partitions advance to 200 → resolved 200
+    stage(
+        [
+            (100, 1, "t", "I", "a", [1], 1, "web", 0, 0),
+            (200, 2, "t", "I", "b", [2], 1, "web", 0, 0),
+            (200, 3, "t", "I", "c", [3], 1, "web", 1, 0),
+        ],
+        "f1",
+    )
+    t = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=1,
+        strict_watermarks=True,
+    )
+    cf.run_available()
+    assert cf.batch_summaries[-1]["resolved_ts"] == 200
+
+    # batch 2: a LATE event (ts 150 <= resolved 200) → strict mode raises
+    stage([(150, 4, "t", "U", "a", [9], 1, "web", 0, 0)], "f2")
+    cf_strict = ChangeFeed(
+        t, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=1,
+        strict_watermarks=True,
+    )
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises((RuntimeError, StreamingQueryException), match="late-event"):
+        cf_strict.run_available()
+
+    # tolerant mode: same late file applies conditionally — 'a' keeps its
+    # NEWER value (the ts-100 insert was superseded? no: 150 > 100, late
+    # event wins over older state but the strict check is about the
+    # CONTRACT, not corruption)
+    t2 = LakeTable(spark, workspace["tbl"])
+    cf_tol = ChangeFeed(
+        t2, workspace["binlog"], workspace["ckpt"] + "2", max_files_per_trigger=4,
+    )
+    cf_tol.run_available()
+    got = {r["doc_id"]: list(r["tokens"]) for r in t2.read().collect()}
+    assert got == {"a": [9], "b": [2], "c": [3]}  # 150 > 100 → late U wins

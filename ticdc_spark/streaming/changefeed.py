@@ -74,11 +74,19 @@ class ChangeFeed:
         max_files_per_trigger: int | None = None,
         compact_max_deltas: int = 64,
         start_ts: int | None = None,
+        strict_watermarks: bool = False,
     ):
         """start_ts: replicate only events with commit_ts > start_ts — the
         `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
         below start_ts comes from the bootstrap snapshot
-        (LakeTable.bootstrap), not the log."""
+        (LakeTable.bootstrap), not the log.
+
+        strict_watermarks: enforce the puller's late-event contract
+        (cdc/puller/puller.go:163-168 — an event arriving below the already-
+        resolved frontier is a PANIC, not a silent drop). Default off: the
+        conditional merge makes late events harmless (they lose recency), so
+        the tolerant mode is strictly safer; strict mode exists to surface
+        upstream ordering bugs the way the reference does."""
         self.table = table
         self.spark = table.spark
         self.binlog_dir = binlog_dir
@@ -89,6 +97,18 @@ class ChangeFeed:
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_max_deltas = compact_max_deltas
         self.start_ts = start_ts
+        self.strict_watermarks = strict_watermarks
+        # Changefeed identity (ChangeFeedInfo id analog): epoch ids must be
+        # unique per FEED, not just per batch — Structured Streaming batch
+        # ids restart at 0 for a new checkpoint, so a second feed over the
+        # same table would otherwise collide with (and be swallowed by) the
+        # first feed's committed epochs. Same checkpoint → same feed id →
+        # replay idempotence is preserved.
+        import hashlib
+
+        self.feed_id = hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:8]
         base = [dict(f) for f in table._manifest["schemas"]["0"]]
         ddls = [
             (r["commit_ts"], r["ddl_type"], json.loads(r["spec"]) if isinstance(r["spec"], str) else r["spec"])
@@ -142,19 +162,33 @@ class ChangeFeed:
         # re-scans it saves (part_stats and the tail probe are column-pruned
         # by Catalyst; only the apply and the tail write read full rows).
         try:
-            # 2. watermark advance (monotone via stored max)
+            # 2. watermark advance (monotone via stored max). prev_resolved
+            # is the frontier persisted by earlier batches — NEW events at or
+            # below it violate the puller contract (late arrivals; the
+            # carried-over pending tail is by construction above it).
+            stored0 = {int(k): int(v) for k, v in self.table.part_watermarks.items()}
+            prev_resolved = min(stored0.values()) if stored0 else -1
             part_stats = (
                 events.groupBy("part")
                 .agg(
                     F.max("commit_ts").alias("max_ts"),
                     F.count(F.lit(1)).alias("cnt"),
                     F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
+                    F.sum(
+                        F.when(F.col("commit_ts") <= F.lit(prev_resolved), 1).otherwise(0)
+                    ).alias("late"),
                 )
                 .collect()
             )
             timings["part_stats"] = _time.time() - t0
             t0 = _time.time()
-            stored = {int(k): int(v) for k, v in self.table.part_watermarks.items()}
+            n_late = sum(int(r["late"]) for r in part_stats)
+            if self.strict_watermarks and n_late:
+                raise RuntimeError(
+                    f"late-event contract violated: {n_late} events at or below "
+                    f"resolved frontier {prev_resolved} (puller.go:163-168)"
+                )
+            stored = dict(stored0)
             for r in part_stats:
                 stored[int(r["part"])] = max(stored.get(int(r["part"]), -1), int(r["max_ts"]))
             resolved = min(stored.values()) if stored else -1
@@ -185,7 +219,7 @@ class ChangeFeed:
                     sl = sl.filter(F.col("commit_ts") > F.lit(slo))
                 if shi is not None:
                     sl = sl.filter(F.col("commit_ts") <= F.lit(shi))
-                epoch_id = f"cf-{batch_id:010d}-s{k}"
+                epoch_id = f"cf-{self.feed_id}-{batch_id:010d}-s{k}"
                 st = self._apply_slice(sl, epoch_id, watermarks)
                 epoch_stats.append((epoch_id, st))
                 if shi is not None:

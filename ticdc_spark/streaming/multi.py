@@ -51,6 +51,12 @@ class MultiTableChangeFeed:
         self.boundaries = dict(boundaries or {})
         self.stop_ts = dict(stop_ts or {})
         self.batch_summaries: list[dict] = []
+        # feed-scoped epoch ids — see ChangeFeed.feed_id for why
+        import hashlib
+
+        self.feed_id = hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:8]
 
     # -- table operations between batches (handleTableOperation analog) --
     def add_table(self, name: str, table: LakeTable, boundary_ts: int) -> None:
@@ -113,7 +119,7 @@ class MultiTableChangeFeed:
             )
             st = table.merge_epoch(
                 winners,
-                f"cfm-{batch_id:010d}-{name}",
+                f"cfm-{self.feed_id}-{batch_id:010d}-{name}",
                 watermarks=watermarks,
                 assume_deduped=True,
             )
