@@ -111,3 +111,51 @@ def test_multi_table_resume_idempotent(spark, tmp_path):
     resolved = s1[-1]["resolved_ts"]
     expected = apply_binlog(ev_a, upto_ts=resolved)
     assert not diff_tables(expected, _lake_arrow(LakeTable(spark, str(tmp_path / "ta"))))
+
+
+def test_multi_table_ddl_barriers_route_per_table(spark, tmp_path):
+    """One DDL stream routed by table: ta gains `lang` at its barrier, tb
+    drops `source` at its own; each table's data still matches its oracle,
+    and neither table sees the other's DDL."""
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    lo = pc.min(ev_a.column("commit_ts")).as_py()
+    hi = pc.max(ev_a.column("commit_ts")).as_py()
+    mid = (lo + hi) // 2
+    ddl_rows = [
+        {"commit_ts": mid, "ddl_type": "add_column", "table": "ta",
+         "spec": '{"name":"lang","type":"string"}'},
+        {"commit_ts": mid + 1, "ddl_type": "drop_column", "table": "tb",
+         "spec": '{"name":"source"}'},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, ddl_rows=ddl_rows,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert resolved > mid + 1  # barriers actually crossed
+
+    assert [f["name"] for f in ta.current_fields] == ["doc_id", "tokens", "n_tok", "source", "lang"]
+    assert [f["name"] for f in tb.current_fields] == ["doc_id", "tokens", "n_tok"]
+    assert ta.schema_version == 1 and tb.schema_version == 1
+
+    # data still matches the per-table oracles (lang is NULL everywhere —
+    # the typed stream carries no lang values)
+    exp_a = apply_binlog(ev_a, upto_ts=resolved)
+    got_a = _lake_arrow(ta)  # selects the base four columns
+    assert not diff_tables(exp_a, got_a)
+    pdf_a = ta.read().toPandas()
+    assert pdf_a["lang"].isna().all()
+
+    exp_b = apply_binlog(ev_b, upto_ts=resolved).drop_columns(["source"])
+    pdf_b = tb.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    got_b = pa.table(
+        {
+            "doc_id": pa.array(pdf_b["doc_id"], pa.string()),
+            "tokens": pa.array([list(v) for v in pdf_b["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.Array.from_pandas(pdf_b["n_tok"], type=pa.int32()),
+        }
+    )
+    assert not diff_tables(exp_b, got_b)

@@ -257,3 +257,27 @@ def test_avro_schema_registry():
 
     with pytest.raises(KeyError):
         reg.lookup("seqs")
+
+
+def test_open_protocol_ddl_and_resolved_messages(spark):
+    """json.go:332-369 (resolved) + 425-446 (DDL): watermark keys carry an
+    empty value; DDL messages round-trip the full spec."""
+    from ticdc_spark.functions.codec import (
+        decode_open_protocol_ddl,
+        encode_open_protocol_ddl,
+        encode_open_protocol_resolved,
+    )
+
+    res = spark.createDataFrame([(500,), (600,)], "resolved_ts long")
+    enc_r = encode_open_protocol_resolved(res)
+    rows = enc_r.collect()
+    assert all(r["value_json"] is None for r in rows)  # empty value
+    assert '"type":"resolved"' in rows[0]["key_json"] and '"ts":500' in rows[0]["key_json"]
+
+    ddl = spark.createDataFrame(
+        [(100, "add_column", "t", '{"name":"lang","type":"string"}')],
+        "commit_ts long, ddl_type string, table string, spec string",
+    )
+    got = decode_open_protocol_ddl(encode_open_protocol_ddl(ddl)).collect()[0]
+    assert (got["commit_ts"], got["ddl_type"], got["table"]) == (100, "add_column", "t")
+    assert '"name":"lang"' in got["spec"]

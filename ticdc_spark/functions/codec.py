@@ -48,6 +48,53 @@ def decode_open_protocol(df: DataFrame, payload_schema: T.StructType) -> DataFra
     return out.select("_k.*", "_v.*")
 
 
+def encode_open_protocol_resolved(df: DataFrame) -> DataFrame:
+    """Resolved-ts watermark messages (cdc/sink/codec/json.go:332-369): the
+    MQ sink broadcasts `{ts, type:resolved}` keys with an EMPTY value to
+    every partition so consumers can advance their frontier. Input: rows
+    with a `resolved_ts` column (one per partition broadcast target)."""
+    key = F.to_json(
+        F.struct(
+            F.col("resolved_ts").alias("ts"), F.lit("resolved").alias("type")
+        )
+    )
+    return df.select(key.alias("key_json"), F.lit(None).cast("string").alias("value_json"))
+
+
+def encode_open_protocol_ddl(df: DataFrame) -> DataFrame:
+    """DDL messages (cdc/sink/codec/json.go:425-446): key carries ts+type,
+    value carries the DDL query/spec. Input: DDL_SCHEMA rows
+    (commit_ts, ddl_type, table, spec)."""
+    key = F.to_json(
+        F.struct(F.col("commit_ts").alias("ts"), F.lit("ddl").alias("type"), F.col("table"))
+    )
+    val = F.to_json(F.struct(F.col("ddl_type"), F.col("spec")))
+    return df.select(key.alias("key_json"), val.alias("value_json"))
+
+
+def decode_open_protocol_ddl(df: DataFrame) -> DataFrame:
+    key_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("table", T.StringType()),
+        ]
+    )
+    val_schema = T.StructType(
+        [T.StructField("ddl_type", T.StringType()), T.StructField("spec", T.StringType())]
+    )
+    out = df.select(
+        F.from_json("key_json", key_schema).alias("_k"),
+        F.from_json("value_json", val_schema).alias("_v"),
+    )
+    return out.select(
+        F.col("_k.ts").alias("commit_ts"),
+        F.col("_v.ddl_type").alias("ddl_type"),
+        F.col("_k.table").alias("table"),
+        F.col("_v.spec").alias("spec"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Canal-flat codec (cdc/sink/codec/canal_flat.go:1-249): one JSON message per
 # row change — {database, table, pkNames, isDdl, type INSERT/UPDATE/DELETE,

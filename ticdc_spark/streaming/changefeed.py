@@ -61,6 +61,29 @@ LINEAGE_SCHEMA = (
 )
 
 
+def advance_lake_schema(table: LakeTable, fields_next: list[dict], epoch_id: str) -> None:
+    """Diff current lake fields vs target and emit add/widen/rename/drop ops.
+    (The registry and lake share field ids, so the diff is exact.)"""
+    cur = {f["id"]: f for f in table.current_fields}
+    next_ids = {f["id"] for f in fields_next}
+    ops: list[tuple[str, dict]] = []
+    for fid, c in cur.items():
+        if fid not in next_ids:
+            ops.append(("drop_column", {"name": c["name"]}))
+    for f in fields_next:
+        c = cur.get(f["id"])
+        if c is None:
+            ops.append(("add_column", {"name": f["name"], "type": f["type"]}))
+        elif c["name"] != f["name"]:
+            ops.append(("rename_column", {"from": c["name"], "to": f["name"]}))
+        elif c["type"] != f["type"]:
+            ops.append(("widen_column", {"name": f["name"], "to": f["type"]}))
+    # per-op epoch ids: a multi-change diff must not have its tail ops
+    # swallowed by the first op's idempotence record
+    for k, (typ, spec) in enumerate(ops):
+        table.update_schema(typ, spec, f"{epoch_id}#{k}" if len(ops) > 1 else epoch_id)
+
+
 class ChangeFeed:
     def __init__(
         self,
@@ -260,26 +283,7 @@ class ChangeFeed:
             pass
 
     def _advance_lake_schema(self, ver: int, fields_next: list[dict], epoch_id: str) -> None:
-        """Diff current lake fields vs target and emit add/widen/rename ops.
-        (The registry and lake share field ids, so the diff is exact.)"""
-        cur = {f["id"]: f for f in self.table.current_fields}
-        next_ids = {f["id"] for f in fields_next}
-        ops: list[tuple[str, dict]] = []
-        for fid, c in cur.items():
-            if fid not in next_ids:
-                ops.append(("drop_column", {"name": c["name"]}))
-        for f in fields_next:
-            c = cur.get(f["id"])
-            if c is None:
-                ops.append(("add_column", {"name": f["name"], "type": f["type"]}))
-            elif c["name"] != f["name"]:
-                ops.append(("rename_column", {"from": c["name"], "to": f["name"]}))
-            elif c["type"] != f["type"]:
-                ops.append(("widen_column", {"name": f["name"], "to": f["type"]}))
-        # per-op epoch ids: a multi-change diff must not have its tail ops
-        # swallowed by the first op's idempotence record
-        for k, (typ, spec) in enumerate(ops):
-            self.table.update_schema(typ, spec, f"{epoch_id}#{k}" if len(ops) > 1 else epoch_id)
+        advance_lake_schema(self.table, fields_next, epoch_id)
 
     def _apply_slice(self, sl: DataFrame, epoch_id: str, watermarks: dict) -> dict:
         target_ver = self.table.schema_version

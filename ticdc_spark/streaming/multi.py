@@ -39,7 +39,14 @@ class MultiTableChangeFeed:
         max_files_per_trigger: int | None = None,
         boundaries: dict[str, int] | None = None,  # table -> add-boundary ts
         stop_ts: dict[str, int] | None = None,  # table -> stop-at ts
+        ddl_rows: list | None = None,  # flat (commit_ts, ddl_type, table, spec)
     ):
+        """ddl_rows: the changefeed's single DDL stream, routed to tables by
+        the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
+        956-971). Each table's barriers apply independently at its own
+        finished-ts, splitting that table's slice (typed-mode rule: the
+        physical stream schema must already carry added columns; widen/
+        rename need the raw-payload mode of the single-table ChangeFeed)."""
         if not tables:
             raise ValueError("need at least one table")
         self.tables = dict(tables)
@@ -51,6 +58,23 @@ class MultiTableChangeFeed:
         self.boundaries = dict(boundaries or {})
         self.stop_ts = dict(stop_ts or {})
         self.batch_summaries: list[dict] = []
+        # per-table schema registries built from the routed DDL stream
+        import json as _json
+
+        from .registry import SchemaRegistry
+
+        self.registries: dict[str, SchemaRegistry] = {}
+        by_table: dict[str, list] = {}
+        for r in ddl_rows or []:
+            spec = r["spec"] if isinstance(r["spec"], dict) else _json.loads(r["spec"])
+            by_table.setdefault(r["table"], []).append(
+                (int(r["commit_ts"]), r["ddl_type"], spec)
+            )
+        for name, tbl in self.tables.items():
+            base = [dict(f) for f in tbl._manifest["schemas"]["0"]]
+            self.registries[name] = SchemaRegistry(
+                base, sorted(by_table.get(name, []), key=lambda x: x[0])
+            )
         # feed-scoped epoch ids — see ChangeFeed.feed_id for why
         import hashlib
 
@@ -62,8 +86,13 @@ class MultiTableChangeFeed:
     def add_table(self, name: str, table: LakeTable, boundary_ts: int) -> None:
         """Start replicating `name` from boundary_ts (exclusive): events at
         or below the boundary are the pre-existing snapshot's business."""
+        from .registry import SchemaRegistry
+
         self.tables[name] = table
         self.boundaries[name] = boundary_ts
+        self.registries.setdefault(
+            name, SchemaRegistry([dict(f) for f in table._manifest["schemas"]["0"]])
+        )
 
     def remove_table(self, name: str, stop_at_ts: int) -> None:
         """Stop `name` at stop_at_ts (inclusive); later events are dropped
@@ -82,7 +111,36 @@ class MultiTableChangeFeed:
         dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
         if not dirs:
             return None
-        return self.spark.read.schema(BINLOG_SCHEMA).parquet(*dirs)
+        return self.spark.read.schema(self._stream_schema()).parquet(*dirs)
+
+    def _stream_schema(self):
+        """Meta columns + the UNION of every table's final-version payload
+        fields: files written before an add_column read the new column as
+        NULL (same rule as ChangeFeed._typed_stream_schema, but across
+        tables — a name used by two tables must have one type)."""
+        from pyspark.sql import types as T
+
+        meta = [
+            f for f in BINLOG_SCHEMA.fields
+            if f.name in ("commit_ts", "seq", "table", "op", "doc_id", "part", "schema_version")
+        ]
+        payload: dict[str, str] = {}
+        for name, reg in self.registries.items():
+            key = self.tables[name].key_col
+            for f in reg.fields(len(reg.versions) - 1):
+                if f["name"] == key:
+                    continue
+                prev = payload.get(f["name"])
+                if prev is not None and prev != f["type"]:
+                    raise ValueError(
+                        f"column {f['name']!r} has conflicting types across tables: "
+                        f"{prev} vs {f['type']}"
+                    )
+                payload[f["name"]] = f["type"]
+        pf = [
+            T.StructField(n, T._parse_datatype_string(t)) for n, t in payload.items()
+        ]
+        return T.StructType(pf + meta)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         pending = self._read_pending()
@@ -112,18 +170,52 @@ class MultiTableChangeFeed:
                 sl = sl.filter(F.col("commit_ts") > F.lit(self.boundaries[name]))
             if name in self.stop_ts:
                 sl = sl.filter(F.col("commit_ts") <= F.lit(self.stop_ts[name]))
-            key = table.key_col
-            payload = [f["name"] for f in table.current_fields if f["name"] != key]
-            winners = lww_latest_semijoin(
-                sl.select(key, "op", "commit_ts", "seq", *payload), [key]
-            )
-            st = table.merge_epoch(
-                winners,
-                f"cfm-{self.feed_id}-{batch_id:010d}-{name}",
-                watermarks=watermarks,
-                assume_deduped=True,
-            )
-            per_table[name] = st.get("committed", False)
+
+            # per-table DDL barriers within the releasable range (same split
+            # rule as the single-table feed: DML at commit_ts <= ddl_ts uses
+            # the pre-DDL schema, then the lake schema advances)
+            reg = self.registries.get(name)
+            barriers = []
+            if reg is not None:
+                barriers = [
+                    (i + 1, ts)
+                    for i, ts in enumerate(reg.ddl_ts)
+                    if ts <= resolved
+                    and table.schema_version < i + 1
+                    and f"ddl-{name}-{ts}" not in table.committed_epochs
+                ]
+            slices: list[tuple[int | None, int | None]] = []
+            lo = None
+            for _ver, ts in barriers:
+                slices.append((lo, ts))
+                lo = ts
+            slices.append((lo, None))
+
+            committed_any = False
+            for k, (slo, shi) in enumerate(slices):
+                ssl = sl
+                if slo is not None:
+                    ssl = ssl.filter(F.col("commit_ts") > F.lit(slo))
+                if shi is not None:
+                    ssl = ssl.filter(F.col("commit_ts") <= F.lit(shi))
+                key = table.key_col
+                payload = [f["name"] for f in table.current_fields if f["name"] != key]
+                winners = lww_latest_semijoin(
+                    ssl.select(key, "op", "commit_ts", "seq", *payload), [key]
+                )
+                st = table.merge_epoch(
+                    winners,
+                    f"cfm-{self.feed_id}-{batch_id:010d}-{name}-s{k}",
+                    watermarks=watermarks,
+                    assume_deduped=True,
+                )
+                committed_any = committed_any or st.get("committed", False)
+                if shi is not None:
+                    from .changefeed import advance_lake_schema
+
+                    ver = reg.ddl_ts.index(shi) + 1
+                    advance_lake_schema(table, reg.fields(ver), f"ddl-{name}-{shi}")
+            per_table[name] = committed_any
 
         had_tail = any(int(r["max_ts"]) > resolved for r in part_stats)
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
@@ -146,7 +238,7 @@ class MultiTableChangeFeed:
 
     # ---------------- run ----------------
     def _stream(self) -> DataFrame:
-        r = self.spark.readStream.schema(BINLOG_SCHEMA)
+        r = self.spark.readStream.schema(self._stream_schema())
         if self.max_files_per_trigger:
             r = r.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
         return r.parquet(self.binlog_dir)
