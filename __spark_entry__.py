@@ -405,6 +405,24 @@ def q_codec_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_lww_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite handle key (many_pk_or_uk's composite-PK shape,
+    tests/dailytest table t2): LWW collapse per (event_type, doc_id) — the
+    operators take arbitrary key column lists even though the token-table
+    contract fixes a single key."""
+    from ticdc_spark.operators.lww import lww_latest_agg
+
+    feed = changelog(spark, sf_dir)
+    out = lww_latest_agg(
+        feed.select("event_type", "doc_id", "op", "commit_ts", "seq", "value"),
+        ["event_type", "doc_id"],
+    )
+    return out.select(
+        "event_type", "doc_id", "op", "commit_ts", "seq",
+        F.round("value", 6).alias("val"),
+    )
+
+
 def q_cdc_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Causality conflict detection (cdc/sink/causality.go:29-142): txns
     routed to workers by key hash; a txn whose keys span >1 worker would
@@ -1079,6 +1097,19 @@ SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
        event_type, round(value, 6) AS val
 FROM feed
 """,
+        "cdc_lww_composite": f"""
+WITH feed AS ({FEED_SQL}),
+ranked AS (
+  SELECT event_type, doc_id, op, commit_ts, seq, value,
+         row_number() OVER (
+           PARTITION BY event_type, doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC
+         ) AS rn
+  FROM feed
+)
+SELECT event_type, doc_id, op, commit_ts, seq, round(value, 6) AS val
+FROM ranked WHERE rn = 1
+""",
         "cdc_causality": f"""
 WITH feed AS ({FEED_SQL}),
 t AS (
@@ -1332,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_canal_flat": q_codec_canal_flat,
         "codec_maxwell": q_codec_maxwell,
         "cdc_causality": q_cdc_causality,
+        "cdc_lww_composite": q_cdc_lww_composite,
         "q1_pricing": q_q1_pricing,
         "q3_segment": q_q3_segment,
         "q5_region_orders": q_q5_region_orders,

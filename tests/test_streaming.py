@@ -242,3 +242,15 @@ def test_strict_watermarks_late_event_raises(spark, workspace):
     cf_tol.run_available()
     got = {r["doc_id"]: list(r["tokens"]) for r in t2.read().collect()}
     assert got == {"a": [9], "b": [2], "c": [3]}  # 150 > 100 → late U wins
+
+
+def test_changefeed_stats(spark, workspace):
+    spec = BinlogSpec(n_events=5_000, n_keys=500, seed=88)
+    write_binlog(spec, workspace["binlog"], files_per_part=2)
+    t = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(t, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=1)
+    cf.run_available()
+    s = cf.stats()
+    assert s["batches"] == 2 and s["total_rows"] >= spec.n_events
+    assert s["rows_per_sec"] and s["rows_per_sec"] > 0
+    assert s["last_resolved_ts"] == cf.batch_summaries[-1]["resolved_ts"]

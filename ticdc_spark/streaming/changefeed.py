@@ -339,6 +339,23 @@ class ChangeFeed:
         pq.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(out, "lineage.parquet"))
 
+    def stats(self) -> dict:
+        """Sink-statistics fold (cdc/sink/statistics.go:29-132): running
+        totals + rates over the feed's processed batches."""
+        rows = sum(s["events"] for s in self.batch_summaries)
+        secs = sum(
+            sum(s.get("timings", {}).values()) for s in self.batch_summaries
+        )
+        return {
+            "batches": len(self.batch_summaries),
+            "total_rows": rows,
+            "last_resolved_ts": (
+                self.batch_summaries[-1]["resolved_ts"] if self.batch_summaries else None
+            ),
+            "busy_seconds": round(secs, 3),
+            "rows_per_sec": round(rows / secs, 1) if secs else None,
+        }
+
     def read_lineage(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
             os.path.join(self.lineage_dir, "batch-*")
