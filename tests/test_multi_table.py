@@ -159,3 +159,40 @@ def test_multi_table_ddl_barriers_route_per_table(spark, tmp_path):
         }
     )
     assert not diff_tables(exp_b, got_b)
+
+
+def test_multi_table_all_tables_drop_a_column(spark, tmp_path):
+    """Regression: when EVERY table's final schema drops `source`, the
+    stream schema must still carry it for the pre-barrier slices."""
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=3_000)
+    mids = {}
+    for nm, ev in (("ta", ev_a), ("tb", ev_b)):
+        lo = pc.min(ev.column("commit_ts")).as_py()
+        hi = pc.max(ev.column("commit_ts")).as_py()
+        mids[nm] = (lo + hi) // 2
+    ddl_rows = [
+        {"commit_ts": mids["ta"], "ddl_type": "drop_column", "table": "ta",
+         "spec": '{"name":"source"}'},
+        {"commit_ts": mids["tb"] + 1, "ddl_type": "drop_column", "table": "tb",
+         "spec": '{"name":"source"}'},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, ddl_rows=ddl_rows,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    for tbl, ev in ((ta, ev_a), (tb, ev_b)):
+        assert [f["name"] for f in tbl.current_fields] == ["doc_id", "tokens", "n_tok"]
+        exp = apply_binlog(ev, upto_ts=resolved).drop_columns(["source"])
+        pdf = tbl.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+        got = pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"], pa.string()),
+                "tokens": pa.array([list(v) for v in pdf["tokens"]], pa.list_(pa.int32())),
+                "n_tok": pa.Array.from_pandas(pdf["n_tok"], type=pa.int32()),
+            }
+        )
+        assert not diff_tables(exp, got)

@@ -127,16 +127,19 @@ class MultiTableChangeFeed:
         payload: dict[str, str] = {}
         for name, reg in self.registries.items():
             key = self.tables[name].key_col
-            for f in reg.fields(len(reg.versions) - 1):
-                if f["name"] == key:
-                    continue
-                prev = payload.get(f["name"])
-                if prev is not None and prev != f["type"]:
-                    raise ValueError(
-                        f"column {f['name']!r} has conflicting types across tables: "
-                        f"{prev} vs {f['type']}"
-                    )
-                payload[f["name"]] = f["type"]
+            # union over EVERY version, not just the final one: a pre-barrier
+            # slice still reads columns a later DDL drops
+            for ver_fields in reg.versions:
+                for f in ver_fields:
+                    if f["name"] == key:
+                        continue
+                    prev = payload.get(f["name"])
+                    if prev is not None and prev != f["type"]:
+                        raise ValueError(
+                            f"column {f['name']!r} has conflicting types across "
+                            f"tables/versions: {prev} vs {f['type']}"
+                        )
+                    payload[f["name"]] = f["type"]
         pf = [
             T.StructField(n, T._parse_datatype_string(t)) for n, t in payload.items()
         ]
