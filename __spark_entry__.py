@@ -695,6 +695,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(sim.ann_lsh_topk(emb, queries, k=5, n_bits=6, dim=64, n_tables=3))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tier: coarse 4-bit LSH cells, probe the query's cell only — the
+    partition-pruned ANN path (pipeline/similarity.ivf_topk)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _longify(sim.ivf_topk(emb, queries, k=5, cell_bits=4, dim=64))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (pack → binary column → mapInPandas decode)
 
@@ -1317,6 +1325,7 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """,
         "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5, n_tables=3),
+        "ann_ivf_topk": _ann_lsh_sql(n_bits=4, dim=64, k=5, n_tables=1),
         "multimodal_meta": """
 SELECT cast(doc_id AS varchar) AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1386,5 +1395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
     }

@@ -197,4 +197,7 @@ def ivf_topk(
     """IVF-style: coarse cells = low cell_bits of the LSH signature; probe
     the query's cell only. At scale the corpus is WRITTEN partitioned by
     cell, so probing is a partition-pruned scan, not a shuffle."""
-    return ann_lsh_topk(emb, queries, k, cell_bits, dim, id_col, vec_col)
+    return ann_lsh_topk(
+        emb, queries, k, n_bits=cell_bits, dim=dim, n_tables=1,
+        id_col=id_col, vec_col=vec_col,
+    )
