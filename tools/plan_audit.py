@@ -28,11 +28,18 @@ AUDIT = [
     "q5_region_orders",
     "cdc_lww_agg",
     "cdc_lww_semijoin",
+    "cdc_lww_composite",
     "cdc_final_state",
+    "cdc_causality",
+    "codec_canal_flat",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
+    "ann_ivf_topk",
     "curate_corpus",
+    "curate_decontaminate",
+    "text_vocab_topk",
+    "corpus_sample",
     "tokens_pack",
 ]
 
