@@ -210,6 +210,61 @@ def bench_streaming(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_stream_raw(spark, work_root: str, n_events: int) -> dict:
+    """Raw-mode streaming replay: payload arrives as a JSON string and the
+    mounter (`from_json` per schema version) decodes it per micro-batch —
+    the §2.3 hot-path decode measured end-to-end. The raw binlog derives
+    from the typed chunks with one vectorized to_json pass (cached)."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    typed_dir = os.path.join(work_root, f"binlog_c_{n_events}")
+    raw_dir = os.path.join(work_root, f"binlog_raw_{n_events}")
+    if not os.path.exists(os.path.join(raw_dir, "_DONE")):
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        for chunk in sorted(os.listdir(typed_dir)):
+            if not chunk.startswith("chunk-"):
+                continue
+            df = spark.read.parquet(os.path.join(typed_dir, chunk))
+            raw = df.select(
+                "commit_ts", "seq", "table", "op", "doc_id",
+                F.when(
+                    F.col("op") != "D",
+                    F.to_json(F.struct("tokens", "n_tok", "source")),
+                ).alias("payload"),
+                "part",
+                "schema_version",
+            )
+            raw.write.mode("overwrite").parquet(os.path.join(raw_dir, chunk))
+        open(os.path.join(raw_dir, "_DONE"), "w").write("ok")
+    n_files = len(g.glob(os.path.join(raw_dir, "chunk-*", "*.parquet")))
+    tbl_dir = os.path.join(work_root, "raw_tbl")
+    ckpt = os.path.join(work_root, "raw_ckpt")
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    cf = ChangeFeed(
+        table,
+        os.path.join(raw_dir, "chunk-*"),
+        checkpoint_dir=ckpt,
+        mode="raw",
+        max_files_per_trigger=max(1, n_files // 4),
+    )
+    t0 = time.time()
+    summaries = cf.run_available()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(summaries),
+        "final_rows": table.read().count(),
+    }
+
+
 def main() -> None:
     from ticdc_spark.session import build_session
 
@@ -226,11 +281,14 @@ def main() -> None:
     qtimes["cdc_replay"] = replay["sec"]
     stream = None
     skew = None
+    raw = None
     if not only_replay:
         stream = bench_streaming(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_replay"] = stream["sec"]
         skew = bench_replay_skew(spark, work_root, N_EVENTS)
         qtimes["cdc_replay_skew"] = skew["sec"]
+        raw = bench_stream_raw(spark, work_root, N_EVENTS)
+        qtimes["cdc_stream_raw"] = raw["sec"]
 
     qs = entrymod.queries()
     for name in [] if only_replay else BENCH_QUERIES:
@@ -252,6 +310,7 @@ def main() -> None:
                 "replay": replay,
                 "stream": stream,
                 "replay_skew": skew,
+                "stream_raw": raw,
                 "cpus": int(CPUS),
             }
         )
