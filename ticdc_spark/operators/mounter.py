@@ -72,10 +72,21 @@ def mount_raw(
     return out
 
 
-def mount_typed(df: DataFrame, registry: SchemaRegistry, target_version: int) -> DataFrame:
+def mount_typed(
+    df: DataFrame,
+    registry: SchemaRegistry,
+    target_version: int,
+    versions_present: list[int] | None = None,
+) -> DataFrame:
     """Fast path for an already-typed binlog written at ONE schema version
-    (schema_version column says which): pure projection, no JSON decode."""
-    if len(registry.versions) == 1:
+    (schema_version column says which): pure projection, no JSON decode.
+
+    versions_present: optional hint (e.g. all versions at or below the
+    slice's upper commit-ts bound) to skip the distinct() scan; versions
+    with no rows only add an empty union branch."""
+    if versions_present is not None:
+        versions = versions_present
+    elif len(registry.versions) == 1:
         versions = [0]
     else:
         versions = [r["schema_version"] for r in df.select("schema_version").distinct().collect()]

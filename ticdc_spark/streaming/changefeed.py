@@ -243,7 +243,9 @@ class ChangeFeed:
                 if shi is not None:
                     sl = sl.filter(F.col("commit_ts") <= F.lit(shi))
                 epoch_id = f"cf-{self.feed_id}-{batch_id:010d}-s{k}"
-                st = self._apply_slice(sl, epoch_id, watermarks)
+                st = self._apply_slice(
+                    sl, epoch_id, watermarks, hi_ts=shi if shi is not None else resolved
+                )
                 epoch_stats.append((epoch_id, st))
                 if shi is not None:
                     ver = self.registry.ddl_ts.index(shi) + 1
@@ -285,12 +287,25 @@ class ChangeFeed:
     def _advance_lake_schema(self, ver: int, fields_next: list[dict], epoch_id: str) -> None:
         advance_lake_schema(self.table, fields_next, epoch_id)
 
-    def _apply_slice(self, sl: DataFrame, epoch_id: str, watermarks: dict) -> dict:
+    def _apply_slice(
+        self,
+        sl: DataFrame,
+        epoch_id: str,
+        watermarks: dict,
+        hi_ts: int | None = None,
+    ) -> dict:
         target_ver = self.table.schema_version
+        # version hint from the slice's upper commit-ts bound: every version
+        # at or below version_at(hi_ts) may appear, later ones cannot —
+        # skips the mounter's per-slice distinct() job (empty versions only
+        # add an empty union branch)
+        hint = None
+        if hi_ts is not None and len(self.registry.versions) > 1:
+            hint = list(range(0, self.registry.version_at(hi_ts) + 1))
         if self.mode == "raw":
-            mounted = mount_raw(sl, self.registry, target_ver)
+            mounted = mount_raw(sl, self.registry, target_ver, versions_present=hint)
         else:
-            mounted = mount_typed(sl, self.registry, target_ver)
+            mounted = mount_typed(sl, self.registry, target_ver, versions_present=hint)
         key = self.table.key_col
         payload = [f["name"] for f in self.table.current_fields if f["name"] != key]
         # rank-only-shuffle LWW (payload stays out of the shuffle) + MOR
