@@ -385,3 +385,32 @@ def test_merge_epoch_any_cover_any_order_converges_hypothesis(spark, tmp_path):
         assert got == state, (events, assignment, order)
 
     run()
+
+
+def test_lookup_file_skipping_by_key_stats(spark, tmp_path):
+    """Manifest column-stats pruning: a lookup for keys in one epoch's key
+    range must skip the other epoch's files (disjoint sorted ranges in the
+    same bucket), and still return correct rows."""
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=1)  # one bucket
+    a = spark.createDataFrame(
+        [(f"a{i:03d}", "U", i + 1, i + 1, [i], 1, "s") for i in range(50)],
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    z = spark.createDataFrame(
+        [(f"z{i:03d}", "U", 100 + i, 100 + i, [i], 1, "s") for i in range(50)],
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t.merge_epoch(a, "ea")
+    t.merge_epoch(z, "ez")
+    all_entries = t._bucket_entries([0])
+    assert len(all_entries) >= 2
+    assert all("min_key" in e for e in all_entries)  # stats recorded
+    pruned = t._lookup_entries(["z007", "z042"], [0])
+    assert len(pruned) < len(all_entries)  # the 'a*' file(s) skipped
+    assert all(e["min_key"].startswith("z") for e in pruned)
+    got = {r["doc_id"]: r["tokens"] for r in t.lookup(["z007", "a001", "nope"]).collect()}
+    assert got == {"z007": [7], "a001": [1]}

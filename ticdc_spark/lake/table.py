@@ -303,7 +303,7 @@ class LakeTable:
         kdf = self.spark.createDataFrame([(k,) for k in keys], f"{self.key_col} string")
         rows = kdf.select(self._bucket_expr(self.key_col).alias("b")).distinct().collect()
         buckets = sorted(int(r["b"]) for r in rows)
-        df = self._read_files(self._bucket_entries(buckets))
+        df = self._read_files(self._lookup_entries(keys, buckets))
         if df is None:
             return self.spark.createDataFrame([], _fields_to_struct(self.current_fields))
         return (
@@ -312,6 +312,28 @@ class LakeTable:
             .filter(F.col(self.key_col).isin(keys))
             .select(*[f["name"] for f in self.current_fields])
         )
+
+    def _lookup_entries(self, keys: list[str], buckets: list[int]) -> list[dict]:
+        """File skipping for point lookups: within the keyed buckets, keep
+        only files whose [min_key, max_key] range could contain a requested
+        key (entries without stats are always kept). Correctness does not
+        depend on this — tombstone/recency collapse still sees every
+        surviving version of a key because all its files share stats ranges
+        containing the key."""
+        entries = self._bucket_entries(buckets)
+        skeys = sorted(str(k) for k in keys)
+        import bisect
+
+        out = []
+        for e in entries:
+            lo, hi = e.get("min_key"), e.get("max_key")
+            if lo is None or hi is None:
+                out.append(e)
+                continue
+            i = bisect.bisect_left(skeys, lo)
+            if i < len(skeys) and skeys[i] <= hi:
+                out.append(e)
+        return out
 
     def bootstrap(self, snapshot: DataFrame, as_of_ts: int, epoch_id: str = "bootstrap") -> dict:
         """Initialize the table from a full snapshot taken at `as_of_ts` (the
@@ -420,17 +442,42 @@ class LakeTable:
         }
 
     def _scan_written(self, abs_dir: str) -> dict:
-        """Collect written files per bucket from a partitioned write dir."""
+        """Collect written files per bucket from a partitioned write dir,
+        recording each file's key min/max from the parquet footer (files are
+        sortWithinPartitions(key), so footer stats are tight) — the Iceberg
+        manifest column-stats analog used for lookup() data skipping. In a
+        production Iceberg sink the write tasks report these stats; here the
+        driver reads footers (O(files-per-epoch), metadata-only)."""
+        import pyarrow.parquet as pq
+
         out: dict[str, list[dict]] = {}
+        key = self.key_col
         for bdir in glob.glob(os.path.join(abs_dir, "_bucket=*")):
             b = bdir.split("_bucket=")[-1]
-            out[b] = [
-                {
+            entries = []
+            for p in glob.glob(os.path.join(bdir, "*.parquet")):
+                e = {
                     "path": os.path.relpath(p, self.root),
                     "schema_version": self.schema_version,
                 }
-                for p in glob.glob(os.path.join(bdir, "*.parquet"))
-            ]
+                try:
+                    md = pq.ParquetFile(p).metadata
+                    idx = md.schema.to_arrow_schema().get_field_index(key)
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            mins, maxs = [], []
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    if mins:
+                        e["min_key"] = min(mins)
+                        e["max_key"] = max(maxs)
+                except Exception:
+                    pass  # stats are an optimization, never a correctness need
+                entries.append(e)
+            out[b] = entries
         return out
 
     def _merge_cow(self, ch: DataFrame, epoch_id: str, watermarks: dict | None) -> dict:
