@@ -26,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--binlog", required=True, help="binlog dir or glob")
-    p.add_argument("--table", required=True, help="lake table root")
+    p.add_argument("--table", help="lake table root (single-table feed)")
+    p.add_argument(
+        "--tables",
+        help="multi-table feed: comma list of name=path (events routed by "
+        "the binlog's `table` column; DDLs routed per table)",
+    )
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--lineage", default=None)
     p.add_argument("--mode", choices=["typed", "raw"], default="typed")
@@ -45,12 +50,17 @@ def main() -> int:
     from ticdc_spark.lake.table import LakeTable
     from ticdc_spark.session import build_session
     from ticdc_spark.streaming.changefeed import ChangeFeed
+    from ticdc_spark.streaming.multi import MultiTableChangeFeed
+
+    if bool(args.table) == bool(args.tables):
+        p.error("exactly one of --table / --tables is required")
 
     spark = build_session("ticdc-changefeed")
-    if os.path.exists(os.path.join(args.table, "_manifests", "CURRENT")):
-        table = LakeTable(spark, args.table)
-    else:
-        table = LakeTable.create(spark, args.table, n_buckets=args.buckets)
+
+    def open_table(root: str) -> LakeTable:
+        if os.path.exists(os.path.join(root, "_manifests", "CURRENT")):
+            return LakeTable(spark, root)
+        return LakeTable.create(spark, root, n_buckets=args.buckets)
 
     ddl_rows = None
     if args.ddl:
@@ -60,6 +70,29 @@ def main() -> int:
             .collect()
         )
 
+    if args.tables:
+        tables = {}
+        for part in args.tables.split(","):
+            name, _, root = part.partition("=")
+            if not root:
+                p.error(f"--tables entry {part!r} is not name=path")
+            tables[name.strip()] = open_table(root.strip())
+        cf = MultiTableChangeFeed(
+            tables,
+            args.binlog,
+            checkpoint_dir=args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            ddl_rows=ddl_rows,
+        )
+        if args.available_now:
+            summaries = cf.run_available()
+            print(json.dumps({"batches": len(summaries), "summaries": summaries[-3:]}))
+            return 0
+        q = cf.start(processing_time=args.trigger)
+        q.awaitTermination()
+        return 0
+
+    table = open_table(args.table)
     cf = ChangeFeed(
         table,
         args.binlog,

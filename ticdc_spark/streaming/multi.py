@@ -256,3 +256,13 @@ class MultiTableChangeFeed:
         )
         q.awaitTermination()
         return self.batch_summaries
+
+    def start(self, processing_time: str = "5 seconds"):
+        """Continuous micro-batching (production mode)."""
+        return (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
