@@ -196,3 +196,79 @@ def test_multi_table_all_tables_drop_a_column(spark, tmp_path):
             }
         )
         assert not diff_tables(exp, got)
+
+
+def test_multi_table_raw_mode_widen_rename(spark, tmp_path):
+    """Raw mode unlocks every DDL kind per table: ta widens n_tok and
+    renames source→origin, tb adds lang; each table matches its raw oracle
+    at its own final schema."""
+    from ticdc_spark.oracle import apply_binlog_raw
+    from ticdc_spark.streaming.registry import SchemaRegistry
+    from ticdc_spark.testgen import binlog_to_raw, generate_binlog, write_raw_binlog
+
+    BASE = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "tokens", "type": "array<int>"},
+        {"id": 3, "name": "n_tok", "type": "int"},
+        {"id": 4, "name": "source", "type": "string"},
+    ]
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    raws, ddls_by = {}, {}
+    for i, nm in enumerate(("ta", "tb")):
+        typed = generate_binlog(
+            BinlogSpec(n_events=3_000, n_keys=300, seed=70 + i, table=nm,
+                       p_delete=0.12, p_insert=0.55, p_update=0.33)
+        )
+        lo = pc.min(typed.column("commit_ts")).as_py()
+        hi = pc.max(typed.column("commit_ts")).as_py()
+        mid = (lo + hi) // 2
+        if nm == "ta":
+            ddls = [
+                (mid, "widen_column", {"name": "n_tok", "to": "bigint"}),
+                (mid + 2, "rename_column", {"from": "source", "to": "origin"}),
+            ]
+        else:
+            ddls = [(mid + 1, "add_column", {"name": "lang", "type": "string"})]
+        ddls_by[nm] = ddls
+        raw = binlog_to_raw(typed, ddls)
+        stage = str(tmp_path / f"stage_{nm}")
+        write_raw_binlog(raw, stage, n_files=3)
+        for f in glob.glob(stage + "/*.parquet"):
+            os.link(f, os.path.join(binlog, f"{nm}-{os.path.basename(f)}"))
+        raws[nm] = raw
+
+    ddl_rows = [
+        {"commit_ts": ts, "ddl_type": t_, "table": nm, "spec": s}
+        for nm, dd in ddls_by.items()
+        for ts, t_, s in dd
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, ddl_rows=ddl_rows, mode="raw",
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+
+    assert [f["name"] for f in ta.current_fields] == ["doc_id", "tokens", "n_tok", "origin"]
+    assert dict((f["name"], f["type"]) for f in ta.current_fields)["n_tok"] == "bigint"
+    assert [f["name"] for f in tb.current_fields] == ["doc_id", "tokens", "n_tok", "source", "lang"]
+
+    for nm, tbl in (("ta", ta), ("tb", tb)):
+        reg = SchemaRegistry(BASE, ddls_by[nm])
+        final_fields = reg.fields(len(ddls_by[nm]))
+        expected = apply_binlog_raw(raws[nm], BASE, ddls_by[nm], upto_ts=resolved)
+        pa_type = {"string": pa.string(), "int": pa.int32(), "bigint": pa.int64()}
+        pdf = tbl.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+        cols = {}
+        for f in final_fields:
+            if f["type"] == "array<int>":
+                cols[f["name"]] = pa.array(
+                    [None if v is None else list(v) for v in pdf[f["name"]]],
+                    pa.list_(pa.int32()),
+                )
+            else:
+                cols[f["name"]] = pa.Array.from_pandas(pdf[f["name"]], type=pa_type[f["type"]])
+        assert not diff_tables(expected, pa.table(cols)), nm

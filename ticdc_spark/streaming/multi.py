@@ -40,13 +40,18 @@ class MultiTableChangeFeed:
         boundaries: dict[str, int] | None = None,  # table -> add-boundary ts
         stop_ts: dict[str, int] | None = None,  # table -> stop-at ts
         ddl_rows: list | None = None,  # flat (commit_ts, ddl_type, table, spec)
+        mode: str = "typed",  # "typed" (columnar binlog) | "raw" (payload json)
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
         956-971). Each table's barriers apply independently at its own
-        finished-ts, splitting that table's slice (typed-mode rule: the
-        physical stream schema must already carry added columns; widen/
-        rename need the raw-payload mode of the single-table ChangeFeed)."""
+        finished-ts, splitting that table's slice.
+
+        mode="typed": one physical stream schema = union of every table's
+        schema versions; supports add/drop DDLs (a single physical column
+        cannot carry two names/types, so widen/rename need raw).
+        mode="raw": payload is a JSON string decoded per (table, version)
+        by the mounter — every DDL kind supported."""
         if not tables:
             raise ValueError("need at least one table")
         self.tables = dict(tables)
@@ -57,6 +62,7 @@ class MultiTableChangeFeed:
         self.max_files_per_trigger = max_files_per_trigger
         self.boundaries = dict(boundaries or {})
         self.stop_ts = dict(stop_ts or {})
+        self.mode = mode
         self.batch_summaries: list[dict] = []
         # per-table schema registries built from the routed DDL stream
         import json as _json
@@ -114,11 +120,17 @@ class MultiTableChangeFeed:
         return self.spark.read.schema(self._stream_schema()).parquet(*dirs)
 
     def _stream_schema(self):
-        """Meta columns + the UNION of every table's final-version payload
-        fields: files written before an add_column read the new column as
-        NULL (same rule as ChangeFeed._typed_stream_schema, but across
-        tables — a name used by two tables must have one type)."""
+        """Raw mode: the fixed raw envelope. Typed mode: meta columns + the
+        UNION of every table's payload fields across all schema versions:
+        files written before an add_column read the new column as NULL (same
+        rule as ChangeFeed._typed_stream_schema, but across tables — a name
+        used by two tables must have one type)."""
         from pyspark.sql import types as T
+
+        if self.mode == "raw":
+            from .changefeed import RAW_BINLOG_SCHEMA
+
+            return RAW_BINLOG_SCHEMA
 
         meta = [
             f for f in BINLOG_SCHEMA.fields
@@ -203,6 +215,16 @@ class MultiTableChangeFeed:
                     ssl = ssl.filter(F.col("commit_ts") <= F.lit(shi))
                 key = table.key_col
                 payload = [f["name"] for f in table.current_fields if f["name"] != key]
+                if self.mode == "raw":
+                    from ..operators.mounter import mount_raw
+
+                    hi_ts = shi if shi is not None else resolved
+                    hint = None
+                    if reg is not None and len(reg.versions) > 1:
+                        hint = list(range(0, reg.version_at(hi_ts) + 1))
+                    ssl = mount_raw(
+                        ssl, reg, table.schema_version, versions_present=hint
+                    )
                 winners = lww_latest_semijoin(
                     ssl.select(key, "op", "commit_ts", "seq", *payload), [key]
                 )
