@@ -339,3 +339,24 @@ def test_sample_deterministic_stable_and_proportional(spark):
     assert 0.15 < len(s1) / 5000 < 0.25
     s_small = {r["doc_id"] for r in sample_deterministic(docs, 0.1).collect()}
     assert s_small <= s1  # nested: thresholds are monotone
+
+
+def test_resize_media_rewrites_dims_keeps_body(spark):
+    from ticdc_spark.pipeline.multimodal import (
+        decode_image_meta,
+        pack_fake_media,
+        resize_media,
+    )
+
+    rows = [
+        ("m1", pack_fake_media("m1", 0, 640, 480, 1, 0)),
+        ("m2", b"not-a-header"),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    resized = resize_media(media, 224, 224)
+    meta = {r["media_id"]: r for r in decode_image_meta(resized).collect()}
+    assert (meta["m1"]["width"], meta["m1"]["height"]) == (224, 224)
+    assert meta["m1"]["valid"] and meta["m1"]["kind"] == "image"
+    assert not meta["m2"]["valid"]  # junk passes through unharmed
+    got = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    assert got["m1"][20:] == pack_fake_media("m1", 0, 640, 480, 1, 0)[20:]  # body kept

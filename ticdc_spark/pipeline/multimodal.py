@@ -105,6 +105,52 @@ def extract_features(media: DataFrame, decoder=None, feat_dim: int = 16) -> Data
     return balanced.mapInPandas(run, schema)
 
 
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int, resizer=None
+) -> DataFrame:
+    """Resize pass over binary media → new binary column + new dims.
+
+    resizer: callable (bytes, w, h) -> bytes. Like extract_features, the
+    pixel transform itself needs an image library this container lacks; the
+    default fake rewrites our deterministic header with the target dims and
+    passes the body through — exercising the real plumbing: binary-in →
+    binary-out mapInPandas with bounded Arrow batches, output schema typed.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def default_resizer(b: bytes, w: int, h: int) -> bytes:
+        if len(b) >= _HEADER_SIZE and b[:4] == MAGIC:
+            _, kind, _w0, _h0, nf, sr = struct.unpack(_FMT, b[:_HEADER_SIZE])
+            return struct.pack(_FMT, MAGIC, kind, w, h, nf, sr) + b[_HEADER_SIZE:]
+        return b
+
+    fn = resizer or default_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                fn(bytes(b), target_w, target_h) if b is not None else None
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.mapInPandas(run, schema)
+
+
 def frame_sample_plan(media_meta: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for videos: (media_id, frame_idx) rows via
     sequence+explode — pure Column ops; the decode of each planned frame is
