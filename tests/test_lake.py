@@ -414,3 +414,39 @@ def test_lookup_file_skipping_by_key_stats(spark, tmp_path):
     assert all(e["min_key"].startswith("z") for e in pruned)
     got = {r["doc_id"]: r["tokens"] for r in t.lookup(["z007", "a001", "nope"]).collect()}
     assert got == {"z007": [7], "a001": [1]}
+
+
+def test_incremental_compaction_touches_only_offending_buckets(spark, tmp_path):
+    """maybe_compact folds ONLY buckets over the delta threshold; cold
+    buckets' file entries carry forward by reference (no rewrite)."""
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    # seed every bucket once
+    base = spark.createDataFrame(
+        [(f"d{i}", "U", i + 1, i + 1, [i], 1, "s") for i in range(40)],
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t.merge_epoch(base, "e-base")
+    # then hammer ONE key (one bucket) with many single-row epochs
+    for e in range(6):
+        ch = spark.createDataFrame(
+            [("d0", "U", 100 + e, 100 + e, [e], 1, "s")],
+            "doc_id string, op string, commit_ts long, seq long, "
+            "tokens array<int>, n_tok int, source string",
+        )
+        t.merge_epoch(ch, f"e-hot{e}")
+    counts = {b: len(v) for b, v in t._manifest["buckets"].items()}
+    hot = [b for b, n in counts.items() if n > 3]
+    cold = {b: t._manifest["buckets"][b] for b in counts if b not in hot}
+    assert hot and cold
+    assert t.maybe_compact(max_deltas=3) is not None
+    after = t._manifest["buckets"]
+    for b, entries in cold.items():
+        assert after[b] == entries  # untouched: same file references
+    for b in hot:
+        assert len(after[b]) <= 3
+    assert t.max_files_per_bucket() <= 3
+    got = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert got["d0"] == [5] and len(got) == 40  # state intact, last write won

@@ -592,13 +592,20 @@ class LakeTable:
         return max((len(v) for v in self._manifest["buckets"].values()), default=0)
 
     def maybe_compact(self, max_deltas: int = 32, purge_tombstones: bool = False) -> dict | None:
-        """MOR hygiene: fold delta files once any bucket accumulates more
-        than max_deltas — keeps read-time collapse bounded. Tombstone purge
-        stays opt-in (safe only past the replay GC-safepoint,
+        """MOR hygiene: fold delta files for buckets whose chain exceeds
+        max_deltas — keeps read-time collapse bounded. INCREMENTAL: only the
+        offending buckets rewrite (at 10^5 buckets a full-table compaction
+        would be a 10-TB job; folding the hot 1% is proportional to churn).
+        Tombstone purge stays opt-in (safe only past the replay GC-safepoint,
         cdc/owner.go:752-795 analog)."""
-        if self.max_files_per_bucket() <= max_deltas:
+        offenders = [
+            int(b)
+            for b, entries in self._manifest["buckets"].items()
+            if len(entries) > max_deltas
+        ]
+        if not offenders:
             return None
-        return self.compact(purge_tombstones=purge_tombstones)
+        return self.compact(purge_tombstones=purge_tombstones, buckets=offenders)
 
     def expire_versions(self, keep_last: int = 2) -> dict:
         """Snapshot expiry (Iceberg expire_snapshots / the reference's GC
@@ -636,18 +643,22 @@ class LakeTable:
                 removed_manifests += 1
         return {"removed_files": removed_files, "removed_manifests": removed_manifests}
 
-    def compact(self, purge_tombstones: bool = True) -> dict:
-        """Rewrite every bucket at the current schema version: merges small
+    def compact(self, purge_tombstones: bool = True, buckets: list[int] | None = None) -> dict:
+        """Rewrite buckets at the current schema version: merges small
         files, drops tombstones (safe once no replayable epoch can carry
-        older events — the GC-safepoint analog, cdc/owner.go:752-795)."""
-        df = self.read_raw()  # collapsed: folds all MOR deltas
+        older events — the GC-safepoint analog, cdc/owner.go:752-795).
+        buckets=None rewrites the whole table; a list rewrites only those
+        buckets (incremental compaction — untouched buckets carry forward
+        by reference, the Iceberg rewrite_data_files filter analog)."""
+        df = self.read_raw(buckets)  # collapsed: folds the MOR deltas
         if purge_tombstones:
             df = df.filter(~F.col(SYS_DELETED))
         out = df.withColumn("_bucket", self._bucket_expr(self.key_col))
         new_version = self._manifest["version"] + 1
         abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
+        n_parts = self.n_buckets if buckets is None else max(1, min(len(buckets), 256))
         (
-            out.repartition(self.n_buckets, "_bucket")
+            out.repartition(n_parts, "_bucket")
             .sortWithinPartitions(self.key_col)
             .write.mode("overwrite")
             .partitionBy("_bucket")
@@ -657,6 +668,11 @@ class LakeTable:
         m = json.loads(json.dumps(self._manifest))
         m["parent"] = m["version"]
         m["version"] += 1
-        m["buckets"] = new_entries
+        if buckets is None:
+            m["buckets"] = new_entries
+        else:
+            for b in buckets:
+                # a bucket whose rows were all tombstones writes no file
+                m["buckets"][str(b)] = new_entries.get(str(b), [])
         self._commit_manifest(m)
         return {"version": m["version"], "buckets": len(new_entries)}
