@@ -450,3 +450,23 @@ def test_incremental_compaction_touches_only_offending_buckets(spark, tmp_path):
     assert t.max_files_per_bucket() <= 3
     got = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     assert got["d0"] == [5] and len(got) == 40  # state intact, last write won
+
+
+def test_version_at_ts_skips_expired_snapshots(spark, tmp_path):
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for e, ts in enumerate([100, 200, 300, 400]):
+        ch = spark.createDataFrame(
+            [(f"d{e}", "U", ts, ts, [e], 1, "s")],
+            "doc_id string, op string, commit_ts long, seq long, "
+            "tokens array<int>, n_tok int, source string",
+        )
+        t.merge_epoch(ch, f"e{e}", watermarks={"0": ts})
+    early = t.version_at_ts(150)
+    assert early is not None
+    t.expire_versions(keep_last=2)
+    assert t.version_at_ts(150) is None  # snapshot expired -> no stale read
+    late = t.version_at_ts(10**9)
+    assert late == t._manifest["version"]  # CURRENT still resolvable
+    assert t.read_version(late).count() == 4

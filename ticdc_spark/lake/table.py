@@ -563,10 +563,14 @@ class LakeTable:
     def version_at_ts(self, primary_ts: int) -> int | None:
         """Snapshot version holding the upstream state as of primary_ts —
         greatest syncpoint with primary_ts ≤ ts (the point-in-time read the
-        reference's syncpoint table enables)."""
+        reference's syncpoint table enables). Syncpoints whose snapshot has
+        been expired (expire_versions) are skipped — their data files may be
+        gone."""
         best = None
         for sp in self.syncpoints:
-            if sp["primary_ts"] <= primary_ts:
+            if sp["primary_ts"] <= primary_ts and os.path.exists(
+                os.path.join(self._mdir, f"v{sp['version']:08d}.json")
+            ):
                 best = sp["version"]
         return best
 
