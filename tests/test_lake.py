@@ -470,3 +470,38 @@ def test_version_at_ts_skips_expired_snapshots(spark, tmp_path):
     late = t.version_at_ts(10**9)
     assert late == t._manifest["version"]  # CURRENT still resolvable
     assert t.read_version(late).count() == 4
+
+
+def test_clean_buckets_skip_collapse_after_compaction(spark, tmp_path):
+    """After a compaction, reads bypass the LWW collapse shuffle (no
+    aggregate in the plan); a later MOR delta dirties only its bucket and
+    correctness is preserved throughout."""
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    ch = spark.createDataFrame(
+        [(f"d{i}", "U", i + 1, i + 1, [i], 1, "s") for i in range(20)]
+        + [("d3", "D", 100, 100, None, None, None)],
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t.merge_epoch(ch, "e0")
+    assert t._manifest.get("clean_buckets", []) == []  # MOR appends are dirty
+    t.compact(purge_tombstones=True)
+    assert len(t._manifest["clean_buckets"]) == 4
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" not in plan and "Aggregate" not in plan  # collapse skipped
+    assert t.read().count() == 19  # d3 tombstoned+purged
+
+    # a new delta dirties ONE bucket; other buckets stay collapse-free
+    ch2 = spark.createDataFrame(
+        [("d0", "U", 500, 500, [99], 1, "s")],
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t.merge_epoch(ch2, "e1")
+    assert len(t._manifest["clean_buckets"]) == 3
+    got = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert got["d0"] == [99] and len(got) == 19
+    plan2 = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" in plan2  # the dirty bucket collapses again

@@ -282,11 +282,32 @@ class LakeTable:
         return w.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
 
     def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current state incl. tombstones and system columns (collapsed)."""
-        df = self._read_files(self._bucket_entries(buckets))
-        if df is None:
+        """Current state incl. tombstones and system columns (collapsed).
+
+        Buckets marked clean (single file, tombstone-purged by compact) skip
+        the collapse aggregation entirely — a compacted table reads as a
+        plain scan, no shuffle (the read-amplification payoff of MOR+compact)."""
+        clean = set(self._manifest.get("clean_buckets", []))
+        keys = (
+            [b for b in buckets]
+            if buckets is not None
+            else [int(b) for b in self._manifest["buckets"]]
+        )
+        clean_keys = [b for b in keys if b in clean]
+        dirty_keys = [b for b in keys if b not in clean]
+        parts = []
+        dd = self._read_files(self._bucket_entries(dirty_keys))
+        if dd is not None:
+            parts.append(self._collapse(dd))
+        cd = self._read_files(self._bucket_entries(clean_keys))
+        if cd is not None:
+            parts.append(cd)  # already one live row per key
+        if not parts:
             return self.spark.createDataFrame([], _fields_to_struct(self.current_fields, with_sys=True))
-        return self._collapse(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self) -> DataFrame:
         """The visible table: live rows, logical schema only."""
@@ -530,11 +551,17 @@ class LakeTable:
         m["version"] += 1
         m["epoch_id"] = epoch_id
         m["committed_epochs"].append(epoch_id)
+        clean = set(m.get("clean_buckets", []))
         for b in touched:
             if replace:
+                # COW rewrite = collapsed one-row-per-key file → clean
                 m["buckets"][str(b)] = new_entries.get(str(b), [])
+                clean.add(int(b))
             else:
+                # MOR delta append → bucket needs read-time collapse again
                 m["buckets"].setdefault(str(b), []).extend(new_entries.get(str(b), []))
+                clean.discard(int(b))
+        m["clean_buckets"] = sorted(clean)
         if watermarks:
             wm = m.setdefault("part_watermarks", {})
             for k, v in watermarks.items():
@@ -585,6 +612,7 @@ class LakeTable:
         m["parent"] = m["version"]
         m["version"] += 1
         m["buckets"] = {}
+        m["clean_buckets"] = []
         m["epoch_id"] = epoch_id
         if epoch_id is not None:
             m["committed_epochs"].append(epoch_id)
@@ -672,11 +700,15 @@ class LakeTable:
         m = json.loads(json.dumps(self._manifest))
         m["parent"] = m["version"]
         m["version"] += 1
+        clean = set(m.get("clean_buckets", []))
         if buckets is None:
             m["buckets"] = new_entries
+            clean = {int(b) for b in m["buckets"]}
         else:
             for b in buckets:
                 # a bucket whose rows were all tombstones writes no file
                 m["buckets"][str(b)] = new_entries.get(str(b), [])
+                clean.add(int(b))
+        m["clean_buckets"] = sorted(clean)
         self._commit_manifest(m)
         return {"version": m["version"], "buckets": len(new_entries)}
