@@ -272,3 +272,46 @@ def test_multi_table_raw_mode_widen_rename(spark, tmp_path):
             else:
                 cols[f["name"]] = pa.Array.from_pandas(pdf[f["name"]], type=pa_type[f["type"]])
         assert not diff_tables(expected, pa.table(cols)), nm
+
+
+def test_multi_table_soak_crash_redelivery_compaction(spark, tmp_path):
+    """Multi-table chaos: partial stream + crash, restart with the rest,
+    full redelivery under a fresh feed, compaction mid-way — both tables
+    must match their oracles at the final frontier."""
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    files = sorted(glob.glob(binlog + "/*.parquet"))
+    part1 = str(tmp_path / "p1")
+    os.makedirs(part1)
+    for f in files[: len(files) // 2]:
+        os.link(f, os.path.join(part1, os.path.basename(f)))
+
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    ck = str(tmp_path / "ckpt")
+    cf1 = MultiTableChangeFeed({"ta": ta, "tb": tb}, part1, ck, max_files_per_trigger=3)
+    cf1.run_available()
+
+    ta.compact(purge_tombstones=False)  # mid-way fold; tombstones retained
+
+    for f in files[len(files) // 2:]:
+        os.link(f, os.path.join(part1, os.path.basename(f)))
+    cf2 = MultiTableChangeFeed(
+        {"ta": LakeTable(spark, str(tmp_path / "ta")), "tb": LakeTable(spark, str(tmp_path / "tb"))},
+        part1, ck, max_files_per_trigger=3,
+    )
+    s2 = cf2.run_available()
+    resolved = s2[-1]["resolved_ts"]
+
+    # full redelivery under a DIFFERENT feed (fresh checkpoint)
+    cf3 = MultiTableChangeFeed(
+        {"ta": LakeTable(spark, str(tmp_path / "ta")), "tb": LakeTable(spark, str(tmp_path / "tb"))},
+        binlog, str(tmp_path / "ckpt2"), max_files_per_trigger=6,
+    )
+    s3 = cf3.run_available()
+    resolved = max(resolved, s3[-1]["resolved_ts"])
+
+    for nm, ev in (("ta", ev_a), ("tb", ev_b)):
+        tbl = LakeTable(spark, str(tmp_path / nm))
+        expected = apply_binlog(ev, upto_ts=resolved)
+        problems = diff_tables(expected, _lake_arrow(tbl))
+        assert not problems, (nm, problems[:3])
