@@ -254,3 +254,23 @@ def test_changefeed_stats(spark, workspace):
     assert s["batches"] == 2 and s["total_rows"] >= spec.n_events
     assert s["rows_per_sec"] and s["rows_per_sec"] > 0
     assert s["last_resolved_ts"] == cf.batch_summaries[-1]["resolved_ts"]
+
+
+def test_sql_view_and_lag_report(spark, workspace):
+    spec = BinlogSpec(n_events=6_000, n_keys=600, seed=44)
+    write_binlog(spec, workspace["binlog"], files_per_part=2)
+    t = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t, workspace["binlog"], workspace["ckpt"],
+        lineage_dir=workspace["lineage"], max_files_per_trigger=1,
+    )
+    cf.run_available()
+    t.create_view("target_tokens_v")
+    row = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT source) AS s FROM target_tokens_v"
+    ).collect()[0]
+    assert row["n"] == t.read().count() and row["s"] >= 1
+    rep = {r["part"]: r for r in cf.lag_report().collect()}
+    assert len(rep) == spec.n_parts
+    assert all(r["lag_us"] >= 0 for r in rep.values())
+    assert min(r["lag_us"] for r in rep.values()) == 0  # some part is current

@@ -375,6 +375,11 @@ class LakeTable:
         )
         return self.merge_epoch(ch, epoch_id, assume_deduped=True)
 
+    def create_view(self, name: str) -> None:
+        """Register the live table as a temp view so `spark.sql` queries run
+        against it (the downstream-database query surface)."""
+        self.read().createOrReplaceTempView(name)
+
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read an old snapshot (Iceberg snapshot-id read)."""
         saved = self._manifest

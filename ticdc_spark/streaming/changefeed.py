@@ -376,6 +376,28 @@ class ChangeFeed:
             os.path.join(self.lineage_dir, "batch-*")
         )
 
+    def lag_report(self) -> DataFrame:
+        """Per-partition replication lag from the lineage table (the
+        checkpoint/resolved-ts lag gauges, cdc/processor.go:360-383): each
+        partition's latest position vs the global max commit-ts."""
+        lin = self.read_lineage()
+        last = lin.groupBy("part").agg(
+            F.max("max_commit_ts").alias("part_max_ts"),
+            F.max("resolved_ts").alias("part_resolved"),
+            F.sum("event_count").alias("events_seen"),
+        )
+        g = last.agg(F.max("part_max_ts").alias("global_max"))
+        return last.crossJoin(F.broadcast(g)).select(
+            "part",
+            "events_seen",
+            "part_max_ts",
+            "part_resolved",
+            # how far this partition's own position trails the most-advanced
+            # partition (the per-partition resolved-ts lag gauge); the
+            # global applied frontier is min(part_max_ts) = part_resolved
+            (F.col("global_max") - F.col("part_max_ts")).alias("lag_us"),
+        )
+
     # ---------- run ----------
     def _typed_stream_schema(self) -> T.StructType:
         """Typed mode reads with meta cols + the FINAL registry version's
