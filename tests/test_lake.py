@@ -505,3 +505,35 @@ def test_clean_buckets_skip_collapse_after_compaction(spark, tmp_path):
     assert got["d0"] == [99] and len(got) == 19
     plan2 = t.read()._jdf.queryExecution().optimizedPlan().toString()
     assert "Aggregate" in plan2  # the dirty bucket collapses again
+
+
+def test_rebucket_partition_evolution(spark, tmp_path):
+    """Grow the bucket count mid-life: state identical, new writes route by
+    the new bucket expr, lookups still hit, rebucket is idempotent."""
+    from ticdc_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    ch = spark.createDataFrame(
+        [(f"d{i}", "U", i + 1, i + 1, [i], 1, "s") for i in range(30)],
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t.merge_epoch(ch, "e0")
+    before = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert t.rebucket(8, "rb-1")["committed"]
+    assert t.n_buckets == 8 and len(t._manifest["buckets"]) == 8
+    assert not t.rebucket(8, "rb-1")["committed"]  # idempotent replay
+    after = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert before == after
+    # new writes + lookups under the new bucketing
+    ch2 = spark.createDataFrame(
+        [("d0", "U", 99, 99, [42], 1, "s"), ("zz", "I", 99, 100, [7], 1, "s")],
+        "doc_id string, op string, commit_ts long, seq long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t.merge_epoch(ch2, "e1")
+    got = {r["doc_id"]: r["tokens"] for r in t.lookup(["d0", "zz", "d5"]).collect()}
+    assert got == {"d0": [42], "zz": [7], "d5": [5]}
+    # reload from disk: manifest round-trips the new bucket count
+    t2 = LakeTable(spark, str(tmp_path / "t"))
+    assert t2.n_buckets == 8 and t2.read().count() == 31

@@ -680,6 +680,44 @@ class LakeTable:
                 removed_manifests += 1
         return {"removed_files": removed_files, "removed_manifests": removed_manifests}
 
+    def rebucket(self, new_n_buckets: int, epoch_id: str | None = None) -> dict:
+        """Partition evolution (Iceberg's spec-evolution analog for the
+        bucket transform): rewrite the table under a new bucket count. At
+        100 TB you start with O(10^3) buckets and grow to O(10^5) as data
+        accumulates, keeping the per-bucket rewrite quantum ~constant. One
+        full shuffle+rewrite job; idempotent by epoch_id."""
+        if epoch_id is not None and epoch_id in self.committed_epochs:
+            return {"committed": False, "reason": "epoch already committed"}
+        df = self.read_raw()  # collapsed current state incl. tombstones
+        saved = self._manifest
+        m = json.loads(json.dumps(self._manifest))
+        m["n_buckets"] = new_n_buckets
+        self._manifest = m  # _bucket_expr/_scan_written see the new count
+        try:
+            out = df.withColumn("_bucket", self._bucket_expr(self.key_col))
+            new_version = m["version"] + 1
+            abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
+            (
+                out.repartition(new_n_buckets, "_bucket")
+                .sortWithinPartitions(self.key_col)
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(abs_dir)
+            )
+            new_entries = self._scan_written(abs_dir)
+        except BaseException:
+            self._manifest = saved  # crash-safe: CURRENT never moved
+            raise
+        m["parent"] = m["version"]
+        m["version"] += 1
+        m["buckets"] = new_entries
+        m["clean_buckets"] = sorted(int(b) for b in new_entries)
+        m["epoch_id"] = epoch_id
+        if epoch_id is not None:
+            m["committed_epochs"].append(epoch_id)
+        self._commit_manifest(m)
+        return {"committed": True, "n_buckets": new_n_buckets, "version": m["version"]}
+
     def compact(self, purge_tombstones: bool = True, buckets: list[int] | None = None) -> dict:
         """Rewrite buckets at the current schema version: merges small
         files, drops tombstones (safe once no replayable epoch can carry
