@@ -576,6 +576,28 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(curate(_docs(spark, sf_dir)))
 
 
+def q_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline: quality -> language-ID -> exact dedup
+    -> near-dup dedup -> benchmark decontamination (8-gram overlap vs the
+    deterministic eval slice). One declarative plan; the flagship
+    training-data composition."""
+    from ticdc_spark.functions.hashing import bucket
+    from ticdc_spark.pipeline.curate import curate
+    from ticdc_spark.pipeline.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    ev = docs.filter(bucket(sid, 20) == 0)
+    tr = docs.filter(bucket(sid, 20) != 0)
+    cur = curate(tr)
+    cont = (
+        decontaminate(tr, ev, n=8)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    return _longify(cur.join(F.broadcast(cont), "doc_id", "left_anti"))
+
+
 def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training (pipeline.pack): concat documents in
     doc_id order, cut every 512 BPE tokens; per-sequence fill stats."""
@@ -750,11 +772,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL
 
 
-def _dedup_shingle_sql(n: int = 3) -> str:
+def _dedup_shingle_sql(n: int = 3, src: str = "documents") -> str:
     toks = TOKENS_SQL.format(t="text")
     gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
     return f"""
-t AS (SELECT doc_id, {toks} AS toks FROM documents),
+t AS (SELECT doc_id, {toks} AS toks FROM {src}),
 g AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-{n - 1}, 0))) AS i, toks FROM t),
 sh AS (SELECT DISTINCT doc_id, {gram} AS shingle FROM g),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -930,7 +952,9 @@ WHERE {cos} >= {threshold}
 
 
 
-def _curate_sql(threshold: float = 0.8) -> str:
+def _curate_sql(threshold: float = 0.8, src: str = "documents", prefix_ctes: str = "", anti_cte: str = "") -> str:
+    """anti_cte: optional trailing CTE named `cont`; when given, curated
+    docs in it are excluded (the decontamination stage)."""
     toks = TOKENS_SQL.format(t="text")
     scores = {
         lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
@@ -942,13 +966,16 @@ def _curate_sql(threshold: float = 0.8) -> str:
     for lang in STOPWORDS:
         pred += f"WHEN score_{lang} = {best} THEN '{lang}' "
     pred += "END"
+    anti_join = "LEFT JOIN cont ON cont.doc_id = k.doc_id" if anti_cte else ""
+    anti_where = "AND cont.doc_id IS NULL" if anti_cte else ""
+    anti_cte_sql = f", {anti_cte}" if anti_cte else ""
     return f"""
-WITH tq AS (
+WITH {prefix_ctes}tq AS (
   SELECT doc_id, text, {toks} AS toks, length(text) AS n_chars,
          len({toks}) AS n_words,
          length(text) - length(regexp_replace(text, '[\\.,;:!\\?''\"]', '', 'g')) AS punct,
          len(list_filter({toks}, x -> x IN ({_SW_ALL}))) AS sw
-  FROM documents
+  FROM {src}
 ),
 keep_q AS (
   SELECT doc_id, n_words::BIGINT AS n_words,
@@ -960,16 +987,17 @@ lang AS (
   FROM (SELECT doc_id, {score_sel} FROM tq)
 ),
 canon AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+  SELECT min(doc_id) AS doc_id FROM {src} GROUP BY md5(lower(trim(text)))
 ),
-{_dedup_shingle_sql().strip().rstrip()},
-dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= {threshold})
+{_dedup_shingle_sql(src=src).strip().rstrip()},
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= {threshold}){anti_cte_sql}
 SELECT k.doc_id, k.n_words, k.stopword_ratio, lang.lang_pred
 FROM keep_q k
 JOIN canon USING (doc_id)
 LEFT JOIN dropped d ON d.doc_id = k.doc_id
 JOIN lang ON lang.doc_id = k.doc_id
-WHERE d.doc_id IS NULL
+{anti_join}
+WHERE d.doc_id IS NULL {anti_where}
 """
 
 
@@ -1207,6 +1235,7 @@ FROM t
         "text_langid": _langid_sql(),
         "text_fingerprint": fingerprint_sql(),
         "curate_corpus": _curate_sql(),
+        "curate_full": _curate_sql(src="train", prefix_ctes="train AS (SELECT * FROM documents WHERE NOT (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0)),\n", anti_cte="cont AS (\n  SELECT DISTINCT z.doc_id FROM (\n    SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks\n    FROM tq\n  ) z\n  JOIN (\n    SELECT DISTINCT array_to_string(e.toks[e.i:e.i+7], ' ') AS gram FROM (\n      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,\n             unnest(generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 7, 0))) AS i\n      FROM documents WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0\n    ) e\n  ) eg ON array_to_string(z.toks[z.i:z.i+7], ' ') = eg.gram\n)"),
         "tokens_pack": f"""
 WITH d AS (
   SELECT doc_id, len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT AS n_tok
@@ -1382,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "curate_corpus": q_curate_corpus,
+        "curate_full": q_curate_full,
         "tokens_pack": q_tokens_pack,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
