@@ -486,6 +486,26 @@ def q_q5_region_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream (F.window — the same
+    operator the streaming metrics path uses with a watermark; see
+    tests/test_streaming.py for the watermarked variant)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative sum of
     session starts per user — the session-window operator as pure window
@@ -1158,6 +1178,12 @@ SELECT commit_ts, n_rows, n_keys, n_workers, first_worker,
        CASE WHEN n_workers > 1 THEN 1 ELSE 0 END AS conflict
 FROM t
 """,
+        "events_tumbling": f"""
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
+       event_type, count(*) AS n_events,
+       cast(sum({_CENTS.format(x="value")}) as bigint) AS value_cents
+FROM events GROUP BY 1, 2
+""",
         "q1_pricing": f"""
 SELECT l_returnflag, l_linestatus,
        cast(sum({_CENTS.format(x="l_quantity")}) as bigint) AS sum_qty_cents,
@@ -1406,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_segment": q_q3_segment,
         "q5_region_orders": q_q5_region_orders,
         "events_sessionize": q_events_sessionize,
+        "events_tumbling": q_events_tumbling,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

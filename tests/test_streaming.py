@@ -274,3 +274,72 @@ def test_sql_view_and_lag_report(spark, workspace):
     assert len(rep) == spec.n_parts
     assert all(r["lag_us"] >= 0 for r in rep.values())
     assert min(r["lag_us"] for r in rep.values()) == 0  # some part is current
+
+
+def test_watermarked_window_agg_drops_too_late_rows(spark, tmp_path):
+    """Structured Streaming native path: readStream → withWatermark →
+    tumbling window → append sink. A row later than watermark+window is
+    dropped by the engine (late-data semantics §2.11); on-time rows and
+    tolerably-late rows aggregate normally."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    schema = "ts timestamp, k string, v long"
+
+    def put(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / ("stage-" + name))
+        )
+        for f in glob.glob(str(tmp_path / ("stage-" + name)) + "/*.parquet"):
+            os.link(f, os.path.join(src, name + "-" + os.path.basename(f)))
+
+    import datetime as dt
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)  # noqa: E731
+    put("f1", [(m(5), "a", 1), (m(15), "a", 2), (m(65), "a", 4)])  # wm -> 55m
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.sum("v").alias("total"))
+        .select(F.col("window.start").alias("ws"), "k", "total")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # push the watermark first (separate availableNow round — one batch per
+    # round, so the wm from f2 is in force before f3 arrives)
+    put("f2", [(m(135), "a", 8)])  # wm -> 125m: closes windows 1 and 2
+    for name_rows in (None, ("f3", [(m(7), "a", 100)])):  # f3: 7m << wm -> dropped
+        if name_rows is not None:
+            put(*name_rows)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        (r["ws"].minute + r["ws"].hour * 60, r["k"]): r["total"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-1 window total = 1+2 (the ts-7m late row NOT included)
+    assert got[(600, "a")] == 3, got
+    # hour-2 window appeared once closed
+    assert got[(660, "a")] == 4, got
