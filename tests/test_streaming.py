@@ -343,3 +343,55 @@ def test_watermarked_window_agg_drops_too_late_rows(spark, tmp_path):
     assert got[(600, "a")] == 3, got
     # hour-2 window appeared once closed
     assert got[(660, "a")] == 4, got
+
+
+def test_stateful_running_key_stats_survives_batches_and_restart(spark, tmp_path):
+    """applyInPandasWithState: per-key running stats accumulate ACROSS
+    micro-batches via the state store and recover from the checkpoint."""
+    from ticdc_spark.model import BINLOG_SCHEMA
+    from ticdc_spark.streaming.stateful import running_key_stats
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def put(name, rows):
+        spark.createDataFrame(rows, schema=BINLOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("st-" + name)))
+        for f in glob.glob(str(tmp_path / ("st-" + name)) + "/*.parquet"):
+            os.link(f, os.path.join(src, name + "-" + os.path.basename(f)))
+
+    def run(sink_name):
+        stream = spark.readStream.schema(BINLOG_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        emissions = []
+
+        def sink(df, _bid):
+            emissions.extend(df.collect())
+
+        q = (
+            running_key_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = {}
+        for r in emissions:  # update mode: keep the LAST emission per key
+            out[r["doc_id"]] = (r["n_events"], r["n_deletes"], r["last_commit_ts"])
+        return out
+
+    put("b1", [(100, 1, "t", "I", "a", [1], 1, "w", 0, 0),
+               (101, 2, "t", "D", "a", None, None, None, 0, 0),
+               (102, 3, "t", "I", "b", [2], 1, "w", 1, 0)])
+    got = run("s1")
+    assert got["a"] == (2, 1, 101) and got["b"] == (1, 0, 102)
+
+    # new data + NEW query over the same checkpoint: state recovered
+    put("b2", [(200, 4, "t", "U", "a", [9], 1, "w", 0, 0)])
+    got = run("s2")
+    assert got["a"] == (3, 1, 200)  # accumulated across restart
