@@ -395,3 +395,57 @@ def test_stateful_running_key_stats_survives_batches_and_restart(spark, tmp_path
     put("b2", [(200, 4, "t", "U", "a", [9], 1, "w", 0, 0)])
     got = run("s2")
     assert got["a"] == (3, 1, 200)  # accumulated across restart
+
+
+def test_mq_sink_emission(spark, workspace, tmp_path):
+    """MQ sink analog: released events emitted as open-protocol messages
+    partitioned by the dispatch hash, resolved-ts broadcast per partition;
+    a consumer decoding the messages sees exactly the released prefix."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ticdc_spark.functions.codec import decode_open_protocol
+
+    spec = BinlogSpec(n_events=5_000, n_keys=500, seed=55)
+    write_binlog(spec, workspace["binlog"], files_per_part=2)
+    mq = str(tmp_path / "mq")
+    t = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        mq_dir=mq, mq_partitions=8,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+
+    msgs = spark.read.option("basePath", mq).parquet(mq + "/batch-*")
+    data = msgs.filter(F.col("value_json").isNotNull() | F.col("key_json").contains('"op"'))
+    dec = decode_open_protocol(
+        data.select("key_json", "value_json"),
+        T.StructType([
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]),
+    )
+    n_released = dec.count()
+    import pyarrow.parquet as pq_
+
+    binlog = pq_.read_table(workspace["binlog"])
+    import pyarrow.compute as pc
+
+    expect = len(binlog.filter(pc.less_equal(binlog.column("commit_ts"), resolved)))
+    assert n_released == expect  # exactly the released prefix, nothing else
+    # per-key ordering: all messages of one key share a partition
+    per_key = (
+        data.select(
+            F.get_json_object("key_json", "$.doc_id").alias("k"), "partition"
+        )
+        .groupBy("k")
+        .agg(F.countDistinct("partition").alias("np"))
+    )
+    assert per_key.filter(F.col("np") > 1).count() == 0
+    # resolved broadcast covers every partition with the batch frontier
+    res = spark.read.parquet(mq + "/batch-*/resolved.parquet")
+    last = res.select(F.get_json_object("key_json", "$.ts").cast("long").alias("ts"))
+    assert last.agg(F.max("ts")).collect()[0][0] == resolved
+    assert res.select("partition").distinct().count() == 8

@@ -98,6 +98,8 @@ class ChangeFeed:
         compact_max_deltas: int = 64,
         start_ts: int | None = None,
         strict_watermarks: bool = False,
+        mq_dir: str | None = None,
+        mq_partitions: int = 16,
     ):
         """start_ts: replicate only events with commit_ts > start_ts — the
         `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
@@ -121,6 +123,14 @@ class ChangeFeed:
         self.compact_max_deltas = compact_max_deltas
         self.start_ts = start_ts
         self.strict_watermarks = strict_watermarks
+        # MQ sink (cdc/sink/mq.go:165-226): when set, each batch's released
+        # events are ALSO emitted as Open-Protocol (key_json, value_json)
+        # messages under mq_dir/batch-N/partition=P (P = index-value
+        # dispatcher hash of the handle key — per-key ordering within a
+        # partition), plus one resolved-ts message per partition
+        # (json.go:332-369 broadcast) so a consumer can advance its frontier.
+        self.mq_dir = mq_dir
+        self.mq_partitions = mq_partitions
         # Changefeed identity (ChangeFeedInfo id analog): epoch ids must be
         # unique per FEED, not just per batch — Structured Streaming batch
         # ids restart at 0 for a new checkpoint, so a second feed over the
@@ -260,6 +270,12 @@ class ChangeFeed:
             timings["compact"] = _time.time() - t0
             t0 = _time.time()
 
+            # 4c. optional MQ emission of the released prefix
+            if self.mq_dir is not None:
+                self._emit_mq(ready, batch_id, resolved)
+                timings["mq"] = _time.time() - t0
+                t0 = _time.time()
+
             # 5. persist tail for the next batch. Existence is known from
             # part_stats (tail nonempty ⟺ some partition's max is above the
             # global min) — no extra probe job.
@@ -316,6 +332,55 @@ class ChangeFeed:
         return self.table.merge_epoch(
             winners, epoch_id, watermarks=watermarks, assume_deduped=True
         )
+
+    def _emit_mq(self, ready: DataFrame, batch_id: int, resolved: int) -> None:
+        """Write this batch's messages: data rows encoded per the codec
+        (raw mode: the payload IS the value json; typed mode: to_json of the
+        payload struct), partitioned by the dispatch hash; then one resolved
+        message per partition, written after the data (flush-then-broadcast
+        order, mq.go:187-226)."""
+        from ..functions.codec import KEY_FIELDS
+        from ..functions.hashing import bucket
+
+        key_json = F.to_json(
+            F.struct(*[F.col(c) for c in KEY_FIELDS])
+        ).alias("key_json")
+        if self.mode == "raw":
+            val = F.col("payload").alias("value_json")
+        else:
+            payload_cols = [
+                f["name"] for f in self.table.current_fields if f["name"] != self.table.key_col
+            ]
+            val = F.when(
+                F.col("op") != "D",
+                F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
+            ).alias("value_json")
+        out = ready.select(
+            key_json, val, bucket("doc_id", self.mq_partitions).alias("partition")
+        )
+        batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
+        out.repartition(self.mq_partitions, "partition").write.mode(
+            "overwrite"
+        ).partitionBy("partition").parquet(batch_dir)
+        # resolved-ts broadcast: one tiny driver-side file covering every
+        # partition (consumers take min over partitions, main.go:531-544)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        res = pa.table(
+            {
+                "partition": pa.array(list(range(self.mq_partitions)), pa.int32()),
+                "key_json": pa.array(
+                    [
+                        json.dumps({"ts": resolved, "type": "resolved"})
+                        for _ in range(self.mq_partitions)
+                    ]
+                ),
+            }
+        )
+        tmp = os.path.join(batch_dir, ".resolved.parquet.tmp")
+        pq.write_table(res, tmp)
+        os.replace(tmp, os.path.join(batch_dir, "resolved.parquet"))
 
     def _write_lineage(self, batch_id, epoch_stats, part_stats, resolved) -> None:
         """Driver-side metadata write (32-ish rows/batch): plain pyarrow, no
