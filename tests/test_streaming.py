@@ -449,3 +449,33 @@ def test_mq_sink_emission(spark, workspace, tmp_path):
     last = res.select(F.get_json_object("key_json", "$.ts").cast("long").alias("ts"))
     assert last.agg(F.max("ts")).collect()[0][0] == resolved
     assert res.select("partition").distinct().count() == 8
+
+
+def test_mq_consumer_replicates_downstream(spark, workspace, tmp_path):
+    """Full MQ pipeline: changefeed → open-protocol messages → consumer →
+    downstream table. Downstream final state must equal the primary sink's
+    state (the TiCDC MQ-pipeline consistency contract), and re-consuming is
+    a no-op."""
+    from ticdc_spark.streaming.consumer import MQConsumer
+
+    spec = BinlogSpec(n_events=8_000, n_keys=800, seed=66, p_delete=0.15, p_insert=0.55)
+    write_binlog(spec, workspace["binlog"], files_per_part=3)
+    mq = str(tmp_path / "mq")
+    t1 = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t1, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        mq_dir=mq, mq_partitions=8,
+    )
+    cf.run_available()
+
+    t2 = LakeTable.create(spark, str(tmp_path / "downstream"), n_buckets=4)
+    consumer = MQConsumer(spark, mq, t2)
+    stats = consumer.run_once()
+    assert stats and all(s["committed"] for s in stats)
+
+    a = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in t1.read().collect()}
+    b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in t2.read().collect()}
+    assert a == b and len(a) > 0
+
+    # re-consume: every batch already applied
+    assert consumer.run_once() == []

@@ -1,0 +1,79 @@
+"""MQ consumer — replays emitted open-protocol messages into a downstream
+lake table (the kafka_consumer analog, kafka_consumer/main.go:531-586):
+
+  * per MQ batch: decode (key_json, value_json) → typed change rows
+  * frontier = the batch's broadcast resolved-ts (consumer-side rule: take
+    min over partitions — ours broadcasts one value to every partition, so
+    the min IS that value)
+  * apply rows ≤ frontier with the same LWW collapse + idempotent merge the
+    primary sink uses (epoch id = the MQ batch name, so a re-consumed batch
+    is a no-op)
+
+Result: downstream state == upstream state at the consumer's frontier —
+TiCDC's MQ-pipeline consistency contract, testable table-vs-table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codec import decode_open_protocol
+from ..lake.table import LakeTable
+from ..operators.lww import lww_latest_semijoin
+
+
+class MQConsumer:
+    def __init__(self, spark, mq_dir: str, table: LakeTable):
+        self.spark = spark
+        self.mq_dir = mq_dir
+        self.table = table
+
+    def _payload_schema(self) -> T.StructType:
+        key = self.table.key_col
+        return T.StructType(
+            [
+                T.StructField(f["name"], T._parse_datatype_string(f["type"]))
+                for f in self.table.current_fields
+                if f["name"] != key
+            ]
+        )
+
+    def run_once(self) -> list[dict]:
+        """Consume every MQ batch not yet applied, in order."""
+        stats = []
+        if not os.path.isdir(self.mq_dir):
+            return stats
+        for name in sorted(os.listdir(self.mq_dir)):
+            if not name.startswith("batch-"):
+                continue
+            epoch_id = f"mq-{name}"
+            if epoch_id in self.table.committed_epochs:
+                continue
+            bdir = os.path.join(self.mq_dir, name)
+            res = self.spark.read.parquet(os.path.join(bdir, "resolved.parquet"))
+            frontier = (
+                res.select(
+                    F.get_json_object("key_json", "$.ts").cast("long").alias("ts")
+                )
+                .agg(F.min("ts"))  # min over partitions (main.go:531-544)
+                .collect()[0][0]
+            )
+            msgs = self.spark.read.option("basePath", bdir).parquet(
+                os.path.join(bdir, "partition=*")
+            )
+            dec = decode_open_protocol(
+                msgs.select("key_json", "value_json"), self._payload_schema()
+            ).filter(F.col("commit_ts") <= F.lit(frontier))
+            key = self.table.key_col
+            payload = [
+                f["name"] for f in self.table.current_fields if f["name"] != key
+            ]
+            winners = lww_latest_semijoin(
+                dec.select(key, "op", "commit_ts", "seq", *payload), [key]
+            )
+            st = self.table.merge_epoch(winners, epoch_id, assume_deduped=True)
+            stats.append({"batch": name, "frontier": frontier, **st})
+        return stats
