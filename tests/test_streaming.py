@@ -479,3 +479,42 @@ def test_mq_consumer_replicates_downstream(spark, workspace, tmp_path):
 
     # re-consume: every batch already applied
     assert consumer.run_once() == []
+
+
+def test_mq_pipeline_with_ddl_schema_evolution(spark, workspace, tmp_path):
+    """Schema evolution flows END-TO-END through the MQ path: the changefeed
+    emits DDL messages at barriers; the consumer evolves its table and the
+    downstream state + schema match the primary sink."""
+    import pyarrow.parquet as pq_
+
+    from ticdc_spark.streaming.consumer import MQConsumer
+
+    spec = BinlogSpec(n_events=6_000, n_keys=600, seed=67, p_delete=0.1, p_insert=0.6)
+    write_binlog(spec, workspace["binlog"], files_per_part=3)
+    binlog = pq_.read_table(workspace["binlog"])
+    import pyarrow.compute as pc
+
+    lo = pc.min(binlog.column("commit_ts")).as_py()
+    hi = pc.max(binlog.column("commit_ts")).as_py()
+    ddl_rows = [
+        {"commit_ts": (lo + hi) // 2, "ddl_type": "add_column",
+         "spec": '{"name":"lang","type":"string"}'},
+    ]
+    mq = str(tmp_path / "mq")
+    t1 = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t1, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        ddl_rows=ddl_rows, mq_dir=mq, mq_partitions=4,
+    )
+    cf.run_available()
+    assert t1.schema_version == 1
+
+    t2 = LakeTable.create(spark, str(tmp_path / "down"), n_buckets=4)
+    stats = MQConsumer(spark, mq, t2).run_once()
+    assert stats and all(s["committed"] for s in stats)
+    assert [f["name"] for f in t2.current_fields] == [f["name"] for f in t1.current_fields]
+    a = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"], r["lang"])
+         for r in t1.read().collect()}
+    b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"], r["lang"])
+         for r in t2.read().collect()}
+    assert a == b and len(a) > 0

@@ -246,6 +246,7 @@ class ChangeFeed:
             slices.append((lo, None))
 
             epoch_stats = []
+            executed_ddls: list[tuple[int, list[dict]]] = []
             for k, (slo, shi) in enumerate(slices):
                 sl = ready
                 if slo is not None:
@@ -262,6 +263,7 @@ class ChangeFeed:
                     # advance lake schema to `ver` (metadata-only commit)
                     fields_next = self.registry.fields(ver)
                     self._advance_lake_schema(ver, fields_next, f"ddl-{shi}")
+                    executed_ddls.append((shi, fields_next))
             timings["apply"] = _time.time() - t0
             t0 = _time.time()
 
@@ -272,7 +274,7 @@ class ChangeFeed:
 
             # 4c. optional MQ emission of the released prefix
             if self.mq_dir is not None:
-                self._emit_mq(ready, batch_id, resolved)
+                self._emit_mq(ready, batch_id, resolved, executed_ddls)
                 timings["mq"] = _time.time() - t0
                 t0 = _time.time()
 
@@ -333,7 +335,13 @@ class ChangeFeed:
             winners, epoch_id, watermarks=watermarks, assume_deduped=True
         )
 
-    def _emit_mq(self, ready: DataFrame, batch_id: int, resolved: int) -> None:
+    def _emit_mq(
+        self,
+        ready: DataFrame,
+        batch_id: int,
+        resolved: int,
+        executed_ddls: list | None = None,
+    ) -> None:
         """Write this batch's messages: data rows encoded per the codec
         (raw mode: the payload IS the value json; typed mode: to_json of the
         payload struct), partitioned by the dispatch hash; then one resolved
@@ -381,6 +389,19 @@ class ChangeFeed:
         tmp = os.path.join(batch_dir, ".resolved.parquet.tmp")
         pq.write_table(res, tmp)
         os.replace(tmp, os.path.join(batch_dir, "resolved.parquet"))
+        # DDL messages (json.go:425-446): value carries the POST-ddl field
+        # list (registry fields with stable ids) so the consumer evolves its
+        # table by field-id diff, exactly like the primary sink
+        for ts, fields_next in executed_ddls or []:
+            ddl = pa.table(
+                {
+                    "key_json": pa.array([json.dumps({"ts": ts, "type": "ddl"})]),
+                    "value_json": pa.array([json.dumps({"fields": fields_next})]),
+                }
+            )
+            tmp = os.path.join(batch_dir, f".ddl-{ts}.parquet.tmp")
+            pq.write_table(ddl, tmp)
+            os.replace(tmp, os.path.join(batch_dir, f"ddl-{ts}.parquet"))
 
     def _write_lineage(self, batch_id, epoch_stats, part_stats, resolved) -> None:
         """Driver-side metadata write (32-ish rows/batch): plain pyarrow, no

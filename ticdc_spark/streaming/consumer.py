@@ -61,6 +61,22 @@ class MQConsumer:
                 .agg(F.min("ts"))  # min over partitions (main.go:531-544)
                 .collect()[0][0]
             )
+            # DDL messages first (consumer mirror of the barrier rule,
+            # main.go:545-569: flush DML ≤ ddl ts, exec DDL, pop — our batch
+            # was emitted AT the batch-final schema, so applying the batch's
+            # DDLs up-front reproduces the same projection)
+            import glob as g
+            import json as j
+
+            from .changefeed import advance_lake_schema
+
+            for ddl_file in sorted(g.glob(os.path.join(bdir, "ddl-*.parquet"))):
+                row = self.spark.read.parquet(ddl_file).collect()[0]
+                ts = j.loads(row["key_json"])["ts"]
+                if ts > frontier:
+                    continue
+                fields_next = j.loads(row["value_json"])["fields"]
+                advance_lake_schema(self.table, fields_next, f"mq-ddl-{ts}")
             msgs = self.spark.read.option("basePath", bdir).parquet(
                 os.path.join(bdir, "partition=*")
             )
