@@ -518,3 +518,28 @@ def test_mq_pipeline_with_ddl_schema_evolution(spark, workspace, tmp_path):
     b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"], r["lang"])
          for r in t2.read().collect()}
     assert a == b and len(a) > 0
+
+
+def test_changefeed_gc_bounds_snapshots(spark, workspace):
+    """expire_keep_last wires snapshot GC into the feed loop: old manifests
+    and unreferenced data files are pruned as the feed advances, while the
+    live state stays correct."""
+    import pyarrow.parquet as pq_
+
+    from ticdc_spark.oracle import apply_binlog, diff_tables
+
+    spec = BinlogSpec(n_events=8_000, n_keys=800, seed=58, p_delete=0.15, p_insert=0.55)
+    write_binlog(spec, workspace["binlog"], files_per_part=6)
+    t = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=1,
+        expire_keep_last=2,
+    )
+    summaries = cf.run_available()
+    assert len(summaries) == 6
+    mdir = os.path.join(workspace["tbl"], "_manifests")
+    kept = [f for f in os.listdir(mdir) if f.startswith("v")]
+    assert len(kept) <= 3  # 2 kept + the fresh post-GC commit of the last batch
+    expected = apply_binlog(pq_.read_table(workspace["binlog"]),
+                            upto_ts=summaries[-1]["resolved_ts"])
+    assert not diff_tables(expected, _lake_arrow(t))

@@ -100,6 +100,7 @@ class ChangeFeed:
         strict_watermarks: bool = False,
         mq_dir: str | None = None,
         mq_partitions: int = 16,
+        expire_keep_last: int | None = None,
     ):
         """start_ts: replicate only events with commit_ts > start_ts — the
         `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
@@ -131,6 +132,11 @@ class ChangeFeed:
         # (json.go:332-369 broadcast) so a consumer can advance its frontier.
         self.mq_dir = mq_dir
         self.mq_partitions = mq_partitions
+        # GC cadence (owner safepoint advance, cdc/owner.go:752-795): when
+        # set, each batch expires snapshots beyond the last N — bounds
+        # metadata + orphan data growth on a long-running feed. Off by
+        # default (keeps time travel open for ad-hoc reads).
+        self.expire_keep_last = expire_keep_last
         # Changefeed identity (ChangeFeedInfo id analog): epoch ids must be
         # unique per FEED, not just per batch — Structured Streaming batch
         # ids restart at 0 for a new checkpoint, so a second feed over the
@@ -269,6 +275,8 @@ class ChangeFeed:
 
             # 4b. MOR hygiene: fold deltas when a bucket accumulates too many
             self.table.maybe_compact(self.compact_max_deltas)
+            if self.expire_keep_last is not None:
+                self.table.expire_versions(keep_last=self.expire_keep_last)
             timings["compact"] = _time.time() - t0
             t0 = _time.time()
 
