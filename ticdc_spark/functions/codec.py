@@ -103,11 +103,14 @@ def decode_open_protocol_ddl(df: DataFrame) -> DataFrame:
 # only the handle key in `data` (mysql whereSlice semantics).
 # ---------------------------------------------------------------------------
 
-_CANAL_TYPE = (
-    F.when(F.col("op") == "I", F.lit("INSERT"))
-    .when(F.col("op") == "U", F.lit("UPDATE"))
-    .otherwise(F.lit("DELETE"))
-)
+def _canal_type():
+    # built lazily: Column construction needs an active SparkContext, and
+    # this module must stay importable before the session exists
+    return (
+        F.when(F.col("op") == "I", F.lit("INSERT"))
+        .when(F.col("op") == "U", F.lit("UPDATE"))
+        .otherwise(F.lit("DELETE"))
+    )
 
 
 def encode_canal_flat(
@@ -128,7 +131,7 @@ def encode_canal_flat(
         F.col("table"),
         F.array(F.lit("doc_id")).alias("pkNames"),
         F.lit(False).alias("isDdl"),
-        _CANAL_TYPE.alias("type"),
+        _canal_type().alias("type"),
         (F.col("commit_ts") / 1000).cast("long").alias("es"),
         F.col("commit_ts").alias("ts"),
         F.col("seq").alias("seq"),
@@ -175,11 +178,13 @@ def decode_canal_flat(df: DataFrame, payload_types: dict[str, str]) -> DataFrame
 # native JSON types (unlike canal's all-strings).
 # ---------------------------------------------------------------------------
 
-_MAXWELL_TYPE = (
-    F.when(F.col("op") == "I", F.lit("insert"))
-    .when(F.col("op") == "U", F.lit("update"))
-    .otherwise(F.lit("delete"))
-)
+def _maxwell_type():
+    # lazy for the same importability reason as _canal_type
+    return (
+        F.when(F.col("op") == "I", F.lit("insert"))
+        .when(F.col("op") == "U", F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
 
 
 def encode_maxwell(
@@ -192,7 +197,7 @@ def encode_maxwell(
     msg = F.struct(
         F.lit(database).alias("database"),
         F.col("table"),
-        _MAXWELL_TYPE.alias("type"),
+        _maxwell_type().alias("type"),
         (F.col("commit_ts") / 1_000_000).cast("long").alias("ts"),
         F.col("commit_ts").alias("commit_ts"),
         F.col("seq").alias("xid"),

@@ -43,7 +43,11 @@ def mount_raw(
     target_version. Key column comes from the envelope (doc_id), payload
     carries the remaining fields.
 
-    versions_present: optional hint to skip the distinct() scan.
+    versions_present: optional hint to skip the distinct() scan. A row whose
+    schema_version is OUTSIDE the hint is dropped by the per-version union —
+    callers deriving the hint from version_at(hi_ts) must guard the producer
+    contract (schema_version <= version_at(commit_ts)); the changefeeds do
+    this in their part_stats job (schema_version_violation) and raise.
     """
     if versions_present is None:
         if len(registry.versions) == 1:

@@ -61,6 +61,18 @@ LINEAGE_SCHEMA = (
 )
 
 
+def schema_version_violation(ddl_ts: list[int]):
+    """1 for a row stamped with a schema_version ABOVE version_at(commit_ts)
+    — the producer contract the mounter's versions_present hint relies on
+    (snapshot-at-CRTs-1, cdc/entry/mounter.go:242-247). Such a row would be
+    silently dropped by the hinted per-version union, so the feed checks the
+    count in the same part_stats job and fails loudly instead."""
+    expected = F.lit(0)
+    for ts in ddl_ts:
+        expected = expected + F.when(F.col("commit_ts") > F.lit(ts), 1).otherwise(0)
+    return F.when(F.col("schema_version") > expected, 1).otherwise(0)
+
+
 def advance_lake_schema(table: LakeTable, fields_next: list[dict], epoch_id: str) -> None:
     """Diff current lake fields vs target and emit add/widen/rename/drop ops.
     (The registry and lake share field ids, so the diff is exact.)"""
@@ -211,11 +223,13 @@ class ChangeFeed:
                 events.groupBy("part")
                 .agg(
                     F.max("commit_ts").alias("max_ts"),
+                    F.min("commit_ts").alias("min_ts"),
                     F.count(F.lit(1)).alias("cnt"),
                     F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
                     F.sum(
                         F.when(F.col("commit_ts") <= F.lit(prev_resolved), 1).otherwise(0)
                     ).alias("late"),
+                    F.sum(schema_version_violation(self.registry.ddl_ts)).alias("sv_viol"),
                 )
                 .collect()
             )
@@ -227,6 +241,13 @@ class ChangeFeed:
                     f"late-event contract violated: {n_late} events at or below "
                     f"resolved frontier {prev_resolved} (puller.go:163-168)"
                 )
+            n_sv = sum(int(r["sv_viol"]) for r in part_stats)
+            if n_sv:
+                raise RuntimeError(
+                    f"schema_version contract violated: {n_sv} events stamped with a "
+                    "version above version_at(commit_ts) — the mounter's version "
+                    "hint would silently drop them (mounter.go:242-247)"
+                )
             stored = dict(stored0)
             for r in part_stats:
                 stored[int(r["part"])] = max(stored.get(int(r["part"]), -1), int(r["max_ts"]))
@@ -237,12 +258,18 @@ class ChangeFeed:
             ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
             tail = events.filter(F.col("commit_ts") > F.lit(resolved))
 
-            # 4. DDL barriers inside the releasable range
+            # 4. DDL barriers inside the releasable range. Boundaries are
+            # ALL configured DDL ts ≤ resolved — independent of execution
+            # state — so slice indexing (hence epoch ids) is stable across
+            # mid-batch crash replays: if the driver dies between a DDL's
+            # schema commit and the next slice's merge, the replayed batch
+            # must re-slice IDENTICALLY or a post-DDL range would land in a
+            # slice index whose epoch already committed covering a smaller
+            # range and be silently skipped.
             barriers = [
                 (i + 1, ts)
                 for i, ts in enumerate(self.registry.ddl_ts)
-                if ts <= resolved and f"ddl-{ts}" not in self.table.committed_epochs
-                and self.table.schema_version < i + 1
+                if ts <= resolved
             ]
             slices: list[tuple[int | None, int | None]] = []
             lo = None
@@ -251,25 +278,44 @@ class ChangeFeed:
                 lo = ts
             slices.append((lo, None))
 
+            # min event ts in the batch — used to skip provably-empty
+            # leading slices (barriers executed in PRIOR batches) without an
+            # epoch commit. Derived from the batch's data, so identical on
+            # replay; bounds per-batch slice work to new-DDLs + 1.
+            lo_evt = min((int(r["min_ts"]) for r in part_stats), default=None)
             epoch_stats = []
-            executed_ddls: list[tuple[int, list[dict]]] = []
             for k, (slo, shi) in enumerate(slices):
-                sl = ready
-                if slo is not None:
-                    sl = sl.filter(F.col("commit_ts") > F.lit(slo))
-                if shi is not None:
-                    sl = sl.filter(F.col("commit_ts") <= F.lit(shi))
-                epoch_id = f"cf-{self.feed_id}-{batch_id:010d}-s{k}"
-                st = self._apply_slice(
-                    sl, epoch_id, watermarks, hi_ts=shi if shi is not None else resolved
+                provably_empty = (
+                    lo_evt is None
+                    or lo_evt > resolved
+                    or (shi is not None and shi < lo_evt)
                 )
-                epoch_stats.append((epoch_id, st))
+                if not provably_empty:
+                    sl = ready
+                    if slo is not None:
+                        sl = sl.filter(F.col("commit_ts") > F.lit(slo))
+                    if shi is not None:
+                        sl = sl.filter(F.col("commit_ts") <= F.lit(shi))
+                    epoch_id = f"cf-{self.feed_id}-{batch_id:010d}-s{k}"
+                    st = self._apply_slice(
+                        sl, epoch_id, watermarks, hi_ts=shi if shi is not None else resolved
+                    )
+                    epoch_stats.append((epoch_id, st))
                 if shi is not None:
                     ver = self.registry.ddl_ts.index(shi) + 1
-                    # advance lake schema to `ver` (metadata-only commit)
-                    fields_next = self.registry.fields(ver)
-                    self._advance_lake_schema(ver, fields_next, f"ddl-{shi}")
-                    executed_ddls.append((shi, fields_next))
+                    if self.table.schema_version < ver:
+                        # advance lake schema to `ver` (metadata-only commit;
+                        # guarded so a crash-replay never re-diffs an
+                        # already-advanced schema backwards)
+                        self._advance_lake_schema(
+                            ver, self.registry.fields(ver), f"ddl-{shi}"
+                        )
+            # MQ DDL messages: EVERY barrier ≤ resolved, not just the ones
+            # executed in this attempt — a crash between the schema commit
+            # and emission would otherwise lose the DDL downstream forever.
+            # Re-emission across batches is safe: the consumer's field-id
+            # diff is a no-op once its table has advanced.
+            executed_ddls = [(ts, self.registry.fields(ver)) for ver, ts in barriers]
             timings["apply"] = _time.time() - t0
             t0 = _time.time()
 
@@ -361,16 +407,24 @@ class ChangeFeed:
         key_json = F.to_json(
             F.struct(*[F.col(c) for c in KEY_FIELDS])
         ).alias("key_json")
+        payload_cols = [
+            f["name"] for f in self.table.current_fields if f["name"] != self.table.key_col
+        ]
         if self.mode == "raw":
-            val = F.col("payload").alias("value_json")
-        else:
-            payload_cols = [
-                f["name"] for f in self.table.current_fields if f["name"] != self.table.key_col
-            ]
-            val = F.when(
-                F.col("op") != "D",
-                F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
-            ).alias("value_json")
+            # the consumer decodes every message at the batch-final (post-
+            # DDL) field list, so writer-version payloads must be mounted to
+            # that schema and re-encoded — passing the original payload JSON
+            # through would decode old-name keys to NULL after a rename/widen
+            hint = None
+            if len(self.registry.versions) > 1:
+                hint = list(range(0, self.registry.version_at(resolved) + 1))
+            ready = mount_raw(
+                ready, self.registry, self.table.schema_version, versions_present=hint
+            )
+        val = F.when(
+            F.col("op") != "D",
+            F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
+        ).alias("value_json")
         out = ready.select(
             key_json, val, bucket("doc_id", self.mq_partitions).alias("partition")
         )
@@ -407,9 +461,11 @@ class ChangeFeed:
                     "value_json": pa.array([json.dumps({"fields": fields_next})]),
                 }
             )
-            tmp = os.path.join(batch_dir, f".ddl-{ts}.parquet.tmp")
+            # zero-padded ts: consumers glob-sort these files, and unpadded
+            # ts would apply ddl-100 before ddl-99 lexicographically
+            tmp = os.path.join(batch_dir, f".ddl-{ts:020d}.parquet.tmp")
             pq.write_table(ddl, tmp)
-            os.replace(tmp, os.path.join(batch_dir, f"ddl-{ts}.parquet"))
+            os.replace(tmp, os.path.join(batch_dir, f"ddl-{ts:020d}.parquet"))
 
     def _write_lineage(self, batch_id, epoch_stats, part_stats, resolved) -> None:
         """Driver-side metadata write (32-ish rows/batch): plain pyarrow, no

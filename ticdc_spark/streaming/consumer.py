@@ -70,11 +70,21 @@ class MQConsumer:
 
             from .changefeed import advance_lake_schema
 
-            for ddl_file in sorted(g.glob(os.path.join(bdir, "ddl-*.parquet"))):
+            ddl_msgs = []
+            for ddl_file in g.glob(os.path.join(bdir, "ddl-*.parquet")):
                 row = self.spark.read.parquet(ddl_file).collect()[0]
-                ts = j.loads(row["key_json"])["ts"]
+                ddl_msgs.append((j.loads(row["key_json"])["ts"], row))
+            # order by the PARSED ts, not the filename — lexicographic file
+            # order would apply ddl-100 before ddl-99 on unpadded names
+            for ts, row in sorted(ddl_msgs, key=lambda x: x[0]):
                 if ts > frontier:
-                    continue
+                    # the batch's epoch commits exactly once, so a skipped
+                    # DDL would be lost forever — fail loudly (emission
+                    # bounds ddl ts <= resolved; this is a producer bug)
+                    raise RuntimeError(
+                        f"DDL at ts={ts} exceeds batch frontier {frontier}: "
+                        f"applying the batch would lose the DDL ({name})"
+                    )
                 fields_next = j.loads(row["value_json"])["fields"]
                 advance_lake_schema(self.table, fields_next, f"mq-ddl-{ts}")
             msgs = self.spark.read.option("basePath", bdir).parquet(

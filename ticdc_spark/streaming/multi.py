@@ -161,11 +161,33 @@ class MultiTableChangeFeed:
         pending = self._read_pending()
         events = batch_df.unionByName(pending) if pending is not None else batch_df
 
+        # schema_version contract guard (see changefeed.schema_version_violation):
+        # per-table expected version, rows routed by the `table` column
+        from .changefeed import schema_version_violation
+
+        sv_viol = F.lit(0)
+        for name, reg in self.registries.items():
+            if reg.ddl_ts:
+                sv_viol = sv_viol + F.when(
+                    F.col("table") == F.lit(name),
+                    schema_version_violation(reg.ddl_ts),
+                ).otherwise(0)
         part_stats = (
             events.groupBy("part")
-            .agg(F.max("commit_ts").alias("max_ts"), F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.max("commit_ts").alias("max_ts"),
+                F.min("commit_ts").alias("min_ts"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(sv_viol).alias("sv_viol"),
+            )
             .collect()
         )
+        n_sv = sum(int(r["sv_viol"]) for r in part_stats)
+        if n_sv:
+            raise RuntimeError(
+                f"schema_version contract violated: {n_sv} events stamped above "
+                "version_at(commit_ts) — the mounter hint would drop them"
+            )
         stored: dict[int, int] = {}
         for t in self.tables.values():
             for k, v in t.part_watermarks.items():
@@ -189,15 +211,16 @@ class MultiTableChangeFeed:
             # per-table DDL barriers within the releasable range (same split
             # rule as the single-table feed: DML at commit_ts <= ddl_ts uses
             # the pre-DDL schema, then the lake schema advances)
+            # barriers = ALL configured DDL ts ≤ resolved, independent of
+            # execution state: slice indexing (hence epoch ids) must be
+            # stable across mid-batch crash replays (a replay after a DDL
+            # schema commit must not re-slice differently, or post-DDL
+            # events land in an already-committed epoch id and are lost).
             reg = self.registries.get(name)
             barriers = []
             if reg is not None:
                 barriers = [
-                    (i + 1, ts)
-                    for i, ts in enumerate(reg.ddl_ts)
-                    if ts <= resolved
-                    and table.schema_version < i + 1
-                    and f"ddl-{name}-{ts}" not in table.committed_epochs
+                    (i + 1, ts) for i, ts in enumerate(reg.ddl_ts) if ts <= resolved
                 ]
             slices: list[tuple[int | None, int | None]] = []
             lo = None
@@ -206,40 +229,50 @@ class MultiTableChangeFeed:
                 lo = ts
             slices.append((lo, None))
 
+            # skip provably-empty leading slices (barriers from prior
+            # batches) — data-derived, so identical on replay
+            lo_evt = min((int(r["min_ts"]) for r in part_stats), default=None)
             committed_any = False
             for k, (slo, shi) in enumerate(slices):
-                ssl = sl
-                if slo is not None:
-                    ssl = ssl.filter(F.col("commit_ts") > F.lit(slo))
-                if shi is not None:
-                    ssl = ssl.filter(F.col("commit_ts") <= F.lit(shi))
-                key = table.key_col
-                payload = [f["name"] for f in table.current_fields if f["name"] != key]
-                if self.mode == "raw":
-                    from ..operators.mounter import mount_raw
+                provably_empty = (
+                    lo_evt is None
+                    or lo_evt > resolved
+                    or (shi is not None and shi < lo_evt)
+                )
+                if not provably_empty:
+                    ssl = sl
+                    if slo is not None:
+                        ssl = ssl.filter(F.col("commit_ts") > F.lit(slo))
+                    if shi is not None:
+                        ssl = ssl.filter(F.col("commit_ts") <= F.lit(shi))
+                    key = table.key_col
+                    payload = [f["name"] for f in table.current_fields if f["name"] != key]
+                    if self.mode == "raw":
+                        from ..operators.mounter import mount_raw
 
-                    hi_ts = shi if shi is not None else resolved
-                    hint = None
-                    if reg is not None and len(reg.versions) > 1:
-                        hint = list(range(0, reg.version_at(hi_ts) + 1))
-                    ssl = mount_raw(
-                        ssl, reg, table.schema_version, versions_present=hint
+                        hi_ts = shi if shi is not None else resolved
+                        hint = None
+                        if reg is not None and len(reg.versions) > 1:
+                            hint = list(range(0, reg.version_at(hi_ts) + 1))
+                        ssl = mount_raw(
+                            ssl, reg, table.schema_version, versions_present=hint
+                        )
+                    winners = lww_latest_semijoin(
+                        ssl.select(key, "op", "commit_ts", "seq", *payload), [key]
                     )
-                winners = lww_latest_semijoin(
-                    ssl.select(key, "op", "commit_ts", "seq", *payload), [key]
-                )
-                st = table.merge_epoch(
-                    winners,
-                    f"cfm-{self.feed_id}-{batch_id:010d}-{name}-s{k}",
-                    watermarks=watermarks,
-                    assume_deduped=True,
-                )
-                committed_any = committed_any or st.get("committed", False)
+                    st = table.merge_epoch(
+                        winners,
+                        f"cfm-{self.feed_id}-{batch_id:010d}-{name}-s{k}",
+                        watermarks=watermarks,
+                        assume_deduped=True,
+                    )
+                    committed_any = committed_any or st.get("committed", False)
                 if shi is not None:
-                    from .changefeed import advance_lake_schema
-
                     ver = reg.ddl_ts.index(shi) + 1
-                    advance_lake_schema(table, reg.fields(ver), f"ddl-{name}-{shi}")
+                    if table.schema_version < ver:
+                        from .changefeed import advance_lake_schema
+
+                        advance_lake_schema(table, reg.fields(ver), f"ddl-{name}-{shi}")
             per_table[name] = committed_any
 
         had_tail = any(int(r["max_ts"]) > resolved for r in part_stats)
