@@ -405,6 +405,30 @@ def q_codec_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro BINARY wire codec round trip (cdc/sink/codec/avro.go:88-127
+    encode, 509-520 Confluent envelope): rows → (avro_key, avro_value)
+    envelopes via the subject-versioned registry → decode. Deletes carry a
+    nil value and decode to NULL payload with the key from the key
+    envelope — exactly the reference's delete contract."""
+    from ticdc_spark.functions.avro_codec import decode_avro, encode_avro
+    from ticdc_spark.functions.avro_schema import AvroSchemaRegistry
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "event_type", "type": "string"},
+        {"id": 3, "name": "value", "type": "double"},
+    ]
+    reg = AvroSchemaRegistry()
+    enc = encode_avro(feed, fields, table="events", registry=reg)
+    dec = decode_avro(enc, fields, table="events")
+    return dec.select(
+        "commit_ts", "seq", "table", "op", "doc_id", "event_type",
+        F.round("value", 6).alias("val"),
+    )
+
+
 def q_cdc_lww_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite handle key (many_pk_or_uk's composite-PK shape,
     tests/dailytest table t2): LWW collapse per (event_type, doc_id) — the
@@ -1153,6 +1177,13 @@ SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
        event_type, round(value, 6) AS val
 FROM feed
 """,
+        "codec_avro": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       CASE WHEN op != 'D' THEN event_type END AS event_type,
+       CASE WHEN op != 'D' THEN round(value, 6) END AS val
+FROM feed
+""",
         "cdc_lww_composite": f"""
 WITH feed AS ({FEED_SQL}),
 ranked AS (
@@ -1426,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "codec_canal_flat": q_codec_canal_flat,
         "codec_maxwell": q_codec_maxwell,
+        "codec_avro": q_codec_avro,
         "cdc_causality": q_cdc_causality,
         "cdc_lww_composite": q_cdc_lww_composite,
         "q1_pricing": q_q1_pricing,
