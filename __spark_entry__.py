@@ -224,6 +224,41 @@ def q_cdc_dispatch_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dispatch_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts dispatcher (cdc/sink/dispatcher/ts.go:28-30): partition =
+    commit_ts % K — spreads a hot table at the cost of per-key ordering."""
+    from ticdc_spark.streaming.dispatch import ts_partition
+
+    feed = changelog(spark, sf_dir)
+    return (
+        feed.withColumn("partition", ts_partition(16).cast("long"))
+        .groupBy("partition")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("commit_ts").alias("min_ts"),
+            F.max("commit_ts").alias("max_ts"),
+        )
+    )
+
+
+def q_cdc_dispatch_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispatcher rule switcher (cdc/sink/dispatcher/interface.go:84-128):
+    ordered table-matcher globs select the dispatcher, first match wins,
+    implicit trailing *→default. Here: 'purchase' events route by ts,
+    'v*' (view) by table hash, everything else by index-value."""
+    from ticdc_spark.streaming.dispatch import compile_dispatch_rules
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.col("event_type"))
+    part = compile_dispatch_rules(
+        [("purchase", "ts"), ("v*", "table")], 8, key_col="doc_id"
+    )
+    return (
+        feed.withColumn("partition", part.cast("long"))
+        .groupBy("table", "partition")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def q_cdc_op_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EntrySorter comparator (entry_sorter.go:62-72): per-key apply order =
     commit_ts asc, seq asc, delete-before-put on ties."""
@@ -1080,6 +1115,21 @@ SELECT {bucket_sql("doc_id", 16)} AS bucket, count(*) AS n_events,
        count(DISTINCT doc_id) AS n_keys
 FROM feed GROUP BY 1
 """,
+        "cdc_dispatch_ts": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts % 16 AS partition, count(*) AS n_events,
+       min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
+FROM feed GROUP BY 1
+""",
+        "cdc_dispatch_rules": f"""
+WITH feed AS ({FEED_SQL})
+SELECT event_type AS "table",
+       CASE WHEN event_type = 'purchase' THEN commit_ts % 8
+            WHEN event_type LIKE 'v%' THEN {h60_sql("event_type")} % 8
+            ELSE {bucket_sql("doc_id", 8)} END AS partition,
+       count(*) AS n_events
+FROM feed GROUP BY 1, 2
+""",
         "cdc_op_ordering": f"""
 WITH feed AS ({FEED_SQL})
 SELECT doc_id, commit_ts, seq, op,
@@ -1446,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_slice": q_cdc_epoch_slice,
         "cdc_txn_group": q_cdc_txn_group,
         "cdc_dispatch_buckets": q_cdc_dispatch_buckets,
+        "cdc_dispatch_ts": q_cdc_dispatch_ts,
+        "cdc_dispatch_rules": q_cdc_dispatch_rules,
         "cdc_op_ordering": q_cdc_op_ordering,
         "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
         "cdc_sink_stats": q_cdc_sink_stats,

@@ -112,6 +112,7 @@ class ChangeFeed:
         strict_watermarks: bool = False,
         mq_dir: str | None = None,
         mq_partitions: int = 16,
+        mq_dispatch_rule: str = "index-value",
         expire_keep_last: int | None = None,
     ):
         """start_ts: replicate only events with commit_ts > start_ts — the
@@ -144,6 +145,9 @@ class ChangeFeed:
         # (json.go:332-369 broadcast) so a consumer can advance its frontier.
         self.mq_dir = mq_dir
         self.mq_partitions = mq_partitions
+        # partition routing rule for MQ emission (§2.10): "index-value"
+        # (default — per-key ordering), "table", "ts", or "default"
+        self.mq_dispatch_rule = mq_dispatch_rule
         # GC cadence (owner safepoint advance, cdc/owner.go:752-795): when
         # set, each batch expires snapshots beyond the last N — bounds
         # metadata + orphan data growth on a long-running feed. Off by
@@ -402,7 +406,7 @@ class ChangeFeed:
         message per partition, written after the data (flush-then-broadcast
         order, mq.go:187-226)."""
         from ..functions.codec import KEY_FIELDS
-        from ..functions.hashing import bucket
+        from .dispatch import dispatcher_for
 
         key_json = F.to_json(
             F.struct(*[F.col(c) for c in KEY_FIELDS])
@@ -426,7 +430,11 @@ class ChangeFeed:
             F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
         ).alias("value_json")
         out = ready.select(
-            key_json, val, bucket("doc_id", self.mq_partitions).alias("partition")
+            key_json,
+            val,
+            dispatcher_for(
+                self.mq_dispatch_rule, self.mq_partitions, key_col="doc_id"
+            ).alias("partition"),
         )
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
         out.repartition(self.mq_partitions, "partition").write.mode(

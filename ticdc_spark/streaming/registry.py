@@ -14,8 +14,15 @@ from __future__ import annotations
 
 import bisect
 import json
+import warnings
 
 from pyspark.sql import types as T
+
+# DDL kinds the engine can replicate; anything else is discarded with a
+# warning and the feed CONTINUES (pkg/filter/filter.go:115-171 skip
+# semantics; entry/schema_storage.go:818-824 skips cancelled/unsupported
+# jobs) — one exotic DDL in the stream must not halt replication.
+SUPPORTED_DDL = ("add_column", "widen_column", "rename_column", "drop_column")
 
 
 def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[dict]:
@@ -54,7 +61,20 @@ class SchemaRegistry:
         for ts, typ, spec in ddls or []:
             self.add_ddl(ts, typ, spec)
 
-    def add_ddl(self, finished_ts: int, ddl_type: str, spec: dict) -> int:
+    def add_ddl(
+        self, finished_ts: int, ddl_type: str, spec: dict, on_unsupported: str = "skip"
+    ) -> int:
+        """Returns the new version, or -1 when the DDL was discarded.
+        on_unsupported: "skip" (reference semantics — warn and continue,
+        the DDL creates no version and no barrier) or "raise"."""
+        if ddl_type not in SUPPORTED_DDL:
+            if on_unsupported == "skip":
+                warnings.warn(
+                    f"discarding unsupported DDL {ddl_type!r} at ts={finished_ts} "
+                    "(pkg/filter/filter.go:115-171 skip-with-warning)"
+                )
+                return -1
+            raise ValueError(f"unsupported ddl_type {ddl_type}")
         if self.ddl_ts and finished_ts <= self.ddl_ts[-1]:
             raise ValueError("DDL finished-ts must be strictly increasing")
         self.versions.append(apply_ddl_to_fields(self.versions[-1], ddl_type, spec))
