@@ -627,7 +627,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _longify(dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8))
+    """Exact Jaccard with the shingle df cap (drop shingles shared by >100
+    docs): bounds the self-join's hot buckets on boilerplate-heavy corpora
+    — the exact path's survival condition at scale."""
+    return _longify(
+        dd.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.8, max_shingle_df=100
+        )
+    )
 
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,7 +650,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _longify(sim.cosine_pairs(_emb(spark, sf_dir), threshold=0.4))
+    """Embedding near-dup — the REGISTERED path is the RP-LSH-blocked plan
+    (shuffle O(n·T), no cartesian join); the all-pairs cosine_pairs is only
+    a test oracle for small blocks (pipeline/similarity.cosine_pairs)."""
+    return _longify(
+        sim.cosine_pairs_blocked(
+            _emb(spark, sf_dir), threshold=0.4, n_bits=4, n_tables=6, dim=64
+        )
+    )
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,48 +753,12 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: multi-table RP-LSH candidate
-    blocking + exact-cosine verification (no false positives; recall =
-    1-(1-p^b)^T). Shuffle O(n*T) instead of the all-pairs cross join."""
-    from ticdc_spark.pipeline.similarity import cosine, rp_lsh_buckets
-
-    from ticdc_spark.pipeline.similarity import hyperplane_sign
-
-    emb = _emb(spark, sf_dir)
-    n_bits, n_tables = 4, 3
-    sigs = []
-    for t in range(n_tables):
-        sig = None
-        for p in range(n_bits):
-            bit = hyperplane_sign(F.col("embedding"), t * n_bits + p, 64)
-            term = F.shiftleft(bit, p)
-            sig = term if sig is None else sig + term
-        sigs.append(sig)
-    # single-scan banding (posexplode) — see pipeline.similarity.ann_lsh_topk
-    b = emb.select(
-        F.col("vec_id"),
-        F.col("embedding"),
-        F.posexplode(F.array(*sigs)).alias("table_id", "bucket"),
-    ).repartition(64, "table_id", "bucket")
-    a_, b_ = b.alias("a"), b.alias("b")
-    cand = (
-        a_.join(
-            b_,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    """Same RP-LSH-blocked plan at a looser threshold (recall-oriented
+    tier; see pipeline/similarity.cosine_pairs_blocked)."""
     return _longify(
-        cand.select("id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.35)
+        sim.cosine_pairs_blocked(
+            _emb(spark, sf_dir), threshold=0.35, n_bits=4, n_tables=3, dim=64
+        )
     )
 
 
@@ -797,11 +775,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF tier: coarse 4-bit LSH cells, probe the query's cell only — the
-    partition-pruned ANN path (pipeline/similarity.ivf_topk)."""
+    """Real IVF tier: coarse hyperplane cells + multi-probe (query cell ∪
+    Hamming-1 cells) + exact re-rank inside probed cells only. The indexed
+    variant (ivf_build/ivf_topk_indexed) additionally prunes at the SCAN
+    via hive partitioning — tested in tests/test_pipeline.py."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return _longify(sim.ivf_topk(emb, queries, k=5, cell_bits=4, dim=64))
+    return _longify(
+        sim.ivf_topk(emb, queries, k=5, cell_bits=4, dim=64, n_probe_hamming=1)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -851,13 +833,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL
 
 
-def _dedup_shingle_sql(n: int = 3, src: str = "documents") -> str:
+def _dedup_shingle_sql(n: int = 3, src: str = "documents", max_df: int | None = None) -> str:
     toks = TOKENS_SQL.format(t="text")
     gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    # optional shingle document-frequency cap (pipeline.dedup max_shingle_df):
+    # drop boilerplate shingles before the self-join; sizes computed on the
+    # SAME capped set so the measure stays a true Jaccard of that universe
+    raw_sh = f"SELECT DISTINCT doc_id, {gram} AS shingle FROM g"
+    if max_df is not None:
+        sh_cte = (
+            f"sh0 AS ({raw_sh}),\n"
+            f"df_ok AS (SELECT shingle FROM sh0 GROUP BY shingle "
+            f"HAVING count(*) <= {max_df}),\n"
+            "sh AS (SELECT sh0.* FROM sh0 JOIN df_ok USING (shingle))"
+        )
+    else:
+        sh_cte = f"sh AS ({raw_sh})"
     return f"""
 t AS (SELECT doc_id, {toks} AS toks FROM {src}),
 g AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-{n - 1}, 0))) AS i, toks FROM t),
-sh AS (SELECT DISTINCT doc_id, {gram} AS shingle FROM g),
+{sh_cte},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -976,6 +971,43 @@ ranked AS (
     PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored
 )
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_sql(cell_bits: int, dim: int, k: int, n_probe_hamming: int = 1) -> str:
+    """DuckDB twin of pipeline.similarity.ivf_topk: coarse hyperplane cell
+    + multi-probe expansion (xor bit flips) + exact re-rank."""
+    terms = []
+    for p in range(cell_bits):
+        plane = _hyperplane_literal(p, dim)
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) > 0 "
+            f"THEN 1::BIGINT ELSE 0 END << {p})"
+        )
+    cell = " + ".join(terms)
+    flips = [0]
+    if n_probe_hamming >= 1:
+        flips += [1 << i for i in range(cell_bits)]
+    if n_probe_hamming >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(cell_bits)
+            for j in range(i + 1, cell_bits)
+        ]
+    flips_sql = ", ".join(f"({f})" for f in flips)
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qemb, cell AS qcell FROM c WHERE vec_id < 10),
+probe AS (SELECT query_id, qemb, xor(qcell, f.flip) AS cell
+          FROM q, (VALUES {flips_sql}) f(flip)),
+cand AS (
+  SELECT probe.query_id, probe.qemb, c.vec_id AS neighbor_id, c.embedding AS cemb
+  FROM c JOIN probe ON c.cell = probe.cell AND c.vec_id != probe.query_id
+),
+scored AS (SELECT query_id, neighbor_id, {_cos_sql("cemb", "qemb")} AS cos_sim FROM cand),
+ranked AS (SELECT *, row_number() OVER (
+  PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
 
@@ -1371,7 +1403,7 @@ SELECT md5(lower(trim(text))) AS content_md5, count(*) AS dup_count,
 FROM documents GROUP BY 1
 """,
         "dedup_ngram_jaccard": "WITH "
-        + _dedup_shingle_sql()
+        + _dedup_shingle_sql(max_df=100)
         + "SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= 0.8",
         "dedup_minhash_sig": "WITH " + _minhash_sig_sql() + "\nSELECT * FROM sig",
         "dedup_minhash_lsh": "WITH "
@@ -1397,12 +1429,9 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
-        "dedup_embedding": f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
-""",
+        "dedup_embedding": _dedup_embedding_lsh_sql(
+            n_bits=4, n_tables=6, threshold=0.4
+        ),
         "curate_decontaminate": f"""
 WITH t AS (
   SELECT doc_id, {bucket_sql("cast(doc_id AS varchar)", 20)} = 0 AS is_eval,
@@ -1461,7 +1490,7 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """,
         "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5, n_tables=3),
-        "ann_ivf_topk": _ann_lsh_sql(n_bits=4, dim=64, k=5, n_tables=1),
+        "ann_ivf_topk": _ivf_sql(cell_bits=4, dim=64, k=5, n_probe_hamming=1),
         "multimodal_meta": """
 SELECT cast(doc_id AS varchar) AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -360,3 +360,111 @@ def test_resize_media_rewrites_dims_keeps_body(spark):
     assert not meta["m2"]["valid"]  # junk passes through unharmed
     got = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
     assert got["m1"][20:] == pack_fake_media("m1", 0, 640, 480, 1, 0)[20:]  # body kept
+
+
+# ---------------- round-2 scale-path additions ----------------
+
+
+def test_cosine_pairs_blocked_subset_of_allpairs_no_false_positives(emb):
+    """The registered embedding-dedup plan (RP-LSH blocked) must be a
+    SUBSET of the exact all-pairs result with identical cosine values —
+    LSH trades recall, never precision."""
+    from ticdc_spark.pipeline.similarity import cosine_pairs, cosine_pairs_blocked
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs_blocked(emb, threshold=0.4, n_bits=4, n_tables=6).collect()
+    }
+    assert set(blocked) <= set(exact)
+    assert all(blocked[p] == exact[p] for p in blocked)
+    # and it finds a usable share of the true pairs on this corpus
+    if exact:
+        assert len(blocked) / len(exact) >= 0.5
+
+
+def test_dedup_embedding_query_has_no_cartesian_join(spark):
+    """plan-level guard for VERDICT finding 1: the registered
+    dedup_embedding plan must not contain a cartesian/broadcast-nested-loop
+    product."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dedup_embedding"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_index_prunes_partitions_and_recalls(emb, spark, tmp_path):
+    """Real IVF: hive-partitioned cells, probe = query cell + Hamming-1
+    cells. The probed scan must read a strict subset of the cell
+    directories, and recall@5 vs brute force must be usable."""
+    import os
+
+    from ticdc_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb, idx, cell_bits=4, dim=64)
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) > 5  # corpus actually spreads over cells
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_topk_indexed(spark, idx, queries, k=5, cell_bits=4, dim=64)
+    # scan prunes: the executed plan's partition filter keeps <= 5/16 cells
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    inline = ivf_topk(emb, queries, k=5, cell_bits=4, dim=64)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in inline.collect()}
+    assert a == b  # indexed and inline probe agree exactly
+
+    brute = cosine_topk(emb, queries, k=5)
+    truth = {}
+    for r in brute.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    found = {}
+    for (q, _), n in a.items():
+        found.setdefault(q, set()).add(n)
+    recalls = [
+        len(found.get(q, set()) & t) / len(t) for q, t in truth.items() if t
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4  # multi-probe recall floor
+
+
+def test_minhash_lsh_survives_adversarial_identical_corpus(spark):
+    """500 identical docs → every pair is an LSH candidate (~125k pairs).
+    Pre-fix the verify stage force-broadcast this quadratic candidate set;
+    now AQE chooses, and the plan completes with the full pair count."""
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(500)],
+        "doc_id long, text string",
+    )
+    from ticdc_spark.pipeline.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(docs, n=3, threshold=0.9)
+    assert out.count() == 500 * 499 // 2
+    assert out.filter(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_pairs(spark):
+    """Docs sharing ONLY a boilerplate footer (present in every doc) must
+    produce no pairs once the shingle df cap excludes the footer shingles —
+    the quadratic hot bucket never forms."""
+    footer = "copyright acme corp all rights reserved"
+    rows = [(i, f"unique body text number {i} {footer}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ticdc_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=10)
+    assert uncapped.count() > 0  # footer shingles alone push pairs over 0.5
+    assert capped.count() == 0

@@ -64,16 +64,37 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ threshold.
 
     Plan: explode shingles → self-equi-join on shingle (doc_a < doc_b) →
-    count per pair = intersection; set sizes joined back (broadcast — it's
-    one row per doc). The shingle join is the only quadratic step and only
-    within identical shingles.
+    count per pair = intersection; set sizes joined back (no broadcast
+    hint — at corpus scale `sizes` is one row per DOC, far too big to
+    broadcast; AQE picks broadcast at runtime when it actually fits).
+
+    max_shingle_df: drop shingles whose document frequency exceeds the cap
+    BEFORE the self-join (standard MinHash/Jaccard practice). Boilerplate
+    shingles shared by millions of docs make the self-join quadratic in the
+    hot bucket; capping df bounds pair expansion at df²·n_shingles. The
+    Jaccard is then computed over the CAPPED shingle sets (sizes too), so
+    the measure stays a true Jaccard of the filtered universe.
     """
     sh = shingles(docs, n, text_col)
+    if max_shingle_df is not None:
+        # df per shingle is a map-side-combined count; the anti-filter is a
+        # shuffle-free semi-join on the already-partitioned shingle key
+        df_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(df_ok, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -85,8 +106,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
@@ -162,14 +183,17 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify ONLY candidates (the point of LSH): restrict shingle sets to
-    # candidate pairs — candidates are small, so both joins broadcast.
+    # verify ONLY candidates (the point of LSH). NO broadcast hints here:
+    # on an adversarial corpus (huge near-dup clusters) the candidate set
+    # is quadratic in the cluster size and a forced broadcast OOMs the
+    # driver; AQE picks broadcast at runtime when the set actually fits,
+    # and falls back to a shuffle join when it doesn't.
     sh = shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
     inter = (
-        F.broadcast(cand)
+        cand
         .join(sh_a, "doc_a")
         .join(sh_b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("shingle_b")))
         .groupBy("doc_a", "doc_b")
@@ -178,8 +202,8 @@ def minhash_lsh_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),

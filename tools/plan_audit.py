@@ -34,6 +34,8 @@ AUDIT = [
     "codec_canal_flat",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
     "ann_topk",
     "ann_ivf_topk",
     "curate_corpus",
