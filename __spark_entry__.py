@@ -259,6 +259,22 @@ def q_cdc_dispatch_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_cyclic_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic replication origin stamping + echo filter (pkg/cyclic/
+    filter.go:103-113): txns join the mark table by commit_ts — marked txns
+    carry the mark's replica id, unmarked the local id; origins in the
+    filter set are dropped. Marks here are synthetic-deterministic:
+    ts%7==0 → replica 2+ts%3; filter drops replica 3."""
+    from ticdc_spark.operators.cyclic import filter_echoes
+
+    feed = changelog(spark, sf_dir)
+    marks = feed.filter(F.col("commit_ts") % 7 == 0).select(
+        "commit_ts", (F.lit(2) + F.col("commit_ts") % 3).cast("long").alias("replica_id")
+    )
+    out = filter_echoes(feed, marks, local_replica_id=1, filter_replica_ids=[3])
+    return out.select("commit_ts", "seq", "doc_id", "op", "origin_replica")
+
+
 def q_cdc_op_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EntrySorter comparator (entry_sorter.go:62-72): per-key apply order =
     commit_ts asc, seq asc, delete-before-put on ties."""
@@ -1147,6 +1163,13 @@ SELECT {bucket_sql("doc_id", 16)} AS bucket, count(*) AS n_events,
        count(DISTINCT doc_id) AS n_keys
 FROM feed GROUP BY 1
 """,
+        "cdc_cyclic_stamp": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, doc_id, op,
+       CASE WHEN commit_ts % 7 = 0 THEN 2 + commit_ts % 3 ELSE 1 END AS origin_replica
+FROM feed
+WHERE NOT (commit_ts % 7 = 0 AND 2 + commit_ts % 3 = 3)
+""",
         "cdc_dispatch_ts": f"""
 WITH feed AS ({FEED_SQL})
 SELECT commit_ts % 16 AS partition, count(*) AS n_events,
@@ -1525,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_slice": q_cdc_epoch_slice,
         "cdc_txn_group": q_cdc_txn_group,
         "cdc_dispatch_buckets": q_cdc_dispatch_buckets,
+        "cdc_cyclic_stamp": q_cdc_cyclic_stamp,
         "cdc_dispatch_ts": q_cdc_dispatch_ts,
         "cdc_dispatch_rules": q_cdc_dispatch_rules,
         "cdc_op_ordering": q_cdc_op_ordering,

@@ -468,3 +468,24 @@ def test_ngram_jaccard_df_cap_drops_boilerplate_pairs(spark):
     capped = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=10)
     assert uncapped.count() > 0  # footer shingles alone push pairs over 0.5
     assert capped.count() == 0
+
+
+def test_pack_offsets_range_parallel_window(spark):
+    """The global pack is a distributed prefix sum: the window runs per
+    range partition (hashpartitioning on the range id), never as one
+    single-partition global sort; offsets equal the sequential fold."""
+    from ticdc_spark.pipeline.pack import pack_offsets
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 91 + 1) for i in range(5000)], "doc_id long, n_tok long"
+    )
+    out = pack_offsets(docs, seq_len=128, range_partitions=8)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off
+        off += r["n_tok"]
+        assert r["end_off"] == off
+        assert r["seq_id"] == r["start_off"] // 128

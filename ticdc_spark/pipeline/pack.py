@@ -4,16 +4,23 @@ documents concatenated in a deterministic order, sequences cut every L
 tokens; a document may span a boundary, recorded by its start/end offsets —
 cu_seqlens-style metadata).
 
-Pure window arithmetic (cumulative token counts), so it is one sort-shuffle
-at any scale and oracle-checkable:
-
     offset(doc) = Σ n_tok of docs before it (order: doc_id)
     seq_id(doc) = offset // L
 
-At 100 TB: the global cumulative sum is a range-partitioned sort (Spark's
-window over a single ordering); for throughput, pack per shard (partition by
-hash(doc) into S shards, offsets within shard) — same plan with shard in the
-partition key, fully parallel, at the cost of ≤ S partially-filled tails.
+Scale shape: a naive global running-sum window is ONE partition — a single
+task folding the whole corpus. The global path here is the classic
+distributed prefix sum instead:
+
+  1. range-partition by the order key (S ranges, S-way parallel)
+  2. local cumulative sum within each range (window partitioned by range id)
+  3. per-range totals → driver prefix-scan (O(S) metadata fold, the same
+     pattern as the engine's watermark folds) → broadcast offsets back
+  4. global offset = range prefix + local cumsum
+
+Shuffle carries only (order_key, n_tok) ≈ 16 B/row; every stage is S-way
+parallel. Exact same numbers as the global window — range boundaries affect
+only WHERE the work happens, never the offsets. With shard_col set, packing
+is per-shard (fully parallel single window, ≤ S partially-filled tails).
 """
 
 from __future__ import annotations
@@ -22,25 +29,68 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _global_cumsum(
+    docs: DataFrame, n_tok_col: str, order_col: str, range_partitions: int
+) -> DataFrame:
+    """docs + `_cum` = inclusive global running sum of n_tok in order_col
+    order, computed with range-parallel prefix sums (no single-partition
+    window)."""
+    ranged = docs.repartitionByRange(range_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(order_col)
+    # persist BEFORE the totals fold: repartitionByRange samples its
+    # boundaries per execution, so without pinning, the totals job and the
+    # downstream job could assign different _pid ranges. The cached slice is
+    # (order, n_tok, pid, cum) ≈ 24 B/row, MEMORY_AND_DISK.
+    local = ranged.withColumn("_cum_local", F.sum(n_tok_col).over(w_local)).persist()
+    # per-range totals: O(range_partitions) rows to the driver — a metadata
+    # fold, not a data collect
+    totals = {
+        int(r["_pid"]): int(r["t"])
+        for r in local.groupBy("_pid").agg(F.max("_cum_local").alias("t")).collect()
+    }
+    prefix: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    # broadcast the prefix map as a literal CASE — range count is small
+    off = F.lit(0)
+    for pid, p in prefix.items():
+        if p:
+            off = F.when(F.col("_pid") == pid, F.lit(p)).otherwise(off)
+    return local.withColumn("_cum", F.col("_cum_local") + off).drop(
+        "_pid", "_cum_local"
+    )
+
+
 def pack_offsets(
     docs: DataFrame,
     seq_len: int,
     n_tok_col: str = "n_tok",
     order_col: str = "doc_id",
     shard_col: str | None = None,
+    range_partitions: int = 32,
 ) -> DataFrame:
     """Per-document packing metadata: (order cols..., start_off, end_off,
     seq_id, spans_boundary)."""
-    part = [shard_col] if shard_col else []
-    w = Window.partitionBy(*part).orderBy(order_col)
-    cum = F.sum(n_tok_col).over(w)
-    start = (cum - F.col(n_tok_col)).alias("start_off")
-    out = docs.select(
-        *( [shard_col] if shard_col else [] ),
-        order_col,
-        F.col(n_tok_col),
-        start,
-        cum.alias("end_off"),
+    if shard_col:
+        # per-shard pack: the shard IS the window partition — parallel as-is
+        w = Window.partitionBy(shard_col).orderBy(order_col)
+        cum = docs.select(shard_col, order_col, n_tok_col).withColumn(
+            "_cum", F.sum(n_tok_col).over(w)
+        )
+        keep = [shard_col, order_col, n_tok_col]
+    else:
+        cum = _global_cumsum(
+            docs.select(order_col, n_tok_col), n_tok_col, order_col, range_partitions
+        )
+        keep = [order_col, n_tok_col]
+    out = cum.select(
+        *keep,
+        (F.col("_cum") - F.col(n_tok_col)).alias("start_off"),
+        F.col("_cum").alias("end_off"),
     )
     return out.select(
         "*",

@@ -114,6 +114,7 @@ class ChangeFeed:
         mq_partitions: int = 16,
         mq_dispatch_rule: str = "index-value",
         expire_keep_last: int | None = None,
+        cyclic: dict | None = None,
     ):
         """start_ts: replicate only events with commit_ts > start_ts — the
         `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
@@ -153,6 +154,14 @@ class ChangeFeed:
         # metadata + orphan data growth on a long-running feed. Off by
         # default (keeps time travel open for ad-hoc reads).
         self.expire_keep_last = expire_keep_last
+        # Cyclic (bidirectional) replication (pkg/cyclic): dict with
+        #   replica_id          — id of the SOURCE cluster this feed reads
+        #   filter_replica_ids  — origins to drop (echoes a peer owns)
+        #   source_marks_dir    — the source cluster's repl_mark table
+        #                         (stamping + echo filter + loopback check)
+        #   marks_dir           — where THIS feed writes marks for rows it
+        #                         applies downstream (the mark.go write side)
+        self.cyclic = dict(cyclic) if cyclic else None
         # Changefeed identity (ChangeFeedInfo id analog): epoch ids must be
         # unique per FEED, not just per batch — Structured Streaming batch
         # ids restart at 0 for a new checkpoint, so a second feed over the
@@ -262,6 +271,32 @@ class ChangeFeed:
             ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
             tail = events.filter(F.col("commit_ts") > F.lit(resolved))
 
+            # 3b. cyclic replication: stamp origins from the source
+            # cluster's mark table, drop echoes, refuse loopbacks. Runs on
+            # the released prefix only — echoes still advance watermarks
+            # (they are real stream positions), they just don't re-apply.
+            if self.cyclic and self.cyclic.get("source_marks_dir"):
+                from ..operators.cyclic import (
+                    filter_echoes,
+                    loopback_check,
+                    read_marks,
+                )
+
+                marks = read_marks(self.spark, self.cyclic["source_marks_dir"])
+                n_loop = loopback_check(ready, marks, self.cyclic["replica_id"])
+                if n_loop:
+                    raise RuntimeError(
+                        f"cyclic loopback detected: {n_loop} events marked with "
+                        f"the local replica id {self.cyclic['replica_id']} "
+                        "(pkg/cyclic/filter.go:49-53)"
+                    )
+                ready = filter_echoes(
+                    ready,
+                    marks,
+                    self.cyclic["replica_id"],
+                    self.cyclic.get("filter_replica_ids", []),
+                )
+
             # 4. DDL barriers inside the releasable range. Boundaries are
             # ALL configured DDL ts ≤ resolved — independent of execution
             # state — so slice indexing (hence epoch ids) is stable across
@@ -322,6 +357,21 @@ class ChangeFeed:
             executed_ddls = [(ts, self.registry.fields(ver)) for ver, ts in barriers]
             timings["apply"] = _time.time() - t0
             t0 = _time.time()
+
+            # 4a'. cyclic write side (mark.go): one mark row per applied
+            # txn, carrying its origin (the stamp when source marks exist,
+            # else the source replica id). Idempotent per batch id.
+            if self.cyclic and self.cyclic.get("marks_dir"):
+                from ..operators.cyclic import mark_rows, write_marks
+
+                origin = (
+                    "origin_replica"
+                    if "origin_replica" in ready.columns
+                    else self.cyclic["replica_id"]
+                )
+                write_marks(
+                    mark_rows(ready, origin), self.cyclic["marks_dir"], batch_id
+                )
 
             # 4b. MOR hygiene: fold deltas when a bucket accumulates too many
             self.table.maybe_compact(self.compact_max_deltas)
