@@ -40,8 +40,11 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "codec_avro",
     "curate_corpus",
     "tokens_pack",
     "events_sessionize",
@@ -210,6 +213,35 @@ def bench_streaming(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_streaming_one_batch(spark, work_root: str, n_events: int) -> dict:
+    """Streaming at a production batch size: ONE availableNow batch over the
+    whole binlog. The delta vs the 4-batch row isolates the fixed per-
+    trigger cost (checkpoint + offset log + plan setup, ~1 s/batch) — at
+    production batch sizes it amortizes to noise, which this row evidences."""
+    import glob as g
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    binlog_dir = os.path.join(work_root, f"binlog_c_{n_events}")
+    stream_glob = os.path.join(binlog_dir, "chunk-*")
+    tbl_dir = os.path.join(work_root, "stream1_tbl")
+    ckpt = os.path.join(work_root, "stream1_ckpt")
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    cf = ChangeFeed(table, stream_glob, checkpoint_dir=ckpt, mode="typed")
+    t0 = time.time()
+    summaries = cf.run_available()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(summaries),
+        "final_rows": table.read().count(),
+    }
+
+
 def bench_stream_raw(spark, work_root: str, n_events: int) -> dict:
     """Raw-mode streaming replay: payload arrives as a JSON string and the
     mounter (`from_json` per schema version) decodes it per micro-batch —
@@ -282,13 +314,22 @@ def main() -> None:
     stream = None
     skew = None
     raw = None
+    stream1 = None
+    replay_big = None
     if not only_replay:
         stream = bench_streaming(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_replay"] = stream["sec"]
+        stream1 = bench_streaming_one_batch(spark, work_root, N_EVENTS)
+        qtimes["cdc_stream_one_batch"] = stream1["sec"]
         skew = bench_replay_skew(spark, work_root, N_EVENTS)
         qtimes["cdc_replay_skew"] = skew["sec"]
         raw = bench_stream_raw(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_raw"] = raw["sec"]
+    if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
+        # 4x-events replay (the sf≈1 row): generation is cached in work_root,
+        # so repeat runs measure only the replay
+        replay_big = bench_replay(spark, work_root, N_EVENTS * 4)
+        qtimes["cdc_replay_big"] = replay_big["sec"]
 
     qs = entrymod.queries()
     for name in [] if only_replay else BENCH_QUERIES:
@@ -309,8 +350,10 @@ def main() -> None:
                 "sf": _sf_of(SF_DIR),
                 "replay": replay,
                 "stream": stream,
+                "stream_one_batch": stream1,
                 "replay_skew": skew,
                 "stream_raw": raw,
+                "replay_big": replay_big,
                 "cpus": int(CPUS),
             }
         )

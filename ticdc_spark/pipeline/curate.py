@@ -51,9 +51,11 @@ def curate(
         pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
+    # no broadcast hint on `dropped`: near-dup clusters can cover most of an
+    # adversarial corpus — AQE broadcasts at runtime only when it fits
     return (
         keep_q.join(canon, "doc_id", "inner")
-        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(dropped, "doc_id", "left_anti")
         .join(lang, "doc_id", "inner")
         .select("doc_id", "n_words", "stopword_ratio", "lang_pred")
     )
