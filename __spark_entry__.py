@@ -480,6 +480,26 @@ def q_codec_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_canal_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal PROTOBUF codec round trip (cdc/sink/codec/canal.go:113-276 +
+    proto/EntryProtocol.proto): Entry{Header, ROWDATA, RowChange} in proto3
+    wire format, values stringified per the java type map, deletes carry
+    the key in beforeColumns, executeTime = commit_ts>>18."""
+    from ticdc_spark.functions.canal_proto import (
+        decode_canal_entries,
+        encode_canal_entries,
+    )
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    payload = [("event_type", "string"), ("value", "double")]
+    enc = encode_canal_entries(feed, payload)
+    dec = decode_canal_entries(enc, payload)
+    return dec.select(
+        "commit_ts", "seq", "table", F.col("op2").alias("op"), "doc_id",
+        "es_ms", "event_type", F.round("value", 6).alias("val"),
+    )
+
+
 def q_cdc_lww_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite handle key (many_pk_or_uk's composite-PK shape,
     tests/dailytest table t2): LWW collapse per (event_type, doc_id) — the
@@ -1282,6 +1302,14 @@ SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
        event_type, round(value, 6) AS val
 FROM feed
 """,
+        "codec_canal_entry": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       commit_ts // 262144 AS es_ms,
+       CASE WHEN op != 'D' THEN event_type END AS event_type,
+       CASE WHEN op != 'D' THEN round(value, 6) END AS val
+FROM feed
+""",
         "codec_avro": f"""
 WITH feed AS ({FEED_SQL})
 SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
@@ -1563,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_canal_flat": q_codec_canal_flat,
         "codec_maxwell": q_codec_maxwell,
         "codec_avro": q_codec_avro,
+        "codec_canal_entry": q_codec_canal_entry,
         "cdc_causality": q_cdc_causality,
         "cdc_lww_composite": q_cdc_lww_composite,
         "q1_pricing": q_q1_pricing,

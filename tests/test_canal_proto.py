@@ -1,0 +1,92 @@
+"""Canal protobuf codec (cdc/sink/codec/canal.go + proto/EntryProtocol.proto):
+hand-computed proto3 wire bytes pin the format; Spark round trip covers the
+UDF surface including deletes (key-only beforeColumns)."""
+
+from ticdc_spark.functions.canal_proto import (
+    EVENT_DELETE,
+    EVENT_INSERT,
+    _pair,
+    build_column,
+    build_entry,
+    parse_entry,
+    parse_message,
+)
+
+
+def test_pair_golden_bytes():
+    # field1 "a": tag 0x0A len 1; field2 "b": tag 0x12 len 1
+    assert _pair("a", "b") == b"\x0a\x01a\x12\x01b"
+
+
+def test_column_golden_bytes():
+    got = build_column("k", "v", "string", True, True)
+    assert got == (
+        b"\x10\x0c"          # sqlType=12 VARCHAR
+        b"\x1a\x01k"         # name
+        b"\x20\x01"          # isKey
+        b"\x28\x01"          # updated
+        b"\x30\x00"          # oneof isNull=false (always written)
+        b"\x42\x01v"         # value
+        b"\x52\x06string"    # mysqlType
+    )
+
+
+def test_negative_sqltype_varint():
+    # BIGINT = -5 → two's-complement 10-byte varint
+    c = build_column("n", 7, "bigint", False, True)
+    p = parse_message(c)
+    assert p[2][0] - (1 << 64) == -5
+    assert p[8][0] == b"7" and p[10][0] == b"bigint"
+
+
+def test_entry_roundtrip_insert_and_delete():
+    e = build_entry(
+        1000 << 18, "cdc", "events", "I", ("doc_id", "d1"),
+        [("event_type", "view", "string"), ("value", 0.5, "double")],
+    )
+    out = parse_entry(e)
+    assert out["op"] == "I" and out["table"] == "events"
+    assert out["es_ms"] == 1000  # convertToCanalTs: ts >> 18
+    assert out["columns"] == {"doc_id": "d1", "event_type": "view", "value": "0.5"}
+    assert out["key_names"] == {"doc_id"}
+
+    d = build_entry(2000 << 18, "cdc", "events", "D", ("doc_id", "d2"), [])
+    out = parse_entry(d)
+    assert out["op"] == "D"
+    assert out["columns"] == {"doc_id": "d2"}  # delete carries only the key
+
+
+def test_null_value_roundtrip():
+    e = build_entry(
+        1 << 18, "cdc", "t", "U", ("doc_id", "x"),
+        [("s", None, "string")],
+    )
+    assert parse_entry(e)["columns"]["s"] is None
+
+
+def test_spark_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.functions.canal_proto import (
+        decode_canal_entries,
+        encode_canal_entries,
+    )
+
+    rows = [
+        (100 << 18, 1, "t", "I", "d1", "view", 0.5),
+        (101 << 18, 2, "t", "U", "d2", "buy", 1.25),
+        (102 << 18, 3, "t", "D", "d3", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "commit_ts long, seq long, table string, op string, doc_id string, "
+        "event_type string, value double",
+    )
+    payload = [("event_type", "string"), ("value", "double")]
+    enc = encode_canal_entries(df, payload)
+    dec = decode_canal_entries(enc, payload)
+    out = {r["doc_id"]: r for r in dec.collect()}
+    assert out["d1"]["op2"] == "I" and out["d1"]["value"] == 0.5
+    assert out["d1"]["es_ms"] == 100
+    assert out["d2"]["event_type"] == "buy" and out["d2"]["value"] == 1.25
+    assert out["d3"]["op2"] == "D" and out["d3"]["event_type"] is None
