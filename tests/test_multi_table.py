@@ -315,3 +315,66 @@ def test_multi_table_soak_crash_redelivery_compaction(spark, tmp_path):
         expected = apply_binlog(ev, upto_ts=resolved)
         problems = diff_tables(expected, _lake_arrow(tbl))
         assert not problems, (nm, problems[:3])
+
+
+def test_multi_table_mq_pipeline_with_rules_and_ddl(spark, tmp_path):
+    """Round-2: multi-table MQ emission routed by the dispatcher rule set
+    ('ta' → table rule: all ta rows share one partition; others →
+    index-value), per-table DDL messages, and the multi-table consumer
+    replicating both downstream tables to upstream state."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.streaming.consumer import MultiMQConsumer
+
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    lo = pc.min(ev_a.column("commit_ts")).as_py()
+    hi = pc.max(ev_a.column("commit_ts")).as_py()
+    ddl_rows = [
+        {"commit_ts": (lo + hi) // 2, "ddl_type": "add_column", "table": "ta",
+         "spec": '{"name":"lang","type":"string"}'},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    mq = str(tmp_path / "mq")
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, ddl_rows=ddl_rows,
+        mq_dir=mq, mq_partitions=8,
+        mq_dispatch_rules=[("ta", "table")],
+    )
+    cf.run_available()
+    assert ta.schema_version == 1  # the ta DDL executed
+
+    # routing: every ta message landed in ONE partition (table rule);
+    # tb spreads over partitions (index-value)
+    batch_dirs = sorted(
+        os.path.join(mq, d) for d in os.listdir(mq) if d.startswith("batch-")
+    )
+    parts = [
+        spark.read.option("basePath", b).parquet(b + "/partition=*")
+        for b in batch_dirs
+    ]
+    msgs = parts[0]
+    for p in parts[1:]:
+        msgs = msgs.unionByName(p)
+    tcol = F.get_json_object("key_json", "$.table")
+    assert msgs.filter(tcol == "ta").select("partition").distinct().count() == 1
+    assert msgs.filter(tcol == "tb").select("partition").distinct().count() > 1
+
+    # downstream replication incl. the ta schema evolution
+    da = LakeTable.create(spark, str(tmp_path / "da"), n_buckets=4)
+    db = LakeTable.create(spark, str(tmp_path / "db"), n_buckets=4)
+    stats = MultiMQConsumer(spark, mq, {"ta": da, "tb": db}).run_once()
+    assert stats
+    assert [f["name"] for f in da.current_fields] == [f["name"] for f in ta.current_fields]
+    for up, down in ((ta, da), (tb, db)):
+        cols = [f["name"] for f in up.current_fields]
+        a = {r["doc_id"]: tuple(
+            tuple(v) if isinstance(v, list) else v for v in [r[c] for c in cols])
+            for r in up.read().collect()}
+        b = {r["doc_id"]: tuple(
+            tuple(v) if isinstance(v, list) else v for v in [r[c] for c in cols])
+            for r in down.read().collect()}
+        assert a == b and len(a) > 0
+    # re-consumption is a per-table no-op
+    assert MultiMQConsumer(spark, mq, {"ta": da, "tb": db}).run_once() == []

@@ -103,3 +103,90 @@ class MQConsumer:
             st = self.table.merge_epoch(winners, epoch_id, assume_deduped=True)
             stats.append({"batch": name, "frontier": frontier, **st})
         return stats
+
+
+class MultiMQConsumer:
+    """Multi-table MQ consumer: one batch dir carries every table's
+    messages (routed there by the dispatcher switcher); rows come back to
+    their table via the key_json `table` field, DDL messages via their key's
+    `table` field. Per-(table, batch) epoch ids keep re-consumption a no-op
+    per table independently."""
+
+    def __init__(self, spark, mq_dir: str, tables: dict[str, "LakeTable"]):
+        self.spark = spark
+        self.mq_dir = mq_dir
+        self.tables = dict(tables)
+
+    def _payload_schema(self, table: LakeTable) -> T.StructType:
+        key = table.key_col
+        return T.StructType(
+            [
+                T.StructField(f["name"], T._parse_datatype_string(f["type"]))
+                for f in table.current_fields
+                if f["name"] != key
+            ]
+        )
+
+    def run_once(self) -> list[dict]:
+        import glob as g
+        import json as j
+
+        from .changefeed import advance_lake_schema
+
+        stats = []
+        if not os.path.isdir(self.mq_dir):
+            return stats
+        for name in sorted(os.listdir(self.mq_dir)):
+            if not name.startswith("batch-"):
+                continue
+            bdir = os.path.join(self.mq_dir, name)
+            res = self.spark.read.parquet(os.path.join(bdir, "resolved.parquet"))
+            frontier = (
+                res.select(
+                    F.get_json_object("key_json", "$.ts").cast("long").alias("ts")
+                )
+                .agg(F.min("ts"))
+                .collect()[0][0]
+            )
+            ddl_msgs = []
+            for ddl_file in g.glob(os.path.join(bdir, "ddl-*.parquet")):
+                row = self.spark.read.parquet(ddl_file).collect()[0]
+                k = j.loads(row["key_json"])
+                ddl_msgs.append((k["ts"], k["table"], row))
+            for ts, tname, row in sorted(ddl_msgs, key=lambda x: x[0]):
+                if ts > frontier:
+                    raise RuntimeError(
+                        f"DDL at ts={ts} exceeds batch frontier {frontier} ({name})"
+                    )
+                if tname not in self.tables:
+                    continue
+                fields_next = j.loads(row["value_json"])["fields"]
+                advance_lake_schema(
+                    self.tables[tname], fields_next, f"mq-ddl-{tname}-{ts}"
+                )
+            msgs = self.spark.read.option("basePath", bdir).parquet(
+                os.path.join(bdir, "partition=*")
+            )
+            for tname, table in self.tables.items():
+                epoch_id = f"mq-{tname}-{name}"
+                if epoch_id in table.committed_epochs:
+                    continue
+                mine = msgs.filter(
+                    F.get_json_object("key_json", "$.table") == F.lit(tname)
+                )
+                dec = decode_open_protocol(
+                    mine.select("key_json", "value_json"),
+                    self._payload_schema(table),
+                ).filter(F.col("commit_ts") <= F.lit(frontier))
+                key = table.key_col
+                payload = [
+                    f["name"] for f in table.current_fields if f["name"] != key
+                ]
+                winners = lww_latest_semijoin(
+                    dec.select(key, "op", "commit_ts", "seq", *payload), [key]
+                )
+                st = table.merge_epoch(winners, epoch_id, assume_deduped=True)
+                stats.append(
+                    {"batch": name, "table": tname, "frontier": frontier, **st}
+                )
+        return stats

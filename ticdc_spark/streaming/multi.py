@@ -41,6 +41,9 @@ class MultiTableChangeFeed:
         stop_ts: dict[str, int] | None = None,  # table -> stop-at ts
         ddl_rows: list | None = None,  # flat (commit_ts, ddl_type, table, spec)
         mode: str = "typed",  # "typed" (columnar binlog) | "raw" (payload json)
+        mq_dir: str | None = None,
+        mq_partitions: int = 16,
+        mq_dispatch_rules: list[tuple[str, str]] | None = None,
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
@@ -63,6 +66,12 @@ class MultiTableChangeFeed:
         self.boundaries = dict(boundaries or {})
         self.stop_ts = dict(stop_ts or {})
         self.mode = mode
+        # multi-table MQ sink: one batch dir shared by every table, rows
+        # routed by the dispatcher rule set (§2.10 switcher — per-table glob
+        # matchers; default index-value keeps per-key ordering)
+        self.mq_dir = mq_dir
+        self.mq_partitions = mq_partitions
+        self.mq_dispatch_rules = list(mq_dispatch_rules or [])
         self.batch_summaries: list[dict] = []
         # per-table schema registries built from the routed DDL stream
         import json as _json
@@ -201,6 +210,7 @@ class MultiTableChangeFeed:
         tail = events.filter(F.col("commit_ts") > F.lit(resolved))
 
         per_table = {}
+        mq_tables: dict[str, tuple] = {}
         for name, table in self.tables.items():
             sl = ready.filter(F.col("table") == F.lit(name))
             if name in self.boundaries:
@@ -228,6 +238,9 @@ class MultiTableChangeFeed:
                 slices.append((lo, ts))
                 lo = ts
             slices.append((lo, None))
+
+            if self.mq_dir is not None:
+                mq_tables[name] = (sl, barriers, reg)
 
             # skip provably-empty leading slices (barriers from prior
             # batches) — data-derived, so identical on replay
@@ -275,6 +288,9 @@ class MultiTableChangeFeed:
                         advance_lake_schema(table, reg.fields(ver), f"ddl-{name}-{shi}")
             per_table[name] = committed_any
 
+        if self.mq_dir is not None:
+            self._emit_mq(mq_tables, batch_id, resolved)
+
         had_tail = any(int(r["max_ts"]) > resolved for r in part_stats)
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
         if had_tail:
@@ -293,6 +309,86 @@ class MultiTableChangeFeed:
                 "events": sum(int(r["cnt"]) for r in part_stats),
             }
         )
+
+    def _emit_mq(self, mq_tables: dict, batch_id: int, resolved: int) -> None:
+        """Multi-table MQ emission: every table's released prefix encoded as
+        Open-Protocol messages into ONE batch dir, rows routed by the
+        dispatcher rule set (first-match-wins glob switcher, §2.10), then
+        the resolved broadcast and per-table DDL messages (every barrier ≤
+        resolved — consumer diffs are idempotent, see ChangeFeed._emit_mq)."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..functions.codec import KEY_FIELDS
+        from ..operators.mounter import mount_raw
+        from .dispatch import compile_dispatch_rules, index_value_partition
+
+        outs = []
+        ddl_msgs: list[tuple[str, int, list]] = []
+        for name, (sl, barriers, reg) in mq_tables.items():
+            table = self.tables[name]
+            if self.mode == "raw":
+                hint = None
+                if reg is not None and len(reg.versions) > 1:
+                    hint = list(range(0, reg.version_at(resolved) + 1))
+                sl = mount_raw(sl, reg, table.schema_version, versions_present=hint)
+            key = table.key_col
+            payload_cols = [
+                f["name"] for f in table.current_fields if f["name"] != key
+            ]
+            part_col = (
+                compile_dispatch_rules(
+                    self.mq_dispatch_rules, self.mq_partitions, key_col=key
+                )
+                if self.mq_dispatch_rules
+                else index_value_partition(self.mq_partitions, key_col=key)
+            )
+            key_json = F.to_json(
+                F.struct(*[F.col(c) for c in KEY_FIELDS])
+            ).alias("key_json")
+            val = F.when(
+                F.col("op") != "D",
+                F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
+            ).alias("value_json")
+            outs.append(sl.select(key_json, val, part_col.alias("partition")))
+            for ver, ts in barriers:
+                ddl_msgs.append((name, ts, reg.fields(ver)))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
+        out.repartition(self.mq_partitions, "partition").write.mode(
+            "overwrite"
+        ).partitionBy("partition").parquet(batch_dir)
+        res = pa.table(
+            {
+                "partition": pa.array(list(range(self.mq_partitions)), pa.int32()),
+                "key_json": pa.array(
+                    [
+                        json.dumps({"ts": resolved, "type": "resolved"})
+                        for _ in range(self.mq_partitions)
+                    ]
+                ),
+            }
+        )
+        tmp = os.path.join(batch_dir, ".resolved.parquet.tmp")
+        pq.write_table(res, tmp)
+        os.replace(tmp, os.path.join(batch_dir, "resolved.parquet"))
+        for name, ts, fields_next in ddl_msgs:
+            ddl = pa.table(
+                {
+                    "key_json": pa.array(
+                        [json.dumps({"ts": ts, "type": "ddl", "table": name})]
+                    ),
+                    "value_json": pa.array([json.dumps({"fields": fields_next})]),
+                }
+            )
+            fname = f"ddl-{name}-{ts:020d}.parquet"
+            tmp = os.path.join(batch_dir, "." + fname + ".tmp")
+            pq.write_table(ddl, tmp)
+            os.replace(tmp, os.path.join(batch_dir, fname))
 
     # ---------------- run ----------------
     def _stream(self) -> DataFrame:
