@@ -45,6 +45,18 @@ def main() -> int:
         help="replicate events with commit_ts > start_ts (pair with a "
         "LakeTable.bootstrap snapshot at start_ts)",
     )
+    p.add_argument("--mq-dir", default=None, help="MQ sink output dir")
+    p.add_argument("--mq-partitions", type=int, default=16)
+    p.add_argument(
+        "--mq-dispatch", default="index-value",
+        help="single-table dispatch rule (index-value|table|ts|default) OR "
+        "multi-table rule list 'glob=rule,glob=rule' (first match wins)",
+    )
+    p.add_argument(
+        "--cyclic", default=None,
+        help="cyclic replication: 'replica_id:filter_ids:source_marks:own_marks' "
+        "e.g. '1:2,3:/marks/src:/marks/own' (filter_ids comma-separated)",
+    )
     args = p.parse_args()
 
     from ticdc_spark.lake.table import LakeTable
@@ -77,12 +89,20 @@ def main() -> int:
             if not root:
                 p.error(f"--tables entry {part!r} is not name=path")
             tables[name.strip()] = open_table(root.strip())
+        rules = None
+        if args.mq_dir and "=" in args.mq_dispatch:
+            rules = [
+                tuple(x.split("=", 1)) for x in args.mq_dispatch.split(",")
+            ]
         cf = MultiTableChangeFeed(
             tables,
             args.binlog,
             checkpoint_dir=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             ddl_rows=ddl_rows,
+            mq_dir=args.mq_dir,
+            mq_partitions=args.mq_partitions,
+            mq_dispatch_rules=rules,
         )
         if args.available_now:
             summaries = cf.run_available()
@@ -93,6 +113,15 @@ def main() -> int:
         return 0
 
     table = open_table(args.table)
+    cyclic = None
+    if args.cyclic:
+        rid, fids, src_marks, own_marks = args.cyclic.split(":")
+        cyclic = {
+            "replica_id": int(rid),
+            "filter_replica_ids": [int(x) for x in fids.split(",") if x],
+            "source_marks_dir": src_marks or None,
+            "marks_dir": own_marks or None,
+        }
     cf = ChangeFeed(
         table,
         args.binlog,
@@ -102,6 +131,10 @@ def main() -> int:
         lineage_dir=args.lineage,
         max_files_per_trigger=args.max_files_per_trigger,
         start_ts=args.start_ts,
+        mq_dir=args.mq_dir,
+        mq_partitions=args.mq_partitions,
+        mq_dispatch_rule=args.mq_dispatch,
+        cyclic=cyclic,
     )
     if args.available_now:
         summaries = cf.run_available()
