@@ -480,6 +480,36 @@ def q_codec_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_open_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-Protocol BATCH framing round trip (cdc/sink/codec/json.go:
+    336-368 + 742-792): events grouped per dispatch partition into one
+    (key_bytes, value_bytes) message pair — [8B BE version][len-prefixed
+    keys] / [len-prefixed values], zero-length value for deletes — then
+    unframed and decoded back to rows."""
+    from ticdc_spark.functions.codec import (
+        decode_open_protocol_batched,
+        encode_open_protocol_batched,
+    )
+    from ticdc_spark.functions.hashing import bucket
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    feed = feed.withColumn("partition", bucket("doc_id", 8))
+    enc = encode_open_protocol_batched(feed, ["event_type", "value"])
+    dec = decode_open_protocol_batched(
+        enc,
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    return dec.select(
+        "commit_ts", "seq", "table", "op", "doc_id", "event_type",
+        F.round("value", 6).alias("val"),
+    )
+
+
 def q_codec_canal_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canal PROTOBUF codec round trip (cdc/sink/codec/canal.go:113-276 +
     proto/EntryProtocol.proto): Entry{Header, ROWDATA, RowChange} in proto3
@@ -1302,6 +1332,13 @@ SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
        event_type, round(value, 6) AS val
 FROM feed
 """,
+        "codec_open_batched": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       CASE WHEN op != 'D' THEN event_type END AS event_type,
+       CASE WHEN op != 'D' THEN round(value, 6) END AS val
+FROM feed
+""",
         "codec_canal_entry": f"""
 WITH feed AS ({FEED_SQL})
 SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
@@ -1592,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_maxwell": q_codec_maxwell,
         "codec_avro": q_codec_avro,
         "codec_canal_entry": q_codec_canal_entry,
+        "codec_open_batched": q_codec_open_batched,
         "cdc_causality": q_cdc_causality,
         "cdc_lww_composite": q_cdc_lww_composite,
         "q1_pricing": q_q1_pricing,

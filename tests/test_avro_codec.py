@@ -122,3 +122,49 @@ def test_registry_evolution_new_id_per_schema(spark):
     assert id0 != id1
     assert reg.lookup("docs") == (id1, v1)
     assert reg.register("docs", v1) == id1  # idempotent re-post
+
+
+def test_property_roundtrip_random_records():
+    """Hypothesis: any record of nullable string/long/double/int-array/bool
+    fields survives encode→decode bit-exactly (doubles are IEEE754 pass-
+    through, longs full 64-bit range)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "s", "type": "string"},
+        {"id": 3, "name": "n", "type": "bigint"},
+        {"id": 4, "name": "d", "type": "double"},
+        {"id": 5, "name": "arr", "type": "array<int>"},
+        {"id": 6, "name": "b", "type": "boolean"},
+    ]
+    codec = AvroBinaryCodec(avro_schema("t", fields))
+    rec_st = st.fixed_dictionaries(
+        {
+            "doc_id": st.text(max_size=40),
+            "s": st.one_of(st.none(), st.text(max_size=60)),
+            "n": st.one_of(
+                st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)
+            ),
+            "d": st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=True, width=64),
+            ),
+            "arr": st.one_of(
+                st.none(),
+                st.lists(
+                    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                    max_size=12,
+                ),
+            ),
+            "b": st.one_of(st.none(), st.booleans()),
+        }
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(rec_st)
+    def check(rec):
+        assert codec.decode(codec.encode(rec)) == rec
+
+    check()

@@ -90,3 +90,59 @@ def test_spark_roundtrip(spark):
     assert out["d1"]["es_ms"] == 100
     assert out["d2"]["event_type"] == "buy" and out["d2"]["value"] == 1.25
     assert out["d3"]["op2"] == "D" and out["d3"]["event_type"] is None
+
+
+def test_property_entry_roundtrip_random():
+    """Hypothesis: arbitrary stringifiable payloads survive the proto3
+    entry round trip; ops map correctly; deletes always key-only."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.integers(min_value=0, max_value=2**62),
+        op=st.sampled_from(["I", "U", "D"]),
+        key=st.text(min_size=1, max_size=30),
+        sval=st.one_of(st.none(), st.text(max_size=50)),
+        nval=st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+    )
+    def check(ts, op, key, sval, nval):
+        e = build_entry(
+            ts, "cdc", "t", op, ("doc_id", key),
+            [("s", sval, "string"), ("n", nval, "bigint")],
+        )
+        out = parse_entry(e)
+        assert out["op"] == op and out["es_ms"] == ts >> 18
+        assert out["columns"]["doc_id"] == key
+        if op == "D":
+            assert set(out["columns"]) == {"doc_id"}
+        else:
+            assert out["columns"]["s"] == sval
+            assert out["columns"]["n"] == (None if nval is None else str(nval))
+
+    check()
+
+
+def test_open_protocol_batch_framing_golden():
+    """json.go:336-368 wire layout: key = [8B BE version=1][8B BE len][key],
+    value = [8B BE len][value]; delete frames a zero-length value."""
+    from ticdc_spark.functions.codec import (
+        pack_open_protocol_batch,
+        unpack_open_protocol_batch,
+    )
+
+    kb, vb = pack_open_protocol_batch(["k1", "kk2"], ["v1", None])
+    assert kb == (
+        b"\x00\x00\x00\x00\x00\x00\x00\x01"      # BatchVersion1
+        b"\x00\x00\x00\x00\x00\x00\x00\x02k1"
+        b"\x00\x00\x00\x00\x00\x00\x00\x03kk2"
+    )
+    assert vb == (
+        b"\x00\x00\x00\x00\x00\x00\x00\x02v1"
+        b"\x00\x00\x00\x00\x00\x00\x00\x00"      # delete → zero-length value
+    )
+    assert unpack_open_protocol_batch(kb, vb) == [("k1", "v1"), ("kk2", None)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="version"):
+        unpack_open_protocol_batch(b"\x00\x00\x00\x00\x00\x00\x00\x09", b"")

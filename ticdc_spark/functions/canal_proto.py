@@ -208,7 +208,8 @@ def parse_entry(buf: bytes) -> dict:
     rc = parse_message(entry[3][0])
     ev = rc[2][0]
     op = {EVENT_INSERT: "I", EVENT_UPDATE: "U", EVENT_DELETE: "D"}[ev]
-    row_data = parse_message(rc[12][0])
+    # proto3 elides zero-valued plain scalars — default absent fields
+    row_data = parse_message(rc.get(12, [b""])[0])
     cols = {}
     key_names = set()
     for raw in row_data.get(1, []) + row_data.get(2, []):
@@ -220,8 +221,8 @@ def parse_entry(buf: bytes) -> dict:
         if c.get(4, [0])[0]:
             key_names.add(name)
     return {
-        "es_ms": _svalue(header[6][0]),
-        "table": header[9][0].decode("utf-8"),
+        "es_ms": _svalue(header.get(6, [0])[0]),
+        "table": header.get(9, [b""])[0].decode("utf-8"),
         "op": op,
         "columns": cols,
         "key_names": key_names,

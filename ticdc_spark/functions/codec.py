@@ -234,3 +234,119 @@ def decode_maxwell(df: DataFrame, payload_schema: T.StructType) -> DataFrame:
         F.col("data.doc_id").alias("doc_id"),
         *[F.col(f"data.{f.name}").alias(f.name) for f in payload_schema],
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-Protocol BATCH framing (cdc/sink/codec/json.go:336-368, 742-792):
+# one MQ message carries many events — key bytes = [8B BE BatchVersion1]
+# [(8B BE keyLen)(key)]*, value bytes = [(8B BE valueLen)(value)]*; deletes
+# frame a zero-length value. This is the actual kafka wire layout of
+# open-protocol v1; the per-row (key_json, value_json) form above is the
+# unframed logical view.
+# ---------------------------------------------------------------------------
+
+BATCH_VERSION_1 = 1
+
+
+def pack_open_protocol_batch(keys: list[str], values: list[str | None]) -> tuple[bytes, bytes]:
+    """Frame ordered (key, value) string pairs into one (key_bytes,
+    value_bytes) message pair."""
+    import struct as _struct
+
+    kb = bytearray(_struct.pack(">Q", BATCH_VERSION_1))
+    vb = bytearray()
+    for k, v in zip(keys, values):
+        ke = k.encode("utf-8")
+        kb += _struct.pack(">Q", len(ke)) + ke
+        ve = b"" if v is None else v.encode("utf-8")
+        vb += _struct.pack(">Q", len(ve)) + ve
+    return bytes(kb), bytes(vb)
+
+
+def unpack_open_protocol_batch(key_bytes: bytes, value_bytes: bytes) -> list[tuple[str, str | None]]:
+    """Reverse of pack_open_protocol_batch (json.go:742-792 decoder:
+    version check, then length-prefixed key/value pulls)."""
+    import struct as _struct
+
+    ver = _struct.unpack(">Q", key_bytes[:8])[0]
+    if ver != BATCH_VERSION_1:
+        raise ValueError(f"unexpected batch format version {ver}")
+    out = []
+    kpos, vpos = 8, 0
+    while kpos < len(key_bytes):
+        klen = _struct.unpack(">Q", key_bytes[kpos : kpos + 8])[0]
+        kpos += 8
+        k = key_bytes[kpos : kpos + klen].decode("utf-8")
+        kpos += klen
+        vlen = _struct.unpack(">Q", value_bytes[vpos : vpos + 8])[0]
+        vpos += 8
+        v = value_bytes[vpos : vpos + vlen].decode("utf-8") if vlen else None
+        vpos += vlen
+        out.append((k, v))
+    return out
+
+
+def encode_open_protocol_batched(
+    df: DataFrame, payload_cols: list[str], group_col: str = "partition"
+) -> DataFrame:
+    """(events + group_col) → one framed (key_bytes, value_bytes) message
+    per group, events ordered by (commit_ts, seq) within the frame —
+    per-key ordering survives because the group col is the dispatch
+    partition. Spark shape: one groupBy + an Arrow-batched scalar UDF over
+    the collected frame (frames are MQ-message-sized by construction)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    key = F.to_json(F.struct(*[F.col(c) for c in KEY_FIELDS]))
+    val = F.when(
+        F.col("op") != "D", F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    )
+    rows = df.select(
+        F.col(group_col).alias("_grp"),
+        F.struct(
+            F.col("commit_ts"), F.col("seq"), key.alias("k"), val.alias("v")
+        ).alias("_msg"),
+    )
+    agg = rows.groupBy("_grp").agg(
+        F.array_sort(F.collect_list("_msg")).alias("_msgs")
+    )
+
+    def _pack(msgs):
+        out_k, out_v = [], []
+        for frame in msgs:
+            ks = [m["k"] for m in frame]
+            vs = [m["v"] for m in frame]
+            kb, vb = pack_open_protocol_batch(ks, vs)
+            out_k.append(kb)
+            out_v.append(vb)
+        return pd.DataFrame({"key_bytes": out_k, "value_bytes": out_v})
+
+    packer = pandas_udf(
+        _pack, "key_bytes binary, value_bytes binary"
+    )
+    return agg.select(
+        F.col("_grp").alias(group_col), packer(F.col("_msgs")).alias("_p")
+    ).select(group_col, "_p.*")
+
+
+def decode_open_protocol_batched(
+    df: DataFrame, payload_schema: T.StructType
+) -> DataFrame:
+    """(key_bytes, value_bytes) frames → typed change rows (explode the
+    frame JVM-side after an Arrow-batched unframe)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _unpack(kb, vb):
+        out = []
+        for k, v in zip(kb, vb):
+            out.append([list(p) for p in unpack_open_protocol_batch(k, v)])
+        return pd.Series(out)
+
+    unpacker = pandas_udf(_unpack, "array<array<string>>")
+    pairs = df.select(
+        F.explode(unpacker(F.col("key_bytes"), F.col("value_bytes"))).alias("_p")
+    ).select(
+        F.col("_p")[0].alias("key_json"), F.col("_p")[1].alias("value_json")
+    )
+    return decode_open_protocol(pairs, payload_schema)
