@@ -259,6 +259,24 @@ def q_cdc_dispatch_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_span_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE span frontier over OVERLAPPING key-range reports
+    (cdc/puller/frontier/frontier.go:65-119): fragment the keyspace at span
+    boundaries, per-fragment resolved = max ts of covering reports, global
+    frontier = min over fragments. Reports synthesized deterministically
+    from events: span [h%997, h%997+1+seq%50) reported at commit_ts."""
+    from ticdc_spark.functions.hashing import h60
+    from ticdc_spark.operators.epochs import span_frontier
+
+    feed = changelog(spark, sf_dir)
+    reports = feed.select(
+        (h60(F.col("doc_id")) % 997).alias("span_lo"),
+        ((h60(F.col("doc_id")) % 997) + 1 + F.col("seq") % 50).alias("span_hi"),
+        F.col("commit_ts").alias("ts"),
+    )
+    return span_frontier(reports)
+
+
 def q_cdc_cyclic_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclic replication origin stamping + echo filter (pkg/cyclic/
     filter.go:103-113): txns join the mark table by commit_ts — marked txns
@@ -1213,6 +1231,27 @@ SELECT {bucket_sql("doc_id", 16)} AS bucket, count(*) AS n_events,
        count(DISTINCT doc_id) AS n_keys
 FROM feed GROUP BY 1
 """,
+        "cdc_span_frontier": f"""
+WITH feed AS ({FEED_SQL}),
+reports AS (
+  SELECT {h60_sql("doc_id")} % 997 AS span_lo,
+         ({h60_sql("doc_id")} % 997) + 1 + seq % 50 AS span_hi,
+         commit_ts AS ts
+  FROM feed
+),
+bounds AS (
+  SELECT DISTINCT b FROM (
+    SELECT span_lo AS b FROM reports UNION ALL SELECT span_hi FROM reports
+  )
+),
+frags AS (
+  SELECT b AS f_lo, lead(b) OVER (ORDER BY b) AS f_hi FROM bounds
+)
+SELECT f_lo, f_hi, max(ts) AS resolved
+FROM frags JOIN reports ON span_lo <= f_lo AND span_hi >= f_hi
+WHERE f_hi IS NOT NULL
+GROUP BY 1, 2
+""",
         "cdc_cyclic_stamp": f"""
 WITH feed AS ({FEED_SQL})
 SELECT commit_ts, seq, doc_id, op,
@@ -1614,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_group": q_cdc_txn_group,
         "cdc_dispatch_buckets": q_cdc_dispatch_buckets,
         "cdc_cyclic_stamp": q_cdc_cyclic_stamp,
+        "cdc_span_frontier": q_cdc_span_frontier,
         "cdc_dispatch_ts": q_cdc_dispatch_ts,
         "cdc_dispatch_rules": q_cdc_dispatch_rules,
         "cdc_op_ordering": q_cdc_op_ordering,

@@ -281,3 +281,28 @@ def test_open_protocol_ddl_and_resolved_messages(spark):
     got = decode_open_protocol_ddl(encode_open_protocol_ddl(ddl)).collect()[0]
     assert (got["commit_ts"], got["ddl_type"], got["table"]) == (100, "add_column", "t")
     assert '"name":"lang"' in got["spec"]
+
+
+def test_span_frontier_overlapping_reports(spark):
+    """frontier.go semantics over overlaps: point value = max covering ts
+    (monotone Forward), frontier = min over the covered keyspace. A later
+    report over a sub-range (region split child) raises only its fragment."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.operators.epochs import span_frontier, span_frontier_value
+
+    reports = spark.createDataFrame(
+        [(0, 10, 5), (0, 5, 9), (5, 10, 3)],
+        "span_lo long, span_hi long, ts long",
+    )
+    frags = {(r["f_lo"], r["f_hi"]): r["resolved"] for r in span_frontier(reports).collect()}
+    assert frags == {(0, 5): 9, (5, 10): 5}
+    assert span_frontier_value(reports) == 5
+
+    # a gap in coverage: the frontier is over COVERED fragments only
+    gappy = spark.createDataFrame(
+        [(0, 5, 7), (6, 10, 9)], "span_lo long, span_hi long, ts long"
+    )
+    frags = {(r["f_lo"], r["f_hi"]): r["resolved"] for r in span_frontier(gappy).collect()}
+    assert frags == {(0, 5): 7, (6, 10): 9}
+    assert span_frontier_value(gappy) == 7

@@ -92,3 +92,55 @@ def lineage_stats(df: DataFrame, part_col: str = "part", ts_col: str = "commit_t
         F.max(ts_col).alias("max_commit_ts"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("delete_count"),
     )
+
+
+def span_frontier(
+    reports: DataFrame,
+    lo_col: str = "span_lo",
+    hi_col: str = "span_hi",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """TRUE span frontier over OVERLAPPING key-range reports
+    (cdc/puller/frontier/frontier.go:65-119): Forward(span, ts) raises the
+    resolved ts over [lo, hi); the frontier value at a key point is the MAX
+    ts among reports covering it (monotone — ts never regresses), and the
+    global frontier is the MIN over the covered keyspace.
+
+    The reference maintains this with a skiplist because spans arrive one
+    at a time (region splits/merges). Set-oriented version: decompose the
+    keyspace into elementary fragments at the distinct span boundaries,
+    cover-join fragments to reports, max per fragment, min over fragments.
+    Returns per-fragment rows (f_lo, f_hi, resolved); fold with
+    min(resolved) for the scalar frontier.
+
+    Scale shape: #reports = #regions (metadata, ~10^5-10^6 at 100 TB, NOT
+    row count). The boundary sort is one window over that metadata set and
+    the cover join is bounded by fragments × avg-overlap; for larger span
+    universes, bucket fragments by range before the join.
+    """
+    from pyspark.sql import Window
+
+    bounds = (
+        reports.select(F.col(lo_col).alias("b"))
+        .unionByName(reports.select(F.col(hi_col).alias("b")))
+        .distinct()
+    )
+    w = Window.orderBy("b")
+    frags = (
+        bounds.select(F.col("b").alias("f_lo"), F.lead("b").over(w).alias("f_hi"))
+        .filter(F.col("f_hi").isNotNull())
+    )
+    cov = frags.join(
+        reports,
+        (F.col(lo_col) <= F.col("f_lo")) & (F.col(hi_col) >= F.col("f_hi")),
+    )
+    return cov.groupBy("f_lo", "f_hi").agg(F.max(F.col(ts_col)).alias("resolved"))
+
+
+def span_frontier_value(reports: DataFrame, **kw):
+    """Scalar frontier = min over covered fragments."""
+    return (
+        span_frontier(reports, **kw)
+        .agg(F.min("resolved").alias("frontier"))
+        .collect()[0]["frontier"]
+    )
