@@ -259,6 +259,23 @@ def q_cdc_dispatch_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_old_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old-value mode (maxwell.go:90-150 Old map / canal beforeColumns):
+    every event carries the payload of the previous write to its key in
+    apply order, NULL when the previous event was a delete or the key's
+    first event. One key-partitioned lag window."""
+    from ticdc_spark.operators.lww import with_old_image
+
+    feed = changelog(spark, sf_dir)
+    out = with_old_image(feed, ["event_type", "value"])
+    return out.select(
+        "doc_id", "commit_ts", "seq", "op",
+        "event_type", F.round("value", 6).alias("val"),
+        "old_event_type", F.round("old_value", 6).alias("old_val"),
+        F.col("had_old").cast("int").alias("had_old"),
+    )
+
+
 def q_cdc_span_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE span frontier over OVERLAPPING key-range reports
     (cdc/puller/frontier/frontier.go:65-119): fragment the keyspace at span
@@ -1231,6 +1248,19 @@ SELECT {bucket_sql("doc_id", 16)} AS bucket, count(*) AS n_events,
        count(DISTINCT doc_id) AS n_keys
 FROM feed GROUP BY 1
 """,
+        "cdc_old_value": f"""
+WITH feed AS ({FEED_SQL})
+SELECT doc_id, commit_ts, seq, op,
+       event_type, round(value, 6) AS val,
+       CASE WHEN lag(op) OVER w IS NULL OR lag(op) OVER w = 'D'
+            THEN NULL ELSE lag(event_type) OVER w END AS old_event_type,
+       CASE WHEN lag(op) OVER w IS NULL OR lag(op) OVER w = 'D'
+            THEN NULL ELSE round(lag(value) OVER w, 6) END AS old_val,
+       CASE WHEN lag(op) OVER w IS NOT NULL AND lag(op) OVER w != 'D'
+            THEN 1 ELSE 0 END AS had_old
+FROM feed
+WINDOW w AS (PARTITION BY doc_id ORDER BY commit_ts ASC, seq ASC, {OP_RANK_SQL} ASC)
+""",
         "cdc_span_frontier": f"""
 WITH feed AS ({FEED_SQL}),
 reports AS (
@@ -1654,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dispatch_buckets": q_cdc_dispatch_buckets,
         "cdc_cyclic_stamp": q_cdc_cyclic_stamp,
         "cdc_span_frontier": q_cdc_span_frontier,
+        "cdc_old_value": q_cdc_old_value,
         "cdc_dispatch_ts": q_cdc_dispatch_ts,
         "cdc_dispatch_rules": q_cdc_dispatch_rules,
         "cdc_op_ordering": q_cdc_op_ordering,

@@ -132,3 +132,40 @@ def final_state(deduped: DataFrame, payload_cols: list[str]) -> DataFrame:
     """Drop tombstone winners → the visible final table (delete ⟺ removed,
     cdc/model/sink.go:238-240)."""
     return deduped.filter(F.col("op") != OP_DELETE).select(KEY_COL, *payload_cols)
+
+
+def with_old_image(
+    feed,
+    payload_cols: list[str],
+    key_cols: list[str] | None = None,
+):
+    """Attach the pre-change image to every event (the old-value mode of
+    cdc/sink/codec/maxwell.go:90-150 / canal's beforeColumns): the old
+    image of an event is the payload of the PREVIOUS write to the same key
+    in apply order (commit_ts, seq, delete-before-put), and NULL when the
+    previous event was a delete (row absent) or the event is the key's
+    first.
+
+    One window over the key partition — the same shuffle shape as the LWW
+    rank, carrying payload columns only for keys that need them.
+    Output: feed columns + old_<col> for each payload col + had_old flag.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = key_cols or ["doc_id"]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("commit_ts").asc(), F.col("seq").asc(), op_rank_col().asc()
+    )
+    prev_op = F.lag("op").over(w)
+    out = feed
+    for c in payload_cols:
+        out = out.withColumn(
+            f"old_{c}",
+            F.when(prev_op.isNull() | (prev_op == "D"), F.lit(None)).otherwise(
+                F.lag(c).over(w)
+            ),
+        )
+    return out.withColumn(
+        "had_old", prev_op.isNotNull() & (prev_op != "D")
+    )
