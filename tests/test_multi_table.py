@@ -378,3 +378,38 @@ def test_multi_table_mq_pipeline_with_rules_and_ddl(spark, tmp_path):
         assert a == b and len(a) > 0
     # re-consumption is a per-table no-op
     assert MultiMQConsumer(spark, mq, {"ta": da, "tb": db}).run_once() == []
+
+
+def test_consistent_cross_table_read_at_syncpoint(spark, tmp_path):
+    """Syncpoint PIT reads are consistent ACROSS tables: reading both
+    tables at a mid-stream resolved ts reproduces each table's oracle
+    state at exactly that ts."""
+    from ticdc_spark.streaming.multi import consistent_read
+
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    summaries = cf.run_available()
+    assert len(summaries) >= 3
+    mid_ts = summaries[1]["resolved_ts"]  # a mid-stream consistency point
+
+    snap = consistent_read({"ta": ta, "tb": tb}, mid_ts)
+    for name, ev in (("ta", ev_a), ("tb", ev_b)):
+        expected = apply_binlog(ev, upto_ts=mid_ts)
+        pdf = snap[name].toPandas().sort_values("doc_id").reset_index(drop=True)
+        actual = pa.table({
+            "doc_id": pa.array(pdf["doc_id"], pa.string()),
+            "tokens": pa.array([list(t) for t in pdf["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.array(pdf["n_tok"], pa.int32()),
+            "source": pa.array(pdf["source"], pa.string()),
+        })
+        assert not diff_tables(expected, actual)
+
+    # below the first syncpoint → explicit refusal
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no syncpoint"):
+        consistent_read({"ta": ta}, -1)

@@ -417,3 +417,23 @@ class MultiTableChangeFeed:
             .trigger(processingTime=processing_time)
             .start()
         )
+
+
+def consistent_read(tables: dict[str, LakeTable], primary_ts: int) -> dict[str, DataFrame]:
+    """Cross-table snapshot-isolation read at ONE upstream consistency
+    point (the syncpoint use case, cdc/sink/mysql.go:1364-1426): every
+    table resolves primary_ts to the snapshot version its syncpoints map
+    to, so the returned DataFrames all reflect upstream state as of the
+    SAME resolved-ts — the multi-table feed records each batch's shared
+    frontier into every table's syncpoint log, which is what makes this
+    well-defined across tables."""
+    out: dict[str, DataFrame] = {}
+    for name, t in tables.items():
+        v = t.version_at_ts(primary_ts)
+        if v is None:
+            raise ValueError(
+                f"table {name!r} has no syncpoint at or below ts={primary_ts} "
+                "(not yet replicated to that point, or snapshots expired)"
+            )
+        out[name] = t.read_version(v)
+    return out
