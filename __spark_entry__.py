@@ -491,6 +491,33 @@ def q_codec_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_maxwell_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell codec in enable-old-value mode (maxwell.go:90-150): UPDATE
+    messages carry the pre-change payload in `old`; round-tripped through
+    encode/decode with the lag-window old image attached upstream."""
+    from ticdc_spark.functions.codec import decode_maxwell, encode_maxwell
+    from ticdc_spark.operators.lww import with_old_image
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    feed = with_old_image(feed, ["event_type", "value"])
+    enc = encode_maxwell(feed, ["event_type", "value"], with_old=True)
+    dec = decode_maxwell(
+        enc,
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        with_old=True,
+    )
+    return dec.select(
+        "commit_ts", "seq", "table", "op", "doc_id",
+        "event_type", F.round("value", 6).alias("val"),
+        "old_event_type", F.round("old_value", 6).alias("old_val"),
+    )
+
+
 def q_codec_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro BINARY wire codec round trip (cdc/sink/codec/avro.go:88-127
     encode, 509-520 Confluent envelope): rows → (avro_key, avro_value)
@@ -1416,6 +1443,17 @@ SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
        CASE WHEN op != 'D' THEN round(value, 6) END AS val
 FROM feed
 """,
+        "codec_maxwell_old": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       event_type, round(value, 6) AS val,
+       CASE WHEN op = 'U' AND NOT (lag(op) OVER w IS NULL OR lag(op) OVER w = 'D')
+            THEN lag(event_type) OVER w END AS old_event_type,
+       CASE WHEN op = 'U' AND NOT (lag(op) OVER w IS NULL OR lag(op) OVER w = 'D')
+            THEN round(lag(value) OVER w, 6) END AS old_val
+FROM feed
+WINDOW w AS (PARTITION BY doc_id ORDER BY commit_ts ASC, seq ASC, {OP_RANK_SQL} ASC)
+""",
         "codec_avro": f"""
 WITH feed AS ({FEED_SQL})
 SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
@@ -1701,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_avro": q_codec_avro,
         "codec_canal_entry": q_codec_canal_entry,
         "codec_open_batched": q_codec_open_batched,
+        "codec_maxwell_old": q_codec_maxwell_old,
         "cdc_causality": q_cdc_causality,
         "cdc_lww_composite": q_cdc_lww_composite,
         "q1_pricing": q_q1_pricing,

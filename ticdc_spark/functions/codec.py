@@ -188,13 +188,19 @@ def _maxwell_type():
 
 
 def encode_maxwell(
-    df: DataFrame, payload_cols: list[str], database: str = "cdc"
+    df: DataFrame, payload_cols: list[str], database: str = "cdc",
+    with_old: bool = False,
 ) -> DataFrame:
-    """Rows → one maxwell JSON string per change event."""
+    """Rows → one maxwell JSON string per change event.
+
+    with_old: emit the `old` map with the pre-change values of the payload
+    columns on UPDATE events (maxwell.go:90-150 Old; enable-old-value
+    mode). Requires old_<col> columns on df — produce them with
+    operators.lww.with_old_image."""
     data = F.struct(
         F.col("doc_id"), *[F.col(c) for c in payload_cols]
     )
-    msg = F.struct(
+    parts = [
         F.lit(database).alias("database"),
         F.col("table"),
         _maxwell_type().alias("type"),
@@ -202,38 +208,53 @@ def encode_maxwell(
         F.col("commit_ts").alias("commit_ts"),
         F.col("seq").alias("xid"),
         data.alias("data"),
-    )
-    return df.select(F.to_json(msg).alias("maxwell_json"))
+    ]
+    if with_old:
+        old = F.when(
+            F.col("op") == "U",
+            F.struct(*[F.col(f"old_{c}").alias(c) for c in payload_cols]),
+        )
+        parts.append(old.alias("old"))
+    return df.select(F.to_json(F.struct(*parts)).alias("maxwell_json"))
 
 
-def decode_maxwell(df: DataFrame, payload_schema: T.StructType) -> DataFrame:
-    """maxwell_json → typed change rows."""
+def decode_maxwell(
+    df: DataFrame, payload_schema: T.StructType, with_old: bool = False
+) -> DataFrame:
+    """maxwell_json → typed change rows (+ old_<col> columns when
+    with_old)."""
     data_fields = [T.StructField("doc_id", T.StringType())] + list(payload_schema)
-    schema = T.StructType(
-        [
-            T.StructField("database", T.StringType()),
-            T.StructField("table", T.StringType()),
-            T.StructField("type", T.StringType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("commit_ts", T.LongType()),
-            T.StructField("xid", T.LongType()),
-            T.StructField("data", T.StructType(data_fields)),
-        ]
-    )
+    fields = [
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("commit_ts", T.LongType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("data", T.StructType(data_fields)),
+    ]
+    if with_old:
+        fields.append(T.StructField("old", T.StructType(list(payload_schema))))
+    schema = T.StructType(fields)
     m = df.select(F.from_json("maxwell_json", schema).alias("_m")).select("_m.*")
     op = (
         F.when(F.col("type") == "insert", F.lit("I"))
         .when(F.col("type") == "update", F.lit("U"))
         .otherwise(F.lit("D"))
     )
-    return m.select(
+    cols = [
         F.col("commit_ts"),
         F.col("xid").alias("seq"),
         F.col("table"),
         op.alias("op"),
         F.col("data.doc_id").alias("doc_id"),
         *[F.col(f"data.{f.name}").alias(f.name) for f in payload_schema],
-    )
+    ]
+    if with_old:
+        cols += [
+            F.col(f"old.{f.name}").alias(f"old_{f.name}") for f in payload_schema
+        ]
+    return m.select(*cols)
 
 
 # ---------------------------------------------------------------------------
