@@ -146,3 +146,69 @@ def test_open_protocol_batch_framing_golden():
 
     with _pytest.raises(ValueError, match="version"):
         unpack_open_protocol_batch(b"\x00\x00\x00\x00\x00\x00\x00\x09", b"")
+
+
+def test_cdclog_sink_layout_and_roundtrip(spark, tmp_path):
+    """cdclog file sink (cdc/sink/cdclog): reference layout — log.meta,
+    t_<id>/cdclog.<maxTs> mixed-build frames, ddls/ddl.<~ts> reverse-ts
+    names — and a full read-back to typed rows."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from ticdc_spark.streaming.cdclog import CdclogSink, read_cdclog
+
+    rows = [
+        (100, 1, "ta", "I", "a1", [1, 2], 2, "web"),
+        (105, 2, "ta", "D", "a2", None, None, None),
+        (103, 3, "tb", "U", "b1", [9], 1, "api"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "commit_ts long, seq long, table string, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    root = str(tmp_path / "cdclog")
+    sink = CdclogSink(spark, root, {"ta": 11, "tb": 22})
+    paths = sink.emit(df, {"ta": ["tokens", "n_tok", "source"],
+                           "tb": ["tokens", "n_tok", "source"]})
+    # layout: file name carries the table MAX commit ts
+    assert paths["ta"].endswith("t_11/cdclog.105")
+    assert paths["tb"].endswith("t_22/cdclog.103")
+    meta = json.load(open(os.path.join(root, "log.meta")))
+    assert meta["names"] == {"11": "`cdc`.`ta`", "22": "`cdc`.`tb`"}
+
+    sink.emit_ddl(104, "add_column", "ta", {"name": "lang", "type": "string"})
+    sink.emit_ddl(200, "drop_column", "tb", {"name": "source"})
+    ddls = sorted(os.listdir(os.path.join(root, "ddls")))
+    # reverse-ts names: the NEWEST ddl (ts=200) sorts first
+    assert ddls[0].endswith(str((1 << 64) - 1 - 200))
+
+    schema = T.StructType([
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    back = {r["doc_id"]: r for r in read_cdclog(spark, root, schema).collect()}
+    assert len(back) == 3
+    assert list(back["a1"]["tokens"]) == [1, 2] and back["a1"]["source"] == "web"
+    assert back["a2"]["op"] == "D" and back["a2"]["tokens"] is None
+    assert back["b1"]["n_tok"] == 1
+
+
+def test_mixed_framing_golden():
+    from ticdc_spark.functions.codec import (
+        pack_open_protocol_mixed,
+        unpack_open_protocol_mixed,
+    )
+
+    data = pack_open_protocol_mixed(["k", "kk"], [None, "v"])
+    assert data == (
+        b"\x00\x00\x00\x00\x00\x00\x00\x01"
+        b"\x00\x00\x00\x00\x00\x00\x00\x01k"
+        b"\x00\x00\x00\x00\x00\x00\x00\x00"
+        b"\x00\x00\x00\x00\x00\x00\x00\x02kk"
+        b"\x00\x00\x00\x00\x00\x00\x00\x01v"
+    )
+    assert unpack_open_protocol_mixed(data) == [("k", None), ("kk", "v")]

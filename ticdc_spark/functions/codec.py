@@ -371,3 +371,38 @@ def decode_open_protocol_batched(
         F.col("_p")[0].alias("key_json"), F.col("_p")[1].alias("value_json")
     )
     return decode_open_protocol(pairs, payload_schema)
+
+
+def pack_open_protocol_mixed(keys: list[str], values: list[str | None]) -> bytes:
+    """MixedBuild layout (json.go:370-398, used by the cdclog file sink):
+    ONE byte stream = [8B BE version][8B BE keyLen][key][8B BE valLen][val]
+    per message — key and value interleaved instead of split buffers."""
+    import struct as _struct
+
+    out = bytearray(_struct.pack(">Q", BATCH_VERSION_1))
+    for k, v in zip(keys, values):
+        ke = k.encode("utf-8")
+        ve = b"" if v is None else v.encode("utf-8")
+        out += _struct.pack(">Q", len(ke)) + ke
+        out += _struct.pack(">Q", len(ve)) + ve
+    return bytes(out)
+
+
+def unpack_open_protocol_mixed(data: bytes) -> list[tuple[str, str | None]]:
+    import struct as _struct
+
+    ver = _struct.unpack(">Q", data[:8])[0]
+    if ver != BATCH_VERSION_1:
+        raise ValueError(f"unexpected mixed format version {ver}")
+    pos, out = 8, []
+    while pos < len(data):
+        klen = _struct.unpack(">Q", data[pos : pos + 8])[0]
+        pos += 8
+        k = data[pos : pos + klen].decode("utf-8")
+        pos += klen
+        vlen = _struct.unpack(">Q", data[pos : pos + 8])[0]
+        pos += 8
+        v = data[pos : pos + vlen].decode("utf-8") if vlen else None
+        pos += vlen
+        out.append((k, v))
+    return out
