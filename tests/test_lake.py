@@ -598,3 +598,47 @@ def test_read_changes_incremental_scan(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="expired"):
         t.read_changes(since_version=1)
+
+
+def test_follower_feed_seed_then_incremental(spark, tmp_path):
+    """FollowerFeed: bootstrap seeds a snapshot, later syncs apply ONLY the
+    incremental changes, and the follower tracks upstream exactly; repeated
+    sync with nothing new is a no-op."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ticdc_spark.engine.follower import FollowerFeed
+    from ticdc_spark.engine.replay import open_binlog, replay_binlog
+    from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+    path = write_binlog(
+        BinlogSpec(n_events=6_000, n_keys=600, seed=72, p_delete=0.15, p_insert=0.55),
+        str(tmp_path / "binlog"),
+    )
+    events = open_binlog(spark, path)
+    lo, hi = events.agg(F.min("commit_ts"), F.max("commit_ts")).collect()[0]
+    mid = (lo + hi) // 2
+    src = LakeTable.create(spark, str(tmp_path / "src"), n_buckets=4)
+    replay_binlog(src, events.filter(F.col("commit_ts") <= mid), n_epochs=2)
+
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), n_buckets=4)
+    feed = FollowerFeed(src, dst)
+    st = feed.sync()
+    assert st["sync_mode"] == "seed" and st["committed"]
+
+    # upstream advances
+    replay_binlog(src, events.filter(F.col("commit_ts") > mid), n_epochs=2,
+                  epoch_prefix="late")
+    st = feed.sync()
+    assert st["sync_mode"] == "incremental" and st["committed"]
+
+    a = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in src.read().collect()}
+    b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in dst.read().collect()}
+    assert a == b and len(a) > 0
+
+    st = feed.sync()
+    assert st["sync_mode"] == "noop"
+
+    # a new FollowerFeed object recovers progress from epoch ids alone
+    feed2 = FollowerFeed(LakeTable(spark, str(tmp_path / "src")),
+                         LakeTable(spark, str(tmp_path / "dst")))
+    assert feed2.sync()["sync_mode"] == "noop"
