@@ -1,0 +1,82 @@
+"""Changefeed admin CLI — the `cdc cli changefeed pause/resume/remove/query/
+list` analog (reference: cmd/client_changefeed.go, admin jobs handled in
+cdc/owner.go:966-1128).
+
+Operates purely on the feed registry (no Spark session): a running
+changefeed started with ``--admin-dir`` checks the registry at every
+micro-batch boundary, so a pause here stops it at the next batch without
+committing that batch (resume replays it — exactly-once preserved).
+
+    python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin pause  feed1
+    python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin pause  feed1 --error "operator stop"
+    python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin resume feed1
+    python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin remove feed1 [--force]
+    python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin query  feed1
+    python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--admin-dir", required=True, help="feed registry dir")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("pause", help="AdminStop: halt, keep checkpoint")
+    sp.add_argument("feed")
+    sp.add_argument("--error", default=None, help="record an operator error")
+
+    sp = sub.add_parser("resume", help="AdminResume: clear error, restart")
+    sp.add_argument("feed")
+
+    sp = sub.add_parser("remove", help="AdminRemove: delete feed info")
+    sp.add_argument("feed")
+    sp.add_argument(
+        "--force", action="store_true",
+        help="drop the status too (ForceRemove); default keeps checkpoint "
+        "info under a 24 h TTL marker (owner.go:1068-1072)",
+    )
+
+    sp = sub.add_parser("query", help="show one feed's info + status")
+    sp.add_argument("feed")
+
+    sub.add_parser("list", help="list all feeds")
+
+    args = p.parse_args()
+
+    from ticdc_spark.streaming.admin import FeedLifecycleError, FeedRegistry
+
+    reg = FeedRegistry(args.admin_dir)
+    try:
+        if args.cmd == "pause":
+            out = reg.pause(args.feed, error=args.error)
+        elif args.cmd == "resume":
+            out = reg.resume(args.feed)
+        elif args.cmd == "remove":
+            out = reg.remove(args.feed, force=args.force) or {
+                "feed": args.feed, "state": "removed", "force": args.force
+            }
+        elif args.cmd == "query":
+            out = reg.query(args.feed)
+            if out is None:
+                print(f"changefeed {args.feed!r} not found", file=sys.stderr)
+                return 1
+        else:
+            out = reg.list()
+    except FeedLifecycleError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,6 +53,20 @@ def main() -> int:
         "multi-table rule list 'glob=rule,glob=rule' (first match wins)",
     )
     p.add_argument(
+        "--target-ts", type=int, default=None,
+        help="replicate events with commit_ts <= target_ts; the feed "
+        "FINISHES when its checkpoint reaches it (changefeed create "
+        "--target-ts, model/changefeed.go:74-75)",
+    )
+    p.add_argument(
+        "--admin-dir", default=None,
+        help="feed registry dir for pause/resume/remove (jobs/changefeed_ctl.py)",
+    )
+    p.add_argument(
+        "--feed-name", default=None,
+        help="feed id in the admin registry (default: basename of --checkpoint)",
+    )
+    p.add_argument(
         "--cyclic", default=None,
         help="cyclic replication: 'replica_id:filter_ids:source_marks:own_marks' "
         "e.g. '1:2,3:/marks/src:/marks/own' (filter_ids comma-separated)",
@@ -112,6 +126,24 @@ def main() -> int:
         q.awaitTermination()
         return 0
 
+    admin = None
+    feed_name = None
+    if args.admin_dir:
+        from ticdc_spark.streaming.admin import FeedRegistry
+
+        admin = FeedRegistry(args.admin_dir)
+        feed_name = args.feed_name or os.path.basename(
+            os.path.abspath(args.checkpoint)
+        )
+        if admin.query(feed_name) is None:
+            admin.create(
+                feed_name,
+                binlog=args.binlog,
+                table=args.table or args.tables,
+                start_ts=args.start_ts,
+                target_ts=args.target_ts,
+            )
+
     table = open_table(args.table)
     cyclic = None
     if args.cyclic:
@@ -135,6 +167,9 @@ def main() -> int:
         mq_partitions=args.mq_partitions,
         mq_dispatch_rule=args.mq_dispatch,
         cyclic=cyclic,
+        target_ts=args.target_ts,
+        admin=admin,
+        feed_name=feed_name,
     )
     if args.available_now:
         summaries = cf.run_available()

@@ -1,0 +1,270 @@
+"""Changefeed admin lifecycle: pause/resume/remove/finish state machine and
+its gating of a running feed.
+
+Mirrors: cdc/owner.go:966-1128 (handleAdminJob), model/changefeed.go:46-52
+(feed states), model/owner.go:43-48 (admin job types), owner.go:938-946
+(AdminFinish at target_ts)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from ticdc_spark.lake.table import LakeTable
+from ticdc_spark.oracle import apply_binlog, diff_tables
+from ticdc_spark.streaming.admin import (
+    STATE_FAILED,
+    STATE_FINISHED,
+    STATE_NORMAL,
+    STATE_REMOVED,
+    STATE_STOPPED,
+    FeedLifecycleError,
+    FeedRegistry,
+)
+from ticdc_spark.streaming.changefeed import ChangeFeed
+from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+
+def _lake_arrow(table):
+    import pyarrow as pa
+
+    pdf = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.string()),
+            "tokens": pa.array([list(t) for t in pdf["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.array(pdf["n_tok"], pa.int32()),
+            "source": pa.array(pdf["source"], pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+
+def test_registry_state_machine(tmp_path):
+    reg = FeedRegistry(str(tmp_path / "admin"))
+    info = reg.create("f1", binlog="/b", table="/t")
+    assert info["state"] == STATE_NORMAL and info["error"] is None
+
+    # duplicate create of a live feed is refused (etcd info key exists)
+    with pytest.raises(FeedLifecycleError, match="already exists"):
+        reg.create("f1")
+
+    # pause records state + optional error history (owner.go:1012-1016)
+    info = reg.pause("f1", error="operator stop")
+    assert info["state"] == STATE_STOPPED
+    assert info["error"] == "operator stop" and len(info["error_his"]) == 1
+    # pause of a stopped feed is a no-op (owner.go:996-1005)
+    again = reg.pause("f1")
+    assert again["state"] == STATE_STOPPED and len(again["error_his"]) == 1
+
+    # resume clears the error (owner.go:1100-1104)
+    info = reg.resume("f1")
+    assert info["state"] == STATE_NORMAL and info["error"] is None
+
+    # failed → resume works (retry path)
+    reg.set_failed("f1", "boom")
+    assert reg.state("f1") == STATE_FAILED
+    assert reg.query("f1")["error"] == "boom"
+    reg.resume("f1")
+    assert reg.state("f1") == STATE_NORMAL
+
+    # remove keeps a TTL'd status marker; force drops the file entirely
+    info = reg.remove("f1")
+    assert info["state"] == STATE_REMOVED and info["status_ttl_s"] == 24 * 3600
+    with pytest.raises(FeedLifecycleError, match="cannot be resumed"):
+        reg.resume("f1")
+    # the id becomes free again (reference deletes the info key)
+    reg.create("f1")
+    reg.remove("f1", force=True)
+    assert reg.query("f1") is None
+
+    # unmanaged feed defaults to normal (admin gating is opt-in)
+    assert reg.state("ghost") == STATE_NORMAL
+    assert reg.list() == []
+
+
+def test_registry_finish_is_terminal(tmp_path):
+    reg = FeedRegistry(str(tmp_path / "admin"))
+    reg.create("f2")
+    reg.finish("f2")
+    assert reg.state("f2") == STATE_FINISHED
+    with pytest.raises(FeedLifecycleError, match="cannot be resumed"):
+        reg.resume("f2")
+    # pause of a finished feed is a no-op, not an error
+    assert reg.pause("f2")["state"] == STATE_FINISHED
+
+
+def test_registry_checkpoint_monotone(tmp_path):
+    reg = FeedRegistry(str(tmp_path / "admin"))
+    reg.create("f3")
+    reg.update_checkpoint("f3", 100)
+    reg.update_checkpoint("f3", 50)  # stale write ignored
+    assert reg.query("f3")["checkpoint_ts"] == 100
+
+
+# ------------------------------------------------------- feed integration
+
+
+@pytest.fixture()
+def ws(tmp_path):
+    return {
+        "binlog": str(tmp_path / "binlog"),
+        "tbl": str(tmp_path / "tbl"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "admin": str(tmp_path / "admin"),
+    }
+
+
+def test_paused_feed_processes_nothing_then_resumes(spark, ws):
+    """Pause → run is a no-op with the checkpoint PRESERVED; resume
+    continues from it (new files included) and converges to the full
+    oracle."""
+    spec = BinlogSpec(n_events=8_000, n_keys=800, seed=71, n_parts=4)
+    write_binlog(spec, ws["binlog"], files_per_part=2)
+    reg = FeedRegistry(ws["admin"])
+    reg.create("feed1")
+    t = LakeTable.create(spark, ws["tbl"], n_buckets=4)
+
+    cf = ChangeFeed(
+        t, ws["binlog"], ws["ckpt"], max_files_per_trigger=4,
+        admin=reg, feed_name="feed1",
+    )
+    n_first = len(cf.run_available())
+    assert n_first >= 1
+
+    # more files land while the feed is paused — they must NOT be consumed
+    spec2 = BinlogSpec(n_events=4_000, n_keys=800, seed=97, n_parts=4)
+    extra = ws["binlog"] + "-extra"
+    write_binlog(spec2, extra, files_per_part=1)
+    for f in glob.glob(os.path.join(extra, "*.parquet")):
+        os.link(f, os.path.join(ws["binlog"], "x-" + os.path.basename(f)))
+
+    reg.pause("feed1", error="maintenance window")
+    assert cf.run_available() is cf.batch_summaries
+    assert len(cf.batch_summaries) == n_first  # nothing new processed
+    assert reg.state("feed1") == STATE_STOPPED  # run did not clobber state
+
+    reg.resume("feed1")
+    cf2 = ChangeFeed(
+        t, ws["binlog"], ws["ckpt"], max_files_per_trigger=4,
+        admin=reg, feed_name="feed1",
+    )
+    assert len(cf2.run_available()) >= 1  # the paused-era files now apply
+
+    binlog = pq.read_table(ws["binlog"])
+    resolved = reg.query("feed1")["checkpoint_ts"]
+    expected = apply_binlog(binlog, upto_ts=resolved)
+    assert not diff_tables(expected, _lake_arrow(t))
+
+
+def test_in_batch_gate_raises_without_marking_failed(spark, ws):
+    """A pause landing while the stream is up stops it at the next batch
+    boundary via a raise BEFORE any offsets commit — and the lifecycle stop
+    must not be recorded as a feed failure."""
+    spec = BinlogSpec(n_events=1_000, n_keys=100, seed=72, n_parts=2)
+    write_binlog(spec, ws["binlog"], files_per_part=1)
+    reg = FeedRegistry(ws["admin"])
+    reg.create("feed1")
+    t = LakeTable.create(spark, ws["tbl"], n_buckets=4)
+    cf = ChangeFeed(t, ws["binlog"], ws["ckpt"], admin=reg, feed_name="feed1")
+    reg.pause("feed1")
+    df = spark.read.parquet(ws["binlog"])
+    with pytest.raises(RuntimeError, match="is stopped"):
+        cf._process_batch(df, 0)
+    assert cf._stop_reason == STATE_STOPPED
+    assert reg.state("feed1") == STATE_STOPPED  # not failed
+
+
+def test_processing_error_marks_feed_failed(spark, ws):
+    """A real error (late-event contract violation in strict mode) lands the
+    feed in `failed` with the error recorded; resume clears it."""
+    from ticdc_spark.model import BINLOG_SCHEMA
+
+    os.makedirs(ws["binlog"])
+
+    def stage(rows, name):
+        spark.createDataFrame(rows, schema=BINLOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(ws["binlog"] + "-" + name)
+        for f in glob.glob(ws["binlog"] + "-" + name + "/*.parquet"):
+            os.link(f, os.path.join(ws["binlog"], f"{name}-{os.path.basename(f)}"))
+
+    stage(
+        [
+            (100, 1, "t", "I", "a", [1], 1, "web", 0, 0),
+            (200, 2, "t", "I", "b", [2], 1, "web", 0, 0),
+            (200, 3, "t", "I", "c", [3], 1, "web", 1, 0),
+        ],
+        "f1",
+    )
+    reg = FeedRegistry(ws["admin"])
+    reg.create("feed1")
+    t = LakeTable.create(spark, ws["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t, ws["binlog"], ws["ckpt"], max_files_per_trigger=1,
+        strict_watermarks=True, admin=reg, feed_name="feed1",
+    )
+    cf.run_available()
+
+    stage([(150, 4, "t", "U", "a", [9], 1, "web", 0, 0)], "f2")  # late
+    cf2 = ChangeFeed(
+        t, ws["binlog"], ws["ckpt"], max_files_per_trigger=1,
+        strict_watermarks=True, admin=reg, feed_name="feed1",
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises((RuntimeError, StreamingQueryException), match="late-event"):
+        cf2.run_available()
+    info = reg.query("feed1")
+    assert info["state"] == STATE_FAILED
+    assert "late-event" in info["error"] and len(info["error_his"]) == 1
+
+    reg.resume("feed1")
+    info = reg.query("feed1")
+    assert info["state"] == STATE_NORMAL and info["error"] is None
+
+
+def test_target_ts_finishes_feed(spark, ws):
+    """--target-ts contract (model/changefeed.go:74-75, owner.go:938-946):
+    state equals the oracle applied up to target_ts exactly, the checkpoint
+    stops AT target_ts, the feed finishes, and a finished feed can be
+    neither run nor resumed."""
+    spec = BinlogSpec(n_events=10_000, n_keys=1_000, seed=73, n_parts=4)
+    write_binlog(spec, ws["binlog"], files_per_part=2)
+    binlog = pq.read_table(ws["binlog"])
+    ts_sorted = sorted(binlog.column("commit_ts").to_pylist())
+    target = ts_sorted[len(ts_sorted) // 2]  # mid-stream target
+
+    reg = FeedRegistry(ws["admin"])
+    reg.create("feed1", target_ts=target)
+    t = LakeTable.create(spark, ws["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t, ws["binlog"], ws["ckpt"],
+        target_ts=target, admin=reg, feed_name="feed1",
+    )
+    summaries = cf.run_available()
+    assert summaries, "feed processed nothing"
+
+    # final state == oracle at exactly target_ts (not a single event beyond)
+    expected = apply_binlog(binlog, upto_ts=target)
+    assert not diff_tables(expected, _lake_arrow(t))
+
+    info = reg.query("feed1")
+    assert info["state"] == STATE_FINISHED
+    assert info["checkpoint_ts"] == target  # clamped, never beyond
+
+    # finished ⇒ inert + unresumable
+    assert cf.run_available() is cf.batch_summaries
+    with pytest.raises(FeedLifecycleError, match="cannot be resumed"):
+        reg.resume("feed1")
+
+    # a NEW process over the same checkpoint also stays inert (registry
+    # gate, not the in-memory flag)
+    cf_new = ChangeFeed(
+        t, ws["binlog"], ws["ckpt"],
+        target_ts=target, admin=reg, feed_name="feed1",
+    )
+    assert cf_new.run_available() == []  # registry gate: nothing processed

@@ -1,0 +1,224 @@
+"""Changefeed admin lifecycle — the `cdc cli changefeed pause/resume/remove`
+surface (reference: cdc/owner.go:966-1128 ``handleAdminJob``, state machine in
+cdc/model/changefeed.go:46-52).
+
+The reference keeps per-feed *info* (config + state + error history) and
+*status* (checkpoint-ts) under etcd keys and mutates them through owner admin
+jobs. Spark has no etcd; a driver-side registry over atomic JSON files gives
+the same contract:
+
+  * ``pause``  (AdminStop, owner.go:995-1027)  — state → ``stopped``; the
+    checkpoint is PRESERVED so ``resume`` continues exactly where the feed
+    left off. An operator-supplied error is recorded with a ms timestamp in
+    ``error_his`` (owner.go:1012-1016).
+  * ``resume`` (AdminResume, owner.go:1077-1116) — no-op on removed/finished
+    feeds; otherwise state → ``normal`` and the last error is CLEARED
+    (owner.go:1102-1104 ``cfInfo.State = model.StateNormal; cfInfo.Error =
+    nil``). The feed restarts from the persisted checkpoint — resumability
+    itself is the streaming checkpoint + idempotent epoch commits.
+  * ``remove`` (AdminRemove, owner.go:1028-1076) — feed info is deleted;
+    the status (checkpoint-ts) is retained with a 24 h TTL so a mistaken
+    remove can be diagnosed (owner.go:1068-1072 ``SetChangeFeedStatusTTL``),
+    unless ``force`` (``--force`` / ForceRemove) which drops everything.
+  * ``finish`` (AdminFinish, owner.go:938-946) — automatic when the
+    checkpoint reaches ``target_ts``; a finished feed never runs again and
+    cannot be resumed.
+
+State machine (model/changefeed.go:46-52): normal | stopped | failed |
+removed | finished. Pause on stopped/removed/finished is an explicit no-op
+(owner.go:996-1005); resume on removed/finished is refused
+(owner.go:1085-1088).
+
+A ``ChangeFeed`` constructed with ``admin=registry, feed_name=...`` consults
+the registry before every run (a non-``normal`` feed processes nothing) and
+reports failures into it (state → ``failed`` + error history), mirroring how
+processors watch the etcd info key for admin-job changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+# model/changefeed.go:46-52
+STATE_NORMAL = "normal"
+STATE_STOPPED = "stopped"
+STATE_FAILED = "failed"
+STATE_REMOVED = "removed"
+STATE_FINISHED = "finished"
+
+# model/owner.go:43-48
+ADMIN_NONE = "none"
+ADMIN_STOP = "stop changefeed"
+ADMIN_RESUME = "resume changefeed"
+ADMIN_REMOVE = "remove changefeed"
+ADMIN_FINISH = "finish changefeed"
+
+STATUS_TTL_S = 24 * 3600  # owner.go:1070 SetChangeFeedStatusTTL(…, 24*3600)
+
+
+class FeedLifecycleError(RuntimeError):
+    """An admin operation that the reference refuses (e.g. resume of a
+    removed feed, create of a live duplicate)."""
+
+
+class FeedRegistry:
+    """Atomic-JSON-file registry of changefeed info + status.
+
+    One file per feed under ``<root>/<feed>.json`` — the analog of the etcd
+    keys ``/tidb/cdc/changefeed/info/<id>`` and ``/job/<id>``. Writes go
+    through tmp+rename so a crashed admin command never leaves a torn file.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------- storage ----------
+    def _path(self, feed: str) -> str:
+        if "/" in feed or feed.startswith("."):
+            raise FeedLifecycleError(f"invalid feed id {feed!r}")
+        return os.path.join(self.root, f"{feed}.json")
+
+    def _load(self, feed: str) -> dict[str, Any] | None:
+        try:
+            with open(self._path(feed)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _store(self, feed: str, info: dict[str, Any]) -> None:
+        tmp = self._path(feed) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(info, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._path(feed))
+
+    # ---------- lifecycle ----------
+    def create(self, feed: str, **config: Any) -> dict[str, Any]:
+        """Register a feed in state ``normal``. Re-creating over a REMOVED
+        feed is allowed (the reference deletes the info key on remove, so
+        the id becomes free); over a live feed it is an error."""
+        cur = self._load(feed)
+        if cur is not None and cur["state"] != STATE_REMOVED:
+            raise FeedLifecycleError(
+                f"changefeed {feed!r} already exists in state {cur['state']!r}"
+            )
+        info = {
+            "feed": feed,
+            "state": STATE_NORMAL,
+            "admin_job_type": ADMIN_NONE,
+            "error": None,
+            "error_his": [],  # ms timestamps, owner.go:1015
+            "checkpoint_ts": None,
+            "config": config,
+        }
+        self._store(feed, info)
+        return info
+
+    def pause(self, feed: str, error: str | None = None) -> dict[str, Any]:
+        """AdminStop: state → stopped, checkpoint preserved. No-op (returns
+        current info) when already stopped/removed/finished
+        (owner.go:996-1005)."""
+        info = self._require(feed)
+        if info["state"] in (STATE_STOPPED, STATE_REMOVED, STATE_FINISHED):
+            return info
+        info["state"] = STATE_STOPPED
+        info["admin_job_type"] = ADMIN_STOP
+        if error is not None:
+            info["error"] = error
+            info["error_his"].append(int(time.time() * 1000))
+        self._store(feed, info)
+        return info
+
+    def resume(self, feed: str) -> dict[str, Any]:
+        """AdminResume: state → normal, last error cleared
+        (owner.go:1100-1104). Removed/finished feeds cannot be resumed
+        (owner.go:1085-1088)."""
+        info = self._require(feed)
+        if info["state"] in (STATE_REMOVED, STATE_FINISHED):
+            raise FeedLifecycleError(
+                f"changefeed {feed!r} is {info['state']} and cannot be resumed"
+            )
+        info["state"] = STATE_NORMAL
+        info["admin_job_type"] = ADMIN_RESUME
+        info["error"] = None
+        self._store(feed, info)
+        return info
+
+    def remove(self, feed: str, force: bool = False) -> dict[str, Any] | None:
+        """AdminRemove: delete feed info. Without ``force`` the status
+        (checkpoint_ts) is kept under a TTL marker (owner.go:1068-1072);
+        with ``force`` everything is dropped (ForceRemove)."""
+        info = self._load(feed)
+        if info is None:
+            return None
+        if force:
+            os.unlink(self._path(feed))
+            return None
+        info["state"] = STATE_REMOVED
+        info["admin_job_type"] = ADMIN_REMOVE
+        info["status_ttl_s"] = STATUS_TTL_S
+        info["removed_at_ms"] = int(time.time() * 1000)
+        self._store(feed, info)
+        return info
+
+    def finish(self, feed: str) -> dict[str, Any]:
+        """AdminFinish: the feed's checkpoint reached target_ts
+        (owner.go:938-946). Terminal — resume is refused afterwards."""
+        info = self._require(feed)
+        if info["state"] in (STATE_REMOVED, STATE_FINISHED):
+            return info
+        info["state"] = STATE_FINISHED
+        info["admin_job_type"] = ADMIN_FINISH
+        self._store(feed, info)
+        return info
+
+    def set_failed(self, feed: str, error: str) -> dict[str, Any]:
+        """Processing error: state → failed with error history — the
+        ``StateFailed`` transition the owner takes when a feed exhausts its
+        error retries (changefeed.go run loop)."""
+        info = self._require(feed)
+        if info["state"] in (STATE_REMOVED, STATE_FINISHED):
+            return info
+        info["state"] = STATE_FAILED
+        info["error"] = error
+        info["error_his"].append(int(time.time() * 1000))
+        self._store(feed, info)
+        return info
+
+    def update_checkpoint(self, feed: str, checkpoint_ts: int) -> None:
+        """Status write (checkpoint-ts advance) — monotone, like the owner's
+        flushChangeFeedInfos."""
+        info = self._require(feed)
+        cur = info.get("checkpoint_ts")
+        if cur is None or checkpoint_ts > cur:
+            info["checkpoint_ts"] = checkpoint_ts
+            self._store(feed, info)
+
+    # ---------- queries ----------
+    def _require(self, feed: str) -> dict[str, Any]:
+        info = self._load(feed)
+        if info is None:
+            raise FeedLifecycleError(f"changefeed {feed!r} does not exist")
+        return info
+
+    def query(self, feed: str) -> dict[str, Any] | None:
+        """`cdc cli changefeed query` analog."""
+        return self._load(feed)
+
+    def state(self, feed: str) -> str:
+        """Current state; a feed with no registry entry runs unmanaged
+        (state ``normal``) — admin gating is opt-in."""
+        info = self._load(feed)
+        return info["state"] if info is not None else STATE_NORMAL
+
+    def list(self) -> list[dict[str, Any]]:
+        """`cdc cli changefeed list` analog (sorted by feed id)."""
+        out = []
+        for fn in sorted(os.listdir(self.root)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.root, fn)) as f:
+                    out.append(json.load(f))
+        return out

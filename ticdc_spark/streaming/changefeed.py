@@ -115,6 +115,9 @@ class ChangeFeed:
         mq_dispatch_rule: str = "index-value",
         expire_keep_last: int | None = None,
         cyclic: dict | None = None,
+        target_ts: int | None = None,
+        admin=None,
+        feed_name: str | None = None,
     ):
         """start_ts: replicate only events with commit_ts > start_ts — the
         `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
@@ -162,6 +165,19 @@ class ChangeFeed:
         #   marks_dir           — where THIS feed writes marks for rows it
         #                         applies downstream (the mark.go write side)
         self.cyclic = dict(cyclic) if cyclic else None
+        # target_ts (model/changefeed.go:74-75): replicate [start_ts,
+        # target_ts] only. The checkpoint never advances past target_ts;
+        # once the raw frontier reaches it the feed is FINISHED
+        # (owner.go:938-946 AdminFinish) and processes nothing further.
+        # Events beyond target_ts are outside the replication window — never
+        # applied, never carried in the pending tail.
+        self.target_ts = target_ts
+        self.finished = False
+        # admin registry gate (streaming/admin.py — pause/resume/remove):
+        # a feed in any non-`normal` state processes nothing; processing
+        # errors are reported back as state=failed with error history.
+        self.admin = admin
+        self.admin_feed = feed_name
         # Changefeed identity (ChangeFeedInfo id analog): epoch ids must be
         # unique per FEED, not just per batch — Structured Streaming batch
         # ids restart at 0 for a new checkpoint, so a second feed over the
@@ -180,6 +196,10 @@ class ChangeFeed:
         ]
         self.registry = SchemaRegistry(base, ddls)
         self.batch_summaries: list[dict] = []
+        # set when processing halts for a LIFECYCLE reason (paused/removed/
+        # finished) rather than an error: run_available treats the resulting
+        # stream termination as a clean stop, and no failed-state is recorded
+        self._stop_reason: str | None = None
 
     # ---------- pending tail ----------
     def _read_pending(self) -> DataFrame | None:
@@ -214,6 +234,27 @@ class ChangeFeed:
     # ---------- the micro-batch ----------
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
+
+        # Lifecycle gate, checked per micro-batch (the processor watches the
+        # feed info key for admin jobs, owner.go:995-1027). Raising BEFORE
+        # any work stops the stream WITHOUT committing this batch's offsets,
+        # so a later resume replays it — never skips it.
+        if self.finished:
+            self._stop_reason = "finished"
+            raise RuntimeError(
+                f"changefeed {self.admin_feed or self.feed_id} finished at "
+                f"target_ts={self.target_ts} (owner.go:938-946)"
+            )
+        if self.admin is not None and self.admin_feed:
+            from .admin import STATE_NORMAL
+
+            st = self.admin.state(self.admin_feed)
+            if st != STATE_NORMAL:
+                self._stop_reason = st
+                raise RuntimeError(
+                    f"changefeed {self.admin_feed} is {st}; processing "
+                    "halted (owner.go:995-1027)"
+                )
 
         timings: dict[str, float] = {}
         t0 = _time.time()
@@ -264,12 +305,26 @@ class ChangeFeed:
             stored = dict(stored0)
             for r in part_stats:
                 stored[int(r["part"])] = max(stored.get(int(r["part"]), -1), int(r["max_ts"]))
-            resolved = min(stored.values()) if stored else -1
+            resolved_raw = min(stored.values()) if stored else -1
+            # target_ts clamp: the checkpoint stops AT target_ts
+            # (owner.go:940 `status.CheckpointTs == info.GetTargetTs()`);
+            # events beyond it are outside the replication window.
+            resolved = (
+                min(resolved_raw, self.target_ts)
+                if self.target_ts is not None
+                else resolved_raw
+            )
             watermarks = {str(k): v for k, v in stored.items()}
 
             # 3. releasable prefix / carried tail
             ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
             tail = events.filter(F.col("commit_ts") > F.lit(resolved))
+            if self.target_ts is not None:
+                # beyond-target events are DROPPED, not carried: the
+                # reference puller subscribes [start_ts, target_ts) and
+                # simply never emits them; carrying them would grow the
+                # pending tail forever on a finished feed.
+                tail = tail.filter(F.col("commit_ts") <= F.lit(self.target_ts))
 
             # 3b. cyclic replication: stamp origins from the source
             # cluster's mark table, drop echoes, refuse loopbacks. Runs on
@@ -407,8 +462,26 @@ class ChangeFeed:
                     "timings": {k: round(v, 3) for k, v in timings.items()},
                 }
             )
-        finally:
-            pass
+            # status write + finish detection (owner.go:938-946): once the
+            # raw frontier reaches target_ts, everything within the window
+            # has been released and applied — the feed is done.
+            if self.admin is not None and self.admin_feed:
+                self.admin.update_checkpoint(self.admin_feed, int(resolved))
+            if self.target_ts is not None and resolved_raw >= self.target_ts:
+                self.finished = True
+                if self.admin is not None and self.admin_feed:
+                    self.admin.finish(self.admin_feed)
+        except Exception as e:
+            # real processing error → StateFailed with error history; a
+            # lifecycle stop (pause/remove/finish raised above) is not a
+            # failure and must not clobber the feed's state
+            if (
+                self.admin is not None
+                and self.admin_feed
+                and self._stop_reason is None
+            ):
+                self.admin.set_failed(self.admin_feed, f"{type(e).__name__}: {e}")
+            raise
 
     def _advance_lake_schema(self, ver: int, fields_next: list[dict], epoch_id: str) -> None:
         advance_lake_schema(self.table, fields_next, epoch_id)
@@ -630,7 +703,21 @@ class ChangeFeed:
 
     def run_available(self) -> list[dict]:
         """Process everything currently in the binlog dir (availableNow),
-        then stop. Resumable: the streaming checkpoint + idempotent epochs."""
+        then stop. Resumable: the streaming checkpoint + idempotent epochs.
+
+        A feed whose admin state is not ``normal`` (paused/removed/failed)
+        or that already reached ``target_ts`` processes NOTHING — the
+        `cdc cli changefeed pause` contract (owner.go:995-1027). A pause
+        landing mid-run stops the stream cleanly at the next batch boundary
+        without committing that batch (resume replays it)."""
+        self._stop_reason = None
+        if self.finished:
+            return self.batch_summaries
+        if self.admin is not None and self.admin_feed:
+            from .admin import STATE_NORMAL
+
+            if self.admin.state(self.admin_feed) != STATE_NORMAL:
+                return self.batch_summaries
         q = (
             self._stream()
             .writeStream.foreachBatch(self._process_batch)
@@ -638,7 +725,11 @@ class ChangeFeed:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except Exception:
+            if self._stop_reason is None:
+                raise  # real failure (already recorded as state=failed)
         return self.batch_summaries
 
     def start(self, processing_time: str = "5 seconds"):
