@@ -96,6 +96,24 @@ def main() -> int:
             .collect()
         )
 
+    admin = None
+    feed_name = None
+    if args.admin_dir:
+        from ticdc_spark.streaming.admin import FeedRegistry
+
+        admin = FeedRegistry(args.admin_dir)
+        feed_name = args.feed_name or os.path.basename(
+            os.path.abspath(args.checkpoint)
+        )
+        if admin.query(feed_name) is None:
+            admin.create(
+                feed_name,
+                binlog=args.binlog,
+                table=args.table or args.tables,
+                start_ts=args.start_ts,
+                target_ts=args.target_ts,
+            )
+
     if args.tables:
         tables = {}
         for part in args.tables.split(","):
@@ -117,6 +135,8 @@ def main() -> int:
             mq_dir=args.mq_dir,
             mq_partitions=args.mq_partitions,
             mq_dispatch_rules=rules,
+            admin=admin,
+            feed_name=feed_name,
         )
         if args.available_now:
             summaries = cf.run_available()
@@ -125,24 +145,6 @@ def main() -> int:
         q = cf.start(processing_time=args.trigger)
         q.awaitTermination()
         return 0
-
-    admin = None
-    feed_name = None
-    if args.admin_dir:
-        from ticdc_spark.streaming.admin import FeedRegistry
-
-        admin = FeedRegistry(args.admin_dir)
-        feed_name = args.feed_name or os.path.basename(
-            os.path.abspath(args.checkpoint)
-        )
-        if admin.query(feed_name) is None:
-            admin.create(
-                feed_name,
-                binlog=args.binlog,
-                table=args.table or args.tables,
-                start_ts=args.start_ts,
-                target_ts=args.target_ts,
-            )
 
     table = open_table(args.table)
     cyclic = None

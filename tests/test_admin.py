@@ -227,6 +227,41 @@ def test_processing_error_marks_feed_failed(spark, ws):
     assert info["state"] == STATE_NORMAL and info["error"] is None
 
 
+def test_multi_table_feed_respects_admin_gate(spark, ws, tmp_path):
+    """The same registry gates a multi-table feed (one feed id covers all
+    its tables, like one changefeed replicating many tables upstream)."""
+    from ticdc_spark.streaming.multi import MultiTableChangeFeed
+
+    stage_a = str(tmp_path / "stage_a")
+    stage_b = str(tmp_path / "stage_b")
+    write_binlog(BinlogSpec(n_events=2_000, n_keys=200, seed=81, table="ta"), stage_a)
+    write_binlog(BinlogSpec(n_events=2_000, n_keys=200, seed=82, table="tb"), stage_b)
+    os.makedirs(ws["binlog"])
+    for tag, stage in (("a", stage_a), ("b", stage_b)):
+        for f in glob.glob(stage + "/*.parquet"):
+            os.link(f, os.path.join(ws["binlog"], f"{tag}-{os.path.basename(f)}"))
+
+    reg = FeedRegistry(ws["admin"])
+    reg.create("mfeed")
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, ws["binlog"], ws["ckpt"],
+        admin=reg, feed_name="mfeed",
+    )
+    reg.pause("mfeed")
+    assert cf.run_available() == []  # paused: nothing processed
+    assert ta.read().count() == 0
+
+    reg.resume("mfeed")
+    summaries = cf.run_available()
+    assert summaries and all(all(s["tables"].values()) for s in summaries)
+    assert reg.query("mfeed")["checkpoint_ts"] == summaries[-1]["resolved_ts"]
+    ev_a = pq.read_table(stage_a)
+    expected = apply_binlog(ev_a, upto_ts=summaries[-1]["resolved_ts"])
+    assert not diff_tables(expected, _lake_arrow(ta))
+
+
 def test_target_ts_finishes_feed(spark, ws):
     """--target-ts contract (model/changefeed.go:74-75, owner.go:938-946):
     state equals the oracle applied up to target_ts exactly, the checkpoint

@@ -44,6 +44,8 @@ class MultiTableChangeFeed:
         mq_dir: str | None = None,
         mq_partitions: int = 16,
         mq_dispatch_rules: list[tuple[str, str]] | None = None,
+        admin=None,
+        feed_name: str | None = None,
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
@@ -72,6 +74,12 @@ class MultiTableChangeFeed:
         self.mq_dir = mq_dir
         self.mq_partitions = mq_partitions
         self.mq_dispatch_rules = list(mq_dispatch_rules or [])
+        # admin lifecycle gate — same contract as ChangeFeed (one feed id
+        # covers the whole multi-table feed, like a single changefeed
+        # replicating many tables in the reference)
+        self.admin = admin
+        self.admin_feed = feed_name
+        self._stop_reason: str | None = None
         self.batch_summaries: list[dict] = []
         # per-table schema registries built from the routed DDL stream
         import json as _json
@@ -167,6 +175,30 @@ class MultiTableChangeFeed:
         return T.StructType(pf + meta)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # lifecycle gate before any work (see ChangeFeed._process_batch):
+        # raising here stops the stream without committing this batch
+        if self.admin is not None and self.admin_feed:
+            from .admin import STATE_NORMAL
+
+            st = self.admin.state(self.admin_feed)
+            if st != STATE_NORMAL:
+                self._stop_reason = st
+                raise RuntimeError(
+                    f"changefeed {self.admin_feed} is {st}; processing "
+                    "halted (owner.go:995-1027)"
+                )
+        try:
+            self._process_batch_inner(batch_df, batch_id)
+            if self.admin is not None and self.admin_feed and self.batch_summaries:
+                self.admin.update_checkpoint(
+                    self.admin_feed, int(self.batch_summaries[-1]["resolved_ts"])
+                )
+        except Exception as e:
+            if self.admin is not None and self.admin_feed:
+                self.admin.set_failed(self.admin_feed, f"{type(e).__name__}: {e}")
+            raise
+
+    def _process_batch_inner(self, batch_df: DataFrame, batch_id: int) -> None:
         pending = self._read_pending()
         events = batch_df.unionByName(pending) if pending is not None else batch_df
 
@@ -398,6 +430,14 @@ class MultiTableChangeFeed:
         return r.parquet(self.binlog_dir)
 
     def run_available(self) -> list[dict]:
+        """Drain available binlog files. A feed whose admin state is not
+        ``normal`` processes nothing (see ChangeFeed.run_available)."""
+        self._stop_reason = None
+        if self.admin is not None and self.admin_feed:
+            from .admin import STATE_NORMAL
+
+            if self.admin.state(self.admin_feed) != STATE_NORMAL:
+                return self.batch_summaries
         q = (
             self._stream()
             .writeStream.foreachBatch(self._process_batch)
@@ -405,7 +445,11 @@ class MultiTableChangeFeed:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except Exception:
+            if self._stop_reason is None:
+                raise
         return self.batch_summaries
 
     def start(self, processing_time: str = "5 seconds"):
