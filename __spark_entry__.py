@@ -40,6 +40,8 @@ from ticdc_spark.functions.text import (
     fingerprint_sql,
     langid_columns,
     quality_columns,
+    repetition_columns,
+    repetition_sql,
     tokens_col,
 )
 from ticdc_spark.operators.feed import FEED_SQL, N_PARTS, changelog
@@ -744,6 +746,10 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(fingerprint_columns(_docs(spark, sf_dir)))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(repetition_columns(_docs(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -1568,6 +1574,7 @@ FROM t
 """,
         "text_langid": _langid_sql(),
         "text_fingerprint": fingerprint_sql(),
+        "text_repetition": repetition_sql(),
         "curate_corpus": _curate_sql(),
         "curate_full": _curate_sql(src="train", prefix_ctes="train AS (SELECT * FROM documents WHERE NOT (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0)),\n", anti_cte="cont AS (\n  SELECT DISTINCT z.doc_id FROM (\n    SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks\n    FROM tq\n  ) z\n  JOIN (\n    SELECT DISTINCT array_to_string(e.toks[e.i:e.i+7], ' ') AS gram FROM (\n      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,\n             unnest(generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 7, 0))) AS i\n      FROM documents WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0\n    ) e\n  ) eg ON array_to_string(z.toks[z.i:z.i+7], ' ') = eg.gram\n)"),
         "tokens_pack": f"""
@@ -1751,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "curate_corpus": q_curate_corpus,
         "curate_full": q_curate_full,
         "tokens_pack": q_tokens_pack,

@@ -189,6 +189,27 @@ def test_fingerprint_stable_under_local_edit(spark):
     assert rows[1]["n_grams"] > 0
 
 
+def test_repetition_flags_boilerplate(spark):
+    """Gopher repetition rules: a doc that loops one phrase fails; varied
+    prose passes; short docs default to passing (both fractions 0)."""
+    from ticdc_spark.functions.text import repetition_columns
+
+    loop = "click here to subscribe " * 20
+    prose = (
+        "the quick brown fox jumps over a lazy dog while seven wizards "
+        "brew unique potions beside an ancient oak near the river delta"
+    )
+    df = spark.createDataFrame(
+        [(1, loop), (2, prose), (3, "hi")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_columns(df).collect()}
+    assert rows[1]["passes_repetition"] == 0
+    assert rows[1]["dup_3gram_frac"] > 0.9
+    assert rows[2]["passes_repetition"] == 1
+    assert rows[3]["passes_repetition"] == 1
+    assert rows[3]["top_2gram_frac"] == 0.0 and rows[3]["n_2grams"] <= 1
+
+
 # ---------------- multimodal ----------------
 
 

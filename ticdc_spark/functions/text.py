@@ -112,6 +112,86 @@ def langid_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText
+    repetition rules (Rae et al. 2021, table A1): heavily self-repeating
+    documents (boilerplate, keyword stuffing, scraper loops) are dropped
+    before training.
+
+      top_2gram_frac — occurrences of the MOST COMMON word 2-gram over all
+                       2-grams (Gopher: "fraction in most common n-gram")
+      dup_3gram_frac — fraction of 3-grams that are repeats of an earlier
+                       one: (total − distinct) / total ("fraction in
+                       duplicate n-grams")
+      passes_repetition — top_2gram_frac ≤ 0.20 AND dup_3gram_frac ≤ 0.30
+
+    Pure per-row array expressions (no shuffle, no UDF): the mode count is
+    max over distinct grams of that gram's occurrence count — O(d·g) per
+    row with d distinct grams, bounded by document length, all inside
+    whole-stage codegen. Short docs (< n tokens) define both fractions 0.
+    """
+    toks = tokens_col(text_col)
+    g2 = word_ngrams(toks, 2)
+    g3 = word_ngrams(toks, 3)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda x: F.size(F.filter(g2, lambda y: y == x)),
+        )
+    )
+    top2_frac = F.when(
+        F.size(g2) > 0, F.round(top2 / F.size(g2), 6)
+    ).otherwise(F.lit(0.0))
+    dup3_frac = F.when(
+        F.size(g3) > 0,
+        F.round((F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3), 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        F.size(g2).cast("long").alias("n_2grams"),
+        top2_frac.alias("top_2gram_frac"),
+        dup3_frac.alias("dup_3gram_frac"),
+        ((top2_frac <= 0.20) & (dup3_frac <= 0.30)).cast("int").alias("passes_repetition"),
+    )
+
+
+def repetition_sql() -> str:
+    """DuckDB oracle for repetition_columns (same gram construction as
+    ngrams_sql, same rounding)."""
+    toks = TOKENS_SQL.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+              ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [] END AS g3
+  FROM t
+), m AS (
+  SELECT doc_id, g2, g3,
+         CASE WHEN len(g2) > 0
+              THEN list_max(list_transform(list_distinct(g2),
+                     x -> len(list_filter(g2, y -> y = x))))
+              ELSE 0 END AS top2
+  FROM g
+)
+SELECT doc_id,
+       len(g2)::BIGINT AS n_2grams,
+       CASE WHEN len(g2) > 0 THEN round(top2 * 1.0 / len(g2), 6) ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN len(g3) > 0 THEN round((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3), 6) ELSE 0.0 END AS dup_3gram_frac,
+       (CASE WHEN (CASE WHEN len(g2) > 0 THEN top2 * 1.0 / len(g2) ELSE 0 END) <= 0.20
+              AND (CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) ELSE 0 END) <= 0.30
+             THEN 1 ELSE 0 END)::BIGINT AS passes_repetition
+FROM m
+"""
+
+
 def fingerprint_columns(df: DataFrame, text_col: str = "text", w: int = 5) -> DataFrame:
     """Document fingerprint: full-content hash + winnowing-lite rolling
     fingerprint = min over word-w-gram hashes (robust to local edits).
