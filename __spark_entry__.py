@@ -39,6 +39,8 @@ from ticdc_spark.functions.text import (
     fingerprint_columns,
     fingerprint_sql,
     langid_columns,
+    pii_columns,
+    pii_sql,
     quality_columns,
     repetition_columns,
     repetition_sql,
@@ -46,6 +48,7 @@ from ticdc_spark.functions.text import (
 )
 from ticdc_spark.operators.feed import FEED_SQL, N_PARTS, changelog
 from ticdc_spark.operators.lww import lww_latest_agg, lww_latest_window, op_rank_col
+from ticdc_spark.pipeline import decontam as dc
 from ticdc_spark.pipeline import dedup as dd
 from ticdc_spark.pipeline import multimodal as mm
 from ticdc_spark.pipeline import similarity as sim
@@ -752,6 +755,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(repetition_columns(_docs(spark, sf_dir)))
 
 
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _longify(pii_columns(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 
@@ -769,6 +776,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _docs(spark, sf_dir), n=3, threshold=0.8, max_shingle_df=100
         )
     )
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style global chunk-hash dedup (linear, no self-join)."""
+    return _longify(dd.chunk_dedup(_docs(spark, sf_dir)))
 
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,6 +896,14 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
     )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source-mixing sampler: per-source keep
+    thresholds + kept counts, deterministic hash sampling."""
+    from ticdc_spark.pipeline.decontam import mix_sample
+
+    return _longify(mix_sample(_docs(spark, sf_dir)))
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,6 +1595,7 @@ FROM t
         "text_langid": _langid_sql(),
         "text_fingerprint": fingerprint_sql(),
         "text_repetition": repetition_sql(),
+        "text_pii": pii_sql(),
         "curate_corpus": _curate_sql(),
         "curate_full": _curate_sql(src="train", prefix_ctes="train AS (SELECT * FROM documents WHERE NOT (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0)),\n", anti_cte="cont AS (\n  SELECT DISTINCT z.doc_id FROM (\n    SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks\n    FROM tq\n  ) z\n  JOIN (\n    SELECT DISTINCT array_to_string(e.toks[e.i:e.i+7], ' ') AS gram FROM (\n      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,\n             unnest(generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 7, 0))) AS i\n      FROM documents WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0\n    ) e\n  ) eg ON array_to_string(z.toks[z.i:z.i+7], ' ') = eg.gram\n)"),
         "tokens_pack": f"""
@@ -1607,6 +1628,7 @@ FROM documents GROUP BY 1
         "dedup_ngram_jaccard": "WITH "
         + _dedup_shingle_sql(max_df=100)
         + "SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= 0.8",
+        "dedup_chunks": dd.chunk_dedup_sql(),
         "dedup_minhash_sig": "WITH " + _minhash_sig_sql() + "\nSELECT * FROM sig",
         "dedup_minhash_lsh": "WITH "
         + _dedup_shingle_sql()  # t/g/sh/sizes/inter/jac CTEs
@@ -1676,6 +1698,7 @@ SELECT source, count(*) AS n_total,
        cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_sampled
 FROM d GROUP BY source
 """,
+        "corpus_mix": dc.mix_sample_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         "ann_topk": f"""
 WITH scored AS (
@@ -1759,11 +1782,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
         "curate_corpus": q_curate_corpus,
         "curate_full": q_curate_full,
         "tokens_pack": q_tokens_pack,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_chunks": q_dedup_chunks,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1772,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_decontaminate": q_curate_decontaminate,
         "text_vocab_topk": q_text_vocab_topk,
         "corpus_sample": q_corpus_sample,
+        "corpus_mix": q_corpus_mix,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,

@@ -510,3 +510,65 @@ def test_pack_offsets_range_parallel_window(spark):
         off += r["n_tok"]
         assert r["end_off"] == off
         assert r["seq_id"] == r["start_off"] // 128
+
+
+def test_chunk_dedup_flags_shared_boilerplate(spark):
+    """Docs sharing a 10-word boilerplate chunk get it counted as dup; a
+    unique doc keeps frac 0."""
+    from ticdc_spark.pipeline.dedup import chunk_dedup
+
+    boiler = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, boiler + " " + "red orange yellow green blue indigo violet black white gray"),
+            (3, "lone words nobody else repeats anywhere in this tiny corpus x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in chunk_dedup(df, chunk_words=10).collect()}
+    assert rows[1]["n_chunks"] == 2 and rows[1]["n_dup_chunks"] == 1
+    assert rows[2]["n_dup_chunks"] == 1
+    assert rows[3]["n_dup_chunks"] == 0 and rows[3]["keep"] == 1
+    # 50% dup mass > keep_frac=0.3 -> dropped
+    assert rows[1]["keep"] == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from ticdc_spark.functions.text import pii_columns, pii_scrub_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 10.0.0.1 and 192.168.1.255 served clean text"),
+            (3, "no personal data here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_columns(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1 and rows[1]["has_pii"] == 1
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["n_emails"] == 0
+    assert rows[3]["has_pii"] == 0
+    scrubbed = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", pii_scrub_col("text").alias("s")).collect()
+    }
+    assert scrubbed[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert scrubbed[2] == "server at <IP> and <IP> served clean text"
+    assert scrubbed[3] == "no personal data here at all"
+
+
+def test_mix_sample_flattens_mixture(spark):
+    """alpha=0.5 halves the log-imbalance: the rare stratum keeps ~all, the
+    dominant one keeps ~sqrt(c_min/c_max); kept counts track thresholds."""
+    from ticdc_spark.pipeline.decontam import mix_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["stratum"]: r for r in mix_sample(df).collect()}
+    assert out["small"]["keep_thresh"] == 1_000_000  # keeps everything
+    assert out["small"]["n_kept"] == 100
+    exp = (100 / 900) ** 0.5
+    assert out["big"]["keep_thresh"] == int(exp * 1e6)  # floor-quantized
+    # hash sampling approximates the threshold rate
+    assert abs(out["big"]["n_kept"] / 900 - exp) < 0.1

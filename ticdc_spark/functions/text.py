@@ -232,3 +232,67 @@ SELECT t.doc_id, t.content_md5,
        coalesce(agg.n_grams, 0) AS n_grams
 FROM t LEFT JOIN agg USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing
+
+# Kept to the RE2 ∩ java.util.regex common subset (no backrefs, no
+# lookaround) so Spark and the DuckDB oracle compile the IDENTICAL pattern.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_col(text: Column | str = "text") -> Column:
+    """Redact emails → <EMAIL>, then phones → <PHONE>, then IPv4 → <IP>.
+    Order matters: emails first (their domains contain dots that the IP
+    pattern could otherwise bite), IPs last (a phone 555-123-4567 must not
+    be half-eaten by the IP rule)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return c
+
+
+def pii_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII report + scrub — the redaction pass every public-web
+    training pipeline runs before tokenization. Counts are pre-scrub
+    occurrences; scrubbed_md5 hashes the redacted text so the oracle
+    verifies the whole replace chain, not just the counts. Pure
+    regexp_extract_all/regexp_replace column expressions — stays in
+    whole-stage codegen, no shuffle."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0))
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_emails + n_phones + n_ipv4) > 0).cast("int").alias("has_pii"),
+        F.md5(pii_scrub_col(c)).alias("scrubbed_md5"),
+    )
+
+
+def pii_sql() -> str:
+    """DuckDB oracle for pii_columns (identical patterns; 'g' flag because
+    DuckDB regexp_replace is first-match by default where Spark's is
+    global)."""
+    e, p, i = PII_EMAIL_RE, PII_PHONE_RE, PII_IPV4_RE
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),"
+        f" '{p}', '<PHONE>', 'g'), '{i}', '<IP>', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{e}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{p}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(text, '{i}'))::BIGINT AS n_ipv4,
+       (CASE WHEN len(regexp_extract_all(text, '{e}')) + len(regexp_extract_all(text, '{p}'))
+                  + len(regexp_extract_all(text, '{i}')) > 0 THEN 1 ELSE 0 END)::BIGINT AS has_pii,
+       md5({scrub}) AS scrubbed_md5
+FROM documents
+"""

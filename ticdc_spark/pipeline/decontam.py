@@ -15,7 +15,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
@@ -78,3 +78,88 @@ def sample_deterministic(
     Reproducible across runs and engines (no rand()); compose with a
     stratification key by sampling within each stratum's own rows."""
     return docs.filter((h60(F.col(key_col).cast("string")) % denom) < int(p * denom))
+
+
+def mix_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    stratum_col: str = "source",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based dataset mixing (the multilingual-sampling rule of
+    Conneau & Lample 2019, standard for balancing pre-training mixtures):
+    downsample each stratum so the kept mixture is proportional to
+    count^alpha. Keep probability per stratum s:
+
+        p_s = (c_s / c_min) ^ (alpha - 1)      (c_min's stratum keeps all)
+
+    applied as a DETERMINISTIC hash threshold h60(key) % denom < floor(p_s *
+    denom) — reproducible across runs and engines, no rand(). Returns a
+    per-stratum summary (stratum, n_docs, keep_thresh, n_kept).
+
+    Scale shape: one map-side-combined groupBy for the counts (the stratum
+    table is tiny and broadcast back), one broadcast join + filter over the
+    corpus — no corpus-wide shuffle at all.
+
+    For oracle-exact cross-engine floats use alpha = 0.5: p_s is then
+    sqrt(c_min/c_s), and IEEE 754 requires division and sqrt to be correctly
+    rounded, so Spark (JVM) and DuckDB produce bit-identical thresholds.
+    Other alphas go through pow(), which is NOT required to be correctly
+    rounded — fine in production, not for a bit-exact oracle.
+    """
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs")
+    )
+    c_min = F.min("n_docs").over(Window.partitionBy())
+    if alpha == 0.5:
+        p = F.sqrt(c_min / F.col("n_docs"))
+    else:
+        p = F.pow(F.col("n_docs") / c_min, F.lit(alpha - 1.0))
+    with_thresh = counts.select(
+        "stratum", "n_docs", F.floor(p * denom).cast("long").alias("keep_thresh")
+    )
+    kept = (
+        docs.select(
+            F.col(stratum_col).alias("stratum"),
+            (h60(F.col(key_col).cast("string")) % denom).alias("h"),
+        )
+        .join(F.broadcast(with_thresh), "stratum")
+        .filter(F.col("h") < F.col("keep_thresh"))
+        .groupBy("stratum")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        with_thresh.join(kept, "stratum", "left")
+        .select(
+            "stratum",
+            "n_docs",
+            "keep_thresh",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def mix_sample_sql(denom: int = 1_000_000) -> str:
+    """DuckDB oracle for mix_sample(alpha=0.5) — sqrt/division/floor only,
+    all IEEE-correctly-rounded, so thresholds match Spark bit-for-bit."""
+    from ..functions.hashing import h60_sql
+
+    h = h60_sql("cast(doc_id AS varchar)")
+    return f"""
+WITH counts AS (
+  SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY source
+), t AS (
+  SELECT stratum, n_docs,
+         cast(floor(sqrt((min(n_docs) OVER ()) * 1.0 / n_docs) * {denom}) AS bigint)
+           AS keep_thresh
+  FROM counts
+), kept AS (
+  SELECT d.source AS stratum, count(*) AS n_kept
+  FROM documents d JOIN t ON t.stratum = d.source
+  WHERE {h} % {denom} < t.keep_thresh
+  GROUP BY d.source
+)
+SELECT t.stratum, t.n_docs, t.keep_thresh, coalesce(kept.n_kept, 0) AS n_kept
+FROM t LEFT JOIN kept USING (stratum)
+"""

@@ -304,3 +304,101 @@ def simhash_pairs_blocked(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level (paragraph-hash) dedup — CCNet / RefinedWeb style
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    df_threshold: int = 2,
+    keep_frac: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document dedup at chunk granularity (the CCNet paragraph-hash /
+    RefinedWeb line-dedup rule, adapted to newline-free corpora): split each
+    doc into consecutive non-overlapping `chunk_words`-word chunks, md5 each,
+    count each chunk hash's document frequency GLOBALLY, and report per doc
+    how much of its mass is chunks that also occur in >= df_threshold docs.
+
+      n_chunks        — chunks in this doc
+      n_dup_chunks    — chunks whose global doc-frequency >= df_threshold
+      dup_chunk_frac  — n_dup_chunks / n_chunks
+      keep            — dup_chunk_frac <= keep_frac (RefinedWeb drops docs
+                        that are mostly boilerplate shared across the crawl)
+
+    Scale shape: one explode O(tokens/chunk_words), a groupBy on the 32-hex
+    chunk hash with partial aggregation below the shuffle (hot boilerplate
+    chunks collapse map-side), an equi-join back on the hash, and a final
+    per-doc fold. No self-join, nothing quadratic — unlike pair-based dedup
+    this is linear in corpus size, which is why CCNet runs it on full
+    CommonCrawl snapshots.
+    """
+    toks = tokens_col(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * chunk_words + 1, chunk_words))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(chunks).alias("chunk_md5"))
+    dfreq = (
+        ex.distinct()
+        .groupBy("chunk_md5")
+        .agg(F.count("*").alias("chunk_df"))
+    )
+    per_doc = (
+        ex.join(dfreq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("chunk_df") >= df_threshold).cast("long")).alias("n_dup_chunks"),
+        )
+    )
+    frac = F.col("n_dup_chunks") / F.col("n_chunks")
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        frac.alias("dup_chunk_frac"),
+        (frac <= keep_frac).cast("int").alias("keep"),
+    )
+
+
+def chunk_dedup_sql(
+    chunk_words: int = 10, df_threshold: int = 2, keep_frac: float = 0.3
+) -> str:
+    """DuckDB oracle for chunk_dedup (same chunking, same md5)."""
+    from ..functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(t="text")
+    w = chunk_words
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[(i - 1) * {w} + 1:i * {w}], ' ')) AS chunk_md5
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, cast(ceil(len(toks) / {w}.0) AS bigint))) AS i
+    FROM t WHERE len(toks) > 0
+  )
+), dfreq AS (
+  SELECT chunk_md5, count(*) AS chunk_df
+  FROM (SELECT DISTINCT doc_id, chunk_md5 FROM c)
+  GROUP BY chunk_md5
+)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN dfreq.chunk_df >= {df_threshold} THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       sum(CASE WHEN dfreq.chunk_df >= {df_threshold} THEN 1 ELSE 0 END) * 1.0 / count(*) AS dup_chunk_frac,
+       (CASE WHEN sum(CASE WHEN dfreq.chunk_df >= {df_threshold} THEN 1 ELSE 0 END) * 1.0 / count(*)
+                  <= {keep_frac} THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM c JOIN dfreq USING (chunk_md5)
+GROUP BY c.doc_id
+"""
