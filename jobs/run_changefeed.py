@@ -48,6 +48,12 @@ def main() -> int:
     p.add_argument("--mq-dir", default=None, help="MQ sink output dir")
     p.add_argument("--mq-partitions", type=int, default=16)
     p.add_argument(
+        "--mq-protocol", default="open",
+        choices=["open", "canal-json", "maxwell", "avro", "canal-pb"],
+        help="MQ value codec (the reference's protocol= sink-uri option); "
+        "single-table feeds only",
+    )
+    p.add_argument(
         "--mq-dispatch", default="index-value",
         help="single-table dispatch rule (index-value|table|ts|default) OR "
         "multi-table rule list 'glob=rule,glob=rule' (first match wins)",
@@ -115,6 +121,8 @@ def main() -> int:
             )
 
     if args.tables:
+        if args.mq_protocol != "open":
+            p.error("--mq-protocol is single-table only (multi-table MQ is open-protocol)")
         tables = {}
         for part in args.tables.split(","):
             name, _, root = part.partition("=")
@@ -168,6 +176,7 @@ def main() -> int:
         mq_dir=args.mq_dir,
         mq_partitions=args.mq_partitions,
         mq_dispatch_rule=args.mq_dispatch,
+        mq_protocol=args.mq_protocol,
         cyclic=cyclic,
         target_ts=args.target_ts,
         admin=admin,

@@ -543,3 +543,44 @@ def test_changefeed_gc_bounds_snapshots(spark, workspace):
     expected = apply_binlog(pq_.read_table(workspace["binlog"]),
                             upto_ts=summaries[-1]["resolved_ts"])
     assert not diff_tables(expected, _lake_arrow(t))
+
+
+@pytest.mark.parametrize("protocol", ["canal-json", "maxwell", "avro", "canal-pb"])
+def test_mq_protocol_switch_replicates_downstream(spark, workspace, tmp_path, protocol):
+    """The MQ sink's protocol= option (mq.go:356-378 codec dispatch): the
+    same pipeline consistency contract must hold for every wire codec —
+    canal-flat JSON, maxwell JSON, binary Avro envelopes, canal protobuf
+    Entries — including a mid-stream DDL flowing through the meta channel."""
+    import pyarrow.compute as pc
+
+    from ticdc_spark.streaming.consumer import MQConsumer
+
+    spec = BinlogSpec(n_events=4_000, n_keys=400, seed=68, p_delete=0.15, p_insert=0.55)
+    write_binlog(spec, workspace["binlog"], files_per_part=2)
+    binlog = pq.read_table(workspace["binlog"])
+    lo = pc.min(binlog.column("commit_ts")).as_py()
+    hi = pc.max(binlog.column("commit_ts")).as_py()
+    ddl_rows = [
+        {"commit_ts": (lo + hi) // 2, "ddl_type": "add_column",
+         "spec": '{"name":"lang","type":"string"}'},
+    ]
+    mq = str(tmp_path / "mq")
+    t1 = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t1, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        ddl_rows=ddl_rows, mq_dir=mq, mq_partitions=4, mq_protocol=protocol,
+    )
+    cf.run_available()
+    assert t1.schema_version == 1
+
+    t2 = LakeTable.create(spark, str(tmp_path / "down"), n_buckets=4)
+    consumer = MQConsumer(spark, mq, t2, protocol=protocol)
+    stats = consumer.run_once()
+    assert stats and all(s["committed"] for s in stats)
+    assert [f["name"] for f in t2.current_fields] == [f["name"] for f in t1.current_fields]
+    a = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"], r["lang"])
+         for r in t1.read().collect()}
+    b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"], r["lang"])
+         for r in t2.read().collect()}
+    assert a == b and len(a) > 0
+    assert consumer.run_once() == []  # idempotent re-consume

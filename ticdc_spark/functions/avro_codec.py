@@ -215,6 +215,7 @@ def encode_avro(
     table: str = "events",
     registry=None,
     handle_key: str = "doc_id",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Rows → (avro_key binary, avro_value binary) + meta passthrough,
     mirroring AppendRowChangedEvent (avro.go:88-127): key = envelope of the
@@ -262,6 +263,7 @@ def encode_avro(
     enc_key = pandas_udf(_enc_key, T.BinaryType())
 
     meta = [c for c in ("commit_ts", "seq", "table", "op") if c in df.columns]
+    meta += [c for c in (passthrough or []) if c not in meta]
     return df.select(
         *meta,
         enc_key(F.col(handle_key)).alias("avro_key"),

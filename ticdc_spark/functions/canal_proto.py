@@ -235,7 +235,10 @@ def parse_entry(buf: bytes) -> dict:
 
 
 def encode_canal_entries(
-    df: DataFrame, payload: list[tuple[str, str]], key_col: str = "doc_id"
+    df: DataFrame,
+    payload: list[tuple[str, str]],
+    key_col: str = "doc_id",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Rows → canal Entry bytes (one Entry per change event) + meta
     passthrough. payload: [(col_name, sql_type)]."""
@@ -246,12 +249,36 @@ def encode_canal_entries(
     types = {n: t for n, t in payload}
 
     def _enc(cols):
+        import json as _json
+
+        import numpy as _np
+
+        def _scalarize(v, t):
+            # canal columns are strings; array/list payloads (e.g. the
+            # tokens column — MySQL-born canal has no array type) travel
+            # as JSON text, parsed back by decode's from_json
+            if v is None:
+                return None
+            if isinstance(v, _np.ndarray):
+                return _json.dumps(v.tolist())
+            if isinstance(v, (list, tuple)):
+                return _json.dumps(list(v))
+            if isinstance(v, float) and v != v:
+                return None
+            if pd.isna(v):
+                return None
+            # pandas upcasts nullable int columns to float — restore the
+            # declared integer type so '57.0' never reaches an int cast
+            if isinstance(v, (float, _np.floating)) and t.strip().lower() in (
+                "tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"
+            ):
+                return int(v)
+            return v
+
         out = []
         for row in cols.itertuples(index=False):
             d = dict(zip(cols.columns, row))
-            pl = [
-                (n, None if pd.isna(d[n]) else d[n], types[n]) for n in names
-            ]
+            pl = [(n, _scalarize(d[n], types[n]), types[n]) for n in names]
             out.append(
                 build_entry(
                     int(d["commit_ts"]), "cdc", str(d["table"]), d["op"],
@@ -262,6 +289,7 @@ def encode_canal_entries(
 
     enc = pandas_udf(_enc, T.BinaryType())
     meta = [c for c in ("commit_ts", "seq", "table", "op") if c in df.columns]
+    meta += [c for c in (passthrough or []) if c not in meta]
     struct_cols = ["commit_ts", "table", "op", key_col, *names]
     return df.select(
         *meta, enc(F.struct(*[F.col(c) for c in struct_cols])).alias("entry_bytes")
@@ -300,5 +328,13 @@ def decode_canal_entries(
     meta = [c for c in ("commit_ts", "seq", "table", "op") if c in df.columns]
     out = df.select(*meta, dec(F.col("entry_bytes")).alias("_r"))
     cols = [*meta, "_r.op2", "_r.es_ms", f"_r.{key_col}"]
-    typed = [F.col(f"_r.{n}").cast(t).alias(n) for n, t in payload]
+    low = lambda t: t.strip().lower()  # noqa: E731
+    typed = [
+        (
+            F.from_json(F.col(f"_r.{n}"), t)
+            if low(t).startswith(("array", "struct", "map"))
+            else F.col(f"_r.{n}").cast(t)
+        ).alias(n)
+        for n, t in payload
+    ]
     return out.select(*cols, *typed)

@@ -113,14 +113,30 @@ def _canal_type():
     )
 
 
-def encode_canal_flat(
-    df: DataFrame, payload_cols: list[str], database: str = "cdc"
-) -> DataFrame:
-    """Rows → one canal-flat JSON string per change event."""
+def _is_complex_type(t: str) -> bool:
+    return t.strip().lower().startswith(("array", "struct", "map"))
+
+
+def canal_flat_value_col(
+    payload_cols: list[str],
+    database: str = "cdc",
+    complex_cols: set[str] | frozenset = frozenset(),
+):
+    """The canal-flat message as a single Column (one JSON string per
+    change event) — composable into any writer that needs other columns
+    (dispatch partition, kafka key) alongside the encoded value.
+
+    complex_cols: columns of array/struct/map type — canal's all-strings
+    column map can't carry them natively (MySQL has no such types), so they
+    travel as JSON text and decode_canal_flat parses them back with
+    from_json instead of cast."""
+    enc = lambda c: (  # noqa: E731
+        F.to_json(F.col(c)) if c in complex_cols else F.col(c).cast("string")
+    )
     data_map = F.create_map(
         F.lit("doc_id"),
         F.col("doc_id"),
-        *[x for c in payload_cols for x in (F.lit(c), F.col(c).cast("string"))],
+        *[x for c in payload_cols for x in (F.lit(c), enc(c))],
     )
     # delete events carry the handle key only (canal_flat.go delete case)
     data = F.when(
@@ -137,7 +153,14 @@ def encode_canal_flat(
         F.col("seq").alias("seq"),
         F.array(data).alias("data"),
     )
-    return df.select(F.to_json(msg).alias("canal_json"))
+    return F.to_json(msg)
+
+
+def encode_canal_flat(
+    df: DataFrame, payload_cols: list[str], database: str = "cdc"
+) -> DataFrame:
+    """Rows → one canal-flat JSON string per change event."""
+    return df.select(canal_flat_value_col(payload_cols, database).alias("canal_json"))
 
 
 def decode_canal_flat(df: DataFrame, payload_types: dict[str, str]) -> DataFrame:
@@ -162,13 +185,17 @@ def decode_canal_flat(df: DataFrame, payload_types: dict[str, str]) -> DataFrame
         .otherwise(F.lit("D"))
     )
     row = F.col("data")[0]
+    typed = [
+        (F.from_json(row[c], t) if _is_complex_type(t) else row[c].cast(t)).alias(c)
+        for c, t in payload_types.items()
+    ]
     return m.select(
         F.col("ts").alias("commit_ts"),
         F.col("seq"),
         F.col("table"),
         op.alias("op"),
         row["doc_id"].alias("doc_id"),
-        *[row[c].cast(t).alias(c) for c, t in payload_types.items()],
+        *typed,
     )
 
 
@@ -187,16 +214,10 @@ def _maxwell_type():
     )
 
 
-def encode_maxwell(
-    df: DataFrame, payload_cols: list[str], database: str = "cdc",
-    with_old: bool = False,
-) -> DataFrame:
-    """Rows → one maxwell JSON string per change event.
-
-    with_old: emit the `old` map with the pre-change values of the payload
-    columns on UPDATE events (maxwell.go:90-150 Old; enable-old-value
-    mode). Requires old_<col> columns on df — produce them with
-    operators.lww.with_old_image."""
+def maxwell_value_col(
+    payload_cols: list[str], database: str = "cdc", with_old: bool = False
+):
+    """The maxwell message as a single Column (see encode_maxwell)."""
     data = F.struct(
         F.col("doc_id"), *[F.col(c) for c in payload_cols]
     )
@@ -215,7 +236,22 @@ def encode_maxwell(
             F.struct(*[F.col(f"old_{c}").alias(c) for c in payload_cols]),
         )
         parts.append(old.alias("old"))
-    return df.select(F.to_json(F.struct(*parts)).alias("maxwell_json"))
+    return F.to_json(F.struct(*parts))
+
+
+def encode_maxwell(
+    df: DataFrame, payload_cols: list[str], database: str = "cdc",
+    with_old: bool = False,
+) -> DataFrame:
+    """Rows → one maxwell JSON string per change event.
+
+    with_old: emit the `old` map with the pre-change values of the payload
+    columns on UPDATE events (maxwell.go:90-150 Old; enable-old-value
+    mode). Requires old_<col> columns on df — produce them with
+    operators.lww.with_old_image."""
+    return df.select(
+        maxwell_value_col(payload_cols, database, with_old).alias("maxwell_json")
+    )
 
 
 def decode_maxwell(

@@ -26,6 +26,15 @@ def build_session(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # Python UDF workers must be able to import this package no matter the
+    # caller's cwd (the spark-submit --py-files analog: jobs run from
+    # anywhere, pandas-UDF closures reference ticdc_spark.*). Prepending the
+    # package's parent to PYTHONPATH before the JVM launches propagates to
+    # every python worker the executors fork.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(min(64, n))))

@@ -113,6 +113,7 @@ class ChangeFeed:
         mq_dir: str | None = None,
         mq_partitions: int = 16,
         mq_dispatch_rule: str = "index-value",
+        mq_protocol: str = "open",
         expire_keep_last: int | None = None,
         cyclic: dict | None = None,
         target_ts: int | None = None,
@@ -152,6 +153,16 @@ class ChangeFeed:
         # partition routing rule for MQ emission (§2.10): "index-value"
         # (default — per-key ordering), "table", "ts", or "default"
         self.mq_dispatch_rule = mq_dispatch_rule
+        # value encoding for MQ emission — the `protocol=` sink-uri option
+        # (cdc/sink/mq.go:356-378 newMqSink → codec dispatch): "open"
+        # (default), "canal-json", "maxwell", "avro", "canal-pb". Meta
+        # messages (resolved, DDL) stay open-JSON on every protocol — the
+        # reference's canal/avro pipelines carry resolved/DDL out-of-band
+        # too (avro: schema registry; canal: no watermark concept at all).
+        if mq_protocol not in ("open", "canal-json", "maxwell", "avro", "canal-pb"):
+            raise ValueError(f"unknown mq_protocol {mq_protocol!r}")
+        self.mq_protocol = mq_protocol
+        self._avro_registry = None  # lazily created; subject-versions stable per feed
         # GC cadence (owner safepoint advance, cdc/owner.go:752-795): when
         # set, each batch expires snapshots beyond the last N — bounds
         # metadata + orphan data growth on a long-running feed. Off by
@@ -548,17 +559,67 @@ class ChangeFeed:
             ready = mount_raw(
                 ready, self.registry, self.table.schema_version, versions_present=hint
             )
-        val = F.when(
-            F.col("op") != "D",
-            F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
-        ).alias("value_json")
-        out = ready.select(
-            key_json,
-            val,
-            dispatcher_for(
-                self.mq_dispatch_rule, self.mq_partitions, key_col="doc_id"
-            ).alias("partition"),
-        )
+        part = dispatcher_for(
+            self.mq_dispatch_rule, self.mq_partitions, key_col="doc_id"
+        ).alias("partition")
+        if self.mq_protocol == "open":
+            val = F.when(
+                F.col("op") != "D",
+                F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
+            ).alias("value_json")
+            out = ready.select(key_json, val, part)
+        elif self.mq_protocol == "canal-json":
+            from ..functions.codec import _is_complex_type, canal_flat_value_col
+
+            cx = {
+                f["name"]
+                for f in self.table.current_fields
+                if _is_complex_type(f["type"])
+            }
+            out = ready.select(
+                key_json,
+                canal_flat_value_col(payload_cols, complex_cols=cx).alias("value_json"),
+                part,
+            )
+        elif self.mq_protocol == "maxwell":
+            from ..functions.codec import maxwell_value_col
+
+            out = ready.select(
+                key_json, maxwell_value_col(payload_cols).alias("value_json"), part
+            )
+        elif self.mq_protocol == "avro":
+            from ..functions.avro_codec import encode_avro
+            from ..functions.avro_schema import AvroSchemaRegistry
+
+            if self._avro_registry is None:
+                self._avro_registry = AvroSchemaRegistry()
+            # encode at the batch-final schema; a DDL in this batch bumps
+            # the subject version in the registry, exactly like avro.go's
+            # re-register on schema change
+            out = encode_avro(
+                ready.select("commit_ts", "seq", "table", "op", key_json, part.alias("partition"),
+                             self.table.key_col, *payload_cols),
+                self.table.current_fields,
+                table=self.table.root.rstrip("/").rsplit("/", 1)[-1],
+                registry=self._avro_registry,
+                handle_key=self.table.key_col,
+                passthrough=["key_json", "partition"],
+            )
+        else:  # canal-pb
+            from ..functions.canal_proto import encode_canal_entries
+
+            payload_types = [
+                (f["name"], f["type"])
+                for f in self.table.current_fields
+                if f["name"] != self.table.key_col
+            ]
+            out = encode_canal_entries(
+                ready.select("commit_ts", "seq", "table", "op", key_json, part.alias("partition"),
+                             self.table.key_col, *payload_cols),
+                payload_types,
+                key_col=self.table.key_col,
+                passthrough=["key_json", "partition"],
+            )
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
         out.repartition(self.mq_partitions, "partition").write.mode(
             "overwrite"

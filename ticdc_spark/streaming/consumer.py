@@ -26,10 +26,13 @@ from ..operators.lww import lww_latest_semijoin
 
 
 class MQConsumer:
-    def __init__(self, spark, mq_dir: str, table: LakeTable):
+    def __init__(self, spark, mq_dir: str, table: LakeTable, protocol: str = "open"):
+        if protocol not in ("open", "canal-json", "maxwell", "avro", "canal-pb"):
+            raise ValueError(f"unknown protocol {protocol!r}")
         self.spark = spark
         self.mq_dir = mq_dir
         self.table = table
+        self.protocol = protocol
 
     def _payload_schema(self) -> T.StructType:
         key = self.table.key_col
@@ -39,6 +42,56 @@ class MQConsumer:
                 for f in self.table.current_fields
                 if f["name"] != key
             ]
+        )
+
+    def _decode(self, msgs):
+        """Decode one batch's data messages per the feed's protocol into
+        typed change rows (commit_ts, seq, op, key, payload...). Always
+        decodes at THIS consumer's current (post-batch-DDL) schema — the
+        emitter encodes each batch at its batch-final schema, so the two
+        agree (see _emit_mq)."""
+        key = self.table.key_col
+        fields = self.table.current_fields
+        if self.protocol == "open":
+            return decode_open_protocol(
+                msgs.select("key_json", "value_json"), self._payload_schema()
+            )
+        if self.protocol == "canal-json":
+            from ..functions.codec import decode_canal_flat
+
+            types = {f["name"]: f["type"] for f in fields if f["name"] != key}
+            return decode_canal_flat(
+                msgs.select(F.col("value_json").alias("canal_json")), types
+            )
+        if self.protocol == "maxwell":
+            from ..functions.codec import decode_maxwell
+
+            return decode_maxwell(
+                msgs.select(F.col("value_json").alias("maxwell_json")),
+                self._payload_schema(),
+            )
+        if self.protocol == "avro":
+            from ..functions.avro_codec import decode_avro
+
+            return decode_avro(
+                msgs.select("commit_ts", "seq", "table", "op", "avro_key", "avro_value"),
+                fields,
+                handle_key=key,
+            )
+        # canal-pb
+        from ..functions.canal_proto import decode_canal_entries
+
+        payload_types = [
+            (f["name"], f["type"]) for f in fields if f["name"] != key
+        ]
+        dec = decode_canal_entries(
+            msgs.select("commit_ts", "seq", "table", "op", "entry_bytes"),
+            payload_types,
+            key_col=key,
+        )
+        return dec.select(
+            "commit_ts", "seq", "table", "op", key,
+            *[n for n, _ in payload_types],
         )
 
     def run_once(self) -> list[dict]:
@@ -90,9 +143,7 @@ class MQConsumer:
             msgs = self.spark.read.option("basePath", bdir).parquet(
                 os.path.join(bdir, "partition=*")
             )
-            dec = decode_open_protocol(
-                msgs.select("key_json", "value_json"), self._payload_schema()
-            ).filter(F.col("commit_ts") <= F.lit(frontier))
+            dec = self._decode(msgs).filter(F.col("commit_ts") <= F.lit(frontier))
             key = self.table.key_col
             payload = [
                 f["name"] for f in self.table.current_fields if f["name"] != key
