@@ -837,6 +837,15 @@ def q_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(cur.join(F.broadcast(cont), "doc_id", "left_anti"))
 
 
+def q_curate_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict per-doc curation composition: quality + Gopher repetition +
+    PII-free + chunk-dedup keep + exact-dedup canonical (pipeline.curate.
+    curate_strict) — one plan, no pair joins, nothing quadratic."""
+    from ticdc_spark.pipeline.curate import curate_strict
+
+    return _longify(curate_strict(_docs(spark, sf_dir)))
+
+
 def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training (pipeline.pack): concat documents in
     doc_id order, cut every 512 BPE tokens; per-sequence fill stats."""
@@ -1187,6 +1196,33 @@ s AS (SELECT doc_id, {score_cols} FROM t)
 SELECT doc_id, score_en, score_de, score_fr, score_es, {pred} AS lang_pred FROM s
 """
 
+
+
+def _curate_strict_sql() -> str:
+    """Oracle for curate_strict: each stage's already-verified SQL embedded
+    as a derived table, joined on doc_id (DuckDB allows WITH inside
+    subqueries, so the component oracles compose verbatim)."""
+    toks = TOKENS_SQL.format(t="text")
+    return f"""
+SELECT q.doc_id, q.n_words, l.lang_pred
+FROM (
+  SELECT doc_id, len({toks})::BIGINT AS n_words
+  FROM documents
+  WHERE len({toks}) >= 5
+    AND (length(text) - length(regexp_replace(text, '[\\.,;:!\\?''\"]', '', 'g'))) * 1.0
+        / length(text) < 0.2
+) q
+JOIN (SELECT doc_id FROM ({repetition_sql()}) WHERE passes_repetition = 1) r
+  ON r.doc_id = q.doc_id
+JOIN (SELECT doc_id FROM ({pii_sql()}) WHERE has_pii = 0) p
+  ON p.doc_id = q.doc_id
+JOIN (SELECT doc_id FROM ({dd.chunk_dedup_sql()}) WHERE keep = 1) c
+  ON c.doc_id = q.doc_id
+JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))) canon
+  ON canon.doc_id = q.doc_id
+JOIN (SELECT doc_id, lang_pred FROM ({_langid_sql()})) l
+  ON l.doc_id = q.doc_id
+"""
 
 
 def _dedup_embedding_lsh_sql(n_bits: int = 4, n_tables: int = 3, threshold: float = 0.35) -> str:
@@ -1699,6 +1735,7 @@ SELECT source, count(*) AS n_total,
 FROM d GROUP BY source
 """,
         "corpus_mix": dc.mix_sample_sql(),
+        "curate_strict": _curate_strict_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         "ann_topk": f"""
 WITH scored AS (
@@ -1785,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "curate_corpus": q_curate_corpus,
         "curate_full": q_curate_full,
+        "curate_strict": q_curate_strict,
         "tokens_pack": q_tokens_pack,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -59,3 +59,42 @@ def curate(
         .join(lang, "doc_id", "inner")
         .select("doc_id", "n_words", "stopword_ratio", "lang_pred")
     )
+
+
+def curate_strict(docs: DataFrame) -> DataFrame:
+    """The round-2 strict curation composition — every per-doc filter this
+    package implements, in the order a production pipeline runs them:
+
+      1. quality      — passes_quality = 1 (length + punctuation rules)
+      2. repetition   — passes_repetition = 1 (Gopher top-2gram/dup-3gram)
+      3. PII          — has_pii = 0 (emails/phones/IPs; production would
+                        scrub-and-keep — the filter form keeps the
+                        composition a pure doc_id semi-join chain)
+      4. chunk dedup  — keep = 1 (global boilerplate-chunk mass ≤ 30%)
+      5. exact dedup  — canonical (min doc_id) per content group
+
+    Output: (doc_id, n_words, lang_pred). One declarative plan: stages 1-3
+    are scan-fused narrow ops over the same scan, stage 4 is the linear
+    chunk-hash shuffle, stage 5 one hash shuffle — nothing quadratic, no
+    pair joins at all (the LSH near-dup tier stays in `curate`, which this
+    composes with at the caller's choice).
+    """
+    from ..functions.text import pii_columns, repetition_columns
+    from .dedup import chunk_dedup
+
+    q = quality_columns(docs).filter(F.col("passes_quality") == 1).select(
+        "doc_id", "n_words"
+    )
+    rep = repetition_columns(docs).filter(F.col("passes_repetition") == 1).select("doc_id")
+    pii = pii_columns(docs).filter(F.col("has_pii") == 0).select("doc_id")
+    ck = chunk_dedup(docs).filter(F.col("keep") == 1).select("doc_id")
+    canon = exact_dedup(docs).select(F.col("canonical_doc_id").alias("doc_id"))
+    lang = langid_columns(docs).select("doc_id", "lang_pred")
+    return (
+        q.join(rep, "doc_id")
+        .join(pii, "doc_id")
+        .join(ck, "doc_id")
+        .join(canon, "doc_id")
+        .join(lang, "doc_id")
+        .select("doc_id", "n_words", "lang_pred")
+    )

@@ -42,7 +42,11 @@ AUDIT = [
     "curate_decontaminate",
     "text_vocab_topk",
     "corpus_sample",
+    "corpus_mix",
     "tokens_pack",
+    "dedup_chunks",
+    "text_pii",
+    "text_repetition",
 ]
 
 
