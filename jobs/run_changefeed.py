@@ -50,8 +50,7 @@ def main() -> int:
     p.add_argument(
         "--mq-protocol", default="open",
         choices=["open", "canal-json", "maxwell", "avro", "canal-pb"],
-        help="MQ value codec (the reference's protocol= sink-uri option); "
-        "single-table feeds only",
+        help="MQ value codec (the reference's protocol= sink-uri option)",
     )
     p.add_argument(
         "--mq-dispatch", default="index-value",
@@ -121,8 +120,6 @@ def main() -> int:
             )
 
     if args.tables:
-        if args.mq_protocol != "open":
-            p.error("--mq-protocol is single-table only (multi-table MQ is open-protocol)")
         tables = {}
         for part in args.tables.split(","):
             name, _, root = part.partition("=")
@@ -143,6 +140,7 @@ def main() -> int:
             mq_dir=args.mq_dir,
             mq_partitions=args.mq_partitions,
             mq_dispatch_rules=rules,
+            mq_protocol=args.mq_protocol,
             admin=admin,
             feed_name=feed_name,
         )

@@ -475,3 +475,46 @@ def test_multi_table_mq_raw_mode_rename_ddl(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert da.read().filter(F.col("origin").isNotNull()).count() > 0
+
+
+def test_multi_table_mq_avro_protocol(spark, tmp_path):
+    """Protocol switch on the MULTI-table MQ path: per-table Avro binary
+    envelopes (distinct subjects per table) union into one batch dir; the
+    multi consumer decodes each table at its own schema, incl. a ta-only
+    DDL."""
+    from ticdc_spark.streaming.consumer import MultiMQConsumer
+
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=3_000)
+    lo = pc.min(ev_a.column("commit_ts")).as_py()
+    hi = pc.max(ev_a.column("commit_ts")).as_py()
+    ddl_rows = [
+        {"commit_ts": (lo + hi) // 2, "ddl_type": "add_column", "table": "ta",
+         "spec": '{"name":"lang","type":"string"}'},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    mq = str(tmp_path / "mq")
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, ddl_rows=ddl_rows,
+        mq_dir=mq, mq_partitions=4, mq_protocol="avro",
+    )
+    cf.run_available()
+    assert ta.schema_version == 1 and tb.schema_version == 0
+
+    da = LakeTable.create(spark, str(tmp_path / "da"), n_buckets=4)
+    db = LakeTable.create(spark, str(tmp_path / "db"), n_buckets=4)
+    consumer = MultiMQConsumer(spark, mq, {"ta": da, "tb": db}, protocol="avro")
+    stats = consumer.run_once()
+    assert stats
+    for up, down in ((ta, da), (tb, db)):
+        cols = [f["name"] for f in up.current_fields]
+        assert cols == [f["name"] for f in down.current_fields]
+        a = {r["doc_id"]: tuple(
+            tuple(v) if isinstance(v, list) else v for v in [r[c] for c in cols])
+            for r in up.read().collect()}
+        b = {r["doc_id"]: tuple(
+            tuple(v) if isinstance(v, list) else v for v in [r[c] for c in cols])
+            for r in down.read().collect()}
+        assert a == b and len(a) > 0
+    assert consumer.run_once() == []

@@ -545,9 +545,6 @@ class ChangeFeed:
         key_json = F.to_json(
             F.struct(*[F.col(c) for c in KEY_FIELDS])
         ).alias("key_json")
-        payload_cols = [
-            f["name"] for f in self.table.current_fields if f["name"] != self.table.key_col
-        ]
         if self.mode == "raw":
             # the consumer decodes every message at the batch-final (post-
             # DDL) field list, so writer-version payloads must be mounted to
@@ -559,67 +556,21 @@ class ChangeFeed:
             ready = mount_raw(
                 ready, self.registry, self.table.schema_version, versions_present=hint
             )
+        from .protocols import encode_mq
+
         part = dispatcher_for(
             self.mq_dispatch_rule, self.mq_partitions, key_col="doc_id"
-        ).alias("partition")
-        if self.mq_protocol == "open":
-            val = F.when(
-                F.col("op") != "D",
-                F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
-            ).alias("value_json")
-            out = ready.select(key_json, val, part)
-        elif self.mq_protocol == "canal-json":
-            from ..functions.codec import _is_complex_type, canal_flat_value_col
-
-            cx = {
-                f["name"]
-                for f in self.table.current_fields
-                if _is_complex_type(f["type"])
-            }
-            out = ready.select(
-                key_json,
-                canal_flat_value_col(payload_cols, complex_cols=cx).alias("value_json"),
-                part,
-            )
-        elif self.mq_protocol == "maxwell":
-            from ..functions.codec import maxwell_value_col
-
-            out = ready.select(
-                key_json, maxwell_value_col(payload_cols).alias("value_json"), part
-            )
-        elif self.mq_protocol == "avro":
-            from ..functions.avro_codec import encode_avro
+        )
+        if self.mq_protocol == "avro" and self._avro_registry is None:
             from ..functions.avro_schema import AvroSchemaRegistry
 
-            if self._avro_registry is None:
-                self._avro_registry = AvroSchemaRegistry()
-            # encode at the batch-final schema; a DDL in this batch bumps
-            # the subject version in the registry, exactly like avro.go's
-            # re-register on schema change
-            out = encode_avro(
-                ready.select("commit_ts", "seq", "table", "op", key_json, part.alias("partition"),
-                             self.table.key_col, *payload_cols),
-                self.table.current_fields,
-                table=self.table.root.rstrip("/").rsplit("/", 1)[-1],
-                registry=self._avro_registry,
-                handle_key=self.table.key_col,
-                passthrough=["key_json", "partition"],
-            )
-        else:  # canal-pb
-            from ..functions.canal_proto import encode_canal_entries
-
-            payload_types = [
-                (f["name"], f["type"])
-                for f in self.table.current_fields
-                if f["name"] != self.table.key_col
-            ]
-            out = encode_canal_entries(
-                ready.select("commit_ts", "seq", "table", "op", key_json, part.alias("partition"),
-                             self.table.key_col, *payload_cols),
-                payload_types,
-                key_col=self.table.key_col,
-                passthrough=["key_json", "partition"],
-            )
+            # a DDL in any batch bumps the subject version in this
+            # feed-scoped registry, exactly like avro.go's re-register
+            self._avro_registry = AvroSchemaRegistry()
+        out = encode_mq(
+            ready, self.table, self.mq_protocol, key_json, part,
+            avro_registry=self._avro_registry,
+        )
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
         out.repartition(self.mq_partitions, "partition").write.mode(
             "overwrite"

@@ -20,7 +20,6 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.codec import decode_open_protocol
 from ..lake.table import LakeTable
 from ..operators.lww import lww_latest_semijoin
 
@@ -50,49 +49,9 @@ class MQConsumer:
         decodes at THIS consumer's current (post-batch-DDL) schema — the
         emitter encodes each batch at its batch-final schema, so the two
         agree (see _emit_mq)."""
-        key = self.table.key_col
-        fields = self.table.current_fields
-        if self.protocol == "open":
-            return decode_open_protocol(
-                msgs.select("key_json", "value_json"), self._payload_schema()
-            )
-        if self.protocol == "canal-json":
-            from ..functions.codec import decode_canal_flat
+        from .protocols import decode_mq
 
-            types = {f["name"]: f["type"] for f in fields if f["name"] != key}
-            return decode_canal_flat(
-                msgs.select(F.col("value_json").alias("canal_json")), types
-            )
-        if self.protocol == "maxwell":
-            from ..functions.codec import decode_maxwell
-
-            return decode_maxwell(
-                msgs.select(F.col("value_json").alias("maxwell_json")),
-                self._payload_schema(),
-            )
-        if self.protocol == "avro":
-            from ..functions.avro_codec import decode_avro
-
-            return decode_avro(
-                msgs.select("commit_ts", "seq", "table", "op", "avro_key", "avro_value"),
-                fields,
-                handle_key=key,
-            )
-        # canal-pb
-        from ..functions.canal_proto import decode_canal_entries
-
-        payload_types = [
-            (f["name"], f["type"]) for f in fields if f["name"] != key
-        ]
-        dec = decode_canal_entries(
-            msgs.select("commit_ts", "seq", "table", "op", "entry_bytes"),
-            payload_types,
-            key_col=key,
-        )
-        return dec.select(
-            "commit_ts", "seq", "table", "op", key,
-            *[n for n, _ in payload_types],
-        )
+        return decode_mq(msgs, self.table, self.protocol)
 
     def run_once(self) -> list[dict]:
         """Consume every MQ batch not yet applied, in order."""
@@ -163,10 +122,15 @@ class MultiMQConsumer:
     `table` field. Per-(table, batch) epoch ids keep re-consumption a no-op
     per table independently."""
 
-    def __init__(self, spark, mq_dir: str, tables: dict[str, "LakeTable"]):
+    def __init__(
+        self, spark, mq_dir: str, tables: dict[str, "LakeTable"], protocol: str = "open"
+    ):
+        from .protocols import check_protocol
+
         self.spark = spark
         self.mq_dir = mq_dir
         self.tables = dict(tables)
+        self.protocol = check_protocol(protocol)
 
     def _payload_schema(self, table: LakeTable) -> T.StructType:
         key = table.key_col
@@ -222,13 +186,14 @@ class MultiMQConsumer:
                 epoch_id = f"mq-{tname}-{name}"
                 if epoch_id in table.committed_epochs:
                     continue
+                from .protocols import decode_mq
+
                 mine = msgs.filter(
                     F.get_json_object("key_json", "$.table") == F.lit(tname)
                 )
-                dec = decode_open_protocol(
-                    mine.select("key_json", "value_json"),
-                    self._payload_schema(table),
-                ).filter(F.col("commit_ts") <= F.lit(frontier))
+                dec = decode_mq(mine, table, self.protocol).filter(
+                    F.col("commit_ts") <= F.lit(frontier)
+                )
                 key = table.key_col
                 payload = [
                     f["name"] for f in table.current_fields if f["name"] != key

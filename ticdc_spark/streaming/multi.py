@@ -44,6 +44,7 @@ class MultiTableChangeFeed:
         mq_dir: str | None = None,
         mq_partitions: int = 16,
         mq_dispatch_rules: list[tuple[str, str]] | None = None,
+        mq_protocol: str = "open",
         admin=None,
         feed_name: str | None = None,
     ):
@@ -74,6 +75,12 @@ class MultiTableChangeFeed:
         self.mq_dir = mq_dir
         self.mq_partitions = mq_partitions
         self.mq_dispatch_rules = list(mq_dispatch_rules or [])
+        # value codec, shared by every table in the feed (protocol= option;
+        # per-table schemas encode independently, outputs union by name)
+        from .protocols import check_protocol
+
+        self.mq_protocol = check_protocol(mq_protocol)
+        self._avro_registry = None
         # admin lifecycle gate — same contract as ChangeFeed (one feed id
         # covers the whole multi-table feed, like a single changefeed
         # replicating many tables in the reference)
@@ -356,7 +363,12 @@ class MultiTableChangeFeed:
         from ..functions.codec import KEY_FIELDS
         from ..operators.mounter import mount_raw
         from .dispatch import compile_dispatch_rules, index_value_partition
+        from .protocols import encode_mq
 
+        if self.mq_protocol == "avro" and self._avro_registry is None:
+            from ..functions.avro_schema import AvroSchemaRegistry
+
+            self._avro_registry = AvroSchemaRegistry()
         outs = []
         ddl_msgs: list[tuple[str, int, list]] = []
         for name, (sl, barriers, reg) in mq_tables.items():
@@ -367,9 +379,6 @@ class MultiTableChangeFeed:
                     hint = list(range(0, reg.version_at(resolved) + 1))
                 sl = mount_raw(sl, reg, table.schema_version, versions_present=hint)
             key = table.key_col
-            payload_cols = [
-                f["name"] for f in table.current_fields if f["name"] != key
-            ]
             part_col = (
                 compile_dispatch_rules(
                     self.mq_dispatch_rules, self.mq_partitions, key_col=key
@@ -380,11 +389,12 @@ class MultiTableChangeFeed:
             key_json = F.to_json(
                 F.struct(*[F.col(c) for c in KEY_FIELDS])
             ).alias("key_json")
-            val = F.when(
-                F.col("op") != "D",
-                F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
-            ).alias("value_json")
-            outs.append(sl.select(key_json, val, part_col.alias("partition")))
+            outs.append(
+                encode_mq(
+                    sl, table, self.mq_protocol, key_json, part_col,
+                    avro_registry=self._avro_registry,
+                )
+            )
             for ver, ts in barriers:
                 ddl_msgs.append((name, ts, reg.fields(ver)))
         out = outs[0]
