@@ -727,6 +727,26 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 
 
+def q_cdc_tokens_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency stats over the CDC-MAINTAINED table (not the raw
+    feed): LWW-collapse the token-array payload, then explode the FINAL
+    state's tokens into (token, occurrences, doc frequency) — the vocab
+    profile a training pipeline keeps live on an incrementally-ingested
+    corpus. Explode width is bounded by n_tok; partial aggregation folds
+    each partition's token multiset before the one shuffle."""
+    feed = changelog(spark, sf_dir)
+    toks = F.sequence(F.lit(0), (F.col("seq") % 8).cast("long"))
+    with_payload = feed.withColumn("tokens", F.when(F.col("op") != "D", toks))
+    w = lww_latest_agg(with_payload, ["doc_id"])
+    ex = w.filter(F.col("op") != "D").select(
+        "doc_id", F.explode("tokens").alias("token")
+    )
+    return ex.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return _longify(
@@ -1454,6 +1474,25 @@ SELECT doc_id, commit_ts,
        coalesce(array_to_string(tokens, ','), '') AS tokens_csv, n_tok
 FROM ranked WHERE rn = 1 AND op != 'D'
 """,
+        "cdc_tokens_vocab": f"""
+WITH feed AS ({FEED_SQL}),
+payload AS (
+  SELECT *, CASE WHEN op != 'D'
+                 THEN generate_series(0, cast(seq % 8 AS bigint)) END AS tokens
+  FROM feed
+),
+ranked AS (
+  SELECT doc_id, op, tokens,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM payload
+),
+final AS (SELECT doc_id, tokens FROM ranked WHERE rn = 1 AND op != 'D')
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(tokens) AS token FROM final)
+GROUP BY token
+""",
         "cdc_matcher": """
 WITH ev AS (
   SELECT event_id, cast(user_id AS varchar) AS doc_id, event_type,
@@ -1799,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_filter": q_cdc_table_filter,
         "cdc_mark_filter": q_cdc_mark_filter,
         "cdc_tokens_final_state": q_cdc_tokens_final_state,
+        "cdc_tokens_vocab": q_cdc_tokens_vocab,
         "cdc_matcher": q_cdc_matcher,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_canal_flat": q_codec_canal_flat,
