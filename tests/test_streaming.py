@@ -584,3 +584,58 @@ def test_mq_protocol_switch_replicates_downstream(spark, workspace, tmp_path, pr
          for r in t2.read().collect()}
     assert a == b and len(a) > 0
     assert consumer.run_once() == []  # idempotent re-consume
+
+
+def test_mq_old_value_cross_batch(spark, workspace, tmp_path):
+    """enable-old-value: every emitted event carries its pre-change image,
+    INCLUDING each batch's first event per key, whose image predates the
+    batch (read bucket-pruned from the pre-batch snapshot). Verified
+    against a pure-python fold of the whole binlog in apply order.
+
+    Arrival respects the resolved-ts contract (files are commit-ts ranges,
+    out_of_order=False): pre-image reconstruction is sequence-sensitive, so
+    — exactly like the reference, where TiKV only hands TiCDC old values
+    for deliveries that honor resolved-ts — it is only defined for streams
+    without late events. Late-event replay (order-insensitive LWW state) is
+    covered by the other streaming tests."""
+    import json as j
+
+    spec = BinlogSpec(
+        n_events=6_000, n_keys=300, seed=69, p_delete=0.2, p_insert=0.5,
+        out_of_order=False,
+    )
+    write_binlog(spec, workspace["binlog"], files_per_part=4)
+    mq = str(tmp_path / "mq")
+    t1 = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t1, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        mq_dir=mq, mq_partitions=4, mq_protocol="open", mq_old_value=True,
+    )
+    cf.run_available()
+
+    # python oracle: fold events in apply order, tracking each key's state
+    ev = pq.read_table(workspace["binlog"]).to_pylist()
+    op_rank = {"D": 0, "I": 1, "U": 1}
+    ev.sort(key=lambda r: (r["commit_ts"], r["seq"], op_rank[r["op"]]))
+    state, want = {}, {}
+    for r in ev:
+        k = r["doc_id"]
+        # key includes op: the generator's delete+put tie pairs share
+        # (commit_ts, seq) and only op_rank distinguishes them
+        want[(r["commit_ts"], r["seq"], r["op"])] = state.get(k)
+        state[k] = None if r["op"] == "D" else {
+            "tokens": list(r["tokens"]), "n_tok": r["n_tok"], "source": r["source"]}
+
+    msgs = spark.read.parquet(mq + "/batch-*/partition=*").collect()
+    n_checked = n_with_old = 0
+    for m in msgs:
+        key = j.loads(m["key_json"])
+        pre = want.get((key["commit_ts"], key["seq"], key["op"]))
+        if pre is None:
+            assert m["old_json"] is None, key
+        else:
+            got = j.loads(m["old_json"])
+            assert got["tokens"] == pre["tokens"] and got["n_tok"] == pre["n_tok"], key
+            n_with_old += 1
+        n_checked += 1
+    assert n_checked > 4000 and n_with_old > 1000  # both cases well-covered

@@ -390,6 +390,24 @@ class LakeTable:
         finally:
             self._manifest = saved
 
+    @property
+    def version(self) -> int:
+        return int(self._manifest["version"])
+
+    def read_version_raw(
+        self, version: int, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Time travel incl. tombstones + system columns, optionally
+        bucket-pruned — the pre-image read old-value MQ emission uses (IO ∝
+        the touched buckets at that version, never table size)."""
+        saved = self._manifest
+        try:
+            with open(os.path.join(self._mdir, f"v{version:08d}.json")) as f:
+                self._manifest = json.load(f)
+            return self.read_raw(buckets)
+        finally:
+            self._manifest = saved
+
     # ---------------- merge (the CDC apply) ----------------
     def _bucket_expr(self, col: str):
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")

@@ -138,6 +138,7 @@ def with_old_image(
     feed,
     payload_cols: list[str],
     key_cols: list[str] | None = None,
+    mark_first: bool = False,
 ):
     """Attach the pre-change image to every event (the old-value mode of
     cdc/sink/codec/maxwell.go:90-150 / canal's beforeColumns): the old
@@ -166,6 +167,10 @@ def with_old_image(
                 F.lag(c).over(w)
             ),
         )
-    return out.withColumn(
-        "had_old", prev_op.isNotNull() & (prev_op != "D")
-    )
+    out = out.withColumn("had_old", prev_op.isNotNull() & (prev_op != "D"))
+    if mark_first:
+        # first event of the key WITHIN this feed slice — its true pre-image
+        # (if any) lives in the table, not the slice; callers with table
+        # access resolve it there (cross-batch old value)
+        out = out.withColumn("first_in_batch", prev_op.isNull())
+    return out

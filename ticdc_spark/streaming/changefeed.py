@@ -114,6 +114,7 @@ class ChangeFeed:
         mq_partitions: int = 16,
         mq_dispatch_rule: str = "index-value",
         mq_protocol: str = "open",
+        mq_old_value: bool = False,
         expire_keep_last: int | None = None,
         cyclic: dict | None = None,
         target_ts: int | None = None,
@@ -163,6 +164,15 @@ class ChangeFeed:
             raise ValueError(f"unknown mq_protocol {mq_protocol!r}")
         self.mq_protocol = mq_protocol
         self._avro_registry = None  # lazily created; subject-versions stable per feed
+        # enable-old-value (cdc/model/changefeed.go EnableOldValue; maxwell
+        # and canal REQUIRE it in the reference): every emitted event also
+        # carries its pre-change image. In-batch pre-images come from a lag
+        # window; each batch's first event per key reads the pre-batch
+        # snapshot, bucket-pruned to the batch's touched buckets — IO ∝
+        # change rate + touched-bucket state, never table size.
+        if mq_old_value and mq_protocol not in ("open", "maxwell"):
+            raise ValueError("mq_old_value supports protocols: open, maxwell")
+        self.mq_old_value = mq_old_value
         # GC cadence (owner safepoint advance, cdc/owner.go:752-795): when
         # set, each batch expires snapshots beyond the last N — bounds
         # metadata + orphan data growth on a long-running feed. Off by
@@ -284,6 +294,10 @@ class ChangeFeed:
             # carried-over pending tail is by construction above it).
             stored0 = {int(k): int(v) for k, v in self.table.part_watermarks.items()}
             prev_resolved = min(stored0.values()) if stored0 else -1
+            # table version BEFORE this batch's merges — the old-value MQ
+            # mode reads pre-images from this snapshot (emission runs after
+            # the apply, so `current` already contains the batch)
+            pre_version = self.table.version
             part_stats = (
                 events.groupBy("part")
                 .agg(
@@ -301,10 +315,17 @@ class ChangeFeed:
             timings["part_stats"] = _time.time() - t0
             t0 = _time.time()
             n_late = sum(int(r["late"]) for r in part_stats)
-            if self.strict_watermarks and n_late:
+            if n_late and (self.strict_watermarks or self.mq_old_value):
+                # old-value mode cannot tolerate late events even when the
+                # feed otherwise could: LWW makes a late event harmless for
+                # table STATE, but the pre-image attached to every already-
+                # emitted later event would have been wrong — fail loudly
+                # rather than emit silently-corrupt old values
                 raise RuntimeError(
                     f"late-event contract violated: {n_late} events at or below "
-                    f"resolved frontier {prev_resolved} (puller.go:163-168)"
+                    f"resolved frontier {prev_resolved} (puller.go:163-168"
+                    + (", required by enable-old-value)" if self.mq_old_value
+                       else ")")
                 )
             n_sv = sum(int(r["sv_viol"]) for r in part_stats)
             if n_sv:
@@ -441,16 +462,21 @@ class ChangeFeed:
 
             # 4b. MOR hygiene: fold deltas when a bucket accumulates too many
             self.table.maybe_compact(self.compact_max_deltas)
-            if self.expire_keep_last is not None:
+            # old-value emission reads the pre-batch snapshot — GC must wait
+            # until after it (a batch with many slices could otherwise push
+            # pre_version beyond keep_last and delete its files mid-batch)
+            if self.expire_keep_last is not None and not self.mq_old_value:
                 self.table.expire_versions(keep_last=self.expire_keep_last)
             timings["compact"] = _time.time() - t0
             t0 = _time.time()
 
             # 4c. optional MQ emission of the released prefix
             if self.mq_dir is not None:
-                self._emit_mq(ready, batch_id, resolved, executed_ddls)
+                self._emit_mq(ready, batch_id, resolved, executed_ddls, pre_version)
                 timings["mq"] = _time.time() - t0
                 t0 = _time.time()
+            if self.expire_keep_last is not None and self.mq_old_value:
+                self.table.expire_versions(keep_last=self.expire_keep_last)
 
             # 5. persist tail for the next batch. Existence is known from
             # part_stats (tail nonempty ⟺ some partition's max is above the
@@ -527,12 +553,69 @@ class ChangeFeed:
             winners, epoch_id, watermarks=watermarks, assume_deduped=True
         )
 
+    def _attach_old_images(self, ready: DataFrame, pre_version: int) -> DataFrame:
+        """Attach old_<col>/had_old to every emitted event. In-batch
+        pre-images come from the apply-order lag window (operators.lww.
+        with_old_image); each key's FIRST in-batch event takes its image
+        from the pre-batch snapshot instead, read bucket-pruned to the
+        batch's touched buckets (read_version_raw) — the lake-side analog of
+        TiKV handing TiCDC the old value with the write. A key absent from
+        the snapshot (true insert) keeps had_old = false.
+
+        Requires the resolved-ts arrival contract (no events at or below the
+        released frontier): reconstruction is sequence-sensitive, so
+        enable-old-value forces the late-event panic in run_batch even when
+        strict_watermarks is off. Events whose
+        in-batch predecessor is a delete keep a NULL image (row was absent —
+        the window already encodes that)."""
+        from ..model import SYS_DELETED
+        from ..operators.lww import with_old_image
+
+        key = self.table.key_col
+        payload = [f["name"] for f in self.table.current_fields if f["name"] != key]
+        ready = with_old_image(ready, payload, mark_first=True)
+        bids = [
+            r["b"]
+            for r in ready.select(self.table._bucket_expr(key).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        old = self.table.read_version_raw(pre_version, buckets=bids)
+        # a batch DDL may have added columns the snapshot predates — their
+        # pre-image is NULL by construction
+        avail = [c for c in payload if c in old.columns]
+        old_sel = (
+            old.filter(~F.col(SYS_DELETED))
+            .select(
+                F.col(key),
+                *[F.col(c).alias(f"_tbl_{c}") for c in avail],
+                F.lit(True).alias("_tbl_exists"),
+            )
+        )
+        ready = ready.join(old_sel, key, "left")
+        first = F.col("first_in_batch")
+        for c in payload:
+            tbl_c = F.col(f"_tbl_{c}") if c in avail else F.lit(None)
+            ready = ready.withColumn(
+                f"old_{c}", F.when(first, tbl_c).otherwise(F.col(f"old_{c}"))
+            )
+        ready = ready.withColumn(
+            "had_old",
+            F.when(first, F.coalesce(F.col("_tbl_exists"), F.lit(False))).otherwise(
+                F.col("had_old")
+            ),
+        )
+        return ready.drop(
+            "first_in_batch", "_tbl_exists", *[f"_tbl_{c}" for c in avail]
+        )
+
     def _emit_mq(
         self,
         ready: DataFrame,
         batch_id: int,
         resolved: int,
         executed_ddls: list | None = None,
+        pre_version: int | None = None,
     ) -> None:
         """Write this batch's messages: data rows encoded per the codec
         (raw mode: the payload IS the value json; typed mode: to_json of the
@@ -567,9 +650,11 @@ class ChangeFeed:
             # a DDL in any batch bumps the subject version in this
             # feed-scoped registry, exactly like avro.go's re-register
             self._avro_registry = AvroSchemaRegistry()
+        if self.mq_old_value:
+            ready = self._attach_old_images(ready, pre_version)
         out = encode_mq(
             ready, self.table, self.mq_protocol, key_json, part,
-            avro_registry=self._avro_registry,
+            avro_registry=self._avro_registry, old_value=self.mq_old_value,
         )
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
         out.repartition(self.mq_partitions, "partition").write.mode(

@@ -39,11 +39,16 @@ def encode_mq(
     key_json,
     part_col,
     avro_registry=None,
+    old_value: bool = False,
 ) -> DataFrame:
     """Encode one table's released prefix for the MQ batch. sl must carry
     (commit_ts, seq, table, op, <key>, <payload...>) at the table's CURRENT
     (batch-final) schema. Output schema depends only on the protocol, so
-    multi-table emissions union per-table encodes directly."""
+    multi-table emissions union per-table encodes directly.
+
+    old_value: sl additionally carries old_<col>/had_old (see
+    ChangeFeed._attach_old_images). open emits them as an `old_json` column
+    (the open-protocol "p" pre-image analog); maxwell as its `old` map."""
     key = table.key_col
     payload_cols = [f["name"] for f in table.current_fields if f["name"] != key]
     if protocol == "open":
@@ -51,7 +56,25 @@ def encode_mq(
             F.col("op") != "D",
             F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
         ).alias("value_json")
-        return sl.select(key_json, val, part_col.alias("partition"))
+        cols = [key_json, val, part_col.alias("partition")]
+        if old_value:
+            cols.append(
+                F.when(
+                    F.col("had_old"),
+                    F.to_json(
+                        F.struct(*[F.col(f"old_{c}").alias(c) for c in payload_cols])
+                    ),
+                ).alias("old_json")
+            )
+        return sl.select(*cols)
+    if protocol == "maxwell" and old_value:
+        from ..functions.codec import maxwell_value_col
+
+        return sl.select(
+            key_json,
+            maxwell_value_col(payload_cols, with_old=True).alias("value_json"),
+            part_col.alias("partition"),
+        )
     if protocol == "canal-json":
         from ..functions.codec import _is_complex_type, canal_flat_value_col
 

@@ -137,6 +137,13 @@ def generate_binlog(spec: BinlogSpec) -> pa.Table:
         # shuffle full arrival order (puller receives regions interleaved)
         perm = rng.permutation(len(tbl))
         tbl = tbl.take(pa.array(perm))
+    else:
+        # ordered arrival: the concat above appended tie-pair clones at the
+        # END — re-sort so position slices are true commit-ts ranges ("D" <
+        # "U" lexicographically = delete-before-put at a (ts, seq) tie)
+        tbl = tbl.sort_by(
+            [("commit_ts", "ascending"), ("seq", "ascending"), ("op", "ascending")]
+        )
     return tbl
 
 
