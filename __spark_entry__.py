@@ -474,6 +474,29 @@ def q_codec_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_canal_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-flat codec in enable-old-value mode (canal_flat.go:93-147):
+    UPDATE carries the before image in `old`; DELETE's `data` IS the before
+    image (the Alibaba-adapter/Flink contract) and its after-image decodes
+    to NULL; INSERT's old is [null]. Round-tripped encode→decode with the
+    lag-window old image attached upstream."""
+    from ticdc_spark.functions.codec import decode_canal_flat, encode_canal_flat
+    from ticdc_spark.operators.lww import with_old_image
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    feed = with_old_image(feed, ["event_type", "value"])
+    enc = encode_canal_flat(feed, ["event_type", "value"], with_old=True)
+    dec = decode_canal_flat(
+        enc, {"event_type": "string", "value": "double"}, with_old=True
+    )
+    return dec.select(
+        "commit_ts", "seq", "table", "op", "doc_id",
+        "event_type", F.round("value", 6).alias("val"),
+        "old_event_type", F.round("old_value", 6).alias("old_val"),
+        "had_old",
+    )
+
+
 def q_codec_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maxwell JSON codec round trip (cdc/sink/codec/maxwell.go:1-370):
     native JSON value types, delete events carry the full deleted image."""
@@ -1562,6 +1585,19 @@ SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
        CASE WHEN op != 'D' THEN round(value, 6) END AS val
 FROM feed
 """,
+        "codec_canal_old": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       CASE WHEN op != 'D' THEN event_type END AS event_type,
+       CASE WHEN op != 'D' THEN round(value, 6) END AS val,
+       CASE WHEN op != 'I' AND NOT (lag(op) OVER w IS NULL OR lag(op) OVER w = 'D')
+            THEN lag(event_type) OVER w END AS old_event_type,
+       CASE WHEN op != 'I' AND NOT (lag(op) OVER w IS NULL OR lag(op) OVER w = 'D')
+            THEN round(lag(value) OVER w, 6) END AS old_val,
+       (op != 'I' AND NOT (lag(op) OVER w IS NULL OR lag(op) OVER w = 'D')) AS had_old
+FROM feed
+WINDOW w AS (PARTITION BY doc_id ORDER BY commit_ts ASC, seq ASC, {OP_RANK_SQL} ASC)
+""",
         "cdc_lww_composite": f"""
 WITH feed AS ({FEED_SQL}),
 ranked AS (
@@ -1842,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_matcher": q_cdc_matcher,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_canal_flat": q_codec_canal_flat,
+        "codec_canal_old": q_codec_canal_old,
         "codec_maxwell": q_codec_maxwell,
         "codec_avro": q_codec_avro,
         "codec_canal_entry": q_codec_canal_entry,

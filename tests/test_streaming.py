@@ -639,3 +639,67 @@ def test_mq_old_value_cross_batch(spark, workspace, tmp_path):
             n_with_old += 1
         n_checked += 1
     assert n_checked > 4000 and n_with_old > 1000  # both cases well-covered
+
+
+def test_mq_old_value_canal_json(spark, workspace, tmp_path):
+    """canal-json under enable-old-value (canal_flat.go:93-147): UPDATE and
+    DELETE messages carry the one-element before image in `old`; a DELETE's
+    `data` IS the before image (Alibaba-adapter/Flink contract); INSERT's
+    old is [null]. The downstream consumer still converges to the upstream
+    table through the same messages."""
+    import json as j
+
+    from ticdc_spark.streaming.consumer import MQConsumer
+
+    spec = BinlogSpec(
+        n_events=5_000, n_keys=250, seed=71, p_delete=0.2, p_insert=0.5,
+        out_of_order=False,
+    )
+    write_binlog(spec, workspace["binlog"], files_per_part=4)
+    mq = str(tmp_path / "mq")
+    t1 = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t1, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        mq_dir=mq, mq_partitions=4, mq_protocol="canal-json", mq_old_value=True,
+    )
+    cf.run_available()
+
+    # python oracle of pre-images, keyed by (commit_ts, seq, op)
+    ev = pq.read_table(workspace["binlog"]).to_pylist()
+    op_rank = {"D": 0, "I": 1, "U": 1}
+    ev.sort(key=lambda r: (r["commit_ts"], r["seq"], op_rank[r["op"]]))
+    state, want = {}, {}
+    for r in ev:
+        k = r["doc_id"]
+        want[(r["commit_ts"], r["seq"], r["op"])] = state.get(k)
+        state[k] = None if r["op"] == "D" else {
+            "tokens": list(r["tokens"]), "n_tok": r["n_tok"]}
+
+    n_old = n_del_img = 0
+    for m in spark.read.parquet(mq + "/batch-*/partition=*").collect():
+        v = j.loads(m["value_json"])
+        if v.get("isDdl"):
+            continue
+        pre = want[(v["ts"], v["seq"], v["type"][0].replace("N", "I"))]
+        assert len(v["old"]) == 1 and len(v["data"]) == 1
+        old = v["old"][0]
+        if v["type"] == "INSERT" or pre is None:
+            assert old is None, v
+        else:
+            assert j.loads(old["tokens"]) == pre["tokens"]
+            assert int(old["n_tok"]) == pre["n_tok"]
+            n_old += 1
+            if v["type"] == "DELETE":
+                # data carries the before image, not the bare key
+                assert v["data"][0] == old
+                n_del_img += 1
+    assert n_old > 500 and n_del_img > 100
+
+    # same messages still replicate state downstream
+    t2 = LakeTable.create(spark, str(tmp_path / "down"), n_buckets=4)
+    consumer = MQConsumer(spark, mq, t2, protocol="canal-json")
+    stats = consumer.run_once()
+    assert stats and all(s["committed"] for s in stats)
+    a = {r["doc_id"]: (list(r["tokens"]), r["n_tok"]) for r in t1.read().collect()}
+    b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"]) for r in t2.read().collect()}
+    assert a == b and len(a) > 0

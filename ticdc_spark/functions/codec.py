@@ -121,6 +121,7 @@ def canal_flat_value_col(
     payload_cols: list[str],
     database: str = "cdc",
     complex_cols: set[str] | frozenset = frozenset(),
+    with_old: bool = False,
 ):
     """The canal-flat message as a single Column (one JSON string per
     change event) — composable into any writer that needs other columns
@@ -129,7 +130,14 @@ def canal_flat_value_col(
     complex_cols: columns of array/struct/map type — canal's all-strings
     column map can't carry them natively (MySQL has no such types), so they
     travel as JSON text and decode_canal_flat parses them back with
-    from_json instead of cast."""
+    from_json instead of cast.
+
+    with_old: the input additionally carries old_<col>/had_old (the
+    enable-old-value pre-image). Mirrors canal_flat.go:93-147: `old` holds
+    the one-element before image ([null] when there is none — the adapter
+    contract requires exactly one element either way), and a DELETE's
+    `data` is the FULL before image rather than the handle key alone
+    ("Alibaba's adapter expects this, and so does Flink")."""
     enc = lambda c: (  # noqa: E731
         F.to_json(F.col(c)) if c in complex_cols else F.col(c).cast("string")
     )
@@ -138,11 +146,32 @@ def canal_flat_value_col(
         F.col("doc_id"),
         *[x for c in payload_cols for x in (F.lit(c), enc(c))],
     )
-    # delete events carry the handle key only (canal_flat.go delete case)
-    data = F.when(
-        F.col("op") == "D", F.create_map(F.lit("doc_id"), F.col("doc_id"))
-    ).otherwise(data_map)
-    msg = F.struct(
+    key_only = F.create_map(F.lit("doc_id"), F.col("doc_id"))
+    if with_old:
+        enc_old = lambda c: (  # noqa: E731
+            F.to_json(F.col(f"old_{c}"))
+            if c in complex_cols
+            else F.col(f"old_{c}").cast("string")
+        )
+        # before image travels on UPDATE and DELETE only (canal.go:232-244
+        # builds BeforeColumns for exactly those) — an INSERT's old is [null]
+        old_map = F.when(
+            F.col("had_old") & (F.col("op") != "I"),
+            F.create_map(
+                F.lit("doc_id"),
+                F.col("doc_id"),
+                *[x for c in payload_cols for x in (F.lit(c), enc_old(c))],
+            ),
+        )
+        data = F.when(
+            F.col("op") == "D", F.coalesce(old_map, key_only)
+        ).otherwise(data_map)
+    else:
+        # delete events carry the handle key only (canal_flat.go delete
+        # case when the feed runs without old value)
+        old_map = None
+        data = F.when(F.col("op") == "D", key_only).otherwise(data_map)
+    msg_fields = [
         F.lit(database).alias("database"),
         F.col("table"),
         F.array(F.lit("doc_id")).alias("pkNames"),
@@ -152,19 +181,33 @@ def canal_flat_value_col(
         F.col("commit_ts").alias("ts"),
         F.col("seq").alias("seq"),
         F.array(data).alias("data"),
-    )
-    return F.to_json(msg)
+    ]
+    if old_map is not None:
+        msg_fields.append(F.array(old_map).alias("old"))
+    return F.to_json(F.struct(*msg_fields))
 
 
 def encode_canal_flat(
-    df: DataFrame, payload_cols: list[str], database: str = "cdc"
+    df: DataFrame, payload_cols: list[str], database: str = "cdc",
+    with_old: bool = False,
 ) -> DataFrame:
     """Rows → one canal-flat JSON string per change event."""
-    return df.select(canal_flat_value_col(payload_cols, database).alias("canal_json"))
+    return df.select(
+        canal_flat_value_col(payload_cols, database, with_old=with_old).alias(
+            "canal_json"
+        )
+    )
 
 
-def decode_canal_flat(df: DataFrame, payload_types: dict[str, str]) -> DataFrame:
-    """canal_json → typed change rows (values un-stringified by cast)."""
+def decode_canal_flat(
+    df: DataFrame, payload_types: dict[str, str], with_old: bool = False
+) -> DataFrame:
+    """canal_json → typed change rows (values un-stringified by cast).
+
+    with_old: also surface the before image as old_<col> + had_old (messages
+    encoded under enable-old-value; a DELETE's payload columns stay NULL —
+    its `data` is the before image, which belongs in old_<col>, not the
+    after-image fields)."""
     schema = T.StructType(
         [
             T.StructField("database", T.StringType()),
@@ -176,6 +219,7 @@ def decode_canal_flat(df: DataFrame, payload_types: dict[str, str]) -> DataFrame
             T.StructField("ts", T.LongType()),
             T.StructField("seq", T.LongType()),
             T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+            T.StructField("old", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
         ]
     )
     m = df.select(F.from_json("canal_json", schema).alias("_m")).select("_m.*")
@@ -185,10 +229,22 @@ def decode_canal_flat(df: DataFrame, payload_types: dict[str, str]) -> DataFrame
         .otherwise(F.lit("D"))
     )
     row = F.col("data")[0]
+    cast = lambda v, t: (  # noqa: E731
+        F.from_json(v, t) if _is_complex_type(t) else v.cast(t)
+    )
     typed = [
-        (F.from_json(row[c], t) if _is_complex_type(t) else row[c].cast(t)).alias(c)
+        F.when(op != "D", cast(row[c], t)).alias(c)
+        if with_old
+        else cast(row[c], t).alias(c)
         for c, t in payload_types.items()
     ]
+    extra = []
+    if with_old:
+        old_row = F.col("old")[0]
+        extra = [
+            *[cast(old_row[c], t).alias(f"old_{c}") for c, t in payload_types.items()],
+            old_row.isNotNull().alias("had_old"),
+        ]
     return m.select(
         F.col("ts").alias("commit_ts"),
         F.col("seq"),
@@ -196,6 +252,7 @@ def decode_canal_flat(df: DataFrame, payload_types: dict[str, str]) -> DataFrame
         op.alias("op"),
         row["doc_id"].alias("doc_id"),
         *typed,
+        *extra,
     )
 
 

@@ -170,8 +170,10 @@ class ChangeFeed:
         # window; each batch's first event per key reads the pre-batch
         # snapshot, bucket-pruned to the batch's touched buckets — IO ∝
         # change rate + touched-bucket state, never table size.
-        if mq_old_value and mq_protocol not in ("open", "maxwell"):
-            raise ValueError("mq_old_value supports protocols: open, maxwell")
+        if mq_old_value and mq_protocol not in ("open", "maxwell", "canal-json"):
+            raise ValueError(
+                "mq_old_value supports protocols: open, maxwell, canal-json"
+            )
         self.mq_old_value = mq_old_value
         # GC cadence (owner safepoint advance, cdc/owner.go:752-795): when
         # set, each batch expires snapshots beyond the last N — bounds

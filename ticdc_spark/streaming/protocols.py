@@ -81,7 +81,9 @@ def encode_mq(
         cx = {f["name"] for f in table.current_fields if _is_complex_type(f["type"])}
         return sl.select(
             key_json,
-            canal_flat_value_col(payload_cols, complex_cols=cx).alias("value_json"),
+            canal_flat_value_col(
+                payload_cols, complex_cols=cx, with_old=old_value
+            ).alias("value_json"),
             part_col.alias("partition"),
         )
     if protocol == "maxwell":
