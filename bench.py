@@ -297,6 +297,50 @@ def bench_stream_raw(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_stream_old_value(spark, work_root: str, n_events: int) -> dict:
+    """Streaming replay with the MQ sink in enable-old-value mode: every
+    emitted message carries its pre-change image (in-batch via the LWW-
+    shaped lag window; cross-batch via bucket-pruned pre-batch snapshot
+    reads). The delta vs plain streaming prices the old-value machinery —
+    one extra window + one bucket-pruned join per batch, both on the key
+    partitioning the apply already pays for."""
+    import glob as g
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    binlog_dir = os.path.join(work_root, f"binlog_c_{n_events}")
+    n_files = len(g.glob(os.path.join(binlog_dir, "chunk-*", "*.parquet")))
+    tbl_dir = os.path.join(work_root, "oldval_tbl")
+    ckpt = os.path.join(work_root, "oldval_ckpt")
+    mq_dir = os.path.join(work_root, "oldval_mq")
+    for d in (tbl_dir, ckpt, mq_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    cf = ChangeFeed(
+        table,
+        os.path.join(binlog_dir, "chunk-*"),
+        checkpoint_dir=ckpt,
+        mode="typed",
+        max_files_per_trigger=max(1, n_files // 4),
+        mq_dir=mq_dir,
+        mq_partitions=32,
+        mq_protocol="open",
+        mq_old_value=True,
+    )
+    t0 = time.time()
+    summaries = cf.run_available()
+    dt = time.time() - t0
+    n_msgs = spark.read.parquet(os.path.join(mq_dir, "batch-*", "partition=*")).count()
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(summaries),
+        "final_rows": table.read().count(),
+        "mq_messages": n_msgs,
+    }
+
+
 def main() -> None:
     from ticdc_spark.session import build_session
 
@@ -316,6 +360,7 @@ def main() -> None:
     raw = None
     stream1 = None
     replay_big = None
+    oldval = None
     if not only_replay:
         stream = bench_streaming(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_replay"] = stream["sec"]
@@ -325,6 +370,8 @@ def main() -> None:
         qtimes["cdc_replay_skew"] = skew["sec"]
         raw = bench_stream_raw(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_raw"] = raw["sec"]
+        oldval = bench_stream_old_value(spark, work_root, N_EVENTS)
+        qtimes["cdc_stream_old_value"] = oldval["sec"]
     if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
         # 4x-events replay (the sf≈1 row): generation is cached in work_root,
         # so repeat runs measure only the replay
@@ -353,6 +400,7 @@ def main() -> None:
                 "stream_one_batch": stream1,
                 "replay_skew": skew,
                 "stream_raw": raw,
+                "stream_old_value": oldval,
                 "replay_big": replay_big,
                 "cpus": int(CPUS),
             }

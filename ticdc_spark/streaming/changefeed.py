@@ -575,13 +575,16 @@ class ChangeFeed:
 
         key = self.table.key_col
         payload = [f["name"] for f in self.table.current_fields if f["name"] != key]
-        ready = with_old_image(ready, payload, mark_first=True)
+        # touched buckets from the PRE-window plan: this distinct is its own
+        # job, and running it before with_old_image keeps the lag-window
+        # shuffle out of it (bucket id only needs the key column)
         bids = [
             r["b"]
             for r in ready.select(self.table._bucket_expr(key).alias("b"))
             .distinct()
             .collect()
         ]
+        ready = with_old_image(ready, payload, mark_first=True)
         old = self.table.read_version_raw(pre_version, buckets=bids)
         # a batch DDL may have added columns the snapshot predates — their
         # pre-image is NULL by construction
