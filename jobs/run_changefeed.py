@@ -53,6 +53,12 @@ def main() -> int:
         help="MQ value codec (the reference's protocol= sink-uri option)",
     )
     p.add_argument(
+        "--mq-old-value", action="store_true",
+        help="enable-old-value: every MQ message carries its pre-change "
+        "image (protocols open/maxwell/canal-json; requires ordered "
+        "arrival — late events become a hard error)",
+    )
+    p.add_argument(
         "--mq-dispatch", default="index-value",
         help="single-table dispatch rule (index-value|table|ts|default) OR "
         "multi-table rule list 'glob=rule,glob=rule' (first match wins)",
@@ -141,6 +147,7 @@ def main() -> int:
             mq_partitions=args.mq_partitions,
             mq_dispatch_rules=rules,
             mq_protocol=args.mq_protocol,
+            mq_old_value=args.mq_old_value,
             admin=admin,
             feed_name=feed_name,
         )
@@ -175,6 +182,7 @@ def main() -> int:
         mq_partitions=args.mq_partitions,
         mq_dispatch_rule=args.mq_dispatch,
         mq_protocol=args.mq_protocol,
+        mq_old_value=args.mq_old_value,
         cyclic=cyclic,
         target_ts=args.target_ts,
         admin=admin,

@@ -518,3 +518,74 @@ def test_multi_table_mq_avro_protocol(spark, tmp_path):
             for r in down.read().collect()}
         assert a == b and len(a) > 0
     assert consumer.run_once() == []
+
+
+def test_multi_table_mq_old_value(spark, tmp_path):
+    """enable-old-value on the multi-table feed: each table's messages carry
+    pre-images resolved against ITS OWN pre-batch snapshot (cross-batch) or
+    the in-batch lag window. The two tables get disjoint `part` ranges —
+    like distinct TiKV spans — so each part's stream stays ts-ordered and
+    the resolved frontier never outruns either table's arrival (old-value
+    mode panics on late events by design)."""
+    import json as j
+    import time
+
+    spec = dict(n_events=3_000, n_keys=150, p_delete=0.2, p_insert=0.5,
+                out_of_order=False, n_parts=4)
+    stage_a, stage_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    write_binlog(BinlogSpec(seed=81, table="ta", **spec), stage_a, files_per_part=3)
+    write_binlog(BinlogSpec(seed=82, table="tb", **spec), stage_b, files_per_part=3)
+    # shift tb onto parts 4..7 (its own span set)
+    for f in glob.glob(stage_b + "/*.parquet"):
+        t = pq.read_table(f)
+        t = t.set_column(t.schema.get_field_index("part"), "part",
+                         pc.add(t.column("part"), 4).cast(pa.int32()))
+        pq.write_table(t, f)
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    # interleave arrival: trigger i sees (a_i, b_i) — aligned ts ranges
+    now = time.time()
+    for i in range(3):
+        for tag, stage in (("a", stage_a), ("b", stage_b)):
+            src = os.path.join(stage, f"binlog-{i:05d}.parquet")
+            dst = os.path.join(binlog, f"{i:05d}-{tag}.parquet")
+            os.link(src, dst)
+            os.utime(dst, (now + i * 2, now + i * 2))
+
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    mq = str(tmp_path / "mq")
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, mq_dir=mq, mq_partitions=4, mq_old_value=True,
+    )
+    summaries = cf.run_available()
+    assert len(summaries) == 3  # cross-batch pre-image path exercised
+
+    # per-table python oracle of pre-images, keyed by (table, ts, seq, op)
+    want = {}
+    for name, stage in (("ta", stage_a), ("tb", stage_b)):
+        ev = pq.read_table(stage).to_pylist()
+        op_rank = {"D": 0, "I": 1, "U": 1}
+        ev.sort(key=lambda r: (r["commit_ts"], r["seq"], op_rank[r["op"]]))
+        state = {}
+        for r in ev:
+            want[(name, r["commit_ts"], r["seq"], r["op"])] = state.get(r["doc_id"])
+            state[r["doc_id"]] = None if r["op"] == "D" else {
+                "tokens": list(r["tokens"]), "n_tok": r["n_tok"]}
+
+    n_checked = n_old = {"ta": 0, "tb": 0}, {"ta": 0, "tb": 0}
+    n_checked, n_old = n_checked[0], n_old[1]
+    for m in spark.read.parquet(mq + "/batch-*/partition=*").collect():
+        key = j.loads(m["key_json"])
+        if key.get("type") in ("resolved", "ddl"):
+            continue
+        pre = want[(key["table"], key["commit_ts"], key["seq"], key["op"])]
+        if pre is None:
+            assert m["old_json"] is None, key
+        else:
+            got = j.loads(m["old_json"])
+            assert got["tokens"] == pre["tokens"] and got["n_tok"] == pre["n_tok"], key
+            n_old[key["table"]] += 1
+        n_checked[key["table"]] += 1
+    assert min(n_checked.values()) > 2000 and min(n_old.values()) > 500

@@ -96,6 +96,66 @@ def advance_lake_schema(table: LakeTable, fields_next: list[dict], epoch_id: str
         table.update_schema(typ, spec, f"{epoch_id}#{k}" if len(ops) > 1 else epoch_id)
 
 
+def attach_old_images(table: LakeTable, ready: DataFrame, pre_version: int) -> DataFrame:
+    """Attach old_<col>/had_old to every emitted event (enable-old-value).
+    In-batch pre-images come from the apply-order lag window (operators.
+    lww.with_old_image); each key's FIRST in-batch event takes its image
+    from the pre-batch snapshot instead, read bucket-pruned to the batch's
+    touched buckets (read_version_raw) — the lake-side analog of TiKV
+    handing TiCDC the old value with the write. A key absent from the
+    snapshot (true insert) keeps had_old = false.
+
+    Requires the resolved-ts arrival contract (no events at or below the
+    released frontier): reconstruction is sequence-sensitive, so
+    enable-old-value forces the late-event panic in the feed even when
+    strict watermarks are off. Events whose in-batch predecessor is a
+    delete keep a NULL image (row was absent — the window already encodes
+    that). Shared by ChangeFeed and MultiTableChangeFeed (per table)."""
+    from ..model import SYS_DELETED
+    from ..operators.lww import with_old_image
+
+    key = table.key_col
+    payload = [f["name"] for f in table.current_fields if f["name"] != key]
+    # touched buckets from the PRE-window plan: this distinct is its own
+    # job, and running it before with_old_image keeps the lag-window
+    # shuffle out of it (bucket id only needs the key column)
+    bids = [
+        r["b"]
+        for r in ready.select(table._bucket_expr(key).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    ready = with_old_image(ready, payload, mark_first=True)
+    old = table.read_version_raw(pre_version, buckets=bids)
+    # a batch DDL may have added columns the snapshot predates — their
+    # pre-image is NULL by construction
+    avail = [c for c in payload if c in old.columns]
+    old_sel = (
+        old.filter(~F.col(SYS_DELETED))
+        .select(
+            F.col(key),
+            *[F.col(c).alias(f"_tbl_{c}") for c in avail],
+            F.lit(True).alias("_tbl_exists"),
+        )
+    )
+    ready = ready.join(old_sel, key, "left")
+    first = F.col("first_in_batch")
+    for c in payload:
+        tbl_c = F.col(f"_tbl_{c}") if c in avail else F.lit(None)
+        ready = ready.withColumn(
+            f"old_{c}", F.when(first, tbl_c).otherwise(F.col(f"old_{c}"))
+        )
+    ready = ready.withColumn(
+        "had_old",
+        F.when(first, F.coalesce(F.col("_tbl_exists"), F.lit(False))).otherwise(
+            F.col("had_old")
+        ),
+    )
+    return ready.drop(
+        "first_in_batch", "_tbl_exists", *[f"_tbl_{c}" for c in avail]
+    )
+
+
 class ChangeFeed:
     def __init__(
         self,
@@ -556,63 +616,7 @@ class ChangeFeed:
         )
 
     def _attach_old_images(self, ready: DataFrame, pre_version: int) -> DataFrame:
-        """Attach old_<col>/had_old to every emitted event. In-batch
-        pre-images come from the apply-order lag window (operators.lww.
-        with_old_image); each key's FIRST in-batch event takes its image
-        from the pre-batch snapshot instead, read bucket-pruned to the
-        batch's touched buckets (read_version_raw) — the lake-side analog of
-        TiKV handing TiCDC the old value with the write. A key absent from
-        the snapshot (true insert) keeps had_old = false.
-
-        Requires the resolved-ts arrival contract (no events at or below the
-        released frontier): reconstruction is sequence-sensitive, so
-        enable-old-value forces the late-event panic in run_batch even when
-        strict_watermarks is off. Events whose
-        in-batch predecessor is a delete keep a NULL image (row was absent —
-        the window already encodes that)."""
-        from ..model import SYS_DELETED
-        from ..operators.lww import with_old_image
-
-        key = self.table.key_col
-        payload = [f["name"] for f in self.table.current_fields if f["name"] != key]
-        # touched buckets from the PRE-window plan: this distinct is its own
-        # job, and running it before with_old_image keeps the lag-window
-        # shuffle out of it (bucket id only needs the key column)
-        bids = [
-            r["b"]
-            for r in ready.select(self.table._bucket_expr(key).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        ready = with_old_image(ready, payload, mark_first=True)
-        old = self.table.read_version_raw(pre_version, buckets=bids)
-        # a batch DDL may have added columns the snapshot predates — their
-        # pre-image is NULL by construction
-        avail = [c for c in payload if c in old.columns]
-        old_sel = (
-            old.filter(~F.col(SYS_DELETED))
-            .select(
-                F.col(key),
-                *[F.col(c).alias(f"_tbl_{c}") for c in avail],
-                F.lit(True).alias("_tbl_exists"),
-            )
-        )
-        ready = ready.join(old_sel, key, "left")
-        first = F.col("first_in_batch")
-        for c in payload:
-            tbl_c = F.col(f"_tbl_{c}") if c in avail else F.lit(None)
-            ready = ready.withColumn(
-                f"old_{c}", F.when(first, tbl_c).otherwise(F.col(f"old_{c}"))
-            )
-        ready = ready.withColumn(
-            "had_old",
-            F.when(first, F.coalesce(F.col("_tbl_exists"), F.lit(False))).otherwise(
-                F.col("had_old")
-            ),
-        )
-        return ready.drop(
-            "first_in_batch", "_tbl_exists", *[f"_tbl_{c}" for c in avail]
-        )
+        return attach_old_images(self.table, ready, pre_version)
 
     def _emit_mq(
         self,

@@ -45,6 +45,7 @@ class MultiTableChangeFeed:
         mq_partitions: int = 16,
         mq_dispatch_rules: list[tuple[str, str]] | None = None,
         mq_protocol: str = "open",
+        mq_old_value: bool = False,
         admin=None,
         feed_name: str | None = None,
     ):
@@ -80,6 +81,13 @@ class MultiTableChangeFeed:
         from .protocols import check_protocol
 
         self.mq_protocol = check_protocol(mq_protocol)
+        # enable-old-value, per table (see ChangeFeed / attach_old_images):
+        # each table's pre-images resolve against ITS pre-batch snapshot
+        if mq_old_value and mq_protocol not in ("open", "maxwell", "canal-json"):
+            raise ValueError(
+                "mq_old_value supports protocols: open, maxwell, canal-json"
+            )
+        self.mq_old_value = mq_old_value
         self._avro_registry = None
         # admin lifecycle gate — same contract as ChangeFeed (one feed id
         # covers the whole multi-table feed, like a single changefeed
@@ -220,6 +228,11 @@ class MultiTableChangeFeed:
                     F.col("table") == F.lit(name),
                     schema_version_violation(reg.ddl_ts),
                 ).otherwise(0)
+        stored: dict[int, int] = {}
+        for t in self.tables.values():
+            for k, v in t.part_watermarks.items():
+                stored[int(k)] = max(stored.get(int(k), -1), int(v))
+        prev_resolved = min(stored.values()) if stored else -1
         part_stats = (
             events.groupBy("part")
             .agg(
@@ -227,6 +240,9 @@ class MultiTableChangeFeed:
                 F.min("commit_ts").alias("min_ts"),
                 F.count(F.lit(1)).alias("cnt"),
                 F.sum(sv_viol).alias("sv_viol"),
+                F.sum(
+                    F.when(F.col("commit_ts") <= F.lit(prev_resolved), 1).otherwise(0)
+                ).alias("late"),
             )
             .collect()
         )
@@ -236,10 +252,15 @@ class MultiTableChangeFeed:
                 f"schema_version contract violated: {n_sv} events stamped above "
                 "version_at(commit_ts) — the mounter hint would drop them"
             )
-        stored: dict[int, int] = {}
-        for t in self.tables.values():
-            for k, v in t.part_watermarks.items():
-                stored[int(k)] = max(stored.get(int(k), -1), int(v))
+        n_late = sum(int(r["late"]) for r in part_stats)
+        if n_late and self.mq_old_value:
+            # same rule as ChangeFeed: pre-image reconstruction is sequence-
+            # sensitive, so old-value mode cannot tolerate late events
+            raise RuntimeError(
+                f"late-event contract violated: {n_late} events at or below "
+                f"resolved frontier {prev_resolved} (puller.go:163-168, "
+                "required by enable-old-value)"
+            )
         for r in part_stats:
             stored[int(r["part"])] = max(stored.get(int(r["part"]), -1), int(r["max_ts"]))
         resolved = min(stored.values()) if stored else -1
@@ -248,6 +269,13 @@ class MultiTableChangeFeed:
         ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
         tail = events.filter(F.col("commit_ts") > F.lit(resolved))
 
+        # per-table versions BEFORE this batch's merges — old-value MQ mode
+        # reads each table's pre-images from its pre-batch snapshot
+        pre_versions = (
+            {name: t.version for name, t in self.tables.items()}
+            if self.mq_old_value
+            else {}
+        )
         per_table = {}
         mq_tables: dict[str, tuple] = {}
         for name, table in self.tables.items():
@@ -328,7 +356,7 @@ class MultiTableChangeFeed:
             per_table[name] = committed_any
 
         if self.mq_dir is not None:
-            self._emit_mq(mq_tables, batch_id, resolved)
+            self._emit_mq(mq_tables, batch_id, resolved, pre_versions)
 
         had_tail = any(int(r["max_ts"]) > resolved for r in part_stats)
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
@@ -349,7 +377,13 @@ class MultiTableChangeFeed:
             }
         )
 
-    def _emit_mq(self, mq_tables: dict, batch_id: int, resolved: int) -> None:
+    def _emit_mq(
+        self,
+        mq_tables: dict,
+        batch_id: int,
+        resolved: int,
+        pre_versions: dict | None = None,
+    ) -> None:
         """Multi-table MQ emission: every table's released prefix encoded as
         Open-Protocol messages into ONE batch dir, rows routed by the
         dispatcher rule set (first-match-wins glob switcher, §2.10), then
@@ -389,10 +423,15 @@ class MultiTableChangeFeed:
             key_json = F.to_json(
                 F.struct(*[F.col(c) for c in KEY_FIELDS])
             ).alias("key_json")
+            if self.mq_old_value:
+                from .changefeed import attach_old_images
+
+                sl = attach_old_images(table, sl, pre_versions[name])
             outs.append(
                 encode_mq(
                     sl, table, self.mq_protocol, key_json, part_col,
                     avro_registry=self._avro_registry,
+                    old_value=self.mq_old_value,
                 )
             )
             for ver, ts in barriers:
