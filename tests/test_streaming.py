@@ -703,3 +703,54 @@ def test_mq_old_value_canal_json(spark, workspace, tmp_path):
     a = {r["doc_id"]: (list(r["tokens"]), r["n_tok"]) for r in t1.read().collect()}
     b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"]) for r in t2.read().collect()}
     assert a == b and len(a) > 0
+
+
+def test_mq_old_value_crash_replay(spark, workspace, tmp_path):
+    """Crash between a batch's merges and its streaming-checkpoint commit:
+    the replayed batch must emit IDENTICAL old values. Without the per-batch
+    (prev_resolved, pre_version) record the replay would (a) false-panic
+    the late check (the table's watermarks already cover the batch) and
+    (b) read pre-images from the POST-batch snapshot. Crash is simulated by
+    re-delivering the last micro-batch's files to a fresh ChangeFeed over
+    the same checkpoint via _process_batch — exactly what foreachBatch does
+    when the streaming commit for that batch was lost."""
+    import json as j
+
+    spec = BinlogSpec(
+        n_events=6_000, n_keys=300, seed=73, p_delete=0.2, p_insert=0.5,
+        out_of_order=False,
+    )
+    write_binlog(spec, workspace["binlog"], files_per_part=4)
+    mq = str(tmp_path / "mq")
+    t1 = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t1, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        mq_dir=mq, mq_partitions=4, mq_protocol="open", mq_old_value=True,
+    )
+    cf.run_available()
+    before = {
+        j.loads(m["key_json"])["seq"]: m["old_json"]
+        for m in spark.read.parquet(mq + "/batch-*/partition=*").collect()
+        if "seq" in j.loads(m["key_json"])
+    }
+    state_before = {r["doc_id"]: list(r["tokens"]) for r in t1.read().collect()}
+
+    # crash: last batch merged + emitted, but its streaming commit is lost —
+    # on restart foreachBatch re-delivers the same files with the same id
+    files = sorted(glob.glob(os.path.join(workspace["binlog"], "*.parquet")))
+    last_batch = spark.read.parquet(*files[2:])  # trigger 2 files/batch
+    t1b = LakeTable(spark, workspace["tbl"])
+    cf2 = ChangeFeed(
+        t1b, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        mq_dir=mq, mq_partitions=4, mq_protocol="open", mq_old_value=True,
+    )
+    cf2._process_batch(last_batch, 1)  # replay — must not raise 'late'
+
+    after = {
+        j.loads(m["key_json"])["seq"]: m["old_json"]
+        for m in spark.read.parquet(mq + "/batch-*/partition=*").collect()
+        if "seq" in j.loads(m["key_json"])
+    }
+    assert after == before and len(after) > 4000
+    state_after = {r["doc_id"]: list(r["tokens"]) for r in t1b.read().collect()}
+    assert state_after == state_before

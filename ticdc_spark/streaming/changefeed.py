@@ -285,34 +285,84 @@ class ChangeFeed:
         self._stop_reason: str | None = None
 
     # ---------- pending tail ----------
-    def _read_pending(self) -> DataFrame | None:
+    # A batch's tail is written under pending/batch-<id>; the PREVIOUS
+    # batch's dir is kept (not just the newest) so a crash-replay of batch
+    # N can re-read the exact pending input it consumed the first time —
+    # those events are below N's frontier and gone from N's file input, so
+    # without them a replayed old-value emission would lose messages and
+    # shift pre-images. A batch with no tail writes an empty marker dir:
+    # "latest dir below my id" is then always the right (possibly empty)
+    # answer, never an already-consumed older tail.
+    def _pending_dirs(self) -> list[tuple[int, str]]:
         if not os.path.isdir(self.pending_dir):
+            return []
+        out = []
+        for d in sorted(os.listdir(self.pending_dir)):
+            if d.startswith("batch-"):
+                out.append((int(d.split("-")[1]), os.path.join(self.pending_dir, d)))
+        return out
+
+    def _read_pending(self, batch_id: int) -> DataFrame | None:
+        below = [(i, p) for i, p in self._pending_dirs() if i < batch_id]
+        if not below:
             return None
-        dirs = [
-            os.path.join(self.pending_dir, d)
-            for d in sorted(os.listdir(self.pending_dir))
-            if d.startswith("batch-")
-        ]
-        dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
-        if not dirs:
-            return None
+        _, path = max(below)
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            return None  # empty marker: that batch had no tail
         schema = RAW_BINLOG_SCHEMA if self.mode == "raw" else self._typed_stream_schema()
-        return self.spark.read.schema(schema).parquet(*dirs)
+        return self.spark.read.schema(schema).parquet(path)
 
     def _write_tail(self, tail: DataFrame, batch_id: int, had_rows: bool) -> None:
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
         if had_rows:
             # repartition, not coalesce: coalesce(4) would collapse the wide
             #-row scan itself to 4 tasks; a shuffle of the (small) tail is
-            # cheaper than an 8x-less-parallel scan
-            tail.repartition(4).write.mode("overwrite").parquet(out)
-        older = [
-            d
-            for d in (os.listdir(self.pending_dir) if os.path.isdir(self.pending_dir) else [])
-            if d.startswith("batch-") and d != f"batch-{batch_id:010d}"
-        ]
-        for d in older:
-            shutil.rmtree(os.path.join(self.pending_dir, d), ignore_errors=True)
+            # cheaper than an 8x-less-parallel scan.
+            # dropDuplicates: a crash-replayed batch reads its own prior
+            # tail from pending AND the same events from the batch input —
+            # without this the rewritten tail doubles every row, and the
+            # NEXT batch's old-value lag window would see each tail event
+            # preceded by its own copy (wrong pre-image). An event is
+            # identified by (commit_ts, seq, op, key); the tail is small.
+            tail.dropDuplicates(["commit_ts", "seq", "op", "doc_id"]).repartition(
+                4
+            ).write.mode("overwrite").parquet(out)
+        else:
+            os.makedirs(out, exist_ok=True)
+        keep = {f"batch-{batch_id:010d}", f"batch-{batch_id - 1:010d}"}
+        for d in (os.listdir(self.pending_dir) if os.path.isdir(self.pending_dir) else []):
+            if d.startswith("batch-") and d not in keep:
+                shutil.rmtree(os.path.join(self.pending_dir, d), ignore_errors=True)
+
+    # ---------- per-batch replay metadata ----------
+    def _load_or_save_batch_meta(
+        self, batch_id: int, prev_resolved: int, pre_version: int
+    ) -> tuple[int, int]:
+        """Persist (prev_resolved, pre_version) for this batch id BEFORE any
+        merge; on a crash-replay of the same batch, return the recorded pair
+        instead of the (already-advanced) live state. Written write-once
+        with an atomic rename; older records are pruned (only the current
+        batch can ever replay — Structured Streaming commits strictly in
+        order)."""
+        import json as _json
+
+        mdir = os.path.join(self.checkpoint_dir, "batchmeta")
+        path = os.path.join(mdir, f"{batch_id:010d}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                rec = _json.load(f)
+            return int(rec["prev_resolved"]), int(rec["pre_version"])
+        os.makedirs(mdir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {"prev_resolved": prev_resolved, "pre_version": pre_version}, f
+            )
+        os.replace(tmp, path)
+        for d in os.listdir(mdir):
+            if d.endswith(".json") and d != f"{batch_id:010d}.json":
+                os.remove(os.path.join(mdir, d))
+        return prev_resolved, pre_version
 
     # ---------- the micro-batch ----------
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -341,7 +391,7 @@ class ChangeFeed:
 
         timings: dict[str, float] = {}
         t0 = _time.time()
-        pending = self._read_pending()
+        pending = self._read_pending(batch_id)
         events = batch_df.unionByName(pending) if pending is not None else batch_df
         if self.start_ts is not None:
             # pre-start events belong to the bootstrap snapshot (§3.1)
@@ -358,8 +408,16 @@ class ChangeFeed:
             prev_resolved = min(stored0.values()) if stored0 else -1
             # table version BEFORE this batch's merges — the old-value MQ
             # mode reads pre-images from this snapshot (emission runs after
-            # the apply, so `current` already contains the batch)
-            pre_version = self.table.version
+            # the apply, so `current` already contains the batch).
+            # BOTH values are persisted per batch id before any merge: a
+            # crash between the merge commits and the streaming checkpoint
+            # commit replays this batch with the table already advanced, so
+            # the live state would (a) count the whole batch as late —
+            # false panic — and (b) hand old-value emission the POST-batch
+            # snapshot, silently corrupting every replayed pre-image.
+            prev_resolved, pre_version = self._load_or_save_batch_meta(
+                batch_id, prev_resolved, self.table.version
+            )
             part_stats = (
                 events.groupBy("part")
                 .agg(
@@ -538,7 +596,16 @@ class ChangeFeed:
                 timings["mq"] = _time.time() - t0
                 t0 = _time.time()
             if self.expire_keep_last is not None and self.mq_old_value:
-                self.table.expire_versions(keep_last=self.expire_keep_last)
+                # floor: keep back to pre_version — a crash after this
+                # expire but before the streaming checkpoint commit replays
+                # the batch, and the replayed emission must still be able to
+                # read the pre-batch snapshot
+                self.table.expire_versions(
+                    keep_last=max(
+                        self.expire_keep_last,
+                        self.table.version - pre_version + 1,
+                    )
+                )
 
             # 5. persist tail for the next batch. Existence is known from
             # part_stats (tail nonempty ⟺ some partition's max is above the

@@ -138,18 +138,22 @@ class MultiTableChangeFeed:
         self.stop_ts[name] = stop_at_ts
 
     # ---------------- micro-batch ----------------
-    def _read_pending(self) -> DataFrame | None:
+    def _read_pending(self, batch_id: int) -> DataFrame | None:
+        # latest pending dir BELOW this batch id — keeps crash-replays
+        # reading the same tail the original run consumed (see
+        # ChangeFeed._read_pending; empty marker dirs mean "no tail")
         if not os.path.isdir(self.pending_dir):
             return None
-        dirs = [
-            os.path.join(self.pending_dir, d)
-            for d in sorted(os.listdir(self.pending_dir))
-            if d.startswith("batch-")
-        ]
-        dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
-        if not dirs:
+        below = []
+        for d in sorted(os.listdir(self.pending_dir)):
+            if d.startswith("batch-") and int(d.split("-")[1]) < batch_id:
+                below.append((int(d.split("-")[1]), os.path.join(self.pending_dir, d)))
+        if not below:
             return None
-        return self.spark.read.schema(self._stream_schema()).parquet(*dirs)
+        _, path = max(below)
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            return None
+        return self.spark.read.schema(self._stream_schema()).parquet(path)
 
     def _stream_schema(self):
         """Raw mode: the fixed raw envelope. Typed mode: meta columns + the
@@ -189,6 +193,35 @@ class MultiTableChangeFeed:
         ]
         return T.StructType(pf + meta)
 
+    def _load_or_save_batch_meta(
+        self, batch_id: int, prev_resolved: int, pre_versions: dict
+    ) -> tuple[int, dict]:
+        """Multi-table twin of ChangeFeed._load_or_save_batch_meta: records
+        the pre-batch frontier and every table's pre-batch version, write-
+        once per batch id, so a crash-replay recomputes the identical
+        batch."""
+        import json as _json
+
+        mdir = os.path.join(self.checkpoint_dir, "batchmeta")
+        path = os.path.join(mdir, f"{batch_id:010d}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                rec = _json.load(f)
+            return int(rec["prev_resolved"]), {
+                k: int(v) for k, v in rec["pre_versions"].items()
+            }
+        os.makedirs(mdir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {"prev_resolved": prev_resolved, "pre_versions": pre_versions}, f
+            )
+        os.replace(tmp, path)
+        for d in os.listdir(mdir):
+            if d.endswith(".json") and d != f"{batch_id:010d}.json":
+                os.remove(os.path.join(mdir, d))
+        return prev_resolved, pre_versions
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # lifecycle gate before any work (see ChangeFeed._process_batch):
         # raising here stops the stream without committing this batch
@@ -214,7 +247,7 @@ class MultiTableChangeFeed:
             raise
 
     def _process_batch_inner(self, batch_df: DataFrame, batch_id: int) -> None:
-        pending = self._read_pending()
+        pending = self._read_pending(batch_id)
         events = batch_df.unionByName(pending) if pending is not None else batch_df
 
         # schema_version contract guard (see changefeed.schema_version_violation):
@@ -233,6 +266,15 @@ class MultiTableChangeFeed:
             for k, v in t.part_watermarks.items():
                 stored[int(k)] = max(stored.get(int(k), -1), int(v))
         prev_resolved = min(stored.values()) if stored else -1
+        # persist (prev_resolved, per-table pre-versions) before any merge:
+        # a crash-replay of this batch sees the tables already advanced, and
+        # the live state would false-panic the late check and corrupt
+        # old-value pre-images (see ChangeFeed._load_or_save_batch_meta)
+        prev_resolved, pre_versions = self._load_or_save_batch_meta(
+            batch_id,
+            prev_resolved,
+            {name: t.version for name, t in self.tables.items()},
+        )
         part_stats = (
             events.groupBy("part")
             .agg(
@@ -269,13 +311,6 @@ class MultiTableChangeFeed:
         ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
         tail = events.filter(F.col("commit_ts") > F.lit(resolved))
 
-        # per-table versions BEFORE this batch's merges — old-value MQ mode
-        # reads each table's pre-images from its pre-batch snapshot
-        pre_versions = (
-            {name: t.version for name, t in self.tables.items()}
-            if self.mq_old_value
-            else {}
-        )
         per_table = {}
         mq_tables: dict[str, tuple] = {}
         for name, table in self.tables.items():
@@ -361,11 +396,18 @@ class MultiTableChangeFeed:
         had_tail = any(int(r["max_ts"]) > resolved for r in part_stats)
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
         if had_tail:
-            tail.repartition(4).write.mode("overwrite").parquet(out)
+            # dropDuplicates: see ChangeFeed._write_tail — a crash-replayed
+            # batch would otherwise double its tail rows (pending ∪ input)
+            tail.dropDuplicates(["commit_ts", "seq", "op", "doc_id"]).repartition(
+                4
+            ).write.mode("overwrite").parquet(out)
+        else:
+            os.makedirs(out, exist_ok=True)  # empty marker (no tail)
+        keep = {f"batch-{batch_id:010d}", f"batch-{batch_id - 1:010d}"}
         for d in (
             os.listdir(self.pending_dir) if os.path.isdir(self.pending_dir) else []
         ):
-            if d.startswith("batch-") and d != f"batch-{batch_id:010d}":
+            if d.startswith("batch-") and d not in keep:
                 shutil.rmtree(os.path.join(self.pending_dir, d), ignore_errors=True)
 
         self.batch_summaries.append(
