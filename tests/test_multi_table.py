@@ -589,3 +589,63 @@ def test_multi_table_mq_old_value(spark, tmp_path):
             n_old[key["table"]] += 1
         n_checked[key["table"]] += 1
     assert min(n_checked.values()) > 2000 and min(n_old.values()) > 500
+
+
+def test_multi_table_old_value_crash_replay(spark, tmp_path):
+    """Crash-replay of the LAST multi-table batch under enable-old-value:
+    per-table pre-versions + the pre-batch frontier come from the persisted
+    batch record, so the re-delivered batch emits identical messages and
+    does not false-panic the late check."""
+    import json as j
+    import time
+
+    spec = dict(n_events=2_000, n_keys=120, p_delete=0.2, p_insert=0.5,
+                out_of_order=False, n_parts=4)
+    stage_a, stage_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    write_binlog(BinlogSpec(seed=91, table="ta", **spec), stage_a, files_per_part=2)
+    write_binlog(BinlogSpec(seed=92, table="tb", **spec), stage_b, files_per_part=2)
+    for f in glob.glob(stage_b + "/*.parquet"):
+        t = pq.read_table(f)
+        t = t.set_column(t.schema.get_field_index("part"), "part",
+                         pc.add(t.column("part"), 4).cast(pa.int32()))
+        pq.write_table(t, f)
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    now = time.time()
+    for i in range(2):
+        for tag, stage in (("a", stage_a), ("b", stage_b)):
+            src = os.path.join(stage, f"binlog-{i:05d}.parquet")
+            dst = os.path.join(binlog, f"{i:05d}-{tag}.parquet")
+            os.link(src, dst)
+            os.utime(dst, (now + i * 2, now + i * 2))
+
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    mq = str(tmp_path / "mq")
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, mq_dir=mq, mq_partitions=4, mq_old_value=True,
+    )
+    assert len(cf.run_available()) == 2
+
+    def snap():
+        out = {}
+        for m in spark.read.parquet(mq + "/batch-*/partition=*").collect():
+            k = j.loads(m["key_json"])
+            if "seq" in k:
+                out[(k["table"], k["seq"])] = m["old_json"]
+        return out
+
+    before = snap()
+    # replay batch 1 (files *-01) through a fresh feed over the same ckpt
+    last = spark.read.parquet(
+        os.path.join(binlog, "00001-a.parquet"), os.path.join(binlog, "00001-b.parquet")
+    )
+    cf2 = MultiTableChangeFeed(
+        {"ta": LakeTable(spark, str(tmp_path / "ta")),
+         "tb": LakeTable(spark, str(tmp_path / "tb"))},
+        binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, mq_dir=mq, mq_partitions=4, mq_old_value=True,
+    )
+    cf2._process_batch(last, 1)  # must not raise 'late'
+    assert snap() == before and len(before) > 3000
