@@ -754,3 +754,36 @@ def test_mq_old_value_crash_replay(spark, workspace, tmp_path):
     assert after == before and len(after) > 4000
     state_after = {r["doc_id"]: list(r["tokens"]) for r in t1b.read().collect()}
     assert state_after == state_before
+
+
+def test_mq_partition_delivery_order(spark, workspace, tmp_path):
+    """Per-partition delivery order: within every MQ partition of every
+    batch, messages appear in (commit_ts, seq) order — the reference's
+    Kafka contract (sink send order = commit order per partition), so a
+    sequential consumer needs no sort. Each partition dir is exactly one
+    parquet file (hash(partition) routes a value to one task), and parquet
+    preserves row order."""
+    import json as j
+
+    spec = BinlogSpec(n_events=5_000, n_keys=400, seed=75, p_delete=0.15, p_insert=0.55)
+    write_binlog(spec, workspace["binlog"], files_per_part=2)
+    mq = str(tmp_path / "mq")
+    t1 = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t1, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=1,
+        mq_dir=mq, mq_partitions=4,
+    )
+    cf.run_available()
+
+    n_parts = n_msgs = 0
+    for bdir in sorted(glob.glob(mq + "/batch-*")):
+        for pdir in sorted(glob.glob(bdir + "/partition=*")):
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            assert len(files) == 1, pdir
+            rows = pq.read_table(os.path.join(pdir, files[0])).to_pylist()
+            keys = [j.loads(r["key_json"]) for r in rows]
+            order = [(k["commit_ts"], k["seq"]) for k in keys if "seq" in k]
+            assert order == sorted(order), pdir
+            n_parts += 1
+            n_msgs += len(order)
+    assert n_parts >= 8 and n_msgs >= 5000  # base events + tie-pair clones

@@ -733,7 +733,15 @@ class ChangeFeed:
             avro_registry=self._avro_registry, old_value=self.mq_old_value,
         )
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
-        out.repartition(self.mq_partitions, "partition").write.mode(
+        # sortWithinPartitions: per-partition delivery order = commit order
+        # (the reference's Kafka contract) — a local sort after the shuffle,
+        # no extra exchange; parquet preserves row order for the consumer
+        # "partition" leads the sort so the dynamic-partition writer's
+        # required ordering is already satisfied — it would otherwise inject
+        # its own (non-stable) sort and scramble the ts order back out
+        out.repartition(self.mq_partitions, "partition").sortWithinPartitions(
+            "partition", "_ots", "_oseq"
+        ).drop("_ots", "_oseq").write.mode(
             "overwrite"
         ).partitionBy("partition").parquet(batch_dir)
         # resolved-ts broadcast: one tiny driver-side file covering every

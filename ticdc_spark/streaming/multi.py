@@ -482,7 +482,10 @@ class MultiTableChangeFeed:
         for o in outs[1:]:
             out = out.unionByName(o)
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
-        out.repartition(self.mq_partitions, "partition").write.mode(
+        # per-partition commit order — see ChangeFeed._emit_mq
+        out.repartition(self.mq_partitions, "partition").sortWithinPartitions(
+            "partition", "_ots", "_oseq"
+        ).drop("_ots", "_oseq").write.mode(
             "overwrite"
         ).partitionBy("partition").parquet(batch_dir)
         res = pa.table(

@@ -48,9 +48,16 @@ def encode_mq(
 
     old_value: sl additionally carries old_<col>/had_old (see
     ChangeFeed._attach_old_images). open emits them as an `old_json` column
-    (the open-protocol "p" pre-image analog); maxwell as its `old` map."""
+    (the open-protocol "p" pre-image analog); maxwell as its `old` map.
+
+    Every branch also passes (_ots, _oseq) = (commit_ts, seq) through: the
+    writer sorts within each MQ partition on them before dropping them, so
+    a consumer reading a partition sequentially sees commit order — the
+    reference's per-partition delivery-order contract (Kafka append order =
+    the sink's send order, mq.go flushes rows per partition in ts order)."""
     key = table.key_col
     payload_cols = [f["name"] for f in table.current_fields if f["name"] != key]
+    order_cols = [F.col("commit_ts").alias("_ots"), F.col("seq").alias("_oseq")]
     if protocol == "open":
         val = F.when(
             F.col("op") != "D",
@@ -66,7 +73,7 @@ def encode_mq(
                     ),
                 ).alias("old_json")
             )
-        return sl.select(*cols)
+        return sl.select(*cols, *order_cols)
     if protocol == "maxwell" and old_value:
         from ..functions.codec import maxwell_value_col
 
@@ -74,6 +81,7 @@ def encode_mq(
             key_json,
             maxwell_value_col(payload_cols, with_old=True).alias("value_json"),
             part_col.alias("partition"),
+            *order_cols,
         )
     if protocol == "canal-json":
         from ..functions.codec import _is_complex_type, canal_flat_value_col
@@ -85,6 +93,7 @@ def encode_mq(
                 payload_cols, complex_cols=cx, with_old=old_value
             ).alias("value_json"),
             part_col.alias("partition"),
+            *order_cols,
         )
     if protocol == "maxwell":
         from ..functions.codec import maxwell_value_col
@@ -93,10 +102,11 @@ def encode_mq(
             key_json,
             maxwell_value_col(payload_cols).alias("value_json"),
             part_col.alias("partition"),
+            *order_cols,
         )
     base = sl.select(
         "commit_ts", "seq", "table", "op", key_json, part_col.alias("partition"),
-        key, *payload_cols,
+        key, *payload_cols, *order_cols,
     )
     if protocol == "avro":
         from ..functions.avro_codec import encode_avro
@@ -107,7 +117,7 @@ def encode_mq(
             table=table.root.rstrip("/").rsplit("/", 1)[-1],
             registry=avro_registry,
             handle_key=key,
-            passthrough=["key_json", "partition"],
+            passthrough=["key_json", "partition", "_ots", "_oseq"],
         )
     # canal-pb
     from ..functions.canal_proto import encode_canal_entries
@@ -116,7 +126,8 @@ def encode_mq(
         (f["name"], f["type"]) for f in table.current_fields if f["name"] != key
     ]
     return encode_canal_entries(
-        base, payload_types, key_col=key, passthrough=["key_json", "partition"]
+        base, payload_types, key_col=key,
+        passthrough=["key_json", "partition", "_ots", "_oseq"],
     )
 
 
