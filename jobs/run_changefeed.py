@@ -45,6 +45,19 @@ def main() -> int:
         help="replicate events with commit_ts > start_ts (pair with a "
         "LakeTable.bootstrap snapshot at start_ts)",
     )
+    p.add_argument(
+        "--config", default=None,
+        help="changefeed config file, .toml or .json — the reference's "
+        "ReplicaConfig surface (filter rules, sink protocol/dispatchers, "
+        "enable-old-value, cyclic). Explicit CLI flags override it.",
+    )
+    p.add_argument(
+        "--sink-uri", default=None,
+        help="reference-style sink-uri (mysql://…, blackhole://, "
+        "file:///path, kafka://host/topic?protocol=…&partition-num=…); "
+        "kafka URIs need --mq-base (file MQ stands in for the broker)",
+    )
+    p.add_argument("--mq-base", default=None, help="base dir for kafka:// sink-uris")
     p.add_argument("--mq-dir", default=None, help="MQ sink output dir")
     p.add_argument("--mq-partitions", type=int, default=16)
     p.add_argument(
@@ -125,6 +138,45 @@ def main() -> int:
                 target_ts=args.target_ts,
             )
 
+    # config file + sink-uri provide defaults; explicit CLI flags override
+    cfg_kw: dict = {}
+    notes: list[str] = []
+    replica_cfg = None
+    if args.config:
+        from ticdc_spark.config import load_replica_config
+
+        replica_cfg = load_replica_config(args.config)
+        kw, n = replica_cfg.feed_kwargs(multi=bool(args.tables))
+        cfg_kw.update(kw)
+        notes += n
+    if args.sink_uri:
+        from ticdc_spark.config import parse_sink_uri
+
+        kw, n = parse_sink_uri(args.sink_uri, mq_base=args.mq_base)
+        cfg_kw.update(kw)
+        notes += n
+    for note in notes:
+        print(f"config: {note}", file=sys.stderr)
+
+    def mq_kwargs() -> dict:
+        out = dict(cfg_kw)
+        out.pop("cyclic", None)
+        out.pop("mq_dispatch_rule", None)
+        out.pop("mq_dispatch_rules", None)
+        if args.mq_dir is not None:
+            out["mq_dir"] = args.mq_dir
+        if args.mq_partitions != 16:
+            out["mq_partitions"] = args.mq_partitions
+        if args.mq_protocol != "open":
+            out["mq_protocol"] = args.mq_protocol
+        if args.mq_old_value:
+            out["mq_old_value"] = True
+        out.setdefault("mq_dir", args.mq_dir)
+        out.setdefault("mq_partitions", args.mq_partitions)
+        out.setdefault("mq_protocol", args.mq_protocol)
+        out.setdefault("mq_old_value", args.mq_old_value)
+        return out
+
     if args.tables:
         tables = {}
         for part in args.tables.split(","):
@@ -132,7 +184,15 @@ def main() -> int:
             if not root:
                 p.error(f"--tables entry {part!r} is not name=path")
             tables[name.strip()] = open_table(root.strip())
-        rules = None
+        if replica_cfg is not None:
+            kept = replica_cfg.filter_tables(tables)
+            for dropped in sorted(set(tables) - set(kept)):
+                print(f"config: table {dropped!r} excluded by filter rules",
+                      file=sys.stderr)
+            tables = kept
+            if not tables:
+                p.error("filter rules exclude every table")
+        rules = cfg_kw.get("mq_dispatch_rules")
         if args.mq_dir and "=" in args.mq_dispatch:
             rules = [
                 tuple(x.split("=", 1)) for x in args.mq_dispatch.split(",")
@@ -143,13 +203,10 @@ def main() -> int:
             checkpoint_dir=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             ddl_rows=ddl_rows,
-            mq_dir=args.mq_dir,
-            mq_partitions=args.mq_partitions,
             mq_dispatch_rules=rules,
-            mq_protocol=args.mq_protocol,
-            mq_old_value=args.mq_old_value,
             admin=admin,
             feed_name=feed_name,
+            **mq_kwargs(),
         )
         if args.available_now:
             summaries = cf.run_available()
@@ -160,7 +217,7 @@ def main() -> int:
         return 0
 
     table = open_table(args.table)
-    cyclic = None
+    cyclic = cfg_kw.get("cyclic")
     if args.cyclic:
         rid, fids, src_marks, own_marks = args.cyclic.split(":")
         cyclic = {
@@ -169,6 +226,9 @@ def main() -> int:
             "source_marks_dir": src_marks or None,
             "marks_dir": own_marks or None,
         }
+    dispatch_rule = cfg_kw.get("mq_dispatch_rule", args.mq_dispatch)
+    if args.mq_dispatch != "index-value":
+        dispatch_rule = args.mq_dispatch
     cf = ChangeFeed(
         table,
         args.binlog,
@@ -178,15 +238,12 @@ def main() -> int:
         lineage_dir=args.lineage,
         max_files_per_trigger=args.max_files_per_trigger,
         start_ts=args.start_ts,
-        mq_dir=args.mq_dir,
-        mq_partitions=args.mq_partitions,
-        mq_dispatch_rule=args.mq_dispatch,
-        mq_protocol=args.mq_protocol,
-        mq_old_value=args.mq_old_value,
+        mq_dispatch_rule=dispatch_rule,
         cyclic=cyclic,
         target_ts=args.target_ts,
         admin=admin,
         feed_name=feed_name,
+        **mq_kwargs(),
     )
     if args.available_now:
         summaries = cf.run_available()
