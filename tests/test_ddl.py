@@ -134,3 +134,76 @@ def test_ddl_barrier_not_applied_before_frontier(spark, tmp_path):
     cf.run_available()
     assert t.schema_version == 0  # barrier at 500 > frontier 100 → deferred
     assert {r["doc_id"] for r in t.read().collect()} == {"a", "b"}
+
+
+def test_truncate_table_ddl_mid_stream(spark, tmp_path):
+    """TRUNCATE TABLE flows through the DDL stream as a barrier-ordered DATA
+    operation (ActionTruncateTable is on the reference's built-in allowlist,
+    pkg/filter/filter.go:149; schema_storage.go:539-624 truncate case):
+    events at commit_ts <= truncate_ts apply and are then wiped atomically;
+    later events rebuild the table. Final state must equal the LWW fold of
+    ONLY the post-truncate events."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ticdc_spark.oracle import apply_binlog
+    from ticdc_spark.streaming.consumer import MQConsumer
+    from ticdc_spark.testgen import write_binlog
+
+    spec = BinlogSpec(n_events=8_000, n_keys=500, seed=83, p_delete=0.15, p_insert=0.55)
+    binlog_dir = str(tmp_path / "binlog")
+    write_binlog(spec, binlog_dir, files_per_part=4)
+    binlog = pq.read_table(binlog_dir)
+    import pyarrow.compute as pc
+
+    lo = pc.min(binlog.column("commit_ts")).as_py()
+    hi = pc.max(binlog.column("commit_ts")).as_py()
+    trunc_ts = (lo + hi) // 2
+    ddl_rows = [{"commit_ts": trunc_ts, "ddl_type": "truncate_table", "spec": "{}"}]
+
+    t1 = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    mq = str(tmp_path / "mq")
+    cf = ChangeFeed(
+        t1, binlog_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2,
+        ddl_rows=ddl_rows, mq_dir=mq, mq_partitions=4,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    # schema unchanged, but the registry/lake version advanced through the
+    # truncate barrier in lockstep
+    assert t1.schema_version == 1
+    assert [f["name"] for f in t1.current_fields] == [
+        "doc_id", "tokens", "n_tok", "source"]
+
+    # oracle: LWW fold of ONLY post-truncate events (events at == trunc_ts
+    # use the pre-DDL schema, apply, then vanish in the wipe)
+    post = binlog.filter(pc.greater(binlog.column("commit_ts"), trunc_ts))
+    expected = apply_binlog(post, upto_ts=resolved)
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"]) for r in t1.read().collect()}
+    want = {
+        d.as_py(): (t.as_py(), n.as_py())
+        for d, t, n in zip(expected.column("doc_id"), expected.column("tokens"),
+                           expected.column("n_tok"))
+    }
+    assert got == want and len(got) > 50
+
+    # downstream consumer replays the truncate between the DML slices
+    t2 = LakeTable.create(spark, str(tmp_path / "down"), n_buckets=4)
+    consumer = MQConsumer(spark, mq, t2)
+    stats = consumer.run_once()
+    assert stats and all(s["committed"] for s in stats)
+    down = {r["doc_id"]: (list(r["tokens"]), r["n_tok"]) for r in t2.read().collect()}
+    assert down == got
+    assert consumer.run_once() == []  # idempotent re-consume
+
+    # history shows the atomic wipe: some version is EMPTY (the truncate
+    # commit) while versions before and after it carry rows
+    versions = sorted(
+        int(os.path.basename(f)[1:-5])
+        for f in glob.glob(str(tmp_path / "tbl" / "_manifests" / "v*.json"))
+    )
+    counts = [t1.read_version(v).count() for v in versions]
+    wipe = counts.index(0, 1)
+    assert counts[wipe - 1] > 0 and counts[-1] > 0

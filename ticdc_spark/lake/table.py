@@ -213,6 +213,13 @@ class LakeTable:
             if len(kept) == len(fields):
                 raise KeyError(spec["name"])
             fields = kept
+        elif ddl_type == "truncate_table":
+            # fields unchanged; every bucket's file references drop in the
+            # SAME commit (schema_storage.go:539-624 truncate swaps in a
+            # fresh table id — one atomic transition, and the version bump
+            # keeps the lake's schema_version in lockstep with the
+            # registry's, which the mounter's decode math relies on)
+            pass
         else:
             raise ValueError(f"unsupported ddl_type {ddl_type}")
         m = json.loads(json.dumps(self._manifest))
@@ -220,6 +227,9 @@ class LakeTable:
         m["version"] += 1
         m["schema_version"] += 1
         m["schemas"][str(m["schema_version"])] = fields
+        if ddl_type == "truncate_table":
+            m["buckets"] = {}
+            m["clean_buckets"] = []
         m["epoch_id"] = epoch_id
         if epoch_id is not None:
             m["committed_epochs"].append(epoch_id)

@@ -278,6 +278,15 @@ class ChangeFeed:
             for r in (ddl_rows or [])
         ]
         self.registry = SchemaRegistry(base, ddls)
+        if self.mq_old_value and "truncate_table" in self.registry.ddl_kinds:
+            # the reference gets old values from TiKV, so they stay
+            # consistent across a truncate; we RECONSTRUCT them from table
+            # state + the lag window, and neither sees the wipe — refuse
+            # loudly rather than emit pre-truncate images as pre-images
+            raise ValueError(
+                "mq_old_value cannot be combined with a truncate_table DDL "
+                "(reconstructed pre-images would span the truncate)"
+            )
         self.batch_summaries: list[dict] = []
         # set when processing halts for a LIFECYCLE reason (paused/removed/
         # finished) rather than an error: run_available treats the resulting
@@ -552,16 +561,26 @@ class ChangeFeed:
                     if self.table.schema_version < ver:
                         # advance lake schema to `ver` (metadata-only commit;
                         # guarded so a crash-replay never re-diffs an
-                        # already-advanced schema backwards)
-                        self._advance_lake_schema(
-                            ver, self.registry.fields(ver), f"ddl-{shi}"
-                        )
+                        # already-advanced schema backwards). truncate_table
+                        # wipes every bucket AND bumps the version in one
+                        # atomic manifest commit (idempotent by epoch id).
+                        if self.registry.ddl_kinds[ver - 1] == "truncate_table":
+                            self.table.update_schema(
+                                "truncate_table", {}, f"ddl-{shi}"
+                            )
+                        else:
+                            self._advance_lake_schema(
+                                ver, self.registry.fields(ver), f"ddl-{shi}"
+                            )
             # MQ DDL messages: EVERY barrier ≤ resolved, not just the ones
             # executed in this attempt — a crash between the schema commit
             # and emission would otherwise lose the DDL downstream forever.
             # Re-emission across batches is safe: the consumer's field-id
             # diff is a no-op once its table has advanced.
-            executed_ddls = [(ts, self.registry.fields(ver)) for ver, ts in barriers]
+            executed_ddls = [
+                (ts, self.registry.fields(ver), self.registry.ddl_kinds[ver - 1])
+                for ver, ts in barriers
+            ]
             timings["apply"] = _time.time() - t0
             t0 = _time.time()
 
@@ -766,11 +785,13 @@ class ChangeFeed:
         # DDL messages (json.go:425-446): value carries the POST-ddl field
         # list (registry fields with stable ids) so the consumer evolves its
         # table by field-id diff, exactly like the primary sink
-        for ts, fields_next in executed_ddls or []:
+        for ts, fields_next, kind in executed_ddls or []:
             ddl = pa.table(
                 {
                     "key_json": pa.array([json.dumps({"ts": ts, "type": "ddl"})]),
-                    "value_json": pa.array([json.dumps({"fields": fields_next})]),
+                    "value_json": pa.array(
+                        [json.dumps({"fields": fields_next, "ddl_type": kind})]
+                    ),
                 }
             )
             # zero-padded ts: consumers glob-sort these files, and unpadded

@@ -61,8 +61,9 @@ class MQConsumer:
         for name in sorted(os.listdir(self.mq_dir)):
             if not name.startswith("batch-"):
                 continue
-            epoch_id = f"mq-{name}"
-            if epoch_id in self.table.committed_epochs:
+            # fast path: batches without truncates mark completion as
+            # mq-<name>; truncate batches re-check after parsing their DDLs
+            if f"mq-{name}" in self.table.committed_epochs:
                 continue
             bdir = os.path.join(self.mq_dir, name)
             res = self.spark.read.parquet(os.path.join(bdir, "resolved.parquet"))
@@ -88,6 +89,7 @@ class MQConsumer:
                 ddl_msgs.append((j.loads(row["key_json"])["ts"], row))
             # order by the PARSED ts, not the filename — lexicographic file
             # order would apply ddl-100 before ddl-99 on unpadded names
+            truncs = []
             for ts, row in sorted(ddl_msgs, key=lambda x: x[0]):
                 if ts > frontier:
                     # the batch's epoch commits exactly once, so a skipped
@@ -97,8 +99,19 @@ class MQConsumer:
                         f"DDL at ts={ts} exceeds batch frontier {frontier}: "
                         f"applying the batch would lose the DDL ({name})"
                     )
-                fields_next = j.loads(row["value_json"])["fields"]
-                advance_lake_schema(self.table, fields_next, f"mq-ddl-{ts}")
+                val = j.loads(row["value_json"])
+                if val.get("ddl_type") == "truncate_table":
+                    # DATA operation, not a projection change: it must
+                    # execute BETWEEN the batch's DML ranges (below), not
+                    # up-front — an up-front wipe would let pre-truncate
+                    # events re-appear downstream
+                    truncs.append(ts)
+                    continue
+                advance_lake_schema(self.table, val["fields"], f"mq-ddl-{ts}")
+            # idempotence marker: the LAST thing this batch commits
+            epoch_id = f"mq-{name}" if not truncs else f"mq-{name}-s{len(truncs)}"
+            if epoch_id in self.table.committed_epochs:
+                continue
             msgs = self.spark.read.option("basePath", bdir).parquet(
                 os.path.join(bdir, "partition=*")
             )
@@ -107,10 +120,25 @@ class MQConsumer:
             payload = [
                 f["name"] for f in self.table.current_fields if f["name"] != key
             ]
-            winners = lww_latest_semijoin(
-                dec.select(key, "op", "commit_ts", "seq", *payload), [key]
-            )
-            st = self.table.merge_epoch(winners, epoch_id, assume_deduped=True)
+            rows = dec.select(key, "op", "commit_ts", "seq", *payload)
+            bounds = [None, *truncs, None]
+            n_slices = len(bounds) - 1
+            st = {}
+            for k in range(n_slices):
+                lo, hi = bounds[k], bounds[k + 1]
+                sl = rows
+                if lo is not None:
+                    sl = sl.filter(F.col("commit_ts") > F.lit(lo))
+                if hi is not None:
+                    sl = sl.filter(F.col("commit_ts") <= F.lit(hi))
+                eid = f"mq-{name}" if n_slices == 1 else f"mq-{name}-s{k}"
+                st = self.table.merge_epoch(
+                    lww_latest_semijoin(sl, [key]), eid, assume_deduped=True
+                )
+                if hi is not None:
+                    self.table.update_schema(
+                        "truncate_table", {}, f"mq-ddl-trunc-{hi}"
+                    )
             stats.append({"batch": name, "frontier": frontier, **st})
         return stats
 
@@ -168,6 +196,7 @@ class MultiMQConsumer:
                 row = self.spark.read.parquet(ddl_file).collect()[0]
                 k = j.loads(row["key_json"])
                 ddl_msgs.append((k["ts"], k["table"], row))
+            truncs: dict[str, list[int]] = {}
             for ts, tname, row in sorted(ddl_msgs, key=lambda x: x[0]):
                 if ts > frontier:
                     raise RuntimeError(
@@ -175,15 +204,23 @@ class MultiMQConsumer:
                     )
                 if tname not in self.tables:
                     continue
-                fields_next = j.loads(row["value_json"])["fields"]
+                val = j.loads(row["value_json"])
+                if val.get("ddl_type") == "truncate_table":
+                    # data operation — ordered against the table's DML
+                    # slices below, not applied up-front (see MQConsumer)
+                    truncs.setdefault(tname, []).append(ts)
+                    continue
                 advance_lake_schema(
-                    self.tables[tname], fields_next, f"mq-ddl-{tname}-{ts}"
+                    self.tables[tname], val["fields"], f"mq-ddl-{tname}-{ts}"
                 )
             msgs = self.spark.read.option("basePath", bdir).parquet(
                 os.path.join(bdir, "partition=*")
             )
             for tname, table in self.tables.items():
-                epoch_id = f"mq-{tname}-{name}"
+                tt = truncs.get(tname, [])
+                epoch_id = (
+                    f"mq-{tname}-{name}" if not tt else f"mq-{tname}-{name}-s{len(tt)}"
+                )
                 if epoch_id in table.committed_epochs:
                     continue
                 from .protocols import decode_mq
@@ -198,10 +235,28 @@ class MultiMQConsumer:
                 payload = [
                     f["name"] for f in table.current_fields if f["name"] != key
                 ]
-                winners = lww_latest_semijoin(
-                    dec.select(key, "op", "commit_ts", "seq", *payload), [key]
-                )
-                st = table.merge_epoch(winners, epoch_id, assume_deduped=True)
+                rows = dec.select(key, "op", "commit_ts", "seq", *payload)
+                bounds = [None, *tt, None]
+                st = {}
+                for k2 in range(len(bounds) - 1):
+                    lo, hi = bounds[k2], bounds[k2 + 1]
+                    sl = rows
+                    if lo is not None:
+                        sl = sl.filter(F.col("commit_ts") > F.lit(lo))
+                    if hi is not None:
+                        sl = sl.filter(F.col("commit_ts") <= F.lit(hi))
+                    eid = (
+                        f"mq-{tname}-{name}"
+                        if len(bounds) == 2
+                        else f"mq-{tname}-{name}-s{k2}"
+                    )
+                    st = table.merge_epoch(
+                        lww_latest_semijoin(sl, [key]), eid, assume_deduped=True
+                    )
+                    if hi is not None:
+                        table.update_schema(
+                            "truncate_table", {}, f"mq-ddl-trunc-{tname}-{hi}"
+                        )
                 stats.append(
                     {"batch": name, "table": tname, "frontier": frontier, **st}
                 )

@@ -113,6 +113,13 @@ class MultiTableChangeFeed:
             self.registries[name] = SchemaRegistry(
                 base, sorted(by_table.get(name, []), key=lambda x: x[0])
             )
+        if self.mq_old_value and any(
+            "truncate_table" in r.ddl_kinds for r in self.registries.values()
+        ):
+            # see ChangeFeed: reconstructed pre-images cannot span a wipe
+            raise ValueError(
+                "mq_old_value cannot be combined with a truncate_table DDL"
+            )
         # feed-scoped epoch ids — see ChangeFeed.feed_id for why
         import hashlib
 
@@ -385,9 +392,16 @@ class MultiTableChangeFeed:
                 if shi is not None:
                     ver = reg.ddl_ts.index(shi) + 1
                     if table.schema_version < ver:
-                        from .changefeed import advance_lake_schema
+                        if reg.ddl_kinds[ver - 1] == "truncate_table":
+                            table.update_schema(
+                                "truncate_table", {}, f"ddl-{name}-{shi}"
+                            )
+                        else:
+                            from .changefeed import advance_lake_schema
 
-                        advance_lake_schema(table, reg.fields(ver), f"ddl-{name}-{shi}")
+                            advance_lake_schema(
+                                table, reg.fields(ver), f"ddl-{name}-{shi}"
+                            )
             per_table[name] = committed_any
 
         if self.mq_dir is not None:
@@ -477,7 +491,7 @@ class MultiTableChangeFeed:
                 )
             )
             for ver, ts in barriers:
-                ddl_msgs.append((name, ts, reg.fields(ver)))
+                ddl_msgs.append((name, ts, reg.fields(ver), reg.ddl_kinds[ver - 1]))
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
@@ -502,13 +516,15 @@ class MultiTableChangeFeed:
         tmp = os.path.join(batch_dir, ".resolved.parquet.tmp")
         pq.write_table(res, tmp)
         os.replace(tmp, os.path.join(batch_dir, "resolved.parquet"))
-        for name, ts, fields_next in ddl_msgs:
+        for name, ts, fields_next, kind in ddl_msgs:
             ddl = pa.table(
                 {
                     "key_json": pa.array(
                         [json.dumps({"ts": ts, "type": "ddl", "table": name})]
                     ),
-                    "value_json": pa.array([json.dumps({"fields": fields_next})]),
+                    "value_json": pa.array(
+                        [json.dumps({"fields": fields_next, "ddl_type": kind})]
+                    ),
                 }
             )
             fname = f"ddl-{name}-{ts:020d}.parquet"

@@ -22,7 +22,10 @@ from pyspark.sql import types as T
 # warning and the feed CONTINUES (pkg/filter/filter.go:115-171 skip
 # semantics; entry/schema_storage.go:818-824 skips cancelled/unsupported
 # jobs) — one exotic DDL in the stream must not halt replication.
-SUPPORTED_DDL = ("add_column", "widen_column", "rename_column", "drop_column")
+SUPPORTED_DDL = (
+    "add_column", "widen_column", "rename_column", "drop_column",
+    "truncate_table",
+)
 
 
 def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[dict]:
@@ -46,6 +49,11 @@ def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[d
         if len(kept) == len(out):
             raise KeyError(spec["name"])
         return kept
+    elif ddl_type == "truncate_table":
+        # no field change — the version exists so the barrier splits slices
+        # and the lake's bucket wipe lands between them (ActionTruncateTable
+        # is on the reference's built-in allowlist, filter.go:149)
+        return out
     else:
         raise ValueError(f"unsupported ddl_type {ddl_type}")
     return out
@@ -58,6 +66,7 @@ class SchemaRegistry:
         """ddls: ordered [(finished_ts, ddl_type, spec)]."""
         self.versions: list[list[dict]] = [[dict(f) for f in base_fields]]
         self.ddl_ts: list[int] = []
+        self.ddl_kinds: list[str] = []  # kind of the DDL creating version i+1
         for ts, typ, spec in ddls or []:
             self.add_ddl(ts, typ, spec)
 
@@ -79,6 +88,7 @@ class SchemaRegistry:
             raise ValueError("DDL finished-ts must be strictly increasing")
         self.versions.append(apply_ddl_to_fields(self.versions[-1], ddl_type, spec))
         self.ddl_ts.append(finished_ts)
+        self.ddl_kinds.append(ddl_type)
         return len(self.versions) - 1
 
     def fields(self, version: int) -> list[dict]:
