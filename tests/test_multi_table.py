@@ -649,3 +649,42 @@ def test_multi_table_old_value_crash_replay(spark, tmp_path):
     )
     cf2._process_batch(last, 1)  # must not raise 'late'
     assert snap() == before and len(before) > 3000
+
+
+def test_multi_table_truncate_ddl(spark, tmp_path):
+    """truncate_table on ONE table of a multi-table feed: that table wipes
+    at its barrier and rebuilds from later events; the other table is
+    untouched; the multi-consumer replays the wipe between its DML slices."""
+    from ticdc_spark.oracle import apply_binlog
+    from ticdc_spark.streaming.consumer import MultiMQConsumer
+
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    lo = pc.min(ev_a.column("commit_ts")).as_py()
+    hi = pc.max(ev_a.column("commit_ts")).as_py()
+    trunc_ts = (lo + hi) // 2
+    ddl_rows = [{"commit_ts": trunc_ts, "ddl_type": "truncate_table",
+                 "table": "ta", "spec": "{}"}]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    mq = str(tmp_path / "mq")
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, ddl_rows=ddl_rows, mq_dir=mq, mq_partitions=4,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+
+    post_a = ev_a.filter(pc.greater(ev_a.column("commit_ts"), trunc_ts))
+    assert not diff_tables(apply_binlog(post_a, upto_ts=resolved), _lake_arrow(ta))
+    assert not diff_tables(apply_binlog(ev_b, upto_ts=resolved), _lake_arrow(tb))
+
+    da = LakeTable.create(spark, str(tmp_path / "da"), n_buckets=4)
+    db = LakeTable.create(spark, str(tmp_path / "db"), n_buckets=4)
+    consumer = MultiMQConsumer(spark, mq, {"ta": da, "tb": db})
+    stats = consumer.run_once()
+    assert stats and all(s["committed"] for s in stats)
+    for up, down in ((ta, da), (tb, db)):
+        a = {r["doc_id"]: list(r["tokens"]) for r in up.read().collect()}
+        b = {r["doc_id"]: list(r["tokens"]) for r in down.read().collect()}
+        assert a == b and len(a) > 0
+    assert consumer.run_once() == []
