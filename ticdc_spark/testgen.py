@@ -184,12 +184,15 @@ def write_binlog_chunks(
     Unlike a single flat directory, an epoch replay reads ONLY its chunk —
     per-epoch IO scales with epoch size, not stream length.
     """
+    import time as _time
+
     rng = np.random.default_rng(spec.seed + 1)
     base_spec = BinlogSpec(**{**spec.__dict__, "out_of_order": False})
     tbl = generate_binlog(base_spec)
     os.makedirs(out_dir, exist_ok=True)
     step = (len(tbl) + n_chunks - 1) // n_chunks
     dirs = []
+    t0 = _time.time()
     for c in range(n_chunks):
         chunk = tbl.slice(c * step, step)
         if not len(chunk):
@@ -202,7 +205,14 @@ def write_binlog_chunks(
         for i in range(files_per_chunk):
             part = chunk.slice(i * fstep, fstep)
             if len(part):
-                pq.write_table(part, os.path.join(cdir, f"binlog-{i:05d}.parquet"))
+                path = os.path.join(cdir, f"binlog-{i:05d}.parquet")
+                pq.write_table(part, path)
+                # strictly increasing mtime per CHUNK: the file stream
+                # source orders files by modification time, and a tie at a
+                # chunk boundary would mix two chunks into one trigger —
+                # later files of the earlier chunk then arrive BELOW the
+                # released frontier (late), which old-value mode rejects
+                os.utime(path, (t0 + c * 2, t0 + c * 2))
         dirs.append(cdir)
     return dirs
 
