@@ -834,6 +834,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.7))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → survivor: LSH near-dup pairs fed through the
+    alternating large-star/small-star connected-components fold (Kiveris
+    et al. SoCC'14), then one keep=1 canonical doc per cluster. The full
+    dedup *decision*, not just the pair list — the stage a 100-TB corpus
+    actually applies before training."""
+    return _longify(dd.dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.7))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.simhash_pairs_blocked(_docs(spark, sf_dir), max_hamming=3))
 
@@ -1756,6 +1765,36 @@ cand AS (
 SELECT c.doc_a, c.doc_b, j.jaccard FROM cand c
 JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 WHERE j.jaccard >= 0.7""",
+        # transitive closure via a recursive CTE reproduces what the Spark
+        # side computes with alternating large-star/small-star rounds
+        "dedup_clusters": "WITH RECURSIVE "
+        + _dedup_shingle_sql()
+        + ", "
+        + _minhash_sig_from_sh()
+        + ", "
+        + _lsh_band_sql()
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+p AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard >= 0.7
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id, csize.cluster_size,
+       (CASE WHEN comp.doc_id = comp.cluster_id THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM comp JOIN csize USING (cluster_id)""",
         "dedup_simhash": "WITH "
         + _simhash_sql()
         + """
@@ -1906,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,

@@ -572,3 +572,82 @@ def test_mix_sample_flattens_mixture(spark):
     assert out["big"]["keep_thresh"] == int(exp * 1e6)  # floor-quantized
     # hash sampling approximates the threshold rate
     assert abs(out["big"]["n_kept"] / 900 - exp) < 0.1
+
+
+# ---------------- connected components / cluster dedup ----------------
+
+
+def _py_components(pairs):
+    """Driver-side union-find oracle (test-only)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_chain_converges_to_single_root(spark):
+    """A length-9 chain needs multiple star rounds — exercises the
+    iteration, not just the trivial one-round clique case."""
+    from ticdc_spark.pipeline.dedup import connected_components
+
+    pairs = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(9)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == {f"d{i:02d}": "d00" for i in range(10)}
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    import random
+
+    from ticdc_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(90)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    want = _py_components(pairs)
+    assert got == want
+
+
+def test_cc_two_cliques_and_empty(spark):
+    from ticdc_spark.pipeline.dedup import connected_components
+
+    cliq = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("z8", "z9")]
+    df = spark.createDataFrame(cliq, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == {"a1": "a1", "a2": "a1", "a3": "a1", "z8": "z8", "z9": "z8"}
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(empty).count() == 0
+
+
+def test_dedup_clusters_one_survivor_per_cluster(docs):
+    from ticdc_spark.pipeline.dedup import dedup_clusters, minhash_lsh_pairs
+
+    out = dedup_clusters(docs, n=3, threshold=0.7).collect()
+    assert len(out) > 0
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        keeps = [r for r in rows if r["keep"] == 1]
+        assert len(keeps) == 1 and keeps[0]["doc_id"] == cid == min(r["doc_id"] for r in rows)
+        assert all(r["cluster_size"] == len(rows) for r in rows)
+    # clustering is the transitive closure of the pair list
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.7).collect()
+    ]
+    want = _py_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == want

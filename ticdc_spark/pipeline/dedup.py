@@ -307,6 +307,126 @@ def simhash_pairs_blocked(
 
 
 # ---------------------------------------------------------------------------
+# connected components — pairs → clusters → one survivor per cluster
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) with cluster_id = min doc_id of the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): provably converges in
+    O(log^2 n) rounds on ANY graph shape — a 1M-link near-dup *chain* is as
+    safe as the near-clique clusters LSH usually emits (those converge in
+    2-3 rounds). Each round is two shuffle group-bys keyed on node id plus
+    an equi-join back; nothing is ever collected to the driver except an
+    O(1) convergence signature per round. This is the stage every pair
+    emitter (minhash_lsh_pairs / simhash_pairs_blocked / RP-LSH cosine)
+    feeds at 100 TB: dedup needs clusters with one survivor, not pairs —
+    and a driver-side union-find over a pair list that can be billions of
+    rows is not an option.
+
+    Round r:
+      large-star: for each node u, hang every neighbor v > u off
+                  m(u) = min(N(u) ∪ {u})   → edges point "downhill"
+      small-star: edges now oriented (big → small); for each u, hang u and
+                  all its smaller neighbors off its min neighbor
+    Fixpoint = forest of stars rooted at each component's minimum node.
+    Convergence detected by an O(1) (count, xxhash64-xor) signature of the
+    edge set — a collision would need two distinct edge sets with equal
+    count AND equal 64-bit hash xor-fold across consecutive rounds.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    # localCheckpoint, not persist: each round references the previous
+    # frame ~5 times (union + two joins + distinct), so without lineage
+    # truncation the logical plan grows ~5^rounds and the driver OOMs just
+    # *printing* it by round 8. Checkpointing materializes the round and
+    # cuts the plan to a leaf. (On a shared cluster with dynamic allocation
+    # use reliable checkpoint(); local[N] executors are never reclaimed.)
+    cur = edges.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star over the undirected view
+        und = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        large = (
+            und.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: `large` is (big → small)-oriented, so min("v") is
+        # m(u) over all of u's (smaller) neighbors
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nxt = small.localCheckpoint(eager=True)
+        # xor fold, not sum: order-independent, ANSI-overflow-proof, and
+        # the edge set is distinct so nothing can cancel spuriously
+        row = nxt.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        sig = (row["c"], row["s"])
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = (
+        cur.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return members.union(roots)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """The complete near-dup dedup decision: LSH pairs → connected
+    components → per-cluster survivor. One row per CLUSTERED doc:
+    (doc_id, cluster_id, cluster_size, keep) — keep=1 only for the
+    canonical (minimum) doc of its cluster; docs in no cluster are
+    implicitly kept and not emitted. Downstream drop-set = rows with
+    keep=0, an anti-join key list that is O(duplicates), not O(corpus)."""
+    pairs = minhash_lsh_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, **lsh_kwargs
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # chunk-level (paragraph-hash) dedup — CCNet / RefinedWeb style
 
 
