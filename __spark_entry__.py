@@ -834,6 +834,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.7))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-incremental near-dup detection: the documents table arrives as
+    three insert epochs through IncrementalLSHDeduper (LSH band index kept
+    as a CDC-derived LakeTable, per-epoch probe of batch bands only); the
+    live pair set provably equals batch minhash_lsh_pairs over the full
+    corpus — so the oracle is the SAME SQL as dedup_minhash_lsh."""
+    import shutil
+    import tempfile
+
+    from ticdc_spark.pipeline.incremental import IncrementalLSHDeduper
+
+    root = tempfile.mkdtemp(prefix="ticdc_spark_q_incdedup_")
+    shutil.rmtree(root, ignore_errors=True)
+    dd = IncrementalLSHDeduper(spark, root, n=3, threshold=0.7, id_type="bigint")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    from pyspark.sql.window import Window
+
+    for e in range(3):
+        chunk = docs.filter(part == e).select(
+            "doc_id",
+            F.lit("I").alias("op"),
+            F.lit(e + 1).cast("long").alias("commit_ts"),
+            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("seq"),
+            "text",
+        )
+        dd.process_epoch(chunk, f"ep{e}")
+    return _longify(dd.live_pairs())
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters → survivor: LSH near-dup pairs fed through the
     alternating large-star/small-star connected-components fold (Kiveris
@@ -1765,6 +1795,23 @@ cand AS (
 SELECT c.doc_a, c.doc_b, j.jaccard FROM cand c
 JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 WHERE j.jaccard >= 0.7""",
+        # the incremental path provably equals the batch LSH pair set
+        # (pipeline/incremental.py invariant, tests/test_incremental.py)
+        "dedup_incremental": "WITH "
+        + _dedup_shingle_sql()
+        + ", "
+        + _minhash_sig_from_sh()
+        + ", "
+        + _lsh_band_sql()
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard FROM cand c
+JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.7""",
         # transitive closure via a recursive CTE reproduces what the Spark
         # side computes with alternating large-star/small-star rounds
         "dedup_clusters": "WITH RECURSIVE "
@@ -1945,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,

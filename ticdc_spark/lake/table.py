@@ -119,9 +119,18 @@ class LakeTable:
         fields: list[dict] | None = None,
         n_buckets: int = 16,
         key_col: str = KEY_COL,
+        bucket_col: str | None = None,
     ) -> "LakeTable":
         """fields: [{"id":1,"name":"doc_id","type":"string"}, ...]. Default =
-        the input_hint token-table shape."""
+        the input_hint token-table shape.
+
+        bucket_col: partition the table by hash(bucket_col) instead of
+        hash(key_col) — the Iceberg "bucket on a non-identifier column"
+        layout. Used by derived secondary indexes (e.g. the LSH band index,
+        pipeline.incremental) where co-location must follow the PROBE key
+        (band hash) while row identity stays a unique composite key. Key
+        lookups on such a table fall back to all-bucket file-stats pruning
+        (files remain sorted by key inside every bucket)."""
         if fields is None:
             fields = [
                 {"id": 1, "name": "doc_id", "type": "string", "nullable": False},
@@ -135,6 +144,7 @@ class LakeTable:
             "epoch_id": None,
             "n_buckets": n_buckets,
             "key_col": key_col,
+            "bucket_col": bucket_col,
             "schema_version": 0,
             "schemas": {"0": _schema_to_json(fields)},
             "buckets": {},
@@ -169,6 +179,11 @@ class LakeTable:
     @property
     def n_buckets(self) -> int:
         return self._manifest["n_buckets"]
+
+    @property
+    def bucket_col(self) -> str:
+        """Column whose hash places a row in its bucket (defaults to the key)."""
+        return self._manifest.get("bucket_col") or self.key_col
 
     @property
     def committed_epochs(self) -> set:
@@ -331,9 +346,17 @@ class LakeTable:
         """Point lookup: read ONLY the buckets the keys hash to (partition
         pruning via the dispatch hash — at 10^5 buckets a lookup touches
         ~len(keys) files, not the table). Same collapse semantics as read()."""
-        kdf = self.spark.createDataFrame([(k,) for k in keys], f"{self.key_col} string")
-        rows = kdf.select(self._bucket_expr(self.key_col).alias("b")).distinct().collect()
-        buckets = sorted(int(r["b"]) for r in rows)
+        if self.bucket_col == self.key_col:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys], f"{self.key_col} string"
+            )
+            rows = kdf.select(self._bucket_expr(self.key_col).alias("b")).distinct().collect()
+            buckets = sorted(int(r["b"]) for r in rows)
+        else:
+            # bucketed by a non-key column: key hashes say nothing about
+            # placement — fall back to every bucket and let the per-file
+            # key min/max stats do the skipping (files stay key-sorted)
+            buckets = [int(b) for b in self._manifest["buckets"]]
         df = self._read_files(self._lookup_entries(keys, buckets))
         if df is None:
             return self.spark.createDataFrame([], _fields_to_struct(self.current_fields))
@@ -464,7 +487,7 @@ class LakeTable:
             F.col("commit_ts").alias(SYS_COMMIT_TS),
             F.col("seq").alias(SYS_SEQ),
             (F.col("op") == OP_DELETE).alias(SYS_DELETED),
-        ).withColumn("_bucket", self._bucket_expr(key))
+        ).withColumn("_bucket", self._bucket_expr(self.bucket_col))
         if not assume_deduped:
             # collapse within the epoch so deltas carry one row per key
             ch = self._collapse(ch)
@@ -549,7 +572,7 @@ class LakeTable:
 
         old = self._read_files(self._bucket_entries(touched))
         unioned = ch.drop("_bucket") if old is None else old.unionByName(ch.drop("_bucket"))
-        out = self._collapse(unioned).withColumn("_bucket", self._bucket_expr(key))
+        out = self._collapse(unioned).withColumn("_bucket", self._bucket_expr(self.bucket_col))
 
         new_version = self._manifest["version"] + 1
         abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
@@ -781,7 +804,7 @@ class LakeTable:
         m["n_buckets"] = new_n_buckets
         self._manifest = m  # _bucket_expr/_scan_written see the new count
         try:
-            out = df.withColumn("_bucket", self._bucket_expr(self.key_col))
+            out = df.withColumn("_bucket", self._bucket_expr(self.bucket_col))
             new_version = m["version"] + 1
             abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
             (
@@ -815,7 +838,7 @@ class LakeTable:
         df = self.read_raw(buckets)  # collapsed: folds the MOR deltas
         if purge_tombstones:
             df = df.filter(~F.col(SYS_DELETED))
-        out = df.withColumn("_bucket", self._bucket_expr(self.key_col))
+        out = df.withColumn("_bucket", self._bucket_expr(self.bucket_col))
         new_version = self._manifest["version"] + 1
         abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
         n_parts = self.n_buckets if buckets is None else max(1, min(len(buckets), 256))

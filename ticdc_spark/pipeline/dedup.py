@@ -139,6 +139,22 @@ def minhash_signatures(
     return base.groupBy("doc_id").agg(*aggs)
 
 
+def band_hash_exprs(n_perms: int = N_PERMS, bands: int = BANDS) -> list:
+    """One md5 column per LSH band over mh_{i} signature columns. Shared by
+    the batch path (minhash_lsh_pairs) and the incremental band index
+    (pipeline.incremental) so the two can never disagree on banding."""
+    r = n_perms // bands
+    return [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
+            )
+        )
+        for b in range(bands)
+    ]
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -154,20 +170,11 @@ def minhash_lsh_pairs(
     each candidate is verified with exact n-gram Jaccard, so output has no
     false positives (recall is the LSH knob: P[detect] = 1-(1-s^r)^b).
     """
-    r = n_perms // bands
     sig = minhash_signatures(docs, n, n_perms, text_col)
     # ONE posexplode, not a union of per-band selects: a union would paste
     # the signature subtree (explode + K-way min agg) once per band into the
     # plan, recomputing it B times per join side (measured ~2x whole-query)
-    band_hashes = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
-            )
-        )
-        for b in range(bands)
-    ]
+    band_hashes = band_hash_exprs(n_perms, bands)
     banded = sig.select(
         "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash")
     ).repartition(64, "band_id", "band_hash")

@@ -1,0 +1,367 @@
+"""Incremental near-dup detection over the CDC change stream.
+
+Batch MinHash/LSH dedup (pipeline.dedup.minhash_lsh_pairs) recomputes
+signatures for the WHOLE corpus every run — at 10^10 documents that is the
+wrong shape for a table that changes by ~0.1%/epoch. This module maintains
+the LSH band index as a **CDC-derived secondary table** and touches only
+the changed documents per epoch, exactly how the engine's primary tables
+are maintained:
+
+  corpus  LakeTable(doc_id -> text)                 the document table
+  sigs    LakeTable(doc_id -> content_md5, bands)   signature per live doc
+  bands   LakeTable(bkey   -> band_pfx, doc_id, content_md5)
+          one row per (band, doc); key = "band_id:band_hash:doc_id";
+          BUCKETED BY band_pfx (LakeTable bucket_col) so every band's rows
+          are co-located — a probe shuffles only the BATCH, never the store
+
+Per epoch (insert / update / delete events, LWW-collapsed like any CDC
+batch):
+  1. merge the batch into corpus (idempotent epoch commit)
+  2. tombstone the OLD band rows of every touched doc — derived from the
+     stored signature (the CDC pre-image; no old text needed) — and insert
+     the new ones; merge sigs the same way
+  3. probe: the batch's band rows equi-join the band store on band_pfx,
+     reading ONLY the buckets the batch's bands hash to
+  4. verify candidates with exact n-gram Jaccard against corpus text
+     (bucket-pruned reads), append verified pairs to a per-epoch pair log
+
+Pair-log liveness: each pair row carries the content_md5 of both sides at
+detection time; `live_pairs()` keeps a row only while BOTH docs still have
+that exact content (join against sigs). Invariant (tested): after any
+sequence of inserts/updates/deletes and any epoch redelivery,
+
+    live_pairs() == minhash_lsh_pairs(current corpus)
+
+because signatures are a pure function of a doc's own text — band
+collisions and verified Jaccards computed incrementally equal the batch
+ones, and the md5 liveness join retires every pair whose either side has
+since changed.
+
+Scale shape per epoch: O(batch) signature work, O(batch x B) band upserts,
+a probe that shuffles O(batch x B) rows into the band store's buckets, and
+verify joins proportional to the candidate set. Nothing rescans the corpus.
+
+Reference analog: this is TiCDC's own pattern of downstream tables kept
+consistent by the change stream (SURVEY.md §2.2), applied to a derived
+search index instead of a mirror table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+from ..model import OP_DELETE, OP_INSERT, SYS_DELETED
+from .dedup import BANDS, N_PERMS, band_hash_exprs, minhash_signatures, shingles
+
+
+
+def _rows_for_ids(table: LakeTable, ids: DataFrame, id_col: str) -> DataFrame:
+    """Bucket-pruned read of `table` restricted to the ids in `ids`:
+    collect the (≤ n_buckets) bucket-id set — never the keys themselves —
+    read only those buckets, then inner-join back. The join-based sibling
+    of LakeTable.lookup for id sets too large to ship to the driver."""
+    ids = ids.select(F.col(id_col).alias(table.key_col)).distinct()
+    bks = sorted(
+        int(r["b"])
+        for r in ids.select(table._bucket_expr(table.key_col).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not bks:
+        return table.read().limit(0)
+    live = (
+        table.read_raw(buckets=bks)
+        .filter(~F.col(SYS_DELETED))
+        .select(*[f["name"] for f in table.current_fields])
+    )
+    return live.join(ids, table.key_col)
+
+
+class IncrementalLSHDeduper:
+    """Maintains corpus + signature + band-index tables from a CDC change
+    stream and emits verified near-dup pairs per epoch. See module doc."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n: int = 3,
+        n_perms: int = N_PERMS,
+        bands: int = BANDS,
+        threshold: float = 0.7,
+        n_buckets: int = 8,
+        band_buckets: int = 16,
+        id_type: str = "string",
+    ):
+        self.spark = spark
+        self.root = root
+        self.n = n
+        self.n_perms = n_perms
+        self.bands_n = bands
+        self.threshold = threshold
+        self.id_type = id_type
+        self._pair_schema = (
+            f"doc_a {id_type}, doc_b {id_type}, jaccard double, "
+            "md5_a string, md5_b string"
+        )
+        self.pairs_dir = os.path.join(root, "pairs")
+        self.corpus = self._open_or_create(
+            os.path.join(root, "corpus"),
+            [
+                {"id": 1, "name": "doc_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "text", "type": "string"},
+            ],
+            n_buckets=n_buckets,
+        )
+        self.sigs = self._open_or_create(
+            os.path.join(root, "sigs"),
+            [
+                {"id": 1, "name": "doc_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "content_md5", "type": "string"},
+                {"id": 3, "name": "bands", "type": "array<string>"},
+            ],
+            n_buckets=n_buckets,
+        )
+        self.band_index = self._open_or_create(
+            os.path.join(root, "bands"),
+            [
+                {"id": 1, "name": "bkey", "type": "string", "nullable": False},
+                {"id": 2, "name": "band_pfx", "type": "string"},
+                {"id": 3, "name": "doc_id", "type": id_type},
+                {"id": 4, "name": "content_md5", "type": "string"},
+            ],
+            n_buckets=band_buckets,
+            key_col="bkey",
+            bucket_col="band_pfx",
+        )
+
+    def _open_or_create(self, root: str, fields, n_buckets, **kw) -> LakeTable:
+        if os.path.exists(os.path.join(root, "_manifests", "CURRENT")):
+            return LakeTable(self.spark, root)
+        return LakeTable.create(
+            self.spark, root, fields=fields, n_buckets=n_buckets, **kw
+        )
+
+    # ------------------------------------------------------------------
+    def _collapse_batch(self, changes: DataFrame) -> DataFrame:
+        """One winner per doc per epoch, same total order the lake applies:
+        (commit_ts, seq, delete < put)."""
+        rank = F.struct(
+            F.col("commit_ts"),
+            F.col("seq"),
+            (F.col("op") != OP_DELETE).cast("int").alias("_op_rank"),
+        )
+        payload = [c for c in changes.columns if c != "doc_id"]
+        return (
+            changes.groupBy("doc_id")
+            .agg(F.max_by(F.struct(*payload), rank).alias("_w"))
+            .select("doc_id", *[F.col(f"_w.{c}").alias(c) for c in payload])
+        )
+
+    def _sig_bands(self, puts: DataFrame) -> DataFrame:
+        """(doc_id, content_md5, bands array<string>) for the batch's live
+        docs; docs with zero shingles get an empty band array (their sigs
+        row still updates so stale pairs retire via the md5 liveness join)."""
+        sig = minhash_signatures(puts, self.n, self.n_perms)
+        banded = sig.select(
+            "doc_id", F.array(*band_hash_exprs(self.n_perms, self.bands_n)).alias("bands")
+        )
+        return (
+            puts.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
+            .join(banded, "doc_id", "left")
+            .select(
+                "doc_id",
+                "content_md5",
+                F.coalesce(F.col("bands"), F.array().cast("array<string>")).alias("bands"),
+            )
+        )
+
+    def process_epoch(self, changes: DataFrame, epoch_id: str) -> DataFrame:
+        """Apply one epoch of (doc_id, op, commit_ts, seq, text) changes and
+        return this epoch's newly detected verified pairs. Idempotent: table
+        merges are epoch-committed; the pair log overwrites its epoch dir;
+        a redelivered epoch re-probes against the CURRENT store, which can
+        only re-emit pairs that are valid detections (the equivalence
+        invariant survives arbitrary redelivery — tested)."""
+        b = self._collapse_batch(
+            changes.select("doc_id", "op", "commit_ts", "seq", "text")
+        ).localCheckpoint(eager=True)  # reused 5x below; keep one materialization
+
+        self.corpus.merge_epoch(b, f"{epoch_id}-corpus", assume_deduped=True)
+
+        puts = b.filter(F.col("op") != OP_DELETE)
+        new_sigs = self._sig_bands(puts).localCheckpoint(eager=True)
+
+        # CDC pre-image: the stored signature of every touched doc yields
+        # its old band keys — tombstone them (update/delete both retire the
+        # old index entries; ties with re-inserted identical bands resolve
+        # put-over-delete at equal (commit_ts, seq), as everywhere else)
+        stamped = b.select("doc_id", "commit_ts", "seq")
+        old = _rows_for_ids(self.sigs, b.select("doc_id"), "doc_id")
+        old_tomb = (
+            old.join(stamped, "doc_id")
+            .select(
+                "doc_id",
+                "commit_ts",
+                "seq",
+                F.explode("bands").alias("band_pfx"),
+            )
+            .select(
+                F.concat_ws(":", "band_pfx", "doc_id").alias("bkey"),
+                "band_pfx",
+                "doc_id",
+                F.lit(None).cast("string").alias("content_md5"),
+                F.lit(OP_DELETE).alias("op"),
+                "commit_ts",
+                "seq",
+            )
+        )
+        new_band_rows = (
+            new_sigs.join(stamped, "doc_id")
+            .select(
+                "doc_id",
+                "content_md5",
+                "commit_ts",
+                "seq",
+                F.explode("bands").alias("band_pfx"),
+            )
+            .select(
+                F.concat_ws(":", "band_pfx", "doc_id").alias("bkey"),
+                "band_pfx",
+                "doc_id",
+                "content_md5",
+                F.lit(OP_INSERT).alias("op"),
+                "commit_ts",
+                "seq",
+            )
+            .localCheckpoint(eager=True)  # reused by merge AND probe
+        )
+        self.band_index.merge_epoch(
+            old_tomb.unionByName(new_band_rows), f"{epoch_id}-bands"
+        )
+
+        sig_changes = (
+            new_sigs.join(stamped, "doc_id")
+            .withColumn("op", F.lit(OP_INSERT))
+            .unionByName(
+                b.filter(F.col("op") == OP_DELETE).select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("content_md5"),
+                    F.lit(None).cast("array<string>").alias("bands"),
+                    "commit_ts",
+                    "seq",
+                    "op",
+                )
+            )
+        )
+        self.sigs.merge_epoch(sig_changes, f"{epoch_id}-sigs", assume_deduped=True)
+
+        # probe: batch bands vs the post-merge store, reading only the
+        # buckets the batch's band prefixes hash to
+        probe = new_band_rows.select("band_pfx", F.col("doc_id").alias("probe_doc"))
+        bks = sorted(
+            int(r["b"])
+            for r in probe.select(
+                self.band_index._bucket_expr("band_pfx").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not bks:
+            out = self.spark.createDataFrame([], self._pair_schema)
+            self._write_pairs(out, epoch_id)
+            return out
+        store = (
+            self.band_index.read_raw(buckets=bks)
+            .filter(~F.col(SYS_DELETED))
+            .select("band_pfx", "doc_id")
+        )
+        cand = (
+            probe.join(store, "band_pfx")
+            .filter(F.col("doc_id") != F.col("probe_doc"))
+            .select(
+                F.least("doc_id", "probe_doc").alias("doc_a"),
+                F.greatest("doc_id", "probe_doc").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+        # exact-Jaccard verify on candidate docs only (bucket-pruned text
+        # fetch; same formula/rounding as the batch path so results match)
+        ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+            cand.select(F.col("doc_b").alias("doc_id"))
+        )
+        texts = _rows_for_ids(self.corpus, ids, "doc_id")
+        sh = shingles(texts, self.n)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
+        inter = (
+            cand.join(sh_a, "doc_a")
+            .join(
+                sh_b,
+                (F.col("doc_b") == F.col("doc_b2"))
+                & (F.col("shingle") == F.col("shingle_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+        md5s = texts.select("doc_id", F.md5("text").alias("m"))
+        out = (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .join(md5s.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("md5_a")), "doc_a")
+            .join(md5s.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("md5_b")), "doc_b")
+            .select("doc_a", "doc_b", "jaccard", "md5_a", "md5_b")
+        )
+        self._write_pairs(out, epoch_id)
+        return out
+
+    def _write_pairs(self, pairs: DataFrame, epoch_id: str) -> None:
+        path = os.path.join(self.pairs_dir, f"epoch={epoch_id}")
+        pairs.write.mode("overwrite").parquet(path)
+
+    def pair_log(self) -> DataFrame:
+        """Every detection ever made (may include retired pairs)."""
+        import glob
+
+        dirs = sorted(glob.glob(os.path.join(self.pairs_dir, "epoch=*")))
+        if not dirs:
+            return self.spark.createDataFrame([], self._pair_schema)
+        return self.spark.read.schema(self._pair_schema).parquet(*dirs)
+
+    def live_pairs(self) -> DataFrame:
+        """Pairs whose BOTH sides still carry the content they were
+        detected at — equals minhash_lsh_pairs(current corpus)."""
+        cur = self.sigs.read().select("doc_id", "content_md5")
+        log = self.pair_log()
+        return (
+            log.join(
+                cur.select(
+                    F.col("doc_id").alias("doc_a"), F.col("content_md5").alias("md5_a")
+                ),
+                ["doc_a", "md5_a"],
+            )
+            .join(
+                cur.select(
+                    F.col("doc_id").alias("doc_b"), F.col("content_md5").alias("md5_b")
+                ),
+                ["doc_b", "md5_b"],
+            )
+            .select("doc_a", "doc_b", "jaccard")
+            .distinct()
+        )

@@ -33,6 +33,8 @@ AUDIT = [
     "cdc_causality",
     "codec_canal_flat",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_embedding",
     "dedup_ngram_jaccard",
