@@ -143,3 +143,54 @@ def test_band_index_bucketed_by_band_prefix(spark, docs):
     # and key lookups still work on the non-key-bucketed table
     k = raw.limit(1).collect()[0]["bkey"]
     assert dd.band_index.lookup([k]).count() == 1
+
+
+def test_deduper_fed_by_lake_changelog(spark, docs):
+    """Lake-to-lake derived index: a text LakeTable is maintained by CDC
+    merges; the deduper consumes LakeTable.read_changes slices (the Iceberg
+    incremental-scan analog) and its live pairs track the table's state —
+    including through an update/delete epoch."""
+    from ticdc_spark.lake.table import LakeTable
+
+    root = os.path.join(ROOT, "changelog")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        fields=[
+            {"id": 1, "name": "doc_id", "type": "bigint", "nullable": False},
+            {"id": 2, "name": "text", "type": "string"},
+        ],
+        n_buckets=4,
+    )
+    from ticdc_spark.pipeline.incremental import IncrementalLSHDeduper
+
+    dd = IncrementalLSHDeduper(
+        spark, os.path.join(root, "dd"), n=3, threshold=0.7, id_type="bigint"
+    )
+
+    def _feed(since, upto, ep):
+        dd.process_epoch(tbl.read_changes(since, upto), ep)
+
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    v0 = tbl.version
+    tbl.merge_epoch(_as_changes(docs.filter(part == 0), commit_ts=1), "e0")
+    v1 = tbl.version
+    _feed(v0, v1, "e0")
+    tbl.merge_epoch(_as_changes(docs.filter(part == 1), commit_ts=2), "e1")
+    v2 = tbl.version
+    _feed(v1, v2, "e1")
+    assert _live(dd) == _batch_pairs(tbl.read())
+    # an update + delete epoch, still via the changelog
+    pairs0 = sorted(_live(dd))
+    kill, retext = pairs0[0][0], pairs0[0][1]
+    ch = spark.createDataFrame(
+        [
+            (kill, "D", 3, 1, None),
+            (retext, "U", 3, 2, "now something else entirely " * 6),
+        ],
+        "doc_id bigint, op string, commit_ts long, seq long, text string",
+    )
+    tbl.merge_epoch(ch, "e2")
+    _feed(v2, tbl.version, "e2")
+    assert _live(dd) == _batch_pairs(tbl.read())
