@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_embedding",
     "ann_topk",

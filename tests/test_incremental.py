@@ -194,3 +194,43 @@ def test_deduper_fed_by_lake_changelog(spark, docs):
     tbl.merge_epoch(ch, "e2")
     _feed(v2, tbl.version, "e2")
     assert _live(dd) == _batch_pairs(tbl.read())
+
+
+def test_derived_index_feed_cursor_and_crash_replay(spark, docs):
+    """DerivedIndexFeed: persisted version cursor, idempotent catch-up, and
+    crash-between-epoch-and-cursor replay converges."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.incremental import (
+        DerivedIndexFeed,
+        IncrementalLSHDeduper,
+    )
+
+    root = os.path.join(ROOT, "feed")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        fields=[
+            {"id": 1, "name": "doc_id", "type": "bigint", "nullable": False},
+            {"id": 2, "name": "text", "type": "string"},
+        ],
+        n_buckets=4,
+    )
+    dd = IncrementalLSHDeduper(
+        spark, os.path.join(root, "dd"), n=3, threshold=0.7, id_type="bigint"
+    )
+    feed = DerivedIndexFeed(tbl, dd)
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    tbl.merge_epoch(_as_changes(docs.filter(part == 0), commit_ts=1), "e0")
+    s1 = feed.sync()
+    assert s1["to_version"] == tbl.version and feed.cursor == tbl.version
+    tbl.merge_epoch(_as_changes(docs.filter(part == 1), commit_ts=2), "e1")
+    feed.sync()
+    assert _live(dd) == _batch_pairs(tbl.read())
+    # idle sync is a no-op
+    assert feed.sync()["pairs"] == 0
+    # crash simulation: roll the cursor back one sync and replay
+    with open(feed._cursor_path, "w") as f:
+        f.write(str(s1["to_version"]))
+    feed.sync()
+    assert _live(dd) == _batch_pairs(tbl.read())

@@ -365,3 +365,49 @@ class IncrementalLSHDeduper:
             .select("doc_a", "doc_b", "jaccard")
             .distinct()
         )
+
+
+class DerivedIndexFeed:
+    """Subscribe an IncrementalLSHDeduper to a source LakeTable: each sync
+    reads the table's incremental changelog (LakeTable.read_changes — the
+    Iceberg incremental-scan analog) from a PERSISTED version cursor and
+    feeds it through process_epoch, committing the cursor only afterwards.
+
+    Crash safety is free by construction: the epoch id is the version
+    range, process_epoch is idempotent under redelivery (table merges are
+    epoch-committed, the pair log overwrites its epoch dir and re-probing
+    can only re-emit valid detections), so a crash between process_epoch
+    and the cursor write simply replays the same range on restart. This is
+    the same at-least-once-delivery + idempotent-apply contract the engine's
+    primary sink uses (cdc/owner.go:706-800 analog).
+    """
+
+    def __init__(self, source, deduper: IncrementalLSHDeduper):
+        self.source = source
+        self.deduper = deduper
+        self._cursor_path = os.path.join(deduper.root, "_cursor")
+
+    @property
+    def cursor(self) -> int:
+        try:
+            with open(self._cursor_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def sync(self) -> dict:
+        """Catch the derived index up to the source's current version.
+        Returns {from_version, to_version, pairs} (pairs = detections this
+        sync, possibly re-detections on replay)."""
+        self.source.refresh()
+        lo, hi = self.cursor, self.source.version
+        if hi <= lo:
+            return {"from_version": lo, "to_version": hi, "pairs": 0}
+        ch = self.source.read_changes(lo, hi)
+        out = self.deduper.process_epoch(ch, f"v{lo}-v{hi}")
+        n = out.count()
+        tmp = self._cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(hi))
+        os.replace(tmp, self._cursor_path)
+        return {"from_version": lo, "to_version": hi, "pairs": n}
