@@ -40,7 +40,6 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_incremental",
     "dedup_simhash",
     "dedup_embedding",
     "ann_topk",
@@ -343,6 +342,78 @@ def bench_stream_old_value(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_incremental_dedup(spark, work_root: str, sf_dir: str) -> dict:
+    """The incremental-dedup value proposition, measured: index a corpus
+    once, then compare the cost of absorbing a 1% UPDATE EPOCH through the
+    CDC-incremental path (probe only the changed docs' bands) against a
+    full batch minhash_lsh_pairs recompute of the whole corpus. The corpus
+    is the documents table replicated 24x with per-replica WORD salting
+    (every word suffixed _r{k}), so each replica keeps the original near-dup
+    structure internally but shares no shingles across replicas — the corpus
+    grows 24x while cluster sizes stay realistic. Batch cost is then
+    corpus-bound; the update epoch is change-bound."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.pipeline.dedup import minhash_lsh_pairs
+    from ticdc_spark.pipeline.incremental import IncrementalLSHDeduper
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    reps = 24
+    salted = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(w, F.lit("_r"), F.col("rep").cast("string")),
+        ),
+    )
+    corpus = (
+        docs.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            salted.alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = corpus.count()
+    root = os.path.join(work_root, "incdedup")
+    shutil.rmtree(root, ignore_errors=True)
+    dd = IncrementalLSHDeduper(spark, root, id_type="bigint", n_buckets=16)
+    base = corpus.select(
+        "doc_id",
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("commit_ts"),
+        F.col("doc_id").alias("seq"),
+        "text",
+    )
+    dd.process_epoch(base, "base")  # index build: one-time, not the row
+
+    upd = corpus.filter(F.pmod(F.xxhash64("doc_id"), F.lit(100)) == 0).select(
+        "doc_id",
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("commit_ts"),
+        F.col("doc_id").alias("seq"),
+        F.concat_ws(" ", F.col("text"), F.lit("edited tail")).alias("text"),
+    )
+    n_upd = upd.count()
+    t0 = time.time()
+    dd.process_epoch(upd, "upd")
+    inc_sec = round(time.time() - t0, 3)
+
+    final = dd.corpus.read()
+    t0 = time.time()
+    _noop(minhash_lsh_pairs(final, n=3, threshold=0.7))
+    batch_sec = round(time.time() - t0, 3)
+    return {
+        "corpus_docs": n_docs,
+        "update_docs": n_upd,
+        "incremental_epoch_sec": inc_sec,
+        "batch_recompute_sec": batch_sec,
+        "speedup": round(batch_sec / inc_sec, 2),
+    }
+
+
 def main() -> None:
     from ticdc_spark.session import build_session
 
@@ -363,6 +434,7 @@ def main() -> None:
     stream1 = None
     replay_big = None
     oldval = None
+    incded = None
     if not only_replay:
         stream = bench_streaming(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_replay"] = stream["sec"]
@@ -374,6 +446,8 @@ def main() -> None:
         qtimes["cdc_stream_raw"] = raw["sec"]
         oldval = bench_stream_old_value(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_old_value"] = oldval["sec"]
+        incded = bench_incremental_dedup(spark, work_root, SF_DIR)
+        qtimes["dedup_incremental_update"] = incded["incremental_epoch_sec"]
     if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
         # 4x-events replay (the sf≈1 row): generation is cached in work_root,
         # so repeat runs measure only the replay
@@ -404,6 +478,7 @@ def main() -> None:
                 "stream_raw": raw,
                 "stream_old_value": oldval,
                 "replay_big": replay_big,
+                "incremental_dedup": incded,
                 "cpus": int(CPUS),
             }
         )

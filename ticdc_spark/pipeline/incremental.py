@@ -288,14 +288,18 @@ class IncrementalLSHDeduper:
                 F.greatest("doc_id", "probe_doc").alias("doc_b"),
             )
             .distinct()
+            .localCheckpoint(eager=True)  # feeds ids + the inter join
         )
 
         # exact-Jaccard verify on candidate docs only (bucket-pruned text
-        # fetch; same formula/rounding as the batch path so results match)
+        # fetch; same formula/rounding as the batch path so results match).
+        # texts is referenced by FOUR join branches (sh_a, sh_b, md5_a,
+        # md5_b) — without materialization each branch re-reads and
+        # re-collapses the corpus buckets (measured 4x the verify cost)
         ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
             cand.select(F.col("doc_b").alias("doc_id"))
         )
-        texts = _rows_for_ids(self.corpus, ids, "doc_id")
+        texts = _rows_for_ids(self.corpus, ids, "doc_id").localCheckpoint(eager=True)
         sh = shingles(texts, self.n)
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
