@@ -1031,6 +1031,35 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index maintained FROM THE CHANGE STREAM: embeddings arrive
+    as two insert epochs through IncrementalIVF (cell-bucketed vecs table,
+    old-cell tombstones on moves), then the same probe as ann_ivf_topk —
+    results are probe-for-probe identical to the batch IVF, so the oracle
+    is the same SQL."""
+    import shutil
+    import tempfile
+
+    from ticdc_spark.pipeline.incremental import IncrementalIVF
+
+    root = tempfile.mkdtemp(prefix="ticdc_spark_q_incivf_")
+    shutil.rmtree(root, ignore_errors=True)
+    ivf = IncrementalIVF(spark, root, cell_bits=4, dim=64)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    part = F.pmod(F.xxhash64("vec_id"), F.lit(2))
+    for e in range(2):
+        chunk = emb.filter(part == e).select(
+            "vec_id",
+            F.lit("I").alias("op"),
+            F.lit(e + 1).cast("long").alias("commit_ts"),
+            F.col("vec_id").alias("seq"),
+            "embedding",
+        )
+        ivf.process_epoch(chunk, f"ep{e}")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _longify(ivf.topk(queries, k=5, n_probe_hamming=1))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (pack → binary column → mapInPandas decode)
 
@@ -1914,6 +1943,9 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """,
         "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5, n_tables=3),
         "ann_ivf_topk": _ivf_sql(cell_bits=4, dim=64, k=5, n_probe_hamming=1),
+        # the CDC-maintained IVF equals the batch IVF probe-for-probe
+        # (pipeline/incremental.IncrementalIVF invariant, test_incremental)
+        "ann_ivf_incremental": _ivf_sql(cell_bits=4, dim=64, k=5, n_probe_hamming=1),
         "multimodal_meta": """
 SELECT cast(doc_id AS varchar) AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -2004,5 +2036,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
         "multimodal_meta": q_multimodal_meta,
     }

@@ -234,3 +234,111 @@ def test_derived_index_feed_cursor_and_crash_replay(spark, docs):
         f.write(str(s1["to_version"]))
     feed.sync()
     assert _live(dd) == _batch_pairs(tbl.read())
+
+
+# ---------------- IncrementalIVF ----------------
+
+
+def _ivf_batch(emb, queries):
+    from ticdc_spark.pipeline.similarity import ivf_topk
+
+    return {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in ivf_topk(
+            emb, queries, k=5, cell_bits=4, dim=64, n_probe_hamming=1
+        ).collect()
+    }
+
+
+def _ivf_live(ivf, queries):
+    return {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in ivf.topk(queries, k=5, n_probe_hamming=1).collect()
+    }
+
+
+def _vec_changes(emb, commit_ts, op="I"):
+    return emb.select(
+        "vec_id",
+        F.lit(op).alias("op"),
+        F.lit(commit_ts).cast("long").alias("commit_ts"),
+        F.col("vec_id").alias("seq"),
+        "embedding",
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+
+
+def test_ivf_incremental_equals_batch(spark, emb):
+    from ticdc_spark.pipeline.incremental import IncrementalIVF
+
+    root = os.path.join(ROOT, "ivf")
+    shutil.rmtree(root, ignore_errors=True)
+    ivf = IncrementalIVF(spark, root, cell_bits=4, dim=64)
+    part = F.pmod(F.xxhash64("vec_id"), F.lit(2))
+    ivf.process_epoch(_vec_changes(emb.filter(part == 0), 1), "e0")
+    ivf.process_epoch(_vec_changes(emb.filter(part == 1), 2), "e1")
+    queries = emb.filter(F.col("vec_id") < 10)
+    assert _ivf_live(ivf, queries) == _ivf_batch(emb, queries)
+
+
+def test_ivf_cell_move_update_and_delete(spark, emb):
+    """Re-embedding a vector to the NEGATED vector flips every hyperplane
+    sign — it must vanish from its old cell's probes and appear in the new
+    cell; deletes must vanish everywhere."""
+    from ticdc_spark.pipeline.incremental import IncrementalIVF
+    from ticdc_spark.pipeline.similarity import cell_signature
+
+    root = os.path.join(ROOT, "ivf_move")
+    shutil.rmtree(root, ignore_errors=True)
+    ivf = IncrementalIVF(spark, root, cell_bits=4, dim=64)
+    ivf.process_epoch(_vec_changes(emb, 1), "e0")
+    moved_id, killed_id = 42, 43
+    neg = emb.filter(F.col("vec_id") == moved_id).select(
+        "vec_id",
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("commit_ts"),
+        F.lit(1).cast("long").alias("seq"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    kill = emb.filter(F.col("vec_id") == killed_id).select(
+        "vec_id",
+        F.lit("D").alias("op"),
+        F.lit(2).cast("long").alias("commit_ts"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    ivf.process_epoch(neg.unionByName(kill), "e1")
+    # the index's live vec set matches the mutated corpus, cell by cell
+    final = (
+        emb.filter(~F.col("vec_id").isin([moved_id, killed_id]))
+        .unionByName(
+            emb.filter(F.col("vec_id") == moved_id).select(
+                "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+            )
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    assert _ivf_live(ivf, queries) == _ivf_batch(final, queries)
+    live = ivf.vecs.read()
+    got_cells = {
+        (r["vec_id"], r["cell"])
+        for r in live.filter(F.col("vec_id").isin([moved_id, killed_id])).collect()
+    }
+    want_cell = (
+        final.filter(F.col("vec_id") == moved_id)
+        .select(cell_signature("embedding", 4, 64).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got_cells == {(moved_id, want_cell)}
+    # redelivery of both epochs changes nothing
+    ivf.process_epoch(_vec_changes(emb, 1), "e0")
+    ivf.process_epoch(neg.unionByName(kill), "e1")
+    assert _ivf_live(ivf, queries) == _ivf_batch(final, queries)

@@ -415,3 +415,170 @@ class DerivedIndexFeed:
             f.write(str(hi))
         os.replace(tmp, self._cursor_path)
         return {"from_version": lo, "to_version": hi, "pairs": n}
+
+
+class IncrementalIVF:
+    """CDC-maintained IVF ANN index over an embedding change stream.
+
+    Same derived-secondary-index pattern as the LSH band index, applied to
+    vectors:
+
+      cells  LakeTable(vec_id -> cell)             key-bucketed sidecar:
+             the pre-image source (which cell does this vec live in NOW)
+      vecs   LakeTable(vec_id -> cell, embedding)  BUCKETED BY cell
+             (bucket_col): each coarse cell's vectors are co-located, so a
+             query probe reads only the buckets its probe cells hash to
+
+    A re-embedded vector can MOVE cells — the classic secondary-index move
+    problem: its new row lands in a different bucket than its old one, so
+    a probe of the old cell would keep seeing the stale row. Every update
+    therefore writes TWO rows for the key: a tombstone carrying the OLD
+    cell (placing it in the old bucket, killing the stale row there) and
+    the insert carrying the new cell. merge_epoch is called with
+    assume_deduped=True so the pair survives to the write (the class
+    pre-collapses the batch itself); put beats tombstone at equal
+    (commit_ts, seq) when the cell did not change.
+
+    topk() equals similarity.ivf_topk over the current vector set — same
+    deterministic cells, probes, scoring, and tie-break (tested, including
+    cell moves, deletes, and epoch redelivery).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cell_bits: int = 4,
+        dim: int = 64,
+        n_buckets: int = 8,
+        cell_buckets: int = 16,
+        id_type: str = "bigint",
+    ):
+        self.spark = spark
+        self.root = root
+        self.cell_bits = cell_bits
+        self.dim = dim
+        self.cells = self._open_or_create(
+            os.path.join(root, "cells"),
+            [
+                {"id": 1, "name": "vec_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "cell", "type": "bigint"},
+            ],
+            n_buckets=n_buckets,
+            key_col="vec_id",
+        )
+        self.vecs = self._open_or_create(
+            os.path.join(root, "vecs"),
+            [
+                {"id": 1, "name": "vec_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "cell", "type": "bigint"},
+                {"id": 3, "name": "embedding", "type": "array<float>"},
+            ],
+            n_buckets=cell_buckets,
+            key_col="vec_id",
+            bucket_col="cell",
+        )
+
+    _open_or_create = IncrementalLSHDeduper._open_or_create
+
+    def process_epoch(self, changes: DataFrame, epoch_id: str) -> dict:
+        """changes: (vec_id, op, commit_ts, seq, embedding). Idempotent by
+        epoch id, like every lake merge."""
+        from .similarity import cell_signature
+
+        rank = F.struct(
+            F.col("commit_ts"),
+            F.col("seq"),
+            (F.col("op") != OP_DELETE).cast("int").alias("_op_rank"),
+        )
+        payload = [c for c in changes.columns if c != "vec_id"]
+        b = (
+            changes.groupBy("vec_id")
+            .agg(F.max_by(F.struct(*payload), rank).alias("_w"))
+            .select("vec_id", *[F.col(f"_w.{c}").alias(c) for c in payload])
+            .localCheckpoint(eager=True)
+        )
+        stamped = b.select("vec_id", "commit_ts", "seq")
+        puts = b.filter(F.col("op") != OP_DELETE).withColumn(
+            "cell", cell_signature("embedding", self.cell_bits, self.dim)
+        )
+        old = _rows_for_ids(self.cells, b.select("vec_id"), "vec_id")
+        # tombstone in the OLD cell's bucket for every touched key that had
+        # a row (update: kills the stale copy there; delete: the delete)
+        vec_tombs = old.join(stamped, "vec_id").select(
+            "vec_id",
+            "cell",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit(OP_DELETE).alias("op"),
+            "commit_ts",
+            "seq",
+        )
+        vec_puts = puts.select(
+            "vec_id", "cell", "embedding", F.lit(OP_INSERT).alias("op"), "commit_ts", "seq"
+        )
+        self.vecs.merge_epoch(
+            vec_tombs.unionByName(vec_puts), f"{epoch_id}-vecs", assume_deduped=True
+        )
+        cell_changes = puts.select(
+            "vec_id", "cell", F.lit(OP_INSERT).alias("op"), "commit_ts", "seq"
+        ).unionByName(
+            b.filter(F.col("op") == OP_DELETE).select(
+                "vec_id",
+                F.lit(None).cast("bigint").alias("cell"),
+                F.lit(OP_DELETE).alias("op"),
+                "commit_ts",
+                "seq",
+            )
+        )
+        self.cells.merge_epoch(cell_changes, f"{epoch_id}-cells", assume_deduped=True)
+        return {"epoch": epoch_id}
+
+    def topk(
+        self, queries: DataFrame, k: int = 5, n_probe_hamming: int = 1,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Probe the index: read ONLY the vec buckets the queries' probe
+        cells hash to, exact-cosine re-rank inside. Same output contract as
+        similarity.ivf_topk."""
+        from pyspark.sql import Window
+
+        from .similarity import cell_signature, cosine, probe_cells
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                probe_cells(
+                    cell_signature(vec_col, self.cell_bits, self.dim),
+                    self.cell_bits,
+                    n_probe_hamming,
+                )
+            ).alias("cell"),
+        )
+        bks = sorted(
+            int(r["b"])
+            for r in q.select(self.vecs._bucket_expr("cell").alias("b")).distinct().collect()
+        )
+        if not bks:
+            return self.spark.createDataFrame(
+                [], "query_id bigint, neighbor_id bigint, cos_sim double, rank int"
+            )
+        store = (
+            self.vecs.read_raw(buckets=bks)
+            .filter(~F.col(SYS_DELETED))
+            .select(F.col("vec_id").alias("neighbor_id"), "cell", F.col("embedding").alias("cvec"))
+        )
+        cand = store.join(F.broadcast(q), "cell").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = cand.select(
+            "query_id", "neighbor_id", cosine(F.col("cvec"), F.col("qvec")).alias("cos_sim")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
