@@ -342,3 +342,71 @@ def test_ivf_cell_move_update_and_delete(spark, emb):
     ivf.process_epoch(_vec_changes(emb, 1), "e0")
     ivf.process_epoch(neg.unionByName(kill), "e1")
     assert _ivf_live(ivf, queries) == _ivf_batch(final, queries)
+
+
+def test_full_system_binlog_to_derived_dedup_index(spark):
+    """The whole engine end-to-end: token-payload binlog → Structured
+    Streaming ChangeFeed → lake tokens table → incremental changelog →
+    DerivedIndexFeed (tokens rendered to text via transform) → live
+    near-dup pairs over the PRE-TOKENIZED sequences equal the batch LSH
+    over the table's current state."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.incremental import (
+        DerivedIndexFeed,
+        IncrementalLSHDeduper,
+    )
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    import random
+
+    root = os.path.join(ROOT, "fullsys")
+    shutil.rmtree(root, ignore_errors=True)
+    binlog = os.path.join(root, "binlog")
+    # crafted token corpus: 10 templates x 3 variants -> real near-dup
+    # clusters in the PRE-TOKENIZED payload; plus updates and a delete
+    rng = random.Random(7)
+    rows, seq = [], 0
+    for t in range(10):
+        base = [rng.randrange(50_000) for _ in range(30)]
+        for v in range(3):
+            toks = list(base)
+            if v == 1:
+                toks[-1] = (toks[-1] + 1) % 50_000
+            if v == 2:
+                toks = toks + [rng.randrange(50_000)]
+            seq += 1
+            rows.append(
+                (100 + seq, seq, "t", "I", f"doc_{t}_{v}", toks, len(toks), "web",
+                 seq % 2, 0)
+            )
+    # update one variant away from its cluster, delete another
+    seq += 1
+    rows.append((200 + seq, seq, "t", "U", "doc_0_1",
+                 [rng.randrange(50_000) for _ in range(30)], 30, "web", 0, 0))
+    seq += 1
+    rows.append((200 + seq, seq, "t", "D", "doc_1_2", None, None, None, 1, 0))
+    os.makedirs(binlog)
+    from ticdc_spark.model import BINLOG_SCHEMA
+
+    spark.createDataFrame(rows, BINLOG_SCHEMA).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(binlog)
+    tbl = LakeTable.create(spark, os.path.join(root, "tbl"), n_buckets=8)
+    cf = ChangeFeed(tbl, binlog, os.path.join(root, "ckpt"), max_files_per_trigger=16)
+    cf.run_available()
+
+    to_text = F.concat_ws(" ", F.col("tokens").cast("array<string>"))
+    dd = IncrementalLSHDeduper(
+        spark, os.path.join(root, "dd"), n=3, threshold=0.7, id_type="string"
+    )
+    feed = DerivedIndexFeed(
+        tbl,
+        dd,
+        transform=lambda df: df.select(
+            "doc_id", "op", "commit_ts", "seq", to_text.alias("text")
+        ),
+    )
+    feed.sync()
+    corpus = tbl.read().select("doc_id", to_text.alias("text"))
+    assert _live(dd) == _batch_pairs(corpus)
+    assert len(_live(dd)) > 0

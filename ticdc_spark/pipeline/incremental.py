@@ -386,9 +386,15 @@ class DerivedIndexFeed:
     primary sink uses (cdc/owner.go:706-800 analog).
     """
 
-    def __init__(self, source, deduper: IncrementalLSHDeduper):
+    def __init__(self, source, deduper: IncrementalLSHDeduper, transform=None):
+        """transform: optional DataFrame->DataFrame applied to each
+        changelog slice before process_epoch — e.g. deriving the dedup
+        `text` from a token-array payload (concat_ws over tokens) when the
+        source is a CDC tokens table. Must be deterministic and preserve
+        (doc_id, op, commit_ts, seq)."""
         self.source = source
         self.deduper = deduper
+        self.transform = transform
         self._cursor_path = os.path.join(deduper.root, "_cursor")
 
     @property
@@ -408,6 +414,8 @@ class DerivedIndexFeed:
         if hi <= lo:
             return {"from_version": lo, "to_version": hi, "pairs": 0}
         ch = self.source.read_changes(lo, hi)
+        if self.transform is not None:
+            ch = self.transform(ch)
         out = self.deduper.process_epoch(ch, f"v{lo}-v{hi}")
         n = out.count()
         tmp = self._cursor_path + ".tmp"
