@@ -410,3 +410,34 @@ def test_full_system_binlog_to_derived_dedup_index(spark):
     corpus = tbl.read().select("doc_id", to_text.alias("text"))
     assert _live(dd) == _batch_pairs(corpus)
     assert len(_live(dd)) > 0
+
+
+def test_maintenance_preserves_state(spark, docs, emb):
+    """Compaction + snapshot expiry on the derived tables never changes
+    live_pairs()/topk(); delta file chains actually shrink."""
+    from ticdc_spark.pipeline.incremental import IncrementalIVF
+
+    dd = _mk(spark, "maint")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    for e in range(4):
+        dd.process_epoch(_as_changes(docs.filter(part == e), commit_ts=e + 1), f"e{e}")
+    before = _live(dd)
+    files_before = sum(
+        len(v) for v in dd.band_index._manifest["buckets"].values()
+    )
+    out = dd.maintain(max_deltas=1, keep_versions=2)
+    assert any(v["compacted"] for v in out.values())
+    dd_files = sum(len(v) for v in dd.band_index._manifest["buckets"].values())
+    assert dd_files < files_before
+    assert _live(dd) == before == _batch_pairs(docs)
+
+    root = os.path.join(ROOT, "ivf_maint")
+    shutil.rmtree(root, ignore_errors=True)
+    ivf = IncrementalIVF(spark, root, cell_bits=4, dim=64)
+    vpart = F.pmod(F.xxhash64("vec_id"), F.lit(3))
+    for e in range(3):
+        ivf.process_epoch(_vec_changes(emb.filter(vpart == e), e + 1), f"e{e}")
+    queries = emb.filter(F.col("vec_id") < 10)
+    want = _ivf_live(ivf, queries)
+    ivf.maintain(max_deltas=1, keep_versions=2)
+    assert _ivf_live(ivf, queries) == want == _ivf_batch(emb, queries)

@@ -361,6 +361,7 @@ def connected_components(
     # use reliable checkpoint(); local[N] executors are never reclaimed.)
     cur = edges.localCheckpoint(eager=True)
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # large-star over the undirected view
         und = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -396,8 +397,16 @@ def connected_components(
         sig = (row["c"], row["s"])
         cur = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # never return a silently-unconverged clustering: max_iter rounds
+        # bound ANY graph at O(log^2 n) — hitting the cap means something
+        # is wrong (or max_iter was set absurdly low), so fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = (
         cur.select(F.col("v").alias("doc_id"))

@@ -348,6 +348,13 @@ class IncrementalLSHDeduper:
             return self.spark.createDataFrame([], self._pair_schema)
         return self.spark.read.schema(self._pair_schema).parquet(*dirs)
 
+    def maintain(self, max_deltas: int = 8, keep_versions: int = 4) -> dict:
+        """Compact hot buckets + expire old snapshots on all three tables;
+        never changes live_pairs() (asserted in tests)."""
+        return _maintain_tables(
+            [self.corpus, self.sigs, self.band_index], max_deltas, keep_versions
+        )
+
     def live_pairs(self) -> DataFrame:
         """Pairs whose BOTH sides still carry the content they were
         detected at — equals minhash_lsh_pairs(current corpus)."""
@@ -541,6 +548,10 @@ class IncrementalIVF:
         self.cells.merge_epoch(cell_changes, f"{epoch_id}-cells", assume_deduped=True)
         return {"epoch": epoch_id}
 
+    def maintain(self, max_deltas: int = 8, keep_versions: int = 4) -> dict:
+        """Compact hot buckets + expire old snapshots; never changes topk()."""
+        return _maintain_tables([self.cells, self.vecs], max_deltas, keep_versions)
+
     def topk(
         self, queries: DataFrame, k: int = 5, n_probe_hamming: int = 1,
         id_col: str = "vec_id", vec_col: str = "embedding",
@@ -590,3 +601,19 @@ class IncrementalIVF:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank")
         )
+
+
+def _maintain_tables(tables, max_deltas: int = 8, keep_versions: int = 4) -> dict:
+    """Derived-index housekeeping: fold MOR deltas + purge tombstones when a
+    table has accumulated more than max_deltas files in some bucket, then
+    expire old snapshots. Same GC-safepoint discipline as the primary lake
+    tables (compaction never changes visible state — asserted in tests)."""
+    out = {}
+    for t in tables:
+        c = t.maybe_compact(max_deltas=max_deltas, purge_tombstones=True)
+        e = t.expire_versions(keep_last=keep_versions)
+        out[os.path.basename(t.root)] = {
+            "compacted": bool(c),
+            "expired": e.get("removed", e) if isinstance(e, dict) else e,
+        }
+    return out

@@ -40,6 +40,7 @@ AUDIT = [
     "dedup_ngram_jaccard",
     "ann_topk",
     "ann_ivf_topk",
+    "ann_ivf_incremental",
     "curate_corpus",
     "curate_decontaminate",
     "text_vocab_topk",
