@@ -441,3 +441,66 @@ def test_maintenance_preserves_state(spark, docs, emb):
     want = _ivf_live(ivf, queries)
     ivf.maintain(max_deltas=1, keep_versions=2)
     assert _ivf_live(ivf, queries) == want == _ivf_batch(emb, queries)
+
+
+def test_post_batch_hook_keeps_derived_index_in_lockstep(spark):
+    """post_batch wiring: the derived index syncs after EVERY micro-batch
+    (not just at the end), and the final live set equals batch LSH."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.model import BINLOG_SCHEMA
+    from ticdc_spark.pipeline.incremental import (
+        DerivedIndexFeed,
+        IncrementalLSHDeduper,
+    )
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+    import random
+    import time
+
+    root = os.path.join(ROOT, "lockstep")
+    shutil.rmtree(root, ignore_errors=True)
+    binlog = os.path.join(root, "binlog")
+    os.makedirs(binlog)
+    rng = random.Random(11)
+    seq = 0
+    for fidx in range(2):  # two files -> two micro-batches at mfpt=1
+        rows = []
+        for t in range(4):
+            base = [rng.randrange(50_000) for _ in range(25)]
+            for v in range(2):
+                toks = list(base) + ([rng.randrange(50_000)] if v else [])
+                seq += 1
+                rows.append(
+                    (100 * (fidx + 1) + seq, seq, "t", "I",
+                     f"doc_{fidx}_{t}_{v}", toks, len(toks), "web", seq % 2, 0)
+                )
+        spark.createDataFrame(rows, BINLOG_SCHEMA).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(binlog, f"f{fidx}"))
+        # distinct mtimes so the file source orders the two batches
+        time.sleep(1.1)
+    tbl = LakeTable.create(spark, os.path.join(root, "tbl"), n_buckets=4)
+    to_text = F.concat_ws(" ", F.col("tokens").cast("array<string>"))
+    dd = IncrementalLSHDeduper(
+        spark, os.path.join(root, "dd"), n=3, threshold=0.7, id_type="string"
+    )
+    feed = DerivedIndexFeed(
+        tbl,
+        dd,
+        transform=lambda df: df.select(
+            "doc_id", "op", "commit_ts", "seq", to_text.alias("text")
+        ),
+    )
+    syncs = []
+    cf = ChangeFeed(
+        tbl,
+        os.path.join(binlog, "f*"),
+        os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+        post_batch=lambda summary: syncs.append(feed.sync()),
+    )
+    cf.run_available()
+    assert len(syncs) >= 2  # one sync per micro-batch
+    assert all(s["to_version"] > s["from_version"] for s in syncs)
+    corpus = tbl.read().select("doc_id", to_text.alias("text"))
+    assert _live(dd) == _batch_pairs(corpus)
+    assert len(_live(dd)) > 0

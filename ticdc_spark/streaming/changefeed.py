@@ -180,11 +180,20 @@ class ChangeFeed:
         target_ts: int | None = None,
         admin=None,
         feed_name: str | None = None,
+        post_batch=None,
     ):
         """start_ts: replicate only events with commit_ts > start_ts — the
         `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
         below start_ts comes from the bootstrap snapshot
         (LakeTable.bootstrap), not the log.
+
+        post_batch: optional callable(summary_dict) invoked after a batch's
+        commits land (table merges + tail + lineage + summary) — the hook a
+        DERIVED INDEX subscribes with (DerivedIndexFeed.sync), so secondary
+        tables follow the feed with per-micro-batch lag. Runs inside the
+        batch's try block: a hook failure fails the feed, the streaming
+        checkpoint replays the batch, and both the table merges and an
+        idempotent hook no-op on the replay.
 
         strict_watermarks: enforce the puller's late-event contract
         (cdc/puller/puller.go:163-168 — an event arriving below the already-
@@ -198,6 +207,7 @@ class ChangeFeed:
         self.checkpoint_dir = checkpoint_dir
         self.mode = mode
         self.lineage_dir = lineage_dir
+        self.post_batch = post_batch
         self.pending_dir = pending_dir or os.path.join(checkpoint_dir, "pending")
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_max_deltas = compact_max_deltas
@@ -650,6 +660,8 @@ class ChangeFeed:
             # status write + finish detection (owner.go:938-946): once the
             # raw frontier reaches target_ts, everything within the window
             # has been released and applied — the feed is done.
+            if self.post_batch is not None:
+                self.post_batch(self.batch_summaries[-1])
             if self.admin is not None and self.admin_feed:
                 self.admin.update_checkpoint(self.admin_feed, int(resolved))
             if self.target_ts is not None and resolved_raw >= self.target_ts:
