@@ -504,3 +504,63 @@ def test_post_batch_hook_keeps_derived_index_in_lockstep(spark):
     corpus = tbl.read().select("doc_id", to_text.alias("text"))
     assert _live(dd) == _batch_pairs(corpus)
     assert len(_live(dd)) > 0
+
+
+def test_multi_table_post_batch_hook(spark):
+    """MultiTableChangeFeed fires the same post_batch hook: one derived
+    index per routed table stays in lockstep."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.model import BINLOG_SCHEMA
+    from ticdc_spark.pipeline.incremental import (
+        DerivedIndexFeed,
+        IncrementalLSHDeduper,
+    )
+    from ticdc_spark.streaming.multi import MultiTableChangeFeed
+    import random
+
+    root = os.path.join(ROOT, "multi_hook")
+    shutil.rmtree(root, ignore_errors=True)
+    binlog = os.path.join(root, "binlog")
+    os.makedirs(binlog)
+    rng = random.Random(5)
+    rows, seq = [], 0
+    for tname in ("ta", "tb"):
+        for t in range(3):
+            base = [rng.randrange(50_000) for _ in range(25)]
+            for v in range(2):
+                toks = list(base) + ([rng.randrange(50_000)] if v else [])
+                seq += 1
+                rows.append(
+                    (100 + seq, seq, tname, "I", f"{tname}_d{t}_{v}", toks,
+                     len(toks), "web", seq % 2, 0)
+                )
+    spark.createDataFrame(rows, BINLOG_SCHEMA).repartition(1).write.parquet(
+        os.path.join(binlog, "f0")
+    )
+    tables = {
+        n: LakeTable.create(spark, os.path.join(root, n), n_buckets=4)
+        for n in ("ta", "tb")
+    }
+    to_text = F.concat_ws(" ", F.col("tokens").cast("array<string>"))
+    tr = lambda df: df.select("doc_id", "op", "commit_ts", "seq", to_text.alias("text"))
+    feeds = {
+        n: DerivedIndexFeed(
+            tables[n],
+            IncrementalLSHDeduper(
+                spark, os.path.join(root, f"dd_{n}"), id_type="string"
+            ),
+            transform=tr,
+        )
+        for n in tables
+    }
+    mf = MultiTableChangeFeed(
+        tables,
+        os.path.join(binlog, "f*"),
+        os.path.join(root, "ckpt"),
+        post_batch=lambda s: [f.sync() for f in feeds.values()],
+    )
+    mf.run_available()
+    for n, f in feeds.items():
+        corpus = tables[n].read().select("doc_id", to_text.alias("text"))
+        assert _live(f.deduper) == _batch_pairs(corpus)
+        assert len(_live(f.deduper)) > 0

@@ -48,6 +48,7 @@ class MultiTableChangeFeed:
         mq_old_value: bool = False,
         admin=None,
         feed_name: str | None = None,
+        post_batch=None,
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
@@ -67,6 +68,10 @@ class MultiTableChangeFeed:
         self.checkpoint_dir = checkpoint_dir
         self.pending_dir = os.path.join(checkpoint_dir, "pending")
         self.max_files_per_trigger = max_files_per_trigger
+        # same contract as ChangeFeed.post_batch: called after the batch's
+        # commits with the summary dict; failures fail the feed and the
+        # replayed batch no-ops under idempotent hooks
+        self.post_batch = post_batch
         self.boundaries = dict(boundaries or {})
         self.stop_ts = dict(stop_ts or {})
         self.mode = mode
@@ -432,6 +437,8 @@ class MultiTableChangeFeed:
                 "events": sum(int(r["cnt"]) for r in part_stats),
             }
         )
+        if self.post_batch is not None:
+            self.post_batch(self.batch_summaries[-1])
 
     def _emit_mq(
         self,
