@@ -1031,6 +1031,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016) over the
+    documents table: one corpus pass builds the word-freq table, then the
+    merge loop runs on the vocab-sized working set only. No SQL oracle —
+    the per-step argmax→rewrite recurrence is not expressible as a fixed
+    query; correctness is pinned by EXACT merge-list equality against a
+    pure-python reference (tests/test_bpe.py)."""
+    from ticdc_spark.pipeline.bpe import bpe_merges_df
+
+    return bpe_merges_df(_docs(spark, sf_dir), n_merges=30)
+
+
 def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF index maintained FROM THE CHANGE STREAM: embeddings arrive
     as two insert epochs through IncrementalIVF (cell-bucketed vecs table,
@@ -2037,5 +2049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_incremental": q_ann_ivf_incremental,
+        "bpe_merges": q_bpe_merges,
         "multimodal_meta": q_multimodal_meta,
     }
