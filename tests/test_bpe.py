@@ -72,3 +72,37 @@ def test_bpe_greedy_overlap_and_early_stop(spark):
     assert got[1][1:3] == ("aa", "aa")
     # 'bc' freq 1 stays below min_pair_count=2 -> stop after the a-merges
     assert all(m[1] != "b" for m in got)
+
+
+def _py_encode(text, merges):
+    ordered = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+    out = []
+    for word in text.lower().strip().split():
+        s = list(word)
+        for left, right in ordered:
+            if len(s) < 2:
+                break
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        out.extend(s)
+    return out
+
+
+def test_bpe_encode_matches_reference(spark):
+    from ticdc_spark.pipeline.bpe import bpe_encode, bpe_learn
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(80)
+    merges = bpe_learn(docs, n_merges=20)
+    got = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe_encode(docs, merges).collect()}
+    for row in docs.collect():
+        assert got[row["doc_id"]] == _py_encode(row["text"], merges), row["doc_id"]
+    # round-trip: concatenating pieces re-yields each word stream
+    for row in docs.collect():
+        assert "".join(got[row["doc_id"]]) == "".join(row["text"].lower().strip().split())

@@ -143,3 +143,67 @@ def bpe_merges_df(docs: DataFrame, n_merges: int = 50, text_col: str = "text") -
     return spark.createDataFrame(
         rows, "rank long, left string, right string, cnt long"
     )
+
+
+def _encode_word_udf(merges: list):
+    """Pandas UDF encoding one WORD into its BPE pieces by applying the
+    learned merges in rank order, each greedily left-to-right. Rank order
+    is equivalent to the repeat-lowest-rank-pair algorithm: a merge can
+    only create pairs involving its new (later-ranked) symbol, never an
+    earlier-ranked pair."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+
+    def fn(col: pd.Series) -> pd.Series:
+        out = []
+        for word in col:
+            s = list(word)
+            for left, right in ordered:
+                if len(s) < 2:
+                    break
+                i, res = 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                s = res
+            out.append(s)
+        return pd.Series(out)
+
+    return pandas_udf(fn, "array<string>")
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list, text_col: str = "text"
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list. The corpus-scale
+    trick: ENCODE THE VOCABULARY, NOT THE CORPUS — distinct words (vocab-
+    sized) run the merge loop once each; the corpus pass is then a
+    posexplode + equi-join + ordered reassembly, all native.
+
+    Returns (doc_id, bpe_tokens array<string>, n_bpe)."""
+    from ..functions.text import tokens_col
+
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    vocab = ex.select("word").distinct()
+    enc = _encode_word_udf(merges)
+    encoded = vocab.select("word", enc(F.col("word")).alias("pieces"))
+    return (
+        ex.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .select("doc_id", "bpe_tokens", F.size("bpe_tokens").alias("n_bpe"))
+    )
