@@ -10,7 +10,8 @@ are maintained:
   corpus  LakeTable(doc_id -> text)                 the document table
   sigs    LakeTable(doc_id -> content_md5, bands)   signature per live doc
   bands   LakeTable(bkey   -> band_pfx, doc_id, content_md5)
-          one row per (band, doc); key = "band_id:band_hash:doc_id";
+          one row per (band, doc); band_pfx = "band_id:band_hash" and
+          key = "band_pfx:doc_id";
           BUCKETED BY band_pfx (LakeTable bucket_col) so every band's rows
           are co-located — a probe shuffles only the BATCH, never the store
 
@@ -167,8 +168,17 @@ class IncrementalLSHDeduper:
         docs; docs with zero shingles get an empty band array (their sigs
         row still updates so stale pairs retire via the md5 liveness join)."""
         sig = minhash_signatures(puts, self.n, self.n_perms)
+        # band prefix = "band_id:band_hash" — the id keeps probe semantics
+        # IDENTICAL to the batch join on (band_id, band_hash); hash-only
+        # keys would admit cross-band hash collisions as extra candidates
         banded = sig.select(
-            "doc_id", F.array(*band_hash_exprs(self.n_perms, self.bands_n)).alias("bands")
+            "doc_id",
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(i)), h)
+                    for i, h in enumerate(band_hash_exprs(self.n_perms, self.bands_n))
+                ]
+            ).alias("bands"),
         )
         return (
             puts.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
