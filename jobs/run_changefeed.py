@@ -46,6 +46,13 @@ def main() -> int:
         "LakeTable.bootstrap snapshot at start_ts)",
     )
     p.add_argument(
+        "--derived-dedup", default=None, metavar="ROOT",
+        help="maintain an incremental near-dup index (pipeline.incremental."
+        "IncrementalLSHDeduper) at ROOT, synced after every micro-batch via "
+        "the post_batch hook; dedup text = the token array rendered to a "
+        "string (single-table feeds only)",
+    )
+    p.add_argument(
         "--config", default=None,
         help="changefeed config file, .toml or .json — the reference's "
         "ReplicaConfig surface (filter rules, sink protocol/dispatchers, "
@@ -229,6 +236,25 @@ def main() -> int:
     dispatch_rule = cfg_kw.get("mq_dispatch_rule", args.mq_dispatch)
     if args.mq_dispatch != "index-value":
         dispatch_rule = args.mq_dispatch
+    post_batch = None
+    if args.derived_dedup:
+        from pyspark.sql import functions as F
+
+        from ticdc_spark.pipeline.incremental import (
+            DerivedIndexFeed,
+            IncrementalLSHDeduper,
+        )
+
+        to_text = F.concat_ws(" ", F.col("tokens").cast("array<string>"))
+        dfeed = DerivedIndexFeed(
+            table,
+            IncrementalLSHDeduper(table.spark, args.derived_dedup, id_type="string"),
+            transform=lambda df: df.select(
+                "doc_id", "op", "commit_ts", "seq", to_text.alias("text")
+            ),
+        )
+        post_batch = lambda summary: dfeed.sync()  # noqa: E731
+
     cf = ChangeFeed(
         table,
         args.binlog,
@@ -243,11 +269,15 @@ def main() -> int:
         target_ts=args.target_ts,
         admin=admin,
         feed_name=feed_name,
+        post_batch=post_batch,
         **mq_kwargs(),
     )
     if args.available_now:
         summaries = cf.run_available()
-        print(json.dumps({"batches": len(summaries), "summaries": summaries[-3:]}))
+        out = {"batches": len(summaries), "summaries": summaries[-3:]}
+        if args.derived_dedup:
+            out["dedup_live_pairs"] = dfeed.deduper.live_pairs().count()
+        print(json.dumps(out))
         return 0
     q = cf.start(processing_time=args.trigger)
     q.awaitTermination()
