@@ -17,7 +17,10 @@ def test_queries_analyze_and_oracles_align(spark):
     qs = e.queries()
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs), "oracle keys must be a subset of queries"
-    missing_oracle = set(qs) - set(oracles)
+    # rows-only queries: iterative recurrences with no fixed-SQL form —
+    # each must carry an exact pure-python reference test instead
+    ROWS_ONLY = {"bpe_merges"}  # tests/test_bpe.py pins merge-list equality
+    missing_oracle = set(qs) - set(oracles) - ROWS_ONLY
     assert not missing_oracle, f"queries without oracle: {missing_oracle}"
     for name, fn in qs.items():
         df = fn(spark, SF)

@@ -564,3 +564,43 @@ def test_multi_table_post_batch_hook(spark):
         corpus = tables[n].read().select("doc_id", to_text.alias("text"))
         assert _live(f.deduper) == _batch_pairs(corpus)
         assert len(_live(f.deduper)) > 0
+
+
+def test_derived_feed_handles_source_truncate(spark, docs):
+    """TRUNCATE on the source cannot appear as change rows; the feed must
+    detect the manifest marker, wipe the derived state, and reindex only
+    the post-truncate appends — no stale pairs survive."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.incremental import (
+        DerivedIndexFeed,
+        IncrementalLSHDeduper,
+    )
+
+    root = os.path.join(ROOT, "trunc")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        fields=[
+            {"id": 1, "name": "doc_id", "type": "bigint", "nullable": False},
+            {"id": 2, "name": "text", "type": "string"},
+        ],
+        n_buckets=4,
+    )
+    dd = IncrementalLSHDeduper(
+        spark, os.path.join(root, "dd"), n=3, threshold=0.7, id_type="bigint"
+    )
+    feed = DerivedIndexFeed(tbl, dd)
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    tbl.merge_epoch(_as_changes(docs, commit_ts=1), "e0")
+    feed.sync()
+    assert len(_live(dd)) > 0
+    # wipe + reload a smaller corpus
+    tbl.truncate(epoch_id="trunc-1")
+    tbl.merge_epoch(_as_changes(docs.filter(part == 0), commit_ts=2), "e1")
+    feed.sync()
+    corpus = tbl.read()
+    assert _live(dd) == _batch_pairs(corpus)
+    # every surviving pair references only post-truncate docs
+    live_ids = {r["doc_id"] for r in corpus.collect()}
+    assert all(a in live_ids and b in live_ids for (a, b, _) in _live(dd))

@@ -238,6 +238,7 @@ class LakeTable:
         else:
             raise ValueError(f"unsupported ddl_type {ddl_type}")
         m = json.loads(json.dumps(self._manifest))
+        m.pop("commit_kind", None)  # kind describes THIS commit only
         m["parent"] = m["version"]
         m["version"] += 1
         m["schema_version"] += 1
@@ -603,6 +604,7 @@ class LakeTable:
         replace: bool = True,
     ) -> None:
         m = json.loads(json.dumps(self._manifest))
+        m.pop("commit_kind", None)  # kind describes THIS commit only
         m["parent"] = m["version"]
         m["version"] += 1
         m["epoch_id"] = epoch_id
@@ -728,6 +730,7 @@ class LakeTable:
         m["version"] += 1
         m["buckets"] = {}
         m["clean_buckets"] = []
+        m["commit_kind"] = "truncate"  # lets changelog consumers detect the wipe
         m["epoch_id"] = epoch_id
         if epoch_id is not None:
             m["committed_epochs"].append(epoch_id)
@@ -801,6 +804,7 @@ class LakeTable:
         df = self.read_raw()  # collapsed current state incl. tombstones
         saved = self._manifest
         m = json.loads(json.dumps(self._manifest))
+        m.pop("commit_kind", None)  # kind describes THIS commit only
         m["n_buckets"] = new_n_buckets
         self._manifest = m  # _bucket_expr/_scan_written see the new count
         try:
@@ -851,6 +855,7 @@ class LakeTable:
         )
         new_entries = self._scan_written(abs_dir)
         m = json.loads(json.dumps(self._manifest))
+        m.pop("commit_kind", None)  # kind describes THIS commit only
         m["parent"] = m["version"]
         m["version"] += 1
         clean = set(m.get("clean_buckets", []))

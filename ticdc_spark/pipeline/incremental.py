@@ -105,6 +105,10 @@ class IncrementalLSHDeduper:
         self.bands_n = bands
         self.threshold = threshold
         self.id_type = id_type
+        self._ctor = dict(
+            n=n, n_perms=n_perms, bands=bands, threshold=threshold,
+            n_buckets=n_buckets, band_buckets=band_buckets, id_type=id_type,
+        )
         self._pair_schema = (
             f"doc_a {id_type}, doc_b {id_type}, jaccard double, "
             "md5_a string, md5_b string"
@@ -365,6 +369,16 @@ class IncrementalLSHDeduper:
             [self.corpus, self.sigs, self.band_index], max_deltas, keep_versions
         )
 
+    def reset(self) -> None:
+        """Wipe every derived table and the pair log (used when the SOURCE
+        table was truncated — its changelog cannot express the wipe as
+        change rows). Destructive and idempotent."""
+        import shutil
+
+        for sub in ("corpus", "sigs", "bands", "pairs"):
+            shutil.rmtree(os.path.join(self.root, sub), ignore_errors=True)
+        self.__init__(self.spark, self.root, **self._ctor)
+
     def live_pairs(self) -> DataFrame:
         """Pairs whose BOTH sides still carry the content they were
         detected at — equals minhash_lsh_pairs(current corpus)."""
@@ -430,6 +444,19 @@ class DerivedIndexFeed:
         lo, hi = self.cursor, self.source.version
         if hi <= lo:
             return {"from_version": lo, "to_version": hi, "pairs": 0}
+        # TRUNCATE cannot be expressed as change rows (read_changes rightly
+        # skips rewrite commits), so detect the marker in the version range
+        # and rebuild from scratch: wipe the derived state, then index the
+        # post-truncate appends. Crash between reset and cursor write
+        # replays the same range — reset is idempotent.
+        trunc_v = None
+        for v in range(lo + 1, hi + 1):
+            mk = self.source._load_version_manifest(v).get("commit_kind")
+            if mk == "truncate":
+                trunc_v = v
+        if trunc_v is not None:
+            self.deduper.reset()
+            lo = trunc_v
         ch = self.source.read_changes(lo, hi)
         if self.transform is not None:
             ch = self.transform(ch)
