@@ -1043,6 +1043,36 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(_docs(spark, sf_dir), n_merges=30)
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the multi-probe IVF against exact brute-force cosine,
+    per query — the evaluation op an ANN deployment runs before trusting
+    an index; the metric itself is oracle-checked (both sides have SQL
+    twins)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = sim.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ivf = sim.ivf_topk(
+        emb, queries, k=5, cell_bits=4, dim=64, n_probe_hamming=1
+    ).select("query_id", "neighbor_id")
+    hit = (
+        brute.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return _longify(
+        brute.select("query_id")
+        .distinct()
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(5.0), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF index maintained FROM THE CHANGE STREAM: embeddings arrive
     as two insert epochs through IncrementalIVF (cell-bucketed vecs table,
@@ -1251,6 +1281,24 @@ scored AS (
   FROM cand
   JOIN embeddings c ON c.vec_id = cand.neighbor_id
   JOIN embeddings q ON q.vec_id = cand.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ann_brute_sql(k: int = 5) -> str:
+    """DuckDB twin of similarity.cosine_topk on the vec_id<10 query set."""
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql("c.embedding", "q.embedding")} AS cos_sim
+  FROM embeddings c
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q ON c.vec_id != q.vec_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -1939,25 +1987,26 @@ FROM d GROUP BY source
         "corpus_mix": dc.mix_sample_sql(),
         "curate_strict": _curate_strict_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
-        "ann_topk": f"""
-WITH scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_cos_sql("c.embedding", "q.embedding")} AS cos_sim
-  FROM embeddings c
-  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q ON c.vec_id != q.vec_id
-),
-ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
-""",
+        "ann_topk": _ann_brute_sql(k=5),
         "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5, n_tables=3),
         "ann_ivf_topk": _ivf_sql(cell_bits=4, dim=64, k=5, n_probe_hamming=1),
         # the CDC-maintained IVF equals the batch IVF probe-for-probe
         # (pipeline/incremental.IncrementalIVF invariant, test_incremental)
         "ann_ivf_incremental": _ivf_sql(cell_bits=4, dim=64, k=5, n_probe_hamming=1),
+        # recall@k: both sides (brute truth, IVF probe) have SQL twins, so
+        # the QUALITY metric itself is oracle-checked
+        "ann_ivf_recall": f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({_ann_brute_sql(k=5)})),
+ivf AS (SELECT query_id, neighbor_id FROM ({_ivf_sql(cell_bits=4, dim=64, k=5, n_probe_hamming=1)})),
+hit AS (
+  SELECT b.query_id, count(*) AS n_hit FROM brute b
+  JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id, coalesce(hit.n_hit, 0) AS n_hit,
+       round(coalesce(hit.n_hit, 0) / 5.0, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM brute) q LEFT JOIN hit USING (query_id)
+""",
         "multimodal_meta": """
 SELECT cast(doc_id AS varchar) AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -2049,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_incremental": q_ann_ivf_incremental,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "bpe_merges": q_bpe_merges,
         "multimodal_meta": q_multimodal_meta,
     }
