@@ -604,3 +604,43 @@ def test_derived_feed_handles_source_truncate(spark, docs):
     # every surviving pair references only post-truncate docs
     live_ids = {r["doc_id"] for r in corpus.collect()}
     assert all(a in live_ids and b in live_ids for (a, b, _) in _live(dd))
+
+
+def test_derived_feed_drives_ivf(spark, emb):
+    """The same subscription machinery maintains the ANN index: an
+    embeddings LakeTable's changelog feeds IncrementalIVF via
+    DerivedIndexFeed; probes equal the batch IVF after each sync."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.incremental import DerivedIndexFeed, IncrementalIVF
+
+    root = os.path.join(ROOT, "ivf_feed")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        fields=[
+            {"id": 1, "name": "vec_id", "type": "bigint", "nullable": False},
+            {"id": 2, "name": "embedding", "type": "array<float>"},
+        ],
+        n_buckets=4,
+        key_col="vec_id",
+    )
+    ivf = IncrementalIVF(spark, os.path.join(root, "ivf"), cell_bits=4, dim=64)
+    feed = DerivedIndexFeed(
+        tbl,
+        ivf,
+        transform=lambda df: df.select("vec_id", "op", "commit_ts", "seq", "embedding"),
+    )
+    part = F.pmod(F.xxhash64("vec_id"), F.lit(2))
+    for e, cts in ((0, 1), (1, 2)):
+        ch = emb.filter(part == e).select(
+            F.col("vec_id"),
+            F.lit("I").alias("op"),
+            F.lit(cts).cast("long").alias("commit_ts"),
+            F.col("vec_id").alias("seq"),
+            "embedding",
+        )
+        tbl.merge_epoch(ch, f"e{e}")
+        feed.sync()
+    queries = emb.filter(F.col("vec_id") < 10)
+    assert _ivf_live(ivf, queries) == _ivf_batch(emb, queries)

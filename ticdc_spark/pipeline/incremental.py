@@ -417,12 +417,14 @@ class DerivedIndexFeed:
     primary sink uses (cdc/owner.go:706-800 analog).
     """
 
-    def __init__(self, source, deduper: IncrementalLSHDeduper, transform=None):
-        """transform: optional DataFrame->DataFrame applied to each
+    def __init__(self, source, deduper, transform=None):
+        """deduper: any derived index exposing process_epoch(df, epoch_id)
+        and a root dir — IncrementalLSHDeduper, IncrementalIVF, or a custom
+        one. transform: optional DataFrame->DataFrame applied to each
         changelog slice before process_epoch — e.g. deriving the dedup
         `text` from a token-array payload (concat_ws over tokens) when the
-        source is a CDC tokens table. Must be deterministic and preserve
-        (doc_id, op, commit_ts, seq)."""
+        source is a CDC tokens table, or renaming the key for the IVF.
+        Must be deterministic and preserve (key, op, commit_ts, seq)."""
         self.source = source
         self.deduper = deduper
         self.transform = transform
@@ -461,7 +463,7 @@ class DerivedIndexFeed:
         if self.transform is not None:
             ch = self.transform(ch)
         out = self.deduper.process_epoch(ch, f"v{lo}-v{hi}")
-        n = out.count()
+        n = out.count() if isinstance(out, DataFrame) else 0
         tmp = self._cursor_path + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(hi))
@@ -510,6 +512,7 @@ class IncrementalIVF:
         self.root = root
         self.cell_bits = cell_bits
         self.dim = dim
+        self._id_type = id_type
         self.cells = self._open_or_create(
             os.path.join(root, "cells"),
             [
@@ -588,6 +591,18 @@ class IncrementalIVF:
     def maintain(self, max_deltas: int = 8, keep_versions: int = 4) -> dict:
         """Compact hot buckets + expire old snapshots; never changes topk()."""
         return _maintain_tables([self.cells, self.vecs], max_deltas, keep_versions)
+
+    def reset(self) -> None:
+        """Wipe the index (source truncate support; see DerivedIndexFeed)."""
+        import shutil
+
+        for sub in ("cells", "vecs"):
+            shutil.rmtree(os.path.join(self.root, sub), ignore_errors=True)
+        self.__init__(
+            self.spark, self.root, cell_bits=self.cell_bits, dim=self.dim,
+            n_buckets=self.cells.n_buckets, cell_buckets=self.vecs.n_buckets,
+            id_type=self._id_type,
+        )
 
     def topk(
         self, queries: DataFrame, k: int = 5, n_probe_hamming: int = 1,
