@@ -1,0 +1,119 @@
+"""spark-submit --py-files launch path (the BASELINE north-rule run mode).
+
+Packages the engine with tools/package.py, copies the job script OUTSIDE the
+repo, strips the repo from PYTHONPATH, and runs a real `spark-submit
+--master local[4] --py-files ticdc_spark.zip` changefeed — so every
+`import ticdc_spark` in the driver AND in forked python UDF workers must
+resolve from the zip, exactly as on a cluster. Verifies:
+
+  1. the job exits 0 and reports committed batches,
+  2. the submitted --master is honored (build_session must not override it),
+  3. the final lake state equals the pyarrow oracle row-for-row.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ticdc_spark.engine.replay import open_binlog
+from ticdc_spark.lake.table import LakeTable
+from ticdc_spark.operators.epochs import resolved_frontier
+from ticdc_spark.oracle import apply_binlog, diff_tables
+from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+from package import build_pyfiles_zip  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+def _lake_arrow(table) -> pa.Table:
+    pdf = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.string()),
+            "tokens": pa.array([list(t) for t in pdf["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.array(pdf["n_tok"], pa.int32()),
+            "source": pa.array(pdf["source"], pa.string()),
+        }
+    )
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_changefeed(spark, tmp_path):
+    spec = BinlogSpec(n_events=8_000, n_keys=800, seed=41, p_delete=0.15, p_insert=0.55)
+    binlog = write_binlog(spec, str(tmp_path / "binlog"), files_per_part=2)
+    zip_path = build_pyfiles_zip(str(tmp_path / "dist" / "ticdc_spark.zip"))
+
+    # Job script lives outside the repo: its own sys.path hack points at
+    # tmp_path, so ticdc_spark is importable ONLY via --py-files.
+    job = str(tmp_path / "jobs" / "run_changefeed.py")
+    os.makedirs(os.path.dirname(job))
+    shutil.copy(os.path.join(REPO, "jobs", "run_changefeed.py"), job)
+
+    table_root = str(tmp_path / "tbl")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # nothing from the repo leaks in
+    env.pop("SPARK_GRAFT_CPUS", None)
+    env["SPARK_GRAFT_SHUFFLE"] = "8"
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=2g",
+        "--py-files", zip_path,
+        job,
+        "--binlog", binlog,
+        "--table", table_root,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--lineage", str(tmp_path / "lineage"),
+        "--available-now",
+        "--buckets", "4",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["batches"] >= 1
+    assert all(s.get("committed", True) for s in summary["summaries"])
+
+    t = LakeTable(spark, table_root)
+    events = open_binlog(spark, binlog)
+    expected = apply_binlog(pq.read_table(binlog), upto_ts=resolved_frontier(events))
+    problems = diff_tables(expected, _lake_arrow(t))
+    assert not problems, problems[:3]
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_submitted_master_is_honored(tmp_path):
+    """build_session under spark-submit keeps --master (PYSPARK_GATEWAY_PORT
+    detection) instead of silently overriding a cluster master with local[*]."""
+    zip_path = build_pyfiles_zip(str(tmp_path / "dist" / "ticdc_spark.zip"))
+    probe = str(tmp_path / "probe.py")
+    with open(probe, "w") as f:
+        f.write(
+            "from ticdc_spark.session import build_session\n"
+            "s = build_session('probe')\n"
+            "print('MASTER=' + s.sparkContext.master)\n"
+            "s.stop()\n"
+        )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[3]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path, probe,
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "MASTER=local[3]" in proc.stdout, proc.stdout

@@ -24,8 +24,14 @@ def build_session(
     master defaults to local[$SPARK_GRAFT_CPUS or *]. On a real cluster this
     is whatever spark-submit provides — we never override an existing master.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or f"local[{cpus}]"
+    # Under spark-submit the gateway JVM is already up (PYSPARK_GATEWAY_PORT
+    # is set) and carries the submitted --master; overriding it here would
+    # silently turn a cluster job into local[*]. Only pick a local default
+    # when we own the JVM launch.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
     # Python UDF workers must be able to import this package no matter the
     # caller's cwd (the spark-submit --py-files analog: jobs run from
     # anywhere, pandas-UDF closures reference ticdc_spark.*). Prepending the
@@ -39,10 +45,11 @@ def build_session(
         n = os.cpu_count() or 8
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(min(64, n))))
 
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
