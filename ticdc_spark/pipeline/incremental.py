@@ -632,7 +632,9 @@ class IncrementalIVF:
         )
         if not bks:
             return self.spark.createDataFrame(
-                [], "query_id bigint, neighbor_id bigint, cos_sim double, rank int"
+                [],
+                f"query_id {self._id_type}, neighbor_id {self._id_type}, "
+                "cos_sim double, rank int",
             )
         store = (
             self.vecs.read_raw(buckets=bks)
