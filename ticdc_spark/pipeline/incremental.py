@@ -286,9 +286,8 @@ class IncrementalLSHDeduper:
             .collect()
         )
         if not bks:
-            out = self.spark.createDataFrame([], self._pair_schema)
-            self._write_pairs(out, epoch_id)
-            return out
+            self._write_pairs(self.spark.createDataFrame([], self._pair_schema), epoch_id)
+            return self._read_pairs(epoch_id)
         store = (
             self.band_index.read_raw(buckets=bks)
             .filter(~F.col(SYS_DELETED))
@@ -347,11 +346,18 @@ class IncrementalLSHDeduper:
             .select("doc_a", "doc_b", "jaccard", "md5_a", "md5_b")
         )
         self._write_pairs(out, epoch_id)
-        return out
+        # hand back the WRITTEN rows, not the live plan: a caller's
+        # count()/collect() then re-scans a few parquet files instead of
+        # re-executing the whole candidate-verify join a second time
+        return self._read_pairs(epoch_id)
 
     def _write_pairs(self, pairs: DataFrame, epoch_id: str) -> None:
         path = os.path.join(self.pairs_dir, f"epoch={epoch_id}")
         pairs.write.mode("overwrite").parquet(path)
+
+    def _read_pairs(self, epoch_id: str) -> DataFrame:
+        path = os.path.join(self.pairs_dir, f"epoch={epoch_id}")
+        return self.spark.read.schema(self._pair_schema).parquet(path)
 
     def pair_log(self) -> DataFrame:
         """Every detection ever made (may include retired pairs)."""
