@@ -168,3 +168,79 @@ def test_property_roundtrip_random_records():
         assert codec.decode(codec.encode(rec)) == rec
 
     check()
+
+
+def test_backward_compat_ddl_evolutions_pass():
+    """The engine's DDL set (add nullable column, widen int->long, rename)
+    produces BACKWARD-compatible schemas — the default Confluent subject
+    rule the reference's registry posts run under."""
+    from ticdc_spark.functions.avro_schema import AvroSchemaRegistry
+
+    reg = AvroSchemaRegistry()  # BACKWARD by default
+    base = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "n_tok", "type": "int"},
+        {"id": 3, "name": "source", "type": "string"},
+    ]
+    reg.register("docs", avro_schema("docs", base))
+    added = base + [{"id": 4, "name": "lang", "type": "string"}]
+    reg.register("docs", avro_schema("docs", added))  # nullable + default
+    widened = [dict(f, type="bigint") if f["name"] == "n_tok" else f for f in added]
+    reg.register("docs", avro_schema("docs", widened))  # int -> long
+    renamed = [
+        dict(f, name="origin") if f["name"] == "source" else f for f in widened
+    ]
+    reg.register("docs", avro_schema("docs", renamed))  # drop+add-with-default
+    assert reg.n_versions("docs") == 4
+
+
+def test_backward_compat_violations_refused():
+    """Adding a field with no default / narrowing a type is refused with
+    SchemaCompatibilityError (the Confluent server's 409), like the sink
+    error that halts the reference feed."""
+    import json
+
+    import pytest
+
+    from ticdc_spark.functions.avro_schema import (
+        AvroSchemaRegistry,
+        SchemaCompatibilityError,
+        check_backward_compatible,
+    )
+
+    base = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "n_tok", "type": "bigint"},
+    ]
+    reg = AvroSchemaRegistry()
+    v0 = avro_schema("t", base)
+    reg.register("t", v0)
+
+    # required (non-null, no-default) new field: old data unreadable
+    v_bad = json.loads(v0)
+    v_bad["fields"].append({"name": "must", "field-id": 9, "type": "string"})
+    v_bad = json.dumps(v_bad, sort_keys=True, separators=(",", ":"))
+    assert check_backward_compatible(v0, v_bad)
+    with pytest.raises(SchemaCompatibilityError):
+        reg.register("t", v_bad)
+
+    # narrowing long -> int is not an Avro promotion
+    narrowed = [dict(f, type="int") if f["name"] == "n_tok" else f for f in base]
+    with pytest.raises(SchemaCompatibilityError):
+        reg.register("t", avro_schema("t", narrowed))
+
+    # losing the null branch of a nullable field is refused too
+    v_nonnull = json.loads(v0)
+    for f in v_nonnull["fields"]:
+        if f["name"] == "n_tok":
+            f["type"] = "long"
+            f.pop("default", None)
+    v_nonnull = json.dumps(v_nonnull, sort_keys=True, separators=(",", ":"))
+    with pytest.raises(SchemaCompatibilityError):
+        reg.register("t", v_nonnull)
+
+    # NONE mode admits everything (per-subject override)
+    lax = AvroSchemaRegistry(compatibility="NONE")
+    lax.register("t", v0)
+    lax.register("t", v_bad)
+    assert lax.n_versions("t") == 2
