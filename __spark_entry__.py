@@ -962,6 +962,45 @@ def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-incremental decontamination: the SAME train/eval split as
+    curate_decontaminate, but the train docs arrive as three insert epochs
+    through IncrementalDecontaminator (per-doc 8-gram hits maintained as a
+    CDC-derived LakeTable, only changed docs re-checked per epoch); the
+    report provably equals the batch decontaminate() — so the oracle is the
+    SAME SQL as curate_decontaminate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ticdc_spark.functions.hashing import bucket
+    from ticdc_spark.pipeline.incremental import IncrementalDecontaminator
+
+    docs = _docs(spark, sf_dir).withColumn("_sid", F.col("doc_id").cast("string"))
+    is_eval = bucket(F.col("_sid"), 20) == 0
+    ev = docs.filter(is_eval).select("doc_id", "text")
+    tr = docs.filter(~is_eval).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="ticdc_spark_q_incdecon_")
+    shutil.rmtree(root, ignore_errors=True)
+    dc = IncrementalDecontaminator(spark, root, eval_docs=ev, n=8, id_type="bigint")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    for e in range(3):
+        chunk = tr.filter(part == e).select(
+            "doc_id",
+            F.lit("I").alias("op"),
+            F.lit(e + 1).cast("long").alias("commit_ts"),
+            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("seq"),
+            "text",
+        )
+        dc.process_epoch(chunk, f"ep{e}")
+    return dc.report().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by frequency (tie-break by token)."""
     from ticdc_spark.pipeline.decontam import vocab_stats
@@ -1477,7 +1516,7 @@ def oracle_sql() -> dict[str, str]:
     toks = TOKENS_SQL.format(t="text")
     n_parts = N_PARTS
     frontier_sql = f"(SELECT min(m) FROM (SELECT max(commit_ts) AS m FROM ({FEED_SQL}) GROUP BY part))"
-    return {
+    out = {
         "cdc_lww_window": _LWW_ORACLE,
         "cdc_lww_agg": _LWW_ORACLE,
         "cdc_lww_salted": _LWW_ORACLE,
@@ -2019,6 +2058,10 @@ SELECT cast(doc_id AS varchar) AS media_id,
 FROM documents
 """,
     }
+    # the incremental path provably equals batch decontamination over the
+    # same split (IncrementalDecontaminator invariant, tests/test_incremental.py)
+    out["decontam_incremental"] = out["curate_decontaminate"]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2091,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "curate_decontaminate": q_curate_decontaminate,
+        "decontam_incremental": q_decontam_incremental,
         "text_vocab_topk": q_text_vocab_topk,
         "corpus_sample": q_corpus_sample,
         "corpus_mix": q_corpus_mix,

@@ -644,3 +644,87 @@ def test_derived_feed_drives_ivf(spark, emb):
         feed.sync()
     queries = emb.filter(F.col("vec_id") < 10)
     assert _ivf_live(ivf, queries) == _ivf_batch(emb, queries)
+
+
+# ---------------------------------------------------------------------------
+# IncrementalDecontaminator
+# ---------------------------------------------------------------------------
+
+
+def _mk_decon(spark, sub, eval_docs):
+    from ticdc_spark.pipeline.incremental import IncrementalDecontaminator
+
+    root = os.path.join(ROOT, sub)
+    shutil.rmtree(root, ignore_errors=True)
+    return IncrementalDecontaminator(
+        spark, root, eval_docs=eval_docs, n=8, id_type="bigint"
+    )
+
+
+def _decon_report(dd):
+    return {
+        (r["doc_id"], r["n_hit_grams"], r["contaminated"])
+        for r in dd.report().collect()
+    }
+
+
+def _batch_decon(docs, eval_docs):
+    from ticdc_spark.pipeline.decontam import decontaminate
+
+    return {
+        (r["doc_id"], r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(docs, eval_docs, n=8).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def eval_docs(spark, docs):
+    # a slice of the corpus itself guarantees real 8-gram overlap
+    return (
+        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0)
+        .select(F.col("doc_id"), "text")
+        .cache()
+    )
+
+
+def test_decontam_insert_epochs_equal_batch(spark, docs, eval_docs):
+    dd = _mk_decon(spark, "dc_ins", eval_docs)
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    for e in range(3):
+        dd.process_epoch(_as_changes(docs.filter(part == e), e + 1), f"ep{e}")
+    got = _decon_report(dd)
+    assert got == _batch_decon(docs, eval_docs)
+    assert any(c == 1 for _, _, c in got)  # overlap actually detected
+
+
+def test_decontam_update_delete_redelivery(spark, docs, eval_docs):
+    dd = _mk_decon(spark, "dc_upd", eval_docs)
+    base = docs.limit(300)
+    dd.process_epoch(_as_changes(base, 1), "ep0")
+    third = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    # update: a third gets clean text (no 8 consecutive shared words)
+    upd = base.filter(third == 0).withColumn(
+        "text", F.concat_ws(" ", F.lit("clean"), F.col("doc_id").cast("string"))
+    )
+    dels = base.filter(third == 1)
+    c_upd = _as_changes(upd, 2, op="U")
+    c_del = dels.select(
+        "doc_id", F.lit("D").alias("op"), F.lit(2).alias("commit_ts"),
+        F.lit(0).cast("long").alias("seq"), F.lit(None).cast("string").alias("text"),
+    )
+    dd.process_epoch(c_upd.unionByName(c_del), "ep1")
+    # redeliver the SAME epoch (crash-replay) — idempotent
+    dd.process_epoch(c_upd.unionByName(c_del), "ep1")
+    live = base.filter(third == 2).unionByName(upd)
+    assert _decon_report(dd) == _batch_decon(live, eval_docs)
+
+
+def test_decontam_reset_keeps_eval_grams(spark, docs, eval_docs):
+    dd = _mk_decon(spark, "dc_reset", eval_docs)
+    dd.process_epoch(_as_changes(docs.limit(50), 1), "ep0")
+    n_grams = dd.eval_grams().count()
+    dd.reset()
+    assert dd.report().count() == 0
+    assert dd.eval_grams().count() == n_grams  # config survives the wipe
+    dd.process_epoch(_as_changes(docs.limit(50), 1), "ep0")
+    assert _decon_report(dd) == _batch_decon(docs.limit(50), eval_docs)

@@ -60,6 +60,22 @@ from .dedup import BANDS, N_PERMS, band_hash_exprs, minhash_signatures, shingles
 
 
 
+def collapse_lww_batch(changes: DataFrame, key_col: str) -> DataFrame:
+    """One winner per key per epoch, same total order the lake applies:
+    (commit_ts, seq, delete < put)."""
+    rank = F.struct(
+        F.col("commit_ts"),
+        F.col("seq"),
+        (F.col("op") != OP_DELETE).cast("int").alias("_op_rank"),
+    )
+    payload = [c for c in changes.columns if c != key_col]
+    return (
+        changes.groupBy(key_col)
+        .agg(F.max_by(F.struct(*payload), rank).alias("_w"))
+        .select(key_col, *[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
+
+
 def _rows_for_ids(table: LakeTable, ids: DataFrame, id_col: str) -> DataFrame:
     """Bucket-pruned read of `table` restricted to the ids in `ids`:
     collect the (≤ n_buckets) bucket-id set — never the keys themselves —
@@ -153,19 +169,7 @@ class IncrementalLSHDeduper:
 
     # ------------------------------------------------------------------
     def _collapse_batch(self, changes: DataFrame) -> DataFrame:
-        """One winner per doc per epoch, same total order the lake applies:
-        (commit_ts, seq, delete < put)."""
-        rank = F.struct(
-            F.col("commit_ts"),
-            F.col("seq"),
-            (F.col("op") != OP_DELETE).cast("int").alias("_op_rank"),
-        )
-        payload = [c for c in changes.columns if c != "doc_id"]
-        return (
-            changes.groupBy("doc_id")
-            .agg(F.max_by(F.struct(*payload), rank).alias("_w"))
-            .select("doc_id", *[F.col(f"_w.{c}").alias(c) for c in payload])
-        )
+        return collapse_lww_batch(changes, "doc_id")
 
     def _sig_bands(self, puts: DataFrame) -> DataFrame:
         """(doc_id, content_md5, bands array<string>) for the batch's live
@@ -547,18 +551,7 @@ class IncrementalIVF:
         epoch id, like every lake merge."""
         from .similarity import cell_signature
 
-        rank = F.struct(
-            F.col("commit_ts"),
-            F.col("seq"),
-            (F.col("op") != OP_DELETE).cast("int").alias("_op_rank"),
-        )
-        payload = [c for c in changes.columns if c != "vec_id"]
-        b = (
-            changes.groupBy("vec_id")
-            .agg(F.max_by(F.struct(*payload), rank).alias("_w"))
-            .select("vec_id", *[F.col(f"_w.{c}").alias(c) for c in payload])
-            .localCheckpoint(eager=True)
-        )
+        b = collapse_lww_batch(changes, "vec_id").localCheckpoint(eager=True)
         stamped = b.select("vec_id", "commit_ts", "seq")
         puts = b.filter(F.col("op") != OP_DELETE).withColumn(
             "cell", cell_signature("embedding", self.cell_bits, self.dim)
@@ -660,6 +653,140 @@ class IncrementalIVF:
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
+
+
+class IncrementalDecontaminator:
+    """CDC-maintained benchmark-contamination index.
+
+    Batch decontamination (pipeline.decontam.decontaminate) re-shingles the
+    WHOLE corpus per run; a doc's contamination is a pure function of its
+    own text and the (static) eval set, so it is exactly as incremental as
+    the LSH signatures: per epoch, only the changed docs are re-checked.
+
+    State is one LakeTable `hits(doc_id -> n_hit_grams)` covering every
+    live doc (0 = clean), maintained by the change stream like any CDC
+    mirror; the eval set's n-gram inventory is frozen to parquet under the
+    index root at creation so reopening the index (or replaying an epoch
+    after a crash) checks against the identical gram set.
+
+    Invariant (tested, incl. updates/deletes/out-of-order redelivery):
+
+        report() == decontaminate(current corpus, eval_docs)
+
+    Scale shape per epoch: O(batch grams) explode + a broadcast join
+    against the eval grams (eval sets are 10^3-10^6 grams — tiny), one
+    key-bucketed upsert. Nothing rescans the corpus. Fits DerivedIndexFeed
+    (process_epoch/root/reset), so it can follow a live changefeed.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        eval_docs: DataFrame | None = None,
+        n: int = 8,
+        n_buckets: int = 8,
+        id_type: str = "string",
+    ):
+        from ..functions.text import tokens_col, word_ngrams
+
+        self.spark = spark
+        self.root = root
+        self.n = n
+        self._id_type = id_type
+        self._n_buckets = n_buckets
+        self._grams_dir = os.path.join(root, "eval_grams")
+        if not os.path.exists(self._grams_dir):
+            if eval_docs is None:
+                raise ValueError(
+                    "first open of an IncrementalDecontaminator needs eval_docs"
+                )
+            (
+                eval_docs.select(
+                    F.explode(word_ngrams(tokens_col("text"), n)).alias("gram")
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(self._grams_dir)
+            )
+        self.hits = self._open_or_create(
+            os.path.join(root, "hits"),
+            [
+                {"id": 1, "name": "doc_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "n_hit_grams", "type": "bigint"},
+            ],
+            n_buckets=n_buckets,
+        )
+
+    _open_or_create = IncrementalLSHDeduper._open_or_create
+
+    def eval_grams(self) -> DataFrame:
+        return self.spark.read.parquet(self._grams_dir)
+
+    def process_epoch(self, changes: DataFrame, epoch_id: str) -> dict:
+        """changes: (doc_id, op, commit_ts, seq, text). Idempotent by epoch
+        id (lake merge contract)."""
+        from ..functions.text import tokens_col, word_ngrams
+
+        b = collapse_lww_batch(
+            changes.select("doc_id", "op", "commit_ts", "seq", "text"), "doc_id"
+        ).localCheckpoint(eager=True)  # grams + zero-join + tombstones reuse it
+        puts = b.filter(F.col("op") != OP_DELETE)
+        doc_hits = (
+            puts.select(
+                "doc_id",
+                F.explode(word_ngrams(tokens_col("text"), self.n)).alias("gram"),
+            )
+            .distinct()
+            .join(F.broadcast(self.eval_grams()), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit_grams"))
+        )
+        hit_rows = (
+            puts.select("doc_id", "op", "commit_ts", "seq")
+            .join(doc_hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+                "op",
+                "commit_ts",
+                "seq",
+            )
+            .unionByName(
+                b.filter(F.col("op") == OP_DELETE).select(
+                    "doc_id",
+                    F.lit(None).cast("bigint").alias("n_hit_grams"),
+                    "op",
+                    "commit_ts",
+                    "seq",
+                )
+            )
+        )
+        self.hits.merge_epoch(hit_rows, f"{epoch_id}-hits", assume_deduped=True)
+        return {"epoch": epoch_id}
+
+    def report(self) -> DataFrame:
+        """(doc_id, n_hit_grams, contaminated) for every live doc — the
+        batch decontaminate() contract over the current corpus."""
+        return self.hits.read().select(
+            "doc_id",
+            "n_hit_grams",
+            (F.col("n_hit_grams") > 0).cast("int").alias("contaminated"),
+        )
+
+    def maintain(self, max_deltas: int = 8, keep_versions: int = 4) -> dict:
+        return _maintain_tables([self.hits], max_deltas, keep_versions)
+
+    def reset(self) -> None:
+        """Wipe the index (source truncate support; see DerivedIndexFeed).
+        The frozen eval grams are KEPT — they are configuration, not state."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, "hits"), ignore_errors=True)
+        self.__init__(
+            self.spark, self.root, n=self.n,
+            n_buckets=self._n_buckets, id_type=self._id_type,
         )
 
 
