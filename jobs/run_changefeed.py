@@ -53,6 +53,18 @@ def main() -> int:
         "string (single-table feeds only)",
     )
     p.add_argument(
+        "--derived-decontam", default=None, metavar="ROOT",
+        help="maintain an incremental decontamination index (pipeline."
+        "incremental.IncrementalDecontaminator) at ROOT, synced after every "
+        "micro-batch; requires --eval-docs on first creation (single-table "
+        "feeds only)",
+    )
+    p.add_argument(
+        "--eval-docs", default=None, metavar="PARQUET",
+        help="eval/benchmark docs parquet (doc_id, text) whose 8-grams "
+        "define contamination for --derived-decontam",
+    )
+    p.add_argument(
         "--config", default=None,
         help="changefeed config file, .toml or .json — the reference's "
         "ReplicaConfig surface (filter rules, sink protocol/dispatchers, "
@@ -237,23 +249,47 @@ def main() -> int:
     if args.mq_dispatch != "index-value":
         dispatch_rule = args.mq_dispatch
     post_batch = None
-    if args.derived_dedup:
+    derived_feeds = []
+    dfeed = None
+    if args.derived_dedup or args.derived_decontam:
         from pyspark.sql import functions as F
 
-        from ticdc_spark.pipeline.incremental import (
-            DerivedIndexFeed,
-            IncrementalLSHDeduper,
-        )
+        from ticdc_spark.pipeline.incremental import DerivedIndexFeed
 
         to_text = F.concat_ws(" ", F.col("tokens").cast("array<string>"))
-        dfeed = DerivedIndexFeed(
-            table,
-            IncrementalLSHDeduper(table.spark, args.derived_dedup, id_type="string"),
-            transform=lambda df: df.select(
-                "doc_id", "op", "commit_ts", "seq", to_text.alias("text")
-            ),
+        to_text_rows = lambda df: df.select(  # noqa: E731
+            "doc_id", "op", "commit_ts", "seq", to_text.alias("text")
         )
-        post_batch = lambda summary: dfeed.sync()  # noqa: E731
+        if args.derived_dedup:
+            from ticdc_spark.pipeline.incremental import IncrementalLSHDeduper
+
+            dfeed = DerivedIndexFeed(
+                table,
+                IncrementalLSHDeduper(
+                    table.spark, args.derived_dedup, id_type="string"
+                ),
+                transform=to_text_rows,
+            )
+            derived_feeds.append(dfeed)
+        if args.derived_decontam:
+            from ticdc_spark.pipeline.incremental import IncrementalDecontaminator
+
+            ev = (
+                table.spark.read.parquet(args.eval_docs)
+                if args.eval_docs
+                else None
+            )
+            derived_feeds.append(
+                DerivedIndexFeed(
+                    table,
+                    IncrementalDecontaminator(
+                        table.spark, args.derived_decontam,
+                        eval_docs=ev, id_type="string",
+                    ),
+                    transform=to_text_rows,
+                )
+            )
+        post_batch = lambda summary: [f.sync() for f in derived_feeds]  # noqa: E731
 
     cf = ChangeFeed(
         table,
@@ -277,6 +313,13 @@ def main() -> int:
         out = {"batches": len(summaries), "summaries": summaries[-3:]}
         if args.derived_dedup:
             out["dedup_live_pairs"] = dfeed.deduper.live_pairs().count()
+        if args.derived_decontam:
+            from pyspark.sql import functions as F
+
+            rep = derived_feeds[-1].deduper.report()
+            out["decontam_contaminated"] = rep.filter(
+                F.col("contaminated") == 1
+            ).count()
         print(json.dumps(out))
         return 0
     q = cf.start(processing_time=args.trigger)
