@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "codec_avro",
+    "decontam_incremental",
     "curate_corpus",
     "tokens_pack",
     "events_sessionize",

@@ -65,6 +65,12 @@ def main() -> int:
         "define contamination for --derived-decontam",
     )
     p.add_argument(
+        "--metrics-dir", default=None,
+        help="write Prometheus textfile-collector metrics (<feed>.prom, "
+        "atomically replaced after every micro-batch) to this dir "
+        "(single-table feeds)",
+    )
+    p.add_argument(
         "--config", default=None,
         help="changefeed config file, .toml or .json — the reference's "
         "ReplicaConfig surface (filter rules, sink protocol/dispatchers, "
@@ -290,6 +296,18 @@ def main() -> int:
                 )
             )
         post_batch = lambda summary: [f.sync() for f in derived_feeds]  # noqa: E731
+
+    if args.metrics_dir:
+        from ticdc_spark.streaming.metrics import MetricsExporter
+
+        exporter = MetricsExporter(args.metrics_dir)
+        mfeed = args.feed_name or os.path.basename(os.path.abspath(args.checkpoint))
+        prev_hook = post_batch
+
+        def post_batch(summary, _prev=prev_hook):  # noqa: F811
+            if _prev is not None:
+                _prev(summary)
+            exporter.emit(mfeed, cf)
 
     cf = ChangeFeed(
         table,
