@@ -34,3 +34,20 @@ def test_entry_runs(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0 and df.schema.fields
+
+
+def test_segmented_generation_identical():
+    """Corpora whose token total exceeds one ListArray's int32 offset space
+    generate in segments — byte-identical to the single-shot table (the
+    64M-event bench row relies on this)."""
+    import ticdc_spark.testgen as tg
+
+    spec = tg.BinlogSpec(n_events=20_000, n_keys=2_000, seed=31)
+    one = tg.generate_binlog(spec)
+    saved = tg._MAX_LIST_VALUES
+    try:
+        tg._MAX_LIST_VALUES = 50_000  # force many segments
+        seg = tg.generate_binlog(spec)
+    finally:
+        tg._MAX_LIST_VALUES = saved
+    assert one.equals(seg.combine_chunks())

@@ -21,6 +21,11 @@ import pyarrow.parquet as pq
 
 OPS = np.array(["I", "U", "D"])
 
+# one ListArray holds at most 2^31-1 token values (int32 offsets); corpora
+# whose total token count exceeds this are generated in segments and the
+# table's columns come out chunked. Module-level so tests can shrink it.
+_MAX_LIST_VALUES = 1_500_000_000
+
 
 @dataclass
 class BinlogSpec:
@@ -101,9 +106,9 @@ def generate_binlog(spec: BinlogSpec) -> pa.Table:
     def build(sel: np.ndarray, force_put: bool) -> dict[str, pa.Array]:
         o = np.full(sel.shape, "U") if force_put else op[sel]
         is_del = o == "D"
-        full = len(sel) == n and np.array_equal(sel, np.arange(n))
-        if full:
-            vals = token_values
+        contiguous = len(sel) and sel[-1] - sel[0] + 1 == len(sel)
+        if contiguous:
+            vals = token_values[offsets[sel[0]] : offsets[sel[-1] + 1]]
         elif len(sel):
             vals = np.concatenate([token_values[offsets[i] : offsets[i + 1]] for i in sel])
         else:
@@ -126,8 +131,19 @@ def generate_binlog(spec: BinlogSpec) -> pa.Table:
             "schema_version": pa.array(np.zeros(len(sel), dtype=np.int32)),
         }
 
-    base = build(np.arange(n), force_put=False)
-    tbl = pa.table(base)
+    # a single ListArray carries int32 value offsets, so one build() call
+    # must stay under 2^31 token values — segment large corpora and let the
+    # table's columns be chunked (every consumer reads chunked arrow fine)
+    max_vals = _MAX_LIST_VALUES
+    if total > max_vals:
+        n_seg = int(np.ceil(total / max_vals))
+        bounds = np.linspace(0, n, n_seg + 1, dtype=np.int64)
+        tbl = pa.concat_tables(
+            pa.table(build(np.arange(bounds[i], bounds[i + 1]), force_put=False))
+            for i in range(n_seg)
+        )
+    else:
+        tbl = pa.table(build(np.arange(n), force_put=False))
     if len(pair_pos):
         # regenerate fresh payload for the cloned puts so the winner is distinct
         extra = build(pair_pos, force_put=True)
