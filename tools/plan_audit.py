@@ -41,6 +41,7 @@ AUDIT = [
     "ann_topk",
     "ann_ivf_topk",
     "ann_ivf_incremental",
+    "decontam_incremental",
     "curate_corpus",
     "curate_decontaminate",
     "text_vocab_topk",
