@@ -99,12 +99,19 @@ def test_lww_strategies_agree_hypothesis(spark):
     same-(commit_ts, seq) delete/put pairs (entry_sorter.go:62-72)."""
     from hypothesis import given, settings, strategies as st
 
+    from pyspark.sql import functions as F
+
     from ticdc_spark.operators.lww import (
+        lww_collapse_prearranged,
         lww_latest_agg,
         lww_latest_salted,
         lww_latest_semijoin,
         lww_latest_window,
     )
+
+    def bucketed(df, keys):
+        expr = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4))
+        return lww_collapse_prearranged(df, expr, 4, keys).drop("_bucket")
 
     @settings(max_examples=12, deadline=None)
     @given(
@@ -132,7 +139,7 @@ def test_lww_strategies_agree_hypothesis(spark):
         ):
             state[doc] = (op, ts, seq, payload)
         want = {d: v for d, v in state.items()}
-        for strat in (lww_latest_agg, lww_latest_window, lww_latest_semijoin, lww_latest_salted):
+        for strat in (lww_latest_agg, lww_latest_window, lww_latest_semijoin, lww_latest_salted, bucketed):
             got = {
                 r["doc_id"]: (r["op"], r["commit_ts"], r["seq"], r["payload"])
                 for r in strat(df, ["doc_id"]).collect()

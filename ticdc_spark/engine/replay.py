@@ -19,19 +19,44 @@ from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
 from ..operators.epochs import epoch_slice, frontier_and_bounds, resolved_frontier
-from ..operators.lww import lww_latest_agg, lww_latest_semijoin
+from ..operators.lww import (
+    lww_collapse_prearranged,
+    lww_latest_agg,
+    lww_latest_salted,
+    lww_latest_semijoin,
+)
 
 
-def replay_epoch(table: LakeTable, events: DataFrame, epoch_id: str) -> dict:
-    """Dedup one epoch's events and merge. events: binlog-schema rows."""
+def replay_epoch(
+    table: LakeTable, events: DataFrame, epoch_id: str, collapse: str = "bucket_window"
+) -> dict:
+    """Dedup one epoch's events and merge. events: binlog-schema rows.
+
+    collapse: "bucket_window" (default — single payload shuffle fused with
+    the bucketed MOR write), "agg" (map-side combine; the skew-immune choice
+    for hot-key feeds), "semijoin", or "salted". All four produce identical
+    winners (operators/lww.py); they differ only in physical plan.
+    """
     key = table.key_col
     payload = [f["name"] for f in table.current_fields if f["name"] != key]
     cols = [key, "op", "commit_ts", "seq", *payload]
+    ev = events.select(*cols)
     # NO persist: caching wide token rows into the columnar cache costs more
     # than recomputing (measured 10x worse at 32 threads — large-allocation
-    # GC pressure). merge_epoch's touched-bucket pass only needs the key, so
-    # Catalyst prunes the payload out of the recomputed semijoin.
-    winners = lww_latest_semijoin(events.select(*cols), [key])
+    # GC pressure).
+    if collapse == "bucket_window":
+        winners = lww_collapse_prearranged(
+            ev, table._bucket_expr(table.bucket_col), table.n_buckets, [key]
+        )
+        return table.merge_epoch(
+            winners, epoch_id, assume_deduped=True, prearranged=True
+        )
+    fn = {
+        "agg": lww_latest_agg,
+        "salted": lww_latest_salted,
+        "semijoin": lww_latest_semijoin,
+    }[collapse]
+    winners = fn(ev, [key])
     return table.merge_epoch(winners, epoch_id, assume_deduped=True)
 
 
@@ -41,6 +66,7 @@ def replay_binlog(
     n_epochs: int = 1,
     epoch_prefix: str = "replay",
     stop_after_epoch: int | None = None,
+    collapse: str = "bucket_window",
 ) -> list[dict]:
     """Replay a full binlog in `n_epochs` commit-ts slices.
 
@@ -65,7 +91,7 @@ def replay_binlog(
             (F.col("commit_ts") > prev_hi) & (F.col("commit_ts") <= hi)
         )
         epoch_id = f"{epoch_prefix}-{e:05d}-{hi}"
-        stats.append(replay_epoch(table, sl, epoch_id))
+        stats.append(replay_epoch(table, sl, epoch_id, collapse=collapse))
         prev_hi = hi
         if stop_after_epoch is not None and e >= stop_after_epoch:
             break
@@ -79,6 +105,7 @@ def replay_chunks(
     spark: SparkSession,
     chunk_dirs: list[str],
     epoch_prefix: str = "chunk",
+    collapse: str = "bucket_window",
 ) -> list[dict]:
     """Scan-once replay: each epoch reads ONLY its own chunk of files (the
     arrival-ordered layout of testgen.write_binlog_chunks, i.e. what a
@@ -90,7 +117,9 @@ def replay_chunks(
     for d in chunk_dirs:
         events = open_binlog(spark, d)
         name = d.rstrip("/").rsplit("/", 1)[-1]
-        stats.append(replay_epoch(table, events, f"{epoch_prefix}-{name}"))
+        stats.append(
+            replay_epoch(table, events, f"{epoch_prefix}-{name}", collapse=collapse)
+        )
     return stats
 
 

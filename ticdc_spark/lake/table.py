@@ -459,6 +459,7 @@ class LakeTable:
         watermarks: dict | None = None,
         assume_deduped: bool = False,
         mode: str = "mor",
+        prearranged: bool = False,
     ) -> dict:
         """Apply one epoch of change rows. Exactly-once by epoch_id;
         conditional on (commit_ts, seq, op_rank) recency.
@@ -474,6 +475,18 @@ class LakeTable:
 
         changes columns: key_col, op, commit_ts, seq, + current payload cols.
         Returns stats dict {committed, touched_buckets, rows_written}.
+
+        prearranged=True (MOR only): the caller guarantees `changes` already
+        carries a `_bucket` column equal to this table's bucket expression,
+        is hash-partitioned by it, holds one row per key, and is key-sorted
+        within each bucket — the contract lww_collapse_prearranged
+        establishes. The write then adds NO exchange and NO sort (the
+        dynamic-partition writer's required [_bucket] ordering is satisfied
+        by the window's (_bucket, key) sort): the epoch's single payload
+        shuffle is the one the collapse already paid. Only valid for
+        key-bucketed tables (bucket_col == key_col) — with a non-key
+        bucket_col a key's rows span buckets and per-bucket ranking would
+        be wrong, so this raises.
         """
         if epoch_id in self.committed_epochs:
             return {"committed": False, "reason": "epoch already committed"}
@@ -481,14 +494,29 @@ class LakeTable:
         key = self.key_col
         payload_names = [f["name"] for f in self.current_fields if f["name"] != key]
 
-        # normalize change rows -> (key, payload..., sys cols)
+        if prearranged:
+            if mode != "mor" or not assume_deduped:
+                raise ValueError("prearranged merge requires mode='mor' and assume_deduped=True")
+            if self.bucket_col != key:
+                raise ValueError(
+                    "prearranged merge needs a key-bucketed table "
+                    f"(bucket_col={self.bucket_col!r} != key_col={key!r})"
+                )
+            if "_bucket" not in changes.columns:
+                raise ValueError("prearranged merge expects a _bucket column")
+
+        # normalize change rows -> (key, payload..., sys cols); a pure
+        # projection, so a prearranged input keeps its partitioning/order
         ch = changes.select(
             F.col(key),
             *[F.col(c) for c in payload_names],
             F.col("commit_ts").alias(SYS_COMMIT_TS),
             F.col("seq").alias(SYS_SEQ),
             (F.col("op") == OP_DELETE).alias(SYS_DELETED),
-        ).withColumn("_bucket", self._bucket_expr(self.bucket_col))
+            *([F.col("_bucket")] if prearranged else []),
+        )
+        if not prearranged:
+            ch = ch.withColumn("_bucket", self._bucket_expr(self.bucket_col))
         if not assume_deduped:
             # collapse within the epoch so deltas carry one row per key
             ch = self._collapse(ch)
@@ -499,10 +527,13 @@ class LakeTable:
         new_version = self._manifest["version"] + 1
         data_dir = f"data/v{new_version:08d}"
         abs_dir = os.path.join(self.root, data_dir)
+        out = (
+            ch
+            if prearranged
+            else ch.repartition(self.n_buckets, "_bucket").sortWithinPartitions(key)
+        )
         (
-            ch.repartition(self.n_buckets, "_bucket")
-            .sortWithinPartitions(key)
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(abs_dir)
         )

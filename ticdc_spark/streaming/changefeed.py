@@ -181,6 +181,7 @@ class ChangeFeed:
         admin=None,
         feed_name: str | None = None,
         post_batch=None,
+        collapse: str = "bucket_window",
     ):
         """start_ts: replicate only events with commit_ts > start_ts — the
         `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
@@ -213,6 +214,17 @@ class ChangeFeed:
         self.compact_max_deltas = compact_max_deltas
         self.start_ts = start_ts
         self.strict_watermarks = strict_watermarks
+        # LWW collapse strategy for the apply path (operators/lww.py):
+        #   "bucket_window" (default) — single payload shuffle fused with
+        #     the bucketed write (lww_collapse_prearranged); fastest plan.
+        #   "agg" — max_by with map-side partial aggregation; the choice for
+        #     feeds with adversarial per-key skew (a hot region's key
+        #     collapses across all input tasks BEFORE the shuffle).
+        #   "semijoin" / "salted" — rank-only shuffle + join-back / explicit
+        #     two-phase salted reduce (kept for comparison + extreme skew).
+        if collapse not in ("bucket_window", "agg", "semijoin", "salted"):
+            raise ValueError(f"unknown collapse strategy {collapse!r}")
+        self.collapse = collapse
         # MQ sink (cdc/sink/mq.go:165-226): when set, each batch's released
         # events are ALSO emitted as Open-Protocol (key_json, value_json)
         # messages under mq_dir/batch-N/partition=P (P = index-value
@@ -704,11 +716,36 @@ class ChangeFeed:
             mounted = mount_typed(sl, self.registry, target_ver, versions_present=hint)
         key = self.table.key_col
         payload = [f["name"] for f in self.table.current_fields if f["name"] != key]
-        # rank-only-shuffle LWW (payload stays out of the shuffle) + MOR
-        # delta append: the same one-job-per-epoch fast path as batch replay
-        winners = lww_latest_semijoin(
-            mounted.select(key, "op", "commit_ts", "seq", *payload), [key]
-        )
+        events = mounted.select(key, "op", "commit_ts", "seq", *payload)
+        # LWW collapse per the configured strategy (see __init__); the
+        # default fuses the collapse shuffle with the bucketed MOR write —
+        # one payload exchange per epoch, no join, no second sort.
+        if self.collapse == "bucket_window":
+            from ..operators.lww import lww_collapse_prearranged
+
+            winners = lww_collapse_prearranged(
+                events,
+                self.table._bucket_expr(self.table.bucket_col),
+                self.table.n_buckets,
+                [key],
+            )
+            return self.table.merge_epoch(
+                winners,
+                epoch_id,
+                watermarks=watermarks,
+                assume_deduped=True,
+                prearranged=True,
+            )
+        if self.collapse == "agg":
+            from ..operators.lww import lww_latest_agg
+
+            winners = lww_latest_agg(events, [key])
+        elif self.collapse == "salted":
+            from ..operators.lww import lww_latest_salted
+
+            winners = lww_latest_salted(events, [key])
+        else:
+            winners = lww_latest_semijoin(events, [key])
         return self.table.merge_epoch(
             winners, epoch_id, watermarks=watermarks, assume_deduped=True
         )

@@ -49,6 +49,7 @@ class MultiTableChangeFeed:
         admin=None,
         feed_name: str | None = None,
         post_batch=None,
+        collapse_overrides: dict[str, str] | None = None,
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
@@ -75,6 +76,13 @@ class MultiTableChangeFeed:
         self.boundaries = dict(boundaries or {})
         self.stop_ts = dict(stop_ts or {})
         self.mode = mode
+        # per-table LWW collapse strategy override ("agg"/"semijoin") for
+        # tables with adversarial per-key skew; default is the single-
+        # shuffle bucket_window plan (see ChangeFeed.collapse)
+        self.collapse_overrides = dict(collapse_overrides or {})
+        for t, s in self.collapse_overrides.items():
+            if s not in ("bucket_window", "agg", "semijoin"):
+                raise ValueError(f"unknown collapse strategy {s!r} for table {t!r}")
         # multi-table MQ sink: one batch dir shared by every table, rows
         # routed by the dispatcher rule set (§2.10 switcher — per-table glob
         # matchers; default index-value keeps per-key ordering)
@@ -384,15 +392,35 @@ class MultiTableChangeFeed:
                         ssl = mount_raw(
                             ssl, reg, table.schema_version, versions_present=hint
                         )
-                    winners = lww_latest_semijoin(
-                        ssl.select(key, "op", "commit_ts", "seq", *payload), [key]
-                    )
-                    st = table.merge_epoch(
-                        winners,
-                        f"cfm-{self.feed_id}-{batch_id:010d}-{name}-s{k}",
-                        watermarks=watermarks,
-                        assume_deduped=True,
-                    )
+                    # single-shuffle collapse fused with the bucketed write
+                    # (operators/lww.py lww_collapse_prearranged; per-table
+                    # skew overrides via collapse_overrides)
+                    ev = ssl.select(key, "op", "commit_ts", "seq", *payload)
+                    strat = self.collapse_overrides.get(name, "bucket_window")
+                    if strat == "bucket_window":
+                        from ..operators.lww import lww_collapse_prearranged
+
+                        winners = lww_collapse_prearranged(
+                            ev, table._bucket_expr(table.bucket_col), table.n_buckets, [key]
+                        )
+                        st = table.merge_epoch(
+                            winners,
+                            f"cfm-{self.feed_id}-{batch_id:010d}-{name}-s{k}",
+                            watermarks=watermarks,
+                            assume_deduped=True,
+                            prearranged=True,
+                        )
+                    else:
+                        from ..operators.lww import lww_latest_agg
+
+                        fn = lww_latest_agg if strat == "agg" else lww_latest_semijoin
+                        winners = fn(ev, [key])
+                        st = table.merge_epoch(
+                            winners,
+                            f"cfm-{self.feed_id}-{batch_id:010d}-{name}-s{k}",
+                            watermarks=watermarks,
+                            assume_deduped=True,
+                        )
                     committed_any = committed_any or st.get("committed", False)
                 if shi is not None:
                     ver = reg.ddl_ts.index(shi) + 1
