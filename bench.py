@@ -126,10 +126,14 @@ def bench_replay(spark, work_root: str, n_events: int) -> dict:
 def bench_replay_skew(spark, work_root: str, n_events: int) -> dict:
     """Skew-stress replay: 60% of events hit 4 hot keys (the hot-region
     case the reference handles with TiKV region splits + table rebalancing).
-    The LWW agg collapses hot keys map-side (partial aggregation), so
-    throughput should stay comparable to the uniform case — this row is the
-    evidence. Same event count, chunking, and warmup protocol as the
-    uniform replay so the two rows compare apples-to-apples."""
+    Runs with collapse="agg" — the documented skew configuration
+    (ChangeFeed collapse / MultiTableChangeFeed collapse_overrides): max_by's
+    map-side partial aggregation collapses hot keys across ALL input tasks
+    before the shuffle, so throughput stays comparable to the uniform case —
+    this row is the evidence. (The default bucket_window plan sorts a hot
+    key's events in its single bucket task; see BENCH.md for the measured
+    gap.) Same event count, chunking, and warmup protocol as the uniform
+    replay so the two rows compare apples-to-apples."""
     from ticdc_spark.engine.replay import replay_chunks
     from ticdc_spark.lake.table import LakeTable
     from ticdc_spark.testgen import BinlogSpec, write_binlog_chunks
@@ -154,12 +158,12 @@ def bench_replay_skew(spark, work_root: str, n_events: int) -> dict:
     )
     warm_dir = os.path.join(work_root, "bench_tbl_skew_warm")
     shutil.rmtree(warm_dir, ignore_errors=True)
-    replay_chunks(LakeTable.create(spark, warm_dir, n_buckets=64), spark, chunk_dirs, epoch_prefix="warmskew")
+    replay_chunks(LakeTable.create(spark, warm_dir, n_buckets=64), spark, chunk_dirs, epoch_prefix="warmskew", collapse="agg")
     tbl_dir = os.path.join(work_root, "bench_tbl_skew")
     shutil.rmtree(tbl_dir, ignore_errors=True)
     table = LakeTable.create(spark, tbl_dir, n_buckets=64)
     t0 = time.time()
-    stats = replay_chunks(table, spark, chunk_dirs, epoch_prefix="skew")
+    stats = replay_chunks(table, spark, chunk_dirs, epoch_prefix="skew", collapse="agg")
     dt = time.time() - t0
     return {
         "sec": round(dt, 3),
