@@ -195,6 +195,13 @@ def minhash_lsh_pairs(
     # is quadratic in the cluster size and a forced broadcast OOMs the
     # driver; AQE picks broadcast at runtime when the set actually fits,
     # and falls back to a shuffle join when it doesn't.
+    # The shingle subtree is referenced three times below (sizes, sh_a,
+    # sh_b) and once more by the signature pass above — deliberately
+    # RECOMPUTED, not materialized: it is a scan-fused narrow explode
+    # (projection + generator, no shuffle), and a localCheckpoint of the
+    # exploded set costs more than the recomputes (measured at sf0.1:
+    # 4.5 s recompute vs 4.5-5.9 s checkpointed; at 100 TB the exploded
+    # shingle set is ~10x the corpus and would dominate local disk).
     sh = shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
