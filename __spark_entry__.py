@@ -826,6 +826,16 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.chunk_dedup(_docs(spark, sf_dir)))
 
 
+def q_dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span flagging (fixed-window exact form of suffix-array
+    dedup, Lee et al. 2022): per-doc fraction of w-token windows whose exact
+    sequence occurs >= min_count times anywhere in the corpus. Three linear
+    shuffles — gram count, co-partitioned semi-join, per-doc rollup."""
+    return _longify(
+        dd.dup_spans(_docs(spark, sf_dir), w=5, min_count=2, frac_threshold=0.2)
+    )
+
+
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.minhash_signatures(_docs(spark, sf_dir), n=3))
 
@@ -1907,6 +1917,9 @@ FROM documents GROUP BY 1
         + _dedup_shingle_sql(max_df=100)
         + "SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= 0.8",
         "dedup_chunks": dd.chunk_dedup_sql(),
+        "dedup_dup_spans": dd.dup_spans_oracle_sql(
+            w=5, min_count=2, frac_threshold=0.2
+        ),
         "dedup_minhash_sig": "WITH " + _minhash_sig_sql() + "\nSELECT * FROM sig",
         "dedup_minhash_lsh": "WITH "
         + _dedup_shingle_sql()  # t/g/sh/sizes/inter/jac CTEs
@@ -2126,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_chunks": q_dedup_chunks,
+        "dedup_dup_spans": q_dedup_dup_spans,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,

@@ -651,3 +651,50 @@ def test_dedup_clusters_one_survivor_per_cluster(docs):
     want = _py_components(pairs)
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert got == want
+
+
+def test_dup_spans_flags_repeated_windows(spark):
+    from ticdc_spark.pipeline.dedup import dup_spans
+
+    rows = [
+        # doc 1 & 2 share the exact 4-token span "the cat sat down" -> both
+        # docs' overlapping windows containing it are duplicated
+        (1, "the cat sat down on the mat quietly today"),
+        (2, "yesterday the cat sat down near a tree"),
+        # doc 3 repeats a span WITHIN itself (occurrence count, not doc freq)
+        (3, "red blue green gold red blue green gold extra pad words here"),
+        # doc 4: unique content, no duplicated windows
+        (4, "completely unrelated sentence with distinct vocabulary choices"),
+        # doc 5: shorter than w tokens -> 0 windows, dup_frac 0, unflagged
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dup_spans(docs, w=4, min_count=2).collect()}
+
+    assert got[5]["n_windows"] == 0 and got[5]["dup_frac"] == 0.0
+    assert got[5]["flagged"] == 0
+    assert got[4]["n_dup_windows"] == 0 and got[4]["flagged"] == 0
+    # the shared span appears once per doc: exactly one duplicated window each
+    assert got[1]["n_dup_windows"] == 1 and got[2]["n_dup_windows"] == 1
+    # doc 3: "red blue green gold" occurs at offsets 0 and 4 -> 2 dup windows
+    assert got[3]["n_dup_windows"] == 2
+    # dup_frac is n_dup/n_windows rounded to 6 places
+    assert got[1]["dup_frac"] == round(1 / got[1]["n_windows"], 6)
+    # every doc appears exactly once
+    assert sorted(got) == [1, 2, 3, 4, 5]
+
+
+def test_dup_spans_frac_threshold_flags(spark):
+    from ticdc_spark.pipeline.dedup import dup_spans
+
+    rows = [
+        (10, "alpha beta gamma delta alpha beta gamma delta"),  # all windows dup-heavy
+        (11, "one two three four five six seven eight nine"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in dup_spans(docs, w=4, min_count=2, frac_threshold=0.2).collect()
+    }
+    assert got[10]["flagged"] == 1 and got[10]["dup_frac"] > 0.2
+    assert got[11]["flagged"] == 0 and got[11]["dup_frac"] == 0.0

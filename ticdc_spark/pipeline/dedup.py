@@ -545,3 +545,120 @@ SELECT c.doc_id,
 FROM c JOIN dfreq USING (chunk_md5)
 GROUP BY c.doc_id
 """
+
+
+def dup_spans(
+    docs: DataFrame,
+    w: int = 10,
+    min_count: int = 2,
+    frac_threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-internal duplicated-span detection: the fixed-window exact
+    form of suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a w-token window is
+    DUPLICATED when its exact token sequence occurs >= min_count times
+    anywhere in the corpus (across docs or repeated within one doc —
+    occurrence count, NOT doc frequency, which is what distinguishes this
+    from chunk_dedup's boilerplate-mass rule above; windows OVERLAP, chunks
+    don't). Per doc: the fraction of its windows that are duplicated; docs
+    above frac_threshold are flagged for dropping/trimming.
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_frac, flagged) — one row
+    per input doc (docs shorter than w tokens have 0 windows, dup_frac 0).
+
+    Scale shape (100 TB): three linear shuffles, nothing quadratic —
+      1. gram count: explode O(total tokens) windows -> groupBy(gram) with
+         map-side partial aggregation (the repeated spans this op exists to
+         find are exactly the ones partial agg collapses before the wire);
+      2. dup marking: semi-join the window stream against the duplicated
+         grams on the SAME gram key — co-partitioned with the count's
+         output, so AQE reuses the exchange;
+      3. per-doc rollup: groupBy(doc_id) count.
+    The suffix-array construction the paper uses is a global sort the
+    cluster can't shard cheaply; fixed-w windows give the same flagging
+    decision for spans >= w at 1/w-th the index size and pure-DataFrame
+    shape. h60 pre-hashing keeps gram shuffle rows ~16 B instead of the
+    w-word string.
+    """
+    toks = tokens_col(text_col)
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(toks, w)).alias("gram"),
+    ).select("doc_id", h60(F.col("gram")).alias("g"))
+    counts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
+    dup = counts.filter(F.col("cnt") >= min_count).select("g")
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    dup_per_doc = (
+        grams.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                    / F.col("n_windows"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("dup_frac") > F.lit(frac_threshold)).cast("int"),
+        )
+    )
+
+
+def dup_spans_oracle_sql(
+    w: int = 10, min_count: int = 2, frac_threshold: float = 0.2
+) -> str:
+    """DuckDB oracle for dup_spans (same windows, same occurrence rule;
+    gram identity by the w-word string itself — h60 on the Spark side is a
+    pure shuffle-size optimization, injective on these grams far below
+    birthday bounds)."""
+    from ..functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(toks[i:i + {w - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, greatest(len(toks) - {w - 1}, 0))) AS i
+    FROM t
+  )
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= {min_count}
+), nw AS (
+  SELECT doc_id, count(*) AS n_windows FROM g GROUP BY doc_id
+), nd AS (
+  SELECT doc_id, count(*) AS n_dup_windows
+  FROM g WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(nw.n_windows, 0) AS n_windows,
+       coalesce(nd.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN coalesce(nw.n_windows, 0) > 0
+            THEN round(coalesce(nd.n_dup_windows, 0) * 1.0 / nw.n_windows, 6)
+            ELSE 0.0 END AS dup_frac,
+       CASE WHEN (CASE WHEN coalesce(nw.n_windows, 0) > 0
+                       THEN round(coalesce(nd.n_dup_windows, 0) * 1.0 / nw.n_windows, 6)
+                       ELSE 0.0 END) > {frac_threshold}
+            THEN 1 ELSE 0 END AS flagged
+FROM t
+LEFT JOIN nw USING (doc_id)
+LEFT JOIN nd USING (doc_id)
+"""
