@@ -45,6 +45,8 @@ from ticdc_spark.functions.text import (
     repetition_columns,
     repetition_sql,
     tokens_col,
+    unigram_nll_columns,
+    unigram_nll_sql,
 )
 from ticdc_spark.operators.feed import FEED_SQL, N_PARTS, changelog
 from ticdc_spark.operators.lww import lww_latest_agg, lww_latest_window, op_rank_col
@@ -798,6 +800,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(repetition_columns(_docs(spark, sf_dir)))
 
 
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc mean NLL under the corpus
+    unigram distribution (add-one smoothed). Two linear shuffles."""
+    return _longify(unigram_nll_columns(_docs(spark, sf_dir)))
+
+
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(pii_columns(_docs(spark, sf_dir)))
 
@@ -834,6 +842,14 @@ def q_dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(
         dd.dup_spans(_docs(spark, sf_dir), w=5, min_count=2, frac_threshold=0.2)
     )
+
+
+def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION form of dedup_dup_spans: tokens covered by any duplicated
+    w-token window are removed, surviving tokens re-joined (ExactSubstr
+    deletion, Lee et al. 2022). Same three linear shuffles plus a per-doc
+    collect_set; interval-coverage test runs in array HOFs, no 4th shuffle."""
+    return _longify(dd.dup_span_trim(_docs(spark, sf_dir), w=5, min_count=2))
 
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1883,6 +1899,7 @@ FROM t
         "text_langid": _langid_sql(),
         "text_fingerprint": fingerprint_sql(),
         "text_repetition": repetition_sql(),
+        "text_unigram_nll": unigram_nll_sql(),
         "text_pii": pii_sql(),
         "curate_corpus": _curate_sql(),
         "curate_full": _curate_sql(src="train", prefix_ctes="train AS (SELECT * FROM documents WHERE NOT (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0)),\n", anti_cte="cont AS (\n  SELECT DISTINCT z.doc_id FROM (\n    SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks\n    FROM tq\n  ) z\n  JOIN (\n    SELECT DISTINCT array_to_string(e.toks[e.i:e.i+7], ' ') AS gram FROM (\n      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,\n             unnest(generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 7, 0))) AS i\n      FROM documents WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0\n    ) e\n  ) eg ON array_to_string(z.toks[z.i:z.i+7], ' ') = eg.gram\n)"),
@@ -1920,6 +1937,7 @@ FROM documents GROUP BY 1
         "dedup_dup_spans": dd.dup_spans_oracle_sql(
             w=5, min_count=2, frac_threshold=0.2
         ),
+        "dedup_span_trim": dd.dup_span_trim_oracle_sql(w=5, min_count=2),
         "dedup_minhash_sig": "WITH " + _minhash_sig_sql() + "\nSELECT * FROM sig",
         "dedup_minhash_lsh": "WITH "
         + _dedup_shingle_sql()  # t/g/sh/sizes/inter/jac CTEs
@@ -2131,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_unigram_nll": q_text_unigram_nll,
         "text_pii": q_text_pii,
         "curate_corpus": q_curate_corpus,
         "curate_full": q_curate_full,
@@ -2140,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_chunks": q_dedup_chunks,
         "dedup_dup_spans": q_dedup_dup_spans,
+        "dedup_span_trim": q_dedup_span_trim,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,

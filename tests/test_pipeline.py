@@ -698,3 +698,65 @@ def test_dup_spans_frac_threshold_flags(spark):
     }
     assert got[10]["flagged"] == 1 and got[10]["dup_frac"] > 0.2
     assert got[11]["flagged"] == 0 and got[11]["dup_frac"] == 0.0
+
+
+def test_dup_span_trim_removes_covered_tokens(spark):
+    from ticdc_spark.pipeline.dedup import dup_span_trim
+
+    rows = [
+        # shared 4-token span "the cat sat down" -> those 4 tokens removed
+        # from both docs, everything else intact
+        (1, "intro words the cat sat down and more trailing"),
+        (2, "the cat sat down elsewhere entirely different suffix"),
+        (3, "unique document nothing repeated anywhere at all"),
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r for r in dup_span_trim(docs, w=4, min_count=2).collect()
+    }
+    assert got[1]["trimmed_text"] == "intro words and more trailing"
+    assert got[1]["n_removed"] == 4 and got[1]["n_tok"] == 9
+    assert got[2]["trimmed_text"] == "elsewhere entirely different suffix"
+    assert got[2]["n_removed"] == 4
+    # untouched docs come back verbatim (token-joined), zero removed
+    assert got[3]["n_removed"] == 0 and got[3]["trimmed_text"] == rows[2][1]
+    assert got[4]["n_removed"] == 0 and got[4]["trimmed_text"] == "tiny doc"
+
+
+def test_dup_span_trim_overlapping_windows_merge(spark):
+    from ticdc_spark.pipeline.dedup import dup_span_trim
+
+    # "a b c d e" repeats -> windows at two offsets overlap; the union of
+    # covered tokens (not double-removal) is what must disappear
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "p q a b c d e r"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r for r in dup_span_trim(docs, w=4, min_count=2).collect()
+    }
+    # w=4 windows over the shared 5-gram: "a b c d" and "b c d e" both
+    # duplicated -> tokens a..e covered in both docs
+    assert got[1]["trimmed_text"] == "x y z" and got[1]["n_removed"] == 5
+    assert got[2]["trimmed_text"] == "p q r" and got[2]["n_removed"] == 5
+
+
+def test_unigram_nll_orders_rare_docs_above_common(spark):
+    from ticdc_spark.functions.text import unigram_nll_columns
+
+    rows = [
+        (1, "the the the the"),           # most common token -> lowest nll
+        (2, "the the zyzzyva the"),       # one rare token raises the mean
+        (3, "qwertyuiop asdfghjkl"),      # all-rare -> highest nll
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in unigram_nll_columns(docs).collect()}
+    assert got[1]["nll"] < got[2]["nll"] < got[3]["nll"]
+    assert got[1]["n_tok"] == 4 and got[3]["n_tok"] == 2
+    # exact value check: corpus N=10, V=4; cnt(the)=7 -> p(the)=(7+1)/14
+    import math
+
+    want = round(-math.log(8 / 14), 6)
+    assert abs(got[1]["nll"] - want) < 1e-6

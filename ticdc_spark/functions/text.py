@@ -296,3 +296,63 @@ SELECT doc_id,
        md5({scrub}) AS scrubbed_md5
 FROM documents
 """
+
+
+def unigram_nll_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality proxy: per-doc mean negative
+    log-likelihood of its tokens under the CORPUS unigram distribution with
+    add-one smoothing, p(tok) = (cnt+1) / (N+V). CCNet ranks by KenLM 5-gram
+    perplexity (Wenzek et al. 2020); the unigram form keeps the exact same
+    pipeline shape (score -> rank -> head/middle/tail buckets) with no
+    external model, and is the honest in-engine stand-in. High nll = rare
+    vocabulary (tail), low = stopword-heavy boilerplate (head).
+
+    Output: (doc_id, n_tok, nll) with nll rounded to 6 places.
+
+    Scale shape: two linear shuffles — token counts groupBy(tok) with
+    map-side partial agg, then the exploded token stream re-joined to the
+    count table on the SAME key (co-partitioned) and one groupBy(doc_id)
+    avg. The (N, V) corpus totals are a 1-row aggregate cross-joined in;
+    Spark broadcasts it.
+    """
+    toks = (
+        df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("v_total")
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("cnt") + F.lit(1)).cast("double")
+                    / (F.col("n_total") + F.col("v_total")).cast("double")
+                )
+            ).alias("tok_nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.round(F.avg("tok_nll"), 6).alias("nll"),
+    )
+
+
+def unigram_nll_sql() -> str:
+    toks = TOKENS_SQL.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), c AS (
+  SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS n_total, count(*) AS v_total FROM c
+)
+SELECT t.doc_id, count(*) AS n_tok,
+       round(avg(-ln((c.cnt + 1) * 1.0 / (tot.n_total + tot.v_total))), 6) AS nll
+FROM t JOIN c USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+"""

@@ -662,3 +662,102 @@ FROM t
 LEFT JOIN nw USING (doc_id)
 LEFT JOIN nd USING (doc_id)
 """
+
+
+def dup_span_trim(
+    docs: DataFrame,
+    w: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTION form of dup_spans: remove every token covered by a
+    duplicated w-token window (Lee et al. 2022 delete the repeated
+    substring itself, not the whole document — ExactSubstr dedup). A token
+    at index t is removed when ANY duplicated window [p, p+w-1] covers it;
+    surviving tokens are re-joined with single spaces (whitespace is
+    normalized by tokenization, which the flagging op already fixed as the
+    corpus contract).
+
+    Output: (doc_id, n_tok, n_removed, trimmed_text).
+
+    Scale shape: same three linear shuffles as dup_spans, plus a per-doc
+    collect_set of duplicated window offsets — bounded by doc length, the
+    unit all per-doc ops here already work in. The coverage test
+    (token-index vs window-interval) runs inside array higher-order
+    functions on the already-assembled row: zero extra shuffle, stays in
+    codegen, never explodes the token stream a second time.
+    """
+    toks = tokens_col(text_col)
+    base = docs.select("doc_id", toks.alias("toks"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("toks"), w)).alias("pos", "gram"),
+    ).select("doc_id", "pos", h60(F.col("gram")).alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("g")
+    )
+    dpos = (
+        grams.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("dup_pos"))
+    )
+    dp = F.coalesce(F.col("dup_pos"), F.array().cast("array<int>"))
+    idx = F.sequence(F.lit(0), F.size("toks") - F.lit(1))
+    kept_idx = F.filter(
+        idx,
+        lambda t: ~F.exists(dp, lambda p: (p <= t) & (t <= p + F.lit(w - 1))),
+    )
+    kept = F.transform(kept_idx, lambda t: F.element_at(F.col("toks"), t + 1))
+    return base.join(dpos, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("trimmed_text"),
+    )
+
+
+def dup_span_trim_oracle_sql(w: int = 10, min_count: int = 2) -> str:
+    """DuckDB oracle for dup_span_trim: relational form of the same rule —
+    a token survives unless a duplicated window's [pos, pos+w-1] interval
+    covers its index (1-based here; both engines agree on tokenization)."""
+    from ..functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tk,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM t
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i + {w - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, greatest(len(toks) - {w - 1}, 0))) AS i
+    FROM t
+  )
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= {min_count}
+), dwin AS (
+  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+), kept AS (
+  SELECT tok.doc_id, tok.i, tok.tk FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dwin d
+    WHERE d.doc_id = tok.doc_id AND d.pos <= tok.i AND tok.i <= d.pos + {w - 1}
+  )
+), k AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tk, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.toks) AS n_tok,
+       len(t.toks) - coalesce(k.n_kept, 0) AS n_removed,
+       coalesce(k.txt, '') AS trimmed_text
+FROM t LEFT JOIN k USING (doc_id)
+"""

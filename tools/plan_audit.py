@@ -49,6 +49,9 @@ AUDIT = [
     "corpus_mix",
     "tokens_pack",
     "dedup_chunks",
+    "dedup_dup_spans",
+    "dedup_span_trim",
+    "text_unigram_nll",
     "text_pii",
     "text_repetition",
 ]
