@@ -179,6 +179,31 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_keyless_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force-replicate keyless-table semantics (mysql.go:1203-1221 whereSlice
+    all-columns fallback): an epoch of keyless events collapses to per-value-
+    tuple multiplicity deltas (I +1, D -1, U -1 pre +1 post) — one shuffle
+    with map-side combine. Pre-images derived deterministically from seq so
+    the DuckDB oracle reproduces them."""
+    from ticdc_spark.operators.keyless import keyless_delta
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("uid"),
+        (F.col("event_id") % 5).alias("vb"),
+        F.col("user_id").cast("string").alias("old_uid"),
+        ((F.col("event_id") + 1) % 5).alias("old_vb"),
+    )
+    return _longify(
+        keyless_delta(feed, ["uid", "vb"], {"uid": "old_uid", "vb": "old_vb"})
+    )
+
+
 def q_cdc_resolved_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-frontier fold (cdc/puller/frontier/frontier.go:65-119): global
     resolved-ts = min over partitions of per-partition max commit_ts."""
@@ -1550,6 +1575,23 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": LWW_SQL
         + "SELECT doc_id, commit_ts, seq, event_type, round(value, 6) AS val "
         "FROM ranked WHERE rn = 1 AND op != 'D'",
+        "cdc_keyless_delta": """
+WITH e AS (
+  SELECT event_id AS seq, cast(user_id AS varchar) AS uid,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         (event_id % 5) AS vb, ((event_id + 1) % 5) AS old_vb
+  FROM events
+), d AS (
+  SELECT uid, vb, 1 AS d FROM e WHERE op = 'I'
+  UNION ALL SELECT uid, vb, -1 FROM e WHERE op = 'D'
+  UNION ALL SELECT uid, vb, 1 FROM e WHERE op = 'U'
+  UNION ALL SELECT uid, old_vb AS vb, -1 FROM e WHERE op = 'U'
+)
+SELECT uid, vb, cast(sum(d) AS bigint) AS delta
+FROM d GROUP BY uid, vb HAVING sum(d) != 0
+""",
         "cdc_resolved_frontier": f"""
 WITH feed AS ({FEED_SQL}),
 p AS (SELECT part, max(commit_ts) AS part_resolved FROM feed GROUP BY part)
@@ -2111,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_lww_semijoin": q_cdc_lww_semijoin,
         "cdc_final_state": q_cdc_final_state,
+        "cdc_keyless_delta": q_cdc_keyless_delta,
         "cdc_resolved_frontier": q_cdc_resolved_frontier,
         "cdc_epoch_slice": q_cdc_epoch_slice,
         "cdc_txn_group": q_cdc_txn_group,

@@ -1,0 +1,178 @@
+"""Force-replicate keyless-table replication: multiset state equivalence
+vs a sequential python oracle, redelivery idempotence, corrupt-history
+detection, and pre-flight routing.
+
+Reference semantics: cdc/sink/mysql.go:1203-1221 (whereSlice all-columns
+fallback + LIMIT 1), model/schema_storage.go:309-317 (IsEligible under
+force-replicate).
+"""
+
+import collections
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = (
+    "op string, commit_ts long, seq long, a string, b long, "
+    "old_a string, old_b long"
+)
+OLD = {"a": "old_a", "b": "old_b"}
+FIELDS = [
+    {"id": 1, "name": "a", "type": "string"},
+    {"id": 2, "name": "b", "type": "bigint"},
+]
+
+
+def _consistent_history(n_events: int, seed: int):
+    """A valid keyless history: deletes/updates only touch live instances.
+    Returns (event rows, final python multiset)."""
+    rng = random.Random(seed)
+    bag = collections.Counter()
+    rows = []
+    ts = 0
+    values = [("v%d" % i, i % 3) for i in range(6)]  # tiny space -> dups
+    for seq in range(n_events):
+        ts += rng.randint(0, 2)
+        live = [v for v, c in bag.items() if c > 0]
+        roll = rng.random()
+        if not live or roll < 0.5:
+            v = rng.choice(values)
+            rows.append(("I", ts, seq, v[0], v[1], None, None))
+            bag[v] += 1
+        elif roll < 0.75:
+            v = rng.choice(live)
+            rows.append(("D", ts, seq, v[0], v[1], None, None))
+            bag[v] -= 1
+        else:
+            old = rng.choice(live)
+            new = rng.choice(values)
+            rows.append(("U", ts, seq, new[0], new[1], old[0], old[1]))
+            bag[old] -= 1
+            bag[new] += 1
+    return rows, +bag  # +bag drops zero counts
+
+
+def test_keyless_table_matches_python_multiset(spark, tmp_path):
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    rows, want = _consistent_history(300, seed=7)
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
+    # epochs split by position: replay order is the history order
+    for i, lo in enumerate(range(0, 300, 100)):
+        chunk = spark.createDataFrame(rows[lo : lo + 100], SCHEMA)
+        st = kt.apply_epoch(chunk, f"e{i}", old_cols=OLD)
+        assert st["committed"]
+    got = collections.Counter(
+        (r["a"], r["b"]) for r in kt.read_bag().collect()
+    )
+    assert got == want
+    # mult view agrees with the bag view
+    mult = {(r["a"], r["b"]): r["mult"] for r in kt.read().collect()}
+    assert mult == dict(want)
+
+
+def test_keyless_epoch_boundary_netting(spark, tmp_path):
+    """Within one epoch, insert+delete of the same value nets to zero and
+    never appears; an update chain collapses to its endpoints."""
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
+    e = spark.createDataFrame(
+        [
+            ("I", 1, 0, "p", 1, None, None),
+            ("D", 1, 1, "p", 1, None, None),  # nets out
+            ("I", 1, 2, "q", 2, None, None),
+            ("U", 2, 3, "q", 3, "q", 2),      # q,2 -> q,3
+            ("U", 2, 4, "q", 4, "q", 3),      # q,3 -> q,4 same epoch
+        ],
+        SCHEMA,
+    )
+    assert kt.apply_epoch(e, "e0", old_cols=OLD)["committed"]
+    got = [(r["a"], r["b"], r["mult"]) for r in kt.read().orderBy("a", "b").collect()]
+    assert got == [("q", 4, 1)]
+
+
+def test_keyless_redelivery_and_crash_replay(spark, tmp_path):
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    rows, want = _consistent_history(120, seed=11)
+    root = str(tmp_path / "kl")
+    kt = KeylessTable.create(spark, root, FIELDS, n_buckets=4)
+    chunks = [rows[:60], rows[60:]]
+    assert kt.apply_epoch(spark.createDataFrame(chunks[0], SCHEMA), "e0", old_cols=OLD)["committed"]
+    # redeliver e0: no-op
+    st = kt.apply_epoch(spark.createDataFrame(chunks[0], SCHEMA), "e0", old_cols=OLD)
+    assert not st["committed"]
+    # "crash": reopen from disk, apply e1
+    kt2 = KeylessTable(spark, root)
+    assert kt2.apply_epoch(spark.createDataFrame(chunks[1], SCHEMA), "e1", old_cols=OLD)["committed"]
+    got = collections.Counter((r["a"], r["b"]) for r in kt2.read_bag().collect())
+    assert got == want
+
+
+def test_keyless_negative_multiplicity_raises(spark, tmp_path):
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
+    bad = spark.createDataFrame([("D", 1, 0, "ghost", 1, None, None)], SCHEMA)
+    with pytest.raises(Exception, match="negative"):
+        kt.apply_epoch(bad, "e0", old_cols=OLD)
+    # the failed epoch did not commit; a valid epoch then applies cleanly
+    ok = spark.createDataFrame([("I", 2, 0, "real", 1, None, None)], SCHEMA)
+    assert kt.apply_epoch(ok, "e0", old_cols=OLD)["committed"]
+    assert [(r["a"], r["b"]) for r in kt.read_bag().collect()] == [("real", 1)]
+
+
+def test_keyless_update_without_preimage_raises(spark):
+    from ticdc_spark.operators.keyless import keyless_delta
+
+    ev = spark.createDataFrame(
+        [("U", 1, 0, "x", 1, None, None)], SCHEMA
+    ).select("op", "commit_ts", "seq", "a", "b")
+    with pytest.raises(Exception, match="pre-image"):
+        keyless_delta(ev, ["a", "b"]).collect()
+    # but a stream with no U rows is fine without old cols
+    ev2 = spark.createDataFrame(
+        [("I", 1, 0, "x", 1, None, None), ("D", 1, 1, "x", 1, None, None)],
+        SCHEMA,
+    ).select("op", "commit_ts", "seq", "a", "b")
+    assert keyless_delta(ev2, ["a", "b"]).count() == 0  # nets out
+
+
+def test_keyless_null_columns_distinct_from_empty(spark, tmp_path):
+    """NULL and '' are different value tuples (the \\x00 sentinel)."""
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
+    e = spark.createDataFrame(
+        [
+            ("I", 1, 0, None, 1, None, None),
+            ("I", 1, 1, "", 1, None, None),
+        ],
+        SCHEMA,
+    )
+    assert kt.apply_epoch(e, "e0", old_cols=OLD)["committed"]
+    got = sorted(
+        ((r["a"], r["b"], r["mult"]) for r in kt.read().collect()), key=str
+    )
+    assert got == [("", 1, 1), (None, 1, 1)]
+
+
+def test_replication_mode_routing():
+    from ticdc_spark.operators.handle import replication_mode
+
+    keyed = {
+        "pk_is_handle": True,
+        "columns": [{"name": "id", "primary": True, "nullable": False}],
+        "indices": [],
+    }
+    keyless = {
+        "pk_is_handle": False,
+        "columns": [{"name": "x", "nullable": True}],
+        "indices": [],
+    }
+    assert replication_mode(keyed, force_replicate=False) == "keyed"
+    assert replication_mode(keyed, force_replicate=True) == "keyed"
+    assert replication_mode(keyless, force_replicate=False) == "skip"
+    assert replication_mode(keyless, force_replicate=True) == "keyless"

@@ -116,8 +116,9 @@ class ReplicaConfig:
                              "(single DDL stream feeds every table)")
         if self.force_replicate:
             notes.append(
-                "force-replicate: n/a — ineligible (keyless) tables are "
-                "rejected at pre-flight; every lake table is handle-keyed"
+                "force-replicate: keyless tables replicate as multisets via "
+                "lake.keyless.KeylessTable (operators.handle.replication_mode "
+                "routes them); keyed feeds are unaffected"
             )
         if not self.check_gc_safe_point:
             notes.append("check-gc-safe-point: n/a — no TiKV GC here; lake "

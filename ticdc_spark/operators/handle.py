@@ -106,3 +106,16 @@ def validate_feed_key(table_info: dict, configured_key: str) -> None:
             f"configured key {configured_key!r} != selected handle "
             f"{sel['handle_cols']} (index {sel['handle_index']!r})"
         )
+
+
+def replication_mode(table_info: dict, force_replicate: bool = False) -> str:
+    """The reference's eligibility decision (model/schema_storage.go:309-317
+    IsEligible + mounter.go:249-259 skip): 'keyed' when a handle index
+    exists, else 'keyless' under force-replicate (multiset replication via
+    lake.keyless.KeylessTable — whereSlice's all-columns fallback,
+    mysql.go:1203-1221), else 'skip' (the reference drops the table's DMLs
+    with a debug log)."""
+    sel = select_handle_index(table_info)
+    if sel["eligible"]:
+        return "keyed"
+    return "keyless" if force_replicate else "skip"
