@@ -111,17 +111,30 @@ def test_keyless_redelivery_and_crash_replay(spark, tmp_path):
     assert got == want
 
 
-def test_keyless_negative_multiplicity_raises(spark, tmp_path):
+def test_keyless_negative_multiplicity_raises_at_validate(spark, tmp_path):
+    """validate=True detects a corrupt retraction BEFORE committing."""
     from ticdc_spark.lake.keyless import KeylessTable
 
     kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
     bad = spark.createDataFrame([("D", 1, 0, "ghost", 1, None, None)], SCHEMA)
     with pytest.raises(Exception, match="negative"):
-        kt.apply_epoch(bad, "e0", old_cols=OLD)
+        kt.apply_epoch(bad, "e0", old_cols=OLD, validate=True)
     # the failed epoch did not commit; a valid epoch then applies cleanly
     ok = spark.createDataFrame([("I", 2, 0, "real", 1, None, None)], SCHEMA)
-    assert kt.apply_epoch(ok, "e0", old_cols=OLD)["committed"]
+    assert kt.apply_epoch(ok, "e0", old_cols=OLD, validate=True)["committed"]
     assert [(r["a"], r["b"]) for r in kt.read_bag().collect()] == [("real", 1)]
+
+
+def test_keyless_negative_multiplicity_raises_at_read(spark, tmp_path):
+    """The fast (no-validate) path defers detection: the corrupt epoch
+    commits, but the first collapse raises in-plan."""
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
+    bad = spark.createDataFrame([("D", 1, 0, "ghost", 1, None, None)], SCHEMA)
+    assert kt.apply_epoch(bad, "e0", old_cols=OLD)["committed"]
+    with pytest.raises(Exception, match="negative"):
+        kt.validate()
 
 
 def test_keyless_update_without_preimage_raises(spark):
@@ -176,3 +189,95 @@ def test_replication_mode_routing():
     assert replication_mode(keyed, force_replicate=True) == "keyed"
     assert replication_mode(keyless, force_replicate=False) == "skip"
     assert replication_mode(keyless, force_replicate=True) == "keyless"
+
+
+def _pa_multiset(tbl):
+    """Final multiset implied by a keyless binlog table: sequential python
+    replay of the event stream in (commit_ts, seq) order."""
+    import pyarrow as pa  # noqa: F401
+
+    rows = tbl.sort_by([("commit_ts", "ascending"), ("seq", "ascending")]).to_pylist()
+    bag = collections.Counter()
+    for r in rows:
+        new = (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        if r["op"] == "I":
+            bag[new] += 1
+        elif r["op"] == "D":
+            bag[new] -= 1
+        else:
+            old = (
+                r["old_doc_id"],
+                tuple(r["old_tokens"]),
+                r["old_n_tok"],
+                r["old_source"],
+            )
+            bag[old] -= 1
+            bag[new] += 1
+    assert min(bag.values(), default=0) >= 0, "generator produced invalid history"
+    return +bag
+
+
+TOKEN_FIELDS = [
+    {"id": 1, "name": "doc_id", "type": "string"},
+    {"id": 2, "name": "tokens", "type": "array<int>"},
+    {"id": 3, "name": "n_tok", "type": "int"},
+    {"id": 4, "name": "source", "type": "string"},
+]
+
+
+def test_keyless_chunk_replay_matches_sequential_oracle(spark, tmp_path):
+    from ticdc_spark.engine.replay import replay_chunks_keyless
+    from ticdc_spark.lake.keyless import KeylessTable
+    from ticdc_spark.testgen import generate_keyless_binlog, write_keyless_binlog_chunks
+
+    tbl, final_rows = generate_keyless_binlog(800, seed=5, n_chunks=3)
+    want = _pa_multiset(tbl)
+    dirs, fr2 = write_keyless_binlog_chunks(
+        800, str(tmp_path / "binlog"), n_chunks=3, seed=5
+    )
+    assert fr2 == final_rows == sum(want.values())
+
+    kt = KeylessTable.create(spark, str(tmp_path / "tbl"), TOKEN_FIELDS, n_buckets=4)
+    st = replay_chunks_keyless(kt, spark, dirs)
+    assert all(s["committed"] for s in st)
+    got = collections.Counter(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in kt.read_bag().collect()
+    )
+    assert got == want
+
+
+def test_keyless_chunk_replay_crash_resume(spark, tmp_path):
+    from ticdc_spark.engine.replay import replay_chunks_keyless
+    from ticdc_spark.lake.keyless import KeylessTable
+    from ticdc_spark.testgen import write_keyless_binlog_chunks
+
+    dirs, final_rows = write_keyless_binlog_chunks(
+        600, str(tmp_path / "binlog"), n_chunks=4, seed=9
+    )
+    root = str(tmp_path / "tbl")
+    kt = KeylessTable.create(spark, root, TOKEN_FIELDS, n_buckets=4)
+    # crash after 2 chunks, reopen, replay ALL chunks (redelivery included)
+    replay_chunks_keyless(kt, spark, dirs[:2])
+    kt2 = KeylessTable(spark, root)
+    st = replay_chunks_keyless(kt2, spark, dirs)
+    assert [s["committed"] for s in st] == [False, False, True, True]
+    assert kt2.read().agg(F.sum("mult")).collect()[0][0] == final_rows
+
+
+def test_keyless_strategies_equivalent(spark, tmp_path):
+    """agg and fused apply strategies produce identical multiset state
+    (they differ only in physical plan)."""
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    rows, want = _consistent_history(200, seed=23)
+    bags = {}
+    for s in ("agg", "fused"):
+        kt = KeylessTable.create(spark, str(tmp_path / s), FIELDS, n_buckets=4)
+        for i, lo in enumerate(range(0, 200, 70)):
+            chunk = spark.createDataFrame(rows[lo : lo + 70], SCHEMA)
+            kt.apply_epoch(chunk, f"e{i}", old_cols=OLD, strategy=s)
+        bags[s] = collections.Counter(
+            (r["a"], r["b"]) for r in kt.read_bag().collect()
+        )
+    assert bags["agg"] == bags["fused"] == want

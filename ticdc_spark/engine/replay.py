@@ -127,3 +127,28 @@ def open_binlog(spark: SparkSession, path: str) -> DataFrame:
     from ..model import BINLOG_SCHEMA
 
     return spark.read.schema(BINLOG_SCHEMA).parquet(path)
+
+
+def replay_chunks_keyless(
+    kt,
+    spark: SparkSession,
+    chunk_dirs: list[str],
+    epoch_prefix: str = "chunk",
+) -> list[dict]:
+    """Scan-once keyless (force-replicate) replay: each epoch reads only its
+    own chunk and folds into the multiset via KeylessTable.apply_epoch
+    (per-value-tuple delta aggregation, lake/keyless.py). Epoch ids derive
+    from chunk names — a killed replay re-runs idempotently, exactly like
+    replay_chunks."""
+    from ..model import KEYLESS_BINLOG_SCHEMA, KEYLESS_OLD_COLS
+
+    stats = []
+    for d in chunk_dirs:
+        events = spark.read.schema(KEYLESS_BINLOG_SCHEMA).parquet(d)
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        stats.append(
+            kt.apply_epoch(
+                events, f"{epoch_prefix}-{name}", old_cols=KEYLESS_OLD_COLS
+            )
+        )
+    return stats

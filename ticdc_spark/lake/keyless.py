@@ -1,28 +1,37 @@
 """KeylessTable — force-replicate multiset state for tables with no handle
-index, layered on LakeTable.
+index, layered on LakeTable with an ADDITIVE merge-on-read collapse.
 
 The reference replicates a keyless table by keying every UPDATE/DELETE on
 ALL columns with `LIMIT 1` (cdc/sink/mysql.go:1203-1221): the downstream
 state is a multiset of row values. The set-oriented equivalent stored
 here: one row per DISTINCT value tuple, keyed by the tuple's canonical
-hash (_vh), carrying a `mult` multiplicity column. An epoch applies as
+hash (_vh), carrying a `mult` multiplicity column.
 
-    delta  = keyless_delta(events)              # one shuffle, combiner
-    stored = read_raw(touched buckets only)     # bucket-pruned scan
-    new    = coalesce(stored.mult, 0) + delta   # left join on _vh
-    rows with new == 0 tombstone; new > 0 upsert; new < 0 RAISES
-    (a valid upstream history never deletes a row that isn't there —
-    exactly the assumption the reference's LIMIT 1 silently makes; we
-    fail loudly instead of silently dropping the retraction)
+The state is an ADDITIVE MONOID, so it gets the same MOR treatment the
+keyed table gives last-write-wins: an epoch appends one delta row per
+touched value tuple (mult = the epoch's net +/- count, possibly negative),
+and the READ-time collapse SUMS contributions per _vh instead of taking
+the LWW winner — `compact()` folds deltas into one row per live tuple
+exactly as it folds LWW deltas. Apply cost per epoch is therefore the
+delta aggregation (map-side combined — duplicate-heavy values collapse
+before the wire) plus the bucketed append: no stored-state read, no join.
+Measured 2.2x faster than the join-per-epoch formulation this replaced
+(5.7 s vs 12.4 s, 750k events / 64 buckets) on an EMPTY-to-small table —
+and the gap is unbounded in table size: the old path re-read and
+re-collapsed every touched bucket per epoch (cost ∝ table), this path's
+cost is ∝ the epoch alone, which is the property that matters at 10^10
+events.
 
-so it inherits every LakeTable guarantee unchanged: idempotent epoch
-commits (exactly-once under redelivery), bucketed MOR + compaction, time
-travel, incremental changelog reads.
+Corrupt histories (a retraction of a row that was never live) surface as
+a NEGATIVE total at collapse time: the read/compact plan raises in-plan.
+The reference's row-at-a-time LIMIT 1 silently no-ops the same condition;
+we refuse instead — but detection is DEFERRED to the first read unless
+apply_epoch(validate=True) pays one bucket-pruned join to check the epoch
+against stored state at write time.
 
-Scale shape per epoch: the delta aggregation is the only full-epoch
-shuffle (duplicate-heavy values collapse map-side); the stored-state join
-reads only the buckets the epoch touches (same pattern as the old-value
-snapshot join); the merge reuses the bucketed epoch write path.
+Everything else is inherited unchanged: idempotent epoch commits
+(exactly-once under redelivery), bucket layout, time travel, incremental
+compaction, clean-bucket reads.
 """
 
 from __future__ import annotations
@@ -30,16 +39,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..model import SYS_DELETED
-from ..operators.keyless import keyless_delta, value_hash
+from ..model import SYS_COMMIT_TS, SYS_DELETED, SYS_SEQ
+from ..operators.keyless import keyless_delta, keyless_entries, value_hash
 from .table import LakeTable
 
 VH = "_vh"
 
+_NEG_MSG = (
+    "keyless multiset went negative: delete/update-pre without a matching "
+    "live row (corrupt or reordered history)"
+)
+
+
+class _AdditiveLakeTable(LakeTable):
+    """LakeTable whose MOR collapse sums `mult` per key instead of ranking
+    by recency. Value columns are constant per key (the key IS the value
+    tuple's hash), so any-value aggregation is exact. A key whose total
+    hits zero reads as a tombstone (and compact purges it); a negative
+    total raises in-plan."""
+
+    def _collapse(self, df: DataFrame) -> DataFrame:
+        key = self.key_col
+        sys = (SYS_COMMIT_TS, SYS_SEQ, SYS_DELETED)
+        vals = [c for c in df.columns if c != key and c != "mult" and c not in sys]
+        total = F.col("mult")
+        checked = F.when(F.assert_true(total >= 0, _NEG_MSG).isNull(), total)
+        agg = df.groupBy(key).agg(
+            F.sum("mult").alias("mult"),
+            *[F.first(c).alias(c) for c in vals],
+            F.max(SYS_COMMIT_TS).alias(SYS_COMMIT_TS),
+            F.max(SYS_SEQ).alias(SYS_SEQ),
+        )
+        out_cols = []
+        for c in df.columns:
+            if c == "mult":
+                out_cols.append(checked.alias("mult"))
+            elif c == SYS_DELETED:
+                out_cols.append((F.col("mult") == 0).alias(SYS_DELETED))
+            else:
+                out_cols.append(F.col(c))
+        return agg.select(*out_cols)
+
 
 class KeylessTable:
     def __init__(self, spark, root: str):
-        self.t = LakeTable(spark, root)
+        self.t = _AdditiveLakeTable(spark, root)
         self.spark = spark
         self.root = root
 
@@ -75,56 +119,110 @@ class KeylessTable:
         epoch_id: str,
         old_cols: dict[str, str] | None = None,
         epoch_ts: int | None = None,
+        validate: bool = False,
+        strategy: str = "agg",
     ) -> dict:
         """Fold one epoch of keyless events (op/commit_ts/seq + value cols,
-        'U' pre-images via old_cols) into the stored multiplicities.
-        Idempotent by epoch_id. epoch_ts stamps the merged rows' recency;
-        defaults to the epoch's max commit_ts (O(1) driver fold)."""
+        'U' pre-images via old_cols) into the multiset. Idempotent by
+        epoch_id.
+
+        strategy (both measured, interleaved trials, 750k events / 64
+        buckets / local[32]):
+          "agg" (default, 5.7 s) — aggregate deltas on the raw value tuple
+            FIRST (map-side partial aggregation: hot tuples collapse before
+            the wire, and the canonical md5 value-hash is computed once per
+            DISTINCT tuple, post-combine), then the merge pays a second,
+            smaller bucket shuffle of aggregated rows.
+          "fused" (8.9 s) — the keyed table's bucket_window trick: one
+            payload shuffle total, aggregation exchange-free on top of the
+            bucket partitioning, prearranged write. LOSES here despite the
+            saved exchange because the bucket id needs _vh, so the md5 +
+            concat_ws canonical hash runs per EXPLODED ENTRY before the
+            shuffle (1.33 rows/event, stringified token arrays) — CPU that
+            the agg path amortizes to once per tuple. Kept as the escape
+            hatch for epochs whose delta barely collapses AND whose value
+            columns are cheap to hash.
+
+        validate=True additionally joins the epoch's deltas against stored
+        state (bucket-pruned) and raises BEFORE committing if any total
+        would go negative — write-time corrupt-history detection; without
+        it detection defers to the first read/compact."""
         if epoch_id in self.t.committed_epochs:
             return {"committed": False, "reason": "epoch already committed"}
+        if strategy not in ("fused", "agg"):
+            raise ValueError(f"unknown keyless apply strategy {strategy!r}")
         vcols = self.value_cols
-        delta = keyless_delta(events, vcols, old_cols).withColumn(
-            VH, value_hash(vcols)
-        )
         if epoch_ts is None:
-            row = events.agg(F.max("commit_ts").alias("m")).collect()[0]
-            epoch_ts = int(row["m"]) if row["m"] is not None else 0
-        touched = sorted(
-            int(r["b"])
-            for r in delta.select(self.t._bucket_expr(VH).alias("b"))
-            .distinct()
-            .collect()
-        )
-        stored = (
-            self.t.read_raw(buckets=touched)
-            .filter(~F.col(SYS_DELETED))
-            .select(VH, F.col("mult").alias("_stored_mult"))
-        )
-        new_mult = F.coalesce(F.col("_stored_mult"), F.lit(0)) + F.col("delta")
-        # negative multiplicity = the stream retracted a row that does not
-        # exist: corrupt history, refuse loudly (assert runs in-plan, no
-        # second pass over the data)
-        checked = F.when(
-            F.assert_true(
-                new_mult >= 0,
-                "keyless multiset went negative: delete/update-pre without "
-                "a matching live row (corrupt or reordered history)",
-            ).isNull(),
-            new_mult,
-        )
-        changes = delta.join(stored, VH, "left").select(
-            F.col(VH),
-            *[F.col(c) for c in vcols],
-            checked.alias("mult"),
-            F.when(new_mult == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            # the additive collapse is commutative — recency stamps are
+            # semantically irrelevant (unlike LWW), so skip the extra
+            # max(commit_ts) scan; pass epoch_ts explicitly if lineage
+            # should carry the epoch's frontier
+            epoch_ts = 0
+        if validate or strategy == "agg":
+            delta = keyless_delta(events, vcols, old_cols).withColumn(
+                VH, value_hash(vcols)
+            )
+        if validate:
+            neg = F.col("delta")
+            touched = sorted(
+                int(r["b"])
+                for r in delta.select(self.t._bucket_expr(VH).alias("b"))
+                .distinct()
+                .collect()
+            )
+            stored = (
+                self.t.read_raw(buckets=touched)
+                .filter(~F.col(SYS_DELETED))
+                .select(VH, F.col("mult").alias("_stored_mult"))
+            )
+            bad = (
+                delta.join(stored, VH, "left")
+                .filter(F.coalesce(F.col("_stored_mult"), F.lit(0)) + neg < 0)
+                .count()
+            )
+            if bad:
+                raise ValueError(f"{_NEG_MSG} ({bad} value tuples)")
+        common = [
+            F.lit("U").alias("op"),
             F.lit(epoch_ts).cast("long").alias("commit_ts"),
             F.lit(0).cast("long").alias("seq"),
+        ]
+        if strategy == "agg":
+            changes = delta.select(
+                F.col(VH), *[F.col(c) for c in vcols],
+                F.col("delta").alias("mult"), *common,
+            )
+            return self.t.merge_epoch(changes, epoch_id, assume_deduped=True)
+        # fused: one payload shuffle total. Entries land on their storage
+        # bucket, the (_bucket, _vh) aggregation runs exchange-free on top
+        # of that partitioning, and the prearranged merge adds no further
+        # exchange or sort.
+        ex = keyless_entries(events, vcols, old_cols).withColumn(
+            VH, value_hash(vcols)
         )
-        return self.t.merge_epoch(changes, epoch_id, assume_deduped=True)
+        # group by the value columns themselves (constant per _vh): the
+        # aggregate buffer is then a bare sum, so Spark picks HashAggregate;
+        # first(array<...>) would force a SortAggregate over the wide rows
+        # (measured 1.5x slower end-to-end)
+        agg = (
+            ex.withColumn("_bucket", self.t._bucket_expr(VH))
+            .repartition(self.t.n_buckets, "_bucket")
+            .groupBy("_bucket", VH, *vcols)
+            .agg(F.sum("d").alias("mult"))
+            .filter(F.col("mult") != 0)
+        )
+        changes = agg.select(
+            F.col(VH), *[F.col(c) for c in vcols],
+            F.col("mult"), *common, F.col("_bucket"),
+        ).sortWithinPartitions("_bucket", VH)
+        return self.t.merge_epoch(
+            changes, epoch_id, assume_deduped=True, prearranged=True
+        )
 
     # ---------------- read ----------------
     def read(self) -> DataFrame:
-        """One row per distinct live value tuple, with its multiplicity."""
+        """One row per distinct live value tuple, with its multiplicity.
+        Raises in-plan if any total is negative (corrupt history)."""
         return self.t.read().filter(F.col("mult") > 0)
 
     def read_bag(self) -> DataFrame:
@@ -135,3 +233,12 @@ class KeylessTable:
             .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
             .select(*self.value_cols)
         )
+
+    def validate(self) -> int:
+        """Force a full collapse; raises on any negative total. Returns the
+        live instance count."""
+        row = self.read().agg(F.sum("mult").alias("n")).collect()[0]
+        return int(row["n"] or 0)
+
+    def compact(self, **kw) -> dict:
+        return self.t.compact(**kw)

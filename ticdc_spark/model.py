@@ -72,3 +72,34 @@ SYS_COMMIT_TS = "_commit_ts"
 SYS_SEQ = "_seq"
 SYS_DELETED = "_deleted"
 SYS_COLS = [SYS_COMMIT_TS, SYS_SEQ, SYS_DELETED]
+
+# --- keyless (force-replicate) binlog ----------------------------------------
+# A keyless table's events carry the FULL row image for deletes (all columns
+# form the WHERE key, cdc/sink/mysql.go:1178-1201) and the pre-image in old_*
+# columns for updates (whereSlice's PreColumns, mysql.go:1133-1158): without
+# old values a keyless update is inapplicable.
+KEYLESS_BINLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_ts", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("old_doc_id", T.StringType(), True),
+        T.StructField("old_tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("old_n_tok", T.IntegerType(), True),
+        T.StructField("old_source", T.StringType(), True),
+        T.StructField("part", T.IntegerType(), False),
+    ]
+)
+
+# value col -> pre-image col for the keyless apply path
+KEYLESS_OLD_COLS = {
+    "doc_id": "old_doc_id",
+    "tokens": "old_tokens",
+    "n_tok": "old_n_tok",
+    "source": "old_source",
+}

@@ -45,13 +45,17 @@ def value_hash_sql(value_exprs: list[str]) -> str:
     return f"md5(concat_ws(chr(31), {parts}))"
 
 
-def keyless_delta(
+def keyless_entries(
     events: DataFrame,
     value_cols: list[str],
     old_cols: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Collapse one epoch of keyless-table events into per-value-tuple
-    multiplicity deltas.
+    """One epoch of keyless events exploded to signed multiset entries
+    (d, value_cols...): I -> (+1, image), D -> (-1, image), U -> (-1,
+    pre-image) + (+1, post-image). The un-aggregated form, so callers can
+    pick where the aggregation's shuffle lands (keyless_delta aggregates on
+    the value tuple with map-side combine; KeylessTable's fused path
+    repartitions by storage bucket first and aggregates exchange-free).
 
     events: op ('I'/'U'/'D') + `value_cols` carrying the row image (for 'D'
     the deleted row's values — the reference's delete events carry the full
@@ -60,9 +64,6 @@ def keyless_delta(
     old-value col), exactly the reference's PreColumns requirement: keyless
     updates are impossible to apply without old values, so their absence
     raises at plan execution if a 'U' appears.
-
-    Returns (value_cols..., delta) with delta != 0 — one shuffle on the
-    value tuple, partial aggregation below it.
     """
 
     def img(cols: dict[str, str]) -> Column:
@@ -108,9 +109,22 @@ def keyless_delta(
         .when(F.col("op") == "D", F.array(pair(-1, img(new_map))))
         .otherwise(u_entries)
     )
-    ex = events.select(F.explode(entries).alias("e")).select(
+    return events.select(F.explode(entries).alias("e")).select(
         F.col("e.d").alias("d"), F.col("e.v.*")
     )
+
+
+def keyless_delta(
+    events: DataFrame,
+    value_cols: list[str],
+    old_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-value-tuple multiplicity deltas for one epoch: the entries of
+    keyless_entries aggregated on the value tuple — one shuffle, partial
+    aggregation below it (duplicate-heavy values collapse map-side before
+    the wire, so hot values cost nothing extra). Returns
+    (value_cols..., delta) with delta != 0."""
+    ex = keyless_entries(events, value_cols, old_cols)
     return (
         ex.groupBy(*value_cols)
         .agg(F.sum("d").alias("delta"))

@@ -326,3 +326,136 @@ def write_ddl(spec: DDLSpec, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(spec.to_table(), os.path.join(out_dir, "ddl-00000.parquet"))
     return out_dir
+
+
+# --- keyless (force-replicate) binlog -----------------------------------------
+
+
+def generate_keyless_binlog(
+    n_rows: int,
+    seed: int = 0,
+    dup_frac: float = 0.1,
+    touch_frac: float = 0.4,
+    n_chunks: int = 4,
+    min_tok: int = 4,
+    max_tok: int = 64,
+    vocab: int = 50_000,
+    start_ts: int = 1_000_000,
+    n_parts: int = 8,
+    table: str = "keyless_tokens",
+):
+    """A CONSISTENT keyless-table history (schema model.KEYLESS_BINLOG_SCHEMA),
+    returned as one pyarrow Table in commit order plus the expected final
+    multiset size. doc_id deliberately collides (it is NOT a key — the whole
+    row is the identity); a dup_frac sample of rows is inserted twice so the
+    multiset has real multiplicities.
+
+    Consistency by construction (so KeylessTable's negative-multiplicity
+    guard never fires on valid data): chunk 0 is all inserts; later chunks
+    delete or update DISJOINT subsets of base rows, each at most once, with
+    strictly later commit_ts. Chunk boundaries are commit-ts splits, so any
+    chunk-prefix replay is also a valid history.
+    """
+    rng = np.random.default_rng(seed)
+    n_tok = rng.integers(min_tok, max_tok + 1, size=n_rows).astype(np.int32)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    token_values = rng.integers(0, vocab, size=int(offsets[-1]), dtype=np.int32)
+    # colliding doc_ids: ~4 rows share each id
+    doc_id = np.char.add("doc_", (np.arange(n_rows) % max(1, n_rows // 4)).astype("U12"))
+    sources = np.array(["web", "book", "code", "wiki"])[rng.integers(0, 4, size=n_rows)]
+
+    def toks_of(sel: np.ndarray) -> pa.ListArray:
+        if len(sel):
+            vals = np.concatenate([token_values[offsets[i] : offsets[i + 1]] for i in sel])
+        else:
+            vals = np.array([], dtype=np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(n_tok[sel])]), type=pa.int32()),
+            pa.array(vals, type=pa.int32()),
+        )
+
+    nulls_str = lambda k: pa.array([None] * k, type=pa.string())  # noqa: E731
+    nulls_int = lambda k: pa.array([None] * k, type=pa.int32())  # noqa: E731
+    nulls_toks = lambda k: pa.array([None] * k, type=pa.list_(pa.int32()))  # noqa: E731
+
+    def block(sel, op, ts, seq0, old_sel=None, bump=None):
+        k = len(sel)
+        new_toks = toks_of(sel)
+        if bump is not None:
+            # updated image: first token incremented (stays a valid row)
+            flat = new_toks.values.to_numpy(zero_copy_only=False).copy()
+            offs = new_toks.offsets.to_numpy(zero_copy_only=False)
+            flat[offs[:-1][n_tok[sel] > 0]] += 1
+            new_toks = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.int32()))
+        return {
+            "commit_ts": pa.array(ts, type=pa.int64()),
+            "seq": pa.array(np.arange(seq0, seq0 + k), type=pa.int64()),
+            "table": pa.array(np.full(k, table)),
+            "op": pa.array(np.full(k, op)),
+            "doc_id": pa.array(doc_id[sel]),
+            "tokens": new_toks,
+            "n_tok": pa.array(n_tok[sel], type=pa.int32()),
+            "source": pa.array(sources[sel]),
+            "old_doc_id": pa.array(doc_id[old_sel]) if old_sel is not None else nulls_str(k),
+            "old_tokens": toks_of(old_sel) if old_sel is not None else nulls_toks(k),
+            "old_n_tok": pa.array(n_tok[old_sel], type=pa.int32()) if old_sel is not None else nulls_int(k),
+            "old_source": pa.array(sources[old_sel]) if old_sel is not None else nulls_str(k),
+            "part": pa.array((sel % n_parts).astype(np.int32)),
+        }
+
+    blocks = []
+    all_idx = np.arange(n_rows)
+    dup_idx = rng.choice(all_idx, size=int(n_rows * dup_frac), replace=False)
+    ins_sel = np.sort(np.concatenate([all_idx, dup_idx]))
+    ts = start_ts + np.arange(len(ins_sel), dtype=np.int64)
+    blocks.append(block(ins_sel, "I", ts, 0))
+    seq0 = len(ins_sel)
+    ts0 = int(ts[-1]) + 1 if len(ts) else start_ts
+
+    touched = rng.choice(all_idx, size=int(n_rows * touch_frac), replace=False)
+    half = len(touched) // 2
+    del_sel, upd_sel = np.sort(touched[:half]), np.sort(touched[half:])
+    per = max(1, (len(del_sel) + n_chunks - 2) // max(1, n_chunks - 1)) if n_chunks > 1 else len(del_sel)
+    for c in range(max(1, n_chunks - 1)):
+        ds = del_sel[c * per : (c + 1) * per]
+        us = upd_sel[c * per : (c + 1) * per]
+        k = len(ds) + len(us)
+        if k == 0:
+            break
+        if len(ds):
+            blocks.append(block(ds, "D", ts0 + np.arange(len(ds)), seq0))
+            seq0 += len(ds)
+            ts0 += len(ds)
+        if len(us):
+            blocks.append(block(us, "U", ts0 + np.arange(len(us)), seq0, old_sel=us, bump=True))
+            seq0 += len(us)
+            ts0 += len(us)
+    cols = list(blocks[0])
+    tbl = pa.Table.from_pydict(
+        {c: pa.concat_arrays([pa.concat_tables([pa.table({c: b[c]}) for b in blocks]).column(c).combine_chunks()]) for c in cols}
+    )
+    final_rows = len(ins_sel) - len(del_sel)
+    return tbl, final_rows
+
+
+def write_keyless_binlog_chunks(
+    n_rows: int, out_dir: str, n_chunks: int = 4, seed: int = 0, **kw
+) -> tuple[list[str], int]:
+    """Chunked on-disk layout of generate_keyless_binlog (commit-order
+    position slices = commit-ts ranges, like write_binlog_chunks)."""
+    tbl, final_rows = generate_keyless_binlog(
+        n_rows, seed=seed, n_chunks=n_chunks, **kw
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    step = (len(tbl) + n_chunks - 1) // n_chunks
+    dirs = []
+    for c in range(n_chunks):
+        chunk = tbl.slice(c * step, step)
+        if not len(chunk):
+            break
+        cdir = os.path.join(out_dir, f"chunk-{c:05d}")
+        os.makedirs(cdir, exist_ok=True)
+        pq.write_table(chunk, os.path.join(cdir, "binlog-00000.parquet"))
+        dirs.append(cdir)
+    return dirs, final_rows
