@@ -877,6 +877,23 @@ def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.dup_span_trim(_docs(spark, sf_dir), w=5, min_count=2))
 
 
+def q_tokens_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup over PRE-TOKENIZED sequences — the input_hint payload
+    (doc_id, tokens array<int>). Token arrays derived deterministically
+    per event (arithmetic progression mod 997 keyed by event_id % 50) so
+    equal classes share whole arrays and shifted classes share sub-spans —
+    both within reach of the w-window rule, and both reproducible in the
+    DuckDB oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ln = F.col("event_id") % 40 + 10
+    toks = F.transform(
+        F.sequence(F.lit(0).cast("long"), ln - 1),
+        lambda i: ((F.col("event_id") % 50) * 31 + i * 7) % 997,
+    )
+    seqs = ev.select(F.col("event_id").alias("doc_id"), toks.alias("tokens"))
+    return _longify(dd.tokens_dup_spans(seqs, w=8, min_count=2))
+
+
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.minhash_signatures(_docs(spark, sf_dir), n=3))
 
@@ -1980,6 +1997,17 @@ FROM documents GROUP BY 1
             w=5, min_count=2, frac_threshold=0.2
         ),
         "dedup_span_trim": dd.dup_span_trim_oracle_sql(w=5, min_count=2),
+        "tokens_dup_spans": dd.dup_spans_oracle_sql(
+            w=8,
+            min_count=2,
+            frac_threshold=0.2,
+            t_cte=(
+                "SELECT event_id AS doc_id,\n"
+                "         list_transform(range(0, cast(event_id % 40 + 10 AS int)),\n"
+                "                        i -> ((event_id % 50) * 31 + i * 7) % 997) AS toks\n"
+                "  FROM events"
+            ),
+        ),
         "dedup_minhash_sig": "WITH " + _minhash_sig_sql() + "\nSELECT * FROM sig",
         "dedup_minhash_lsh": "WITH "
         + _dedup_shingle_sql()  # t/g/sh/sizes/inter/jac CTEs
@@ -2203,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "dedup_dup_spans": q_dedup_dup_spans,
         "dedup_span_trim": q_dedup_span_trim,
+        "tokens_dup_spans": q_tokens_dup_spans,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_simhash",
     "dedup_dup_spans",
+    "tokens_dup_spans",
     "dedup_span_trim",
     "text_unigram_nll",
     "dedup_embedding",

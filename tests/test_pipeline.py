@@ -760,3 +760,25 @@ def test_unigram_nll_orders_rare_docs_above_common(spark):
 
     want = round(-math.log(8 / 14), 6)
     assert abs(got[1]["nll"] - want) < 1e-6
+
+
+def test_tokens_dup_spans_over_pretokenized_arrays(spark):
+    from ticdc_spark.pipeline.dedup import tokens_dup_spans
+
+    rows = [
+        (1, [5, 6, 7, 8, 100, 101]),   # shares 5,6,7,8 with doc 2
+        (2, [9, 5, 6, 7, 8, 42]),
+        (3, [1, 2, 3, 4, 11, 12]),     # unique
+        (4, [7, 8]),                   # shorter than w -> 0 windows
+    ]
+    seqs = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {
+        r["doc_id"]: r
+        for r in tokens_dup_spans(seqs, w=4, min_count=2).collect()
+    }
+    assert got[1]["n_dup_windows"] == 1 and got[2]["n_dup_windows"] == 1
+    assert got[3]["n_dup_windows"] == 0
+    assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0
+    # int 5 and string "5" windows must not be conflated with text grams:
+    # all identity goes through the same string cast on both engines
+    assert got[1]["n_windows"] == 3

@@ -581,11 +581,46 @@ def dup_spans(
     shape. h60 pre-hashing keeps gram shuffle rows ~16 B instead of the
     w-word string.
     """
-    toks = tokens_col(text_col)
-    grams = docs.select(
+    return _dup_spans_over(
+        docs.select("doc_id", tokens_col(text_col).alias("toks")),
+        w,
+        min_count,
+        frac_threshold,
+    )
+
+
+def tokens_dup_spans(
+    seqs: DataFrame,
+    w: int = 10,
+    min_count: int = 2,
+    frac_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """dup_spans over PRE-TOKENIZED sequences (the input_hint table shape:
+    doc_id + tokens array<int>) — the literal Lee et al. 2022 setting:
+    dedup duplicated w-token spans in tokenized training data before it
+    reaches the trainer. Same plan as dup_spans minus the tokenizer: the
+    int arrays are cast to strings so the window join keys stay the
+    engine-portable h60."""
+    toks = F.col(tokens_col_name).cast("array<string>")
+    return _dup_spans_over(
+        seqs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")),
+        w,
+        min_count,
+        frac_threshold,
+    )
+
+
+def _dup_spans_over(
+    base: DataFrame, w: int, min_count: int, frac_threshold: float
+) -> DataFrame:
+    """Shared core: base = (doc_id, toks array<string>)."""
+    grams = base.select(
         "doc_id",
-        F.explode(word_ngrams(toks, w)).alias("gram"),
+        F.explode(word_ngrams(F.col("toks"), w)).alias("gram"),
     ).select("doc_id", h60(F.col("gram")).alias("g"))
+    docs = base
     counts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
     dup = counts.filter(F.col("cnt") >= min_count).select("g")
     per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
@@ -621,18 +656,25 @@ def dup_spans(
 
 
 def dup_spans_oracle_sql(
-    w: int = 10, min_count: int = 2, frac_threshold: float = 0.2
+    w: int = 10,
+    min_count: int = 2,
+    frac_threshold: float = 0.2,
+    t_cte: str | None = None,
 ) -> str:
     """DuckDB oracle for dup_spans (same windows, same occurrence rule;
     gram identity by the w-word string itself — h60 on the Spark side is a
     pure shuffle-size optimization, injective on these grams far below
-    birthday bounds)."""
+    birthday bounds). t_cte overrides the token-source CTE body (must
+    select doc_id + toks) — tokens_dup_spans uses it to point the same
+    windowing SQL at pre-tokenized sequences."""
     from ..functions.text import TOKENS_SQL
 
-    toks = TOKENS_SQL.format(t="text")
+    if t_cte is None:
+        toks = TOKENS_SQL.format(t="text")
+        t_cte = f"SELECT doc_id, {toks} AS toks FROM documents"
     return f"""
 WITH t AS (
-  SELECT doc_id, {toks} AS toks FROM documents
+  {t_cte}
 ), g AS (
   SELECT doc_id, array_to_string(toks[i:i + {w - 1}], ' ') AS gram
   FROM (

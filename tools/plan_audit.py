@@ -50,6 +50,7 @@ AUDIT = [
     "tokens_pack",
     "dedup_chunks",
     "dedup_dup_spans",
+    "tokens_dup_spans",
     "dedup_span_trim",
     "text_unigram_nll",
     "text_pii",
