@@ -281,3 +281,51 @@ def test_keyless_strategies_equivalent(spark, tmp_path):
             (r["a"], r["b"]) for r in kt.read_bag().collect()
         )
     assert bags["agg"] == bags["fused"] == want
+
+
+def test_keyless_streaming_feed_converges_and_resumes(spark, tmp_path):
+    """Structured Streaming path: availableNow over the chunked keyless
+    binlog converges to the batch-replay multiset; a second run with the
+    same checkpoint processes nothing new; a fresh checkpoint over the same
+    table no-ops via idempotent epochs only if batch ids align — so we
+    verify the CHECKPOINT resume contract, the one the engine relies on."""
+    import glob
+
+    from ticdc_spark.lake.keyless import KeylessTable
+    from ticdc_spark.streaming.keyless_feed import KeylessFeed
+    from ticdc_spark.testgen import write_keyless_binlog_chunks
+
+    dirs, final_rows = write_keyless_binlog_chunks(
+        500, str(tmp_path / "binlog"), n_chunks=3, seed=31
+    )
+    stream_glob = str(tmp_path / "binlog" / "chunk-*")
+    kt = KeylessTable.create(spark, str(tmp_path / "tbl"), TOKEN_FIELDS, n_buckets=4)
+    feed = KeylessFeed(
+        kt,
+        stream_glob,
+        str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    summaries = feed.run_available()
+    assert len(summaries) == 3 and all(s["committed"] for s in summaries)
+    assert kt.read().agg(F.sum("mult")).collect()[0][0] == final_rows
+
+    # restart with the same checkpoint: nothing to process
+    feed2 = KeylessFeed(kt, stream_glob, str(tmp_path / "ck"))
+    assert feed2.run_available() == []
+    assert kt.read().agg(F.sum("mult")).collect()[0][0] == final_rows
+
+    # batch replay over the same chunks agrees (streaming == batch)
+    from ticdc_spark.engine.replay import replay_chunks_keyless
+
+    kt_b = KeylessTable.create(spark, str(tmp_path / "tbl_b"), TOKEN_FIELDS, n_buckets=4)
+    replay_chunks_keyless(kt_b, spark, dirs)
+    a = collections.Counter(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in kt.read_bag().collect()
+    )
+    b = collections.Counter(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in kt_b.read_bag().collect()
+    )
+    assert a == b

@@ -1,0 +1,88 @@
+"""KeylessFeed — Structured Streaming changefeed into a force-replicate
+multiset table.
+
+The keyed ChangeFeed needs resolved-ts gating, DDL barriers, and LWW
+collapse; a keyless table's state is an ADDITIVE monoid (lake/keyless.py),
+which buys a radically simpler streaming contract:
+
+  * commutative + associative — ANY partition of the event stream into
+    micro-batches, applied in any order, converges to the same multiset,
+    so there is no watermark machinery and no carry-over tail;
+  * exactly-once — foreachBatch's batchId is stable across checkpoint
+    replays, and KeylessTable.apply_epoch is idempotent by epoch id, so a
+    crashed batch re-applies as a no-op;
+  * prefix validity — the binlog's arrival chunks are commit-ordered, so
+    every batch boundary is a consistent history prefix (retractions only
+    chase live rows) and the collapse's negative-total guard never fires
+    on valid input.
+
+Reference framing: this is the force-replicate changefeed
+(config force-replicate=true routed via operators.handle.replication_mode)
+— the path TiCDC serves with per-row `LIMIT 1` SQL, re-expressed as one
+delta aggregation per micro-batch.
+"""
+
+from __future__ import annotations
+
+from ..lake.keyless import KeylessTable
+from ..model import KEYLESS_BINLOG_SCHEMA, KEYLESS_OLD_COLS
+
+
+class KeylessFeed:
+    def __init__(
+        self,
+        table: KeylessTable,
+        binlog_dir: str,
+        checkpoint_dir: str,
+        old_cols: dict[str, str] | None = None,
+        max_files_per_trigger: int | None = None,
+        strategy: str = "agg",
+        feed_name: str = "keyless",
+    ):
+        self.table = table
+        self.spark = table.spark
+        self.binlog_dir = binlog_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.old_cols = KEYLESS_OLD_COLS if old_cols is None else old_cols
+        self.max_files_per_trigger = max_files_per_trigger
+        self.strategy = strategy
+        self.feed_name = feed_name
+        self.batch_summaries: list[dict] = []
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        st = self.table.apply_epoch(
+            batch_df,
+            f"kl-{self.feed_name}-{batch_id}",
+            old_cols=self.old_cols,
+            strategy=self.strategy,
+        )
+        self.batch_summaries.append({"batch_id": batch_id, **st})
+
+    def _stream(self):
+        r = self.spark.readStream.schema(KEYLESS_BINLOG_SCHEMA)
+        if self.max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+        return r.parquet(self.binlog_dir)
+
+    def run_available(self) -> list[dict]:
+        """Process everything currently in the binlog dir (availableNow),
+        then stop. Resumable: streaming checkpoint + idempotent epochs."""
+        q = (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.batch_summaries
+
+    def start(self, processing_time: str = "5 seconds"):
+        """Continuous micro-batching (production mode)."""
+        return (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
