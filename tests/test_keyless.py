@@ -329,3 +329,27 @@ def test_keyless_streaming_feed_converges_and_resumes(spark, tmp_path):
         for r in kt_b.read_bag().collect()
     )
     assert a == b
+
+
+def test_keyless_feed_compaction_preserves_state(spark, tmp_path):
+    """Per-batch maybe_compact with a tiny delta budget folds the multiset
+    without changing it; zero-total tuples get purged."""
+    from ticdc_spark.lake.keyless import KeylessTable
+    from ticdc_spark.streaming.keyless_feed import KeylessFeed
+    from ticdc_spark.testgen import write_keyless_binlog_chunks
+
+    dirs, final_rows = write_keyless_binlog_chunks(
+        300, str(tmp_path / "binlog"), n_chunks=3, seed=13
+    )
+    kt = KeylessTable.create(spark, str(tmp_path / "tbl"), TOKEN_FIELDS, n_buckets=2)
+    feed = KeylessFeed(
+        kt,
+        str(tmp_path / "binlog" / "chunk-*"),
+        str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        compact_max_deltas=1,  # force a fold almost every batch
+        expire_keep_last=4,
+    )
+    feed.run_available()
+    assert kt.read().agg(F.sum("mult")).collect()[0][0] == final_rows
+    assert kt.validate() == final_rows

@@ -38,6 +38,8 @@ class KeylessFeed:
         max_files_per_trigger: int | None = None,
         strategy: str = "agg",
         feed_name: str = "keyless",
+        compact_max_deltas: int = 64,
+        expire_keep_last: int | None = None,
     ):
         self.table = table
         self.spark = table.spark
@@ -47,6 +49,8 @@ class KeylessFeed:
         self.max_files_per_trigger = max_files_per_trigger
         self.strategy = strategy
         self.feed_name = feed_name
+        self.compact_max_deltas = compact_max_deltas
+        self.expire_keep_last = expire_keep_last
         self.batch_summaries: list[dict] = []
 
     def _process_batch(self, batch_df, batch_id: int) -> None:
@@ -56,6 +60,12 @@ class KeylessFeed:
             old_cols=self.old_cols,
             strategy=self.strategy,
         )
+        # MOR hygiene: fold delta files when a bucket accumulates too many
+        # (the additive collapse makes compaction a pure sum — also when it
+        # purges zero-total tombstone tuples). Same cadence as ChangeFeed.
+        self.table.t.maybe_compact(self.compact_max_deltas)
+        if self.expire_keep_last is not None:
+            self.table.t.expire_versions(keep_last=self.expire_keep_last)
         self.batch_summaries.append({"batch_id": batch_id, **st})
 
     def _stream(self):
