@@ -423,6 +423,65 @@ def bench_incremental_dedup(spark, work_root: str, sf_dir: str) -> dict:
     }
 
 
+
+def bench_replay_keyless(spark, work_root: str, n_rows: int) -> dict:
+    """Force-replicate keyless replay: per-value-tuple multiplicity deltas
+    folded into the multiset table (lake/keyless.py) — the whereSlice
+    all-columns path re-expressed set-oriented. Event count ≈ 1.5 × n_rows
+    (inserts + dup inserts + delete/update touches)."""
+    from ticdc_spark.engine.replay import replay_chunks_keyless
+    from ticdc_spark.lake.keyless import KeylessTable
+    from ticdc_spark.testgen import write_keyless_binlog_chunks
+
+    binlog_dir = os.path.join(work_root, f"binlog_kl_{n_rows}")
+    meta = os.path.join(binlog_dir, "_DONE")
+    if not os.path.exists(meta):
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        _, final_rows = write_keyless_binlog_chunks(
+            n_rows, binlog_dir, n_chunks=4, seed=17
+        )
+        open(meta, "w").write(str(final_rows))
+    final_expect = int(open(meta).read() or 0)
+    chunk_dirs = sorted(
+        os.path.join(binlog_dir, d)
+        for d in os.listdir(binlog_dir)
+        if d.startswith("chunk-")
+    )
+    import pyarrow.parquet as _pq
+
+    n_events = sum(
+        _pq.read_metadata(os.path.join(d, f)).num_rows
+        for d in chunk_dirs
+        for f in os.listdir(d)
+    )
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "tokens", "type": "array<int>"},
+        {"id": 3, "name": "n_tok", "type": "int"},
+        {"id": 4, "name": "source", "type": "string"},
+    ]
+    warm_root = os.path.join(work_root, "bench_kl_warm")
+    shutil.rmtree(warm_root, ignore_errors=True)
+    warm = KeylessTable.create(spark, warm_root, fields, n_buckets=64)
+    replay_chunks_keyless(warm, spark, chunk_dirs, epoch_prefix="warm")
+    root = os.path.join(work_root, "bench_kl")
+    shutil.rmtree(root, ignore_errors=True)
+    kt = KeylessTable.create(spark, root, fields, n_buckets=64)
+    t0 = time.time()
+    stats = replay_chunks_keyless(kt, spark, chunk_dirs, epoch_prefix="kl")
+    dt = time.time() - t0
+    from pyspark.sql import functions as F
+
+    got = kt.read().agg(F.sum("mult")).collect()[0][0]
+    assert got == final_expect, (got, final_expect)
+    return {
+        "sec": round(dt, 3),
+        "n_events": n_events,
+        "events_per_sec": round(n_events / dt, 1),
+        "epochs": len(stats),
+        "final_instances": int(got),
+    }
+
 def main() -> None:
     from ticdc_spark.session import build_session
 
@@ -502,61 +561,3 @@ def main() -> None:
 if __name__ == "__main__":
     main()
 
-
-def bench_replay_keyless(spark, work_root: str, n_rows: int) -> dict:
-    """Force-replicate keyless replay: per-value-tuple multiplicity deltas
-    folded into the multiset table (lake/keyless.py) — the whereSlice
-    all-columns path re-expressed set-oriented. Event count ≈ 1.5 × n_rows
-    (inserts + dup inserts + delete/update touches)."""
-    from ticdc_spark.engine.replay import replay_chunks_keyless
-    from ticdc_spark.lake.keyless import KeylessTable
-    from ticdc_spark.testgen import write_keyless_binlog_chunks
-
-    binlog_dir = os.path.join(work_root, f"binlog_kl_{n_rows}")
-    meta = os.path.join(binlog_dir, "_DONE")
-    if not os.path.exists(meta):
-        shutil.rmtree(binlog_dir, ignore_errors=True)
-        _, final_rows = write_keyless_binlog_chunks(
-            n_rows, binlog_dir, n_chunks=4, seed=17
-        )
-        open(meta, "w").write(str(final_rows))
-    final_expect = int(open(meta).read() or 0)
-    chunk_dirs = sorted(
-        os.path.join(binlog_dir, d)
-        for d in os.listdir(binlog_dir)
-        if d.startswith("chunk-")
-    )
-    import pyarrow.parquet as _pq
-
-    n_events = sum(
-        _pq.read_metadata(os.path.join(d, f)).num_rows
-        for d in chunk_dirs
-        for f in os.listdir(d)
-    )
-    fields = [
-        {"id": 1, "name": "doc_id", "type": "string"},
-        {"id": 2, "name": "tokens", "type": "array<int>"},
-        {"id": 3, "name": "n_tok", "type": "int"},
-        {"id": 4, "name": "source", "type": "string"},
-    ]
-    warm_root = os.path.join(work_root, "bench_kl_warm")
-    shutil.rmtree(warm_root, ignore_errors=True)
-    warm = KeylessTable.create(spark, warm_root, fields, n_buckets=64)
-    replay_chunks_keyless(warm, spark, chunk_dirs, epoch_prefix="warm")
-    root = os.path.join(work_root, "bench_kl")
-    shutil.rmtree(root, ignore_errors=True)
-    kt = KeylessTable.create(spark, root, fields, n_buckets=64)
-    t0 = time.time()
-    stats = replay_chunks_keyless(kt, spark, chunk_dirs, epoch_prefix="kl")
-    dt = time.time() - t0
-    from pyspark.sql import functions as F
-
-    got = kt.read().agg(F.sum("mult")).collect()[0][0]
-    assert got == final_expect, (got, final_expect)
-    return {
-        "sec": round(dt, 3),
-        "n_events": n_events,
-        "events_per_sec": round(n_events / dt, 1),
-        "epochs": len(stats),
-        "final_instances": int(got),
-    }

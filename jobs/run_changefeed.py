@@ -116,6 +116,14 @@ def main() -> int:
         help="feed id in the admin registry (default: basename of --checkpoint)",
     )
     p.add_argument(
+        "--keyless", action="store_true",
+        help="force-replicate feed into a KEYLESS (no handle index) table: "
+        "the multiset lake table keyed by the full row value "
+        "(lake.keyless.KeylessTable via streaming.keyless_feed.KeylessFeed); "
+        "binlog must carry old_* pre-image columns for updates "
+        "(model.KEYLESS_BINLOG_SCHEMA). Plain single-table feeds only",
+    )
+    p.add_argument(
         "--cyclic", default=None,
         help="cyclic replication: 'replica_id:filter_ids:source_marks:own_marks' "
         "e.g. '1:2,3:/marks/src:/marks/own' (filter_ids comma-separated)",
@@ -238,6 +246,50 @@ def main() -> int:
             print(json.dumps({"batches": len(summaries), "summaries": summaries[-3:]}))
             return 0
         q = cf.start(processing_time=args.trigger)
+        q.awaitTermination()
+        return 0
+
+    if args.keyless:
+        if (
+            args.ddl
+            or args.mq_dir
+            or args.derived_dedup
+            or args.derived_decontam
+            or args.cyclic
+        ):
+            p.error(
+                "--keyless is a plain single-table feed "
+                "(no DDL/MQ/derived-index/cyclic options)"
+            )
+        from ticdc_spark.lake.keyless import KeylessTable
+        from ticdc_spark.streaming.keyless_feed import KeylessFeed
+
+        root = args.table
+        if os.path.exists(os.path.join(root, "_manifests", "CURRENT")):
+            kt = KeylessTable(spark, root)
+        else:
+            kt = KeylessTable.create(
+                spark,
+                root,
+                value_fields=[
+                    {"id": 1, "name": "doc_id", "type": "string"},
+                    {"id": 2, "name": "tokens", "type": "array<int>"},
+                    {"id": 3, "name": "n_tok", "type": "int"},
+                    {"id": 4, "name": "source", "type": "string"},
+                ],
+                n_buckets=args.buckets,
+            )
+        feed = KeylessFeed(
+            kt,
+            args.binlog,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        if args.available_now:
+            summaries = feed.run_available()
+            print(json.dumps({"batches": len(summaries), "summaries": summaries[-3:]}))
+            return 0
+        q = feed.start(processing_time=args.trigger)
         q.awaitTermination()
         return 0
 

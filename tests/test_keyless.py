@@ -353,3 +353,34 @@ def test_keyless_feed_compaction_preserves_state(spark, tmp_path):
     feed.run_available()
     assert kt.read().agg(F.sum("mult")).collect()[0][0] == final_rows
     assert kt.validate() == final_rows
+
+
+def test_keyless_cli_available_now(spark, tmp_path, monkeypatch):
+    """jobs/run_changefeed.py --keyless drives the full path from argv to
+    on-disk multiset state."""
+    import sys as _sys
+
+    from ticdc_spark.lake.keyless import KeylessTable
+    from ticdc_spark.testgen import write_keyless_binlog_chunks
+
+    _, final_rows = write_keyless_binlog_chunks(
+        200, str(tmp_path / "binlog"), n_chunks=2, seed=4
+    )
+    import jobs.run_changefeed as job
+
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        [
+            "run_changefeed.py",
+            "--keyless",
+            "--binlog", str(tmp_path / "binlog" / "chunk-*"),
+            "--table", str(tmp_path / "tbl"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--available-now",
+            "--buckets", "2",
+        ],
+    )
+    assert job.main() == 0
+    kt = KeylessTable(spark, str(tmp_path / "tbl"))
+    assert kt.validate() == final_rows
