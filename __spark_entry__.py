@@ -884,7 +884,11 @@ def q_tokens_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal classes share whole arrays and shifted classes share sub-spans —
     both within reach of the w-window rule, and both reproducible in the
     DuckDB oracle."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # testdata ships one file -> one input split; spread the window explode
+    # (the expensive part) across cores, as _docs does for text queries
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ln = F.col("event_id") % 40 + 10
     toks = F.transform(
         F.sequence(F.lit(0).cast("long"), ln - 1),

@@ -384,3 +384,57 @@ def test_keyless_cli_available_now(spark, tmp_path, monkeypatch):
     assert job.main() == 0
     kt = KeylessTable(spark, str(tmp_path / "tbl"))
     assert kt.validate() == final_rows
+
+
+def test_keyless_any_partition_any_order_with_redelivery_hypothesis(spark, tmp_path):
+    """Exactly-once property, fuzzed: applying ANY disjoint partition of a
+    consistent history into epochs, in ANY order, with any epochs
+    REDELIVERED under their original ids, converges to the python multiset
+    — additive deltas commute, and committed epoch ids no-op on replay.
+
+    (Contrast with the keyed table's property test, which tolerates
+    OVERLAPPING covers: LWW is per-event idempotent, sums are not — the
+    keyless exactly-once contract is disjoint batches with stable ids,
+    which is precisely what a streaming checkpoint's foreachBatch gives.)"""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    counter = itertools.count()
+    rows_all, want = _consistent_history(40, seed=99)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def run(data):
+        n_epochs = data.draw(st.integers(1, 4))
+        assignment = [
+            data.draw(st.integers(0, n_epochs - 1)) for _ in rows_all
+        ]
+        order = list(
+            data.draw(st.permutations(list(range(n_epochs))))
+        )
+        # redeliver a random subset of epochs at random later points
+        redelivered = data.draw(
+            st.lists(st.integers(0, n_epochs - 1), max_size=3)
+        )
+        schedule = order + redelivered
+
+        tid = next(counter)
+        kt = KeylessTable.create(
+            spark, str(tmp_path / f"kl{tid}"), FIELDS, n_buckets=2
+        )
+        for e in schedule:
+            chunk = [r for r, a in zip(rows_all, assignment) if a == e]
+            if not chunk:
+                continue
+            df = spark.createDataFrame(chunk, SCHEMA)
+            kt.apply_epoch(df, f"e{e}", old_cols=OLD)
+        got = collections.Counter(
+            (r["a"], r["b"]) for r in kt.read_bag().collect()
+        )
+        assert got == want
+
+    run()

@@ -32,6 +32,15 @@ against stored state at write time.
 Everything else is inherited unchanged: idempotent epoch commits
 (exactly-once under redelivery), bucket layout, time travel, incremental
 compaction, clean-bucket reads.
+
+Exactly-once contract — one difference from the keyed table: additive
+deltas are NOT per-event idempotent, so the event stream must be
+partitioned into DISJOINT epochs with stable ids (redelivery = the same
+epoch id, which no-ops on the committed-epoch check). The keyed LWW
+table tolerates overlapping covers (at-least-once with fresh ids); this
+one does not. A streaming checkpoint's foreachBatch provides exactly the
+required contract, and the property test fuzzes it (any disjoint
+partition, any order, any same-id redelivery → the python multiset).
 """
 
 from __future__ import annotations
