@@ -52,6 +52,7 @@ from ticdc_spark.operators.feed import FEED_SQL, N_PARTS, changelog
 from ticdc_spark.operators.lww import lww_latest_agg, lww_latest_window, op_rank_col
 from ticdc_spark.pipeline import decontam as dc
 from ticdc_spark.pipeline import dedup as dd
+from ticdc_spark.pipeline import pack as pk
 from ticdc_spark.pipeline import multimodal as mm
 from ticdc_spark.pipeline import similarity as sim
 
@@ -1011,6 +1012,15 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(pack_stats(d, seq_len=512))
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle (pipeline.pack.shuffle_order):
+    dense rank 1..N by seeded hash order — range-partitioned prefix sums,
+    no single-partition window."""
+    from ticdc_spark.pipeline.pack import shuffle_order
+
+    return _longify(shuffle_order(_docs(spark, sf_dir), seed=7))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -1966,6 +1976,7 @@ FROM t
         "text_pii": pii_sql(),
         "curate_corpus": _curate_sql(),
         "curate_full": _curate_sql(src="train", prefix_ctes="train AS (SELECT * FROM documents WHERE NOT (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0)),\n", anti_cte="cont AS (\n  SELECT DISTINCT z.doc_id FROM (\n    SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks\n    FROM tq\n  ) z\n  JOIN (\n    SELECT DISTINCT array_to_string(e.toks[e.i:e.i+7], ' ') AS gram FROM (\n      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,\n             unnest(generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 7, 0))) AS i\n      FROM documents WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0\n    ) e\n  ) eg ON array_to_string(z.toks[z.i:z.i+7], ' ') = eg.gram\n)"),
+        "corpus_shuffle": pk.shuffle_order_sql(seed=7),
         "tokens_pack": f"""
 WITH d AS (
   SELECT doc_id, len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT AS n_tok
@@ -2230,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_full": q_curate_full,
         "curate_strict": q_curate_strict,
         "tokens_pack": q_tokens_pack,
+        "corpus_shuffle": q_corpus_shuffle,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_chunks": q_dedup_chunks,

@@ -782,3 +782,22 @@ def test_tokens_dup_spans_over_pretokenized_arrays(spark):
     # int 5 and string "5" windows must not be conflated with text grams:
     # all identity goes through the same string cast on both engines
     assert got[1]["n_windows"] == 3
+
+
+def test_shuffle_order_dense_deterministic_seeded(docs):
+    from ticdc_spark.pipeline.pack import shuffle_order
+
+    out = shuffle_order(docs, seed=1, range_partitions=8).collect()
+    n = docs.count()
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, n + 1))  # dense 1..N, no ties/gaps
+    # deterministic: same seed -> identical permutation
+    again = {r["doc_id"]: r["rank"] for r in shuffle_order(docs, seed=1, range_partitions=8).collect()}
+    assert again == {r["doc_id"]: r["rank"] for r in out}
+    # different seed -> (almost surely) different permutation
+    other = {r["doc_id"]: r["rank"] for r in shuffle_order(docs, seed=2, range_partitions=8).collect()}
+    assert other != again
+    # rank order is exactly (shuffle_key, doc_id) order
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)

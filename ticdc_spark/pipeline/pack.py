@@ -30,15 +30,17 @@ from pyspark.sql import functions as F
 
 
 def _global_cumsum(
-    docs: DataFrame, n_tok_col: str, order_col: str, range_partitions: int
+    docs: DataFrame, n_tok_col: str, order_col, range_partitions: int
 ) -> DataFrame:
     """docs + `_cum` = inclusive global running sum of n_tok in order_col
-    order, computed with range-parallel prefix sums (no single-partition
-    window)."""
-    ranged = docs.repartitionByRange(range_partitions, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("_pid").orderBy(order_col)
+    order (a str or a list of cols — extra cols break ties so the running
+    sum is a total order), computed with range-parallel prefix sums (no
+    single-partition window)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ranged = docs.repartitionByRange(
+        range_partitions, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     # persist BEFORE the totals fold: repartitionByRange samples its
     # boundaries per execution, so without pinning, the totals job and the
     # downstream job could assign different _pid ranges. The cached slice is
@@ -112,3 +114,58 @@ def pack_stats(docs: DataFrame, seq_len: int, **kw) -> DataFrame:
         F.sum(F.col("spans_boundary").cast("long")).alias("n_spanning"),
         F.min("start_off").alias("first_off"),
     )
+
+
+def shuffle_order(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a dense rank
+    1..N by hash order — the reproducible "shuffle the corpus before
+    packing/sharding" step every training pipeline needs (reshuffling =
+    changing the seed; resuming = recomputing the same order bit-exact, no
+    stored permutation).
+
+    rank = row_number over (h60(seed ++ doc_id), doc_id) — the hash makes
+    the order pseudorandom, the id tie-break makes it total. Same
+    range-partitioned prefix-sum machinery as packing: no single-partition
+    window, shuffle carries ~16 B/row, O(ranges) driver fold.
+
+    Output: (doc_id, shuffle_key, rank).
+    """
+    from ..functions.hashing import h60
+
+    h = h60(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), F.col(id_col).cast("string")
+        )
+    )
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .withColumn("_h", h)
+        .withColumn("_one", F.lit(1))
+    )
+    cum = _global_cumsum(base, "_one", ["_h", "doc_id"], range_partitions)
+    return cum.select(
+        "doc_id",
+        F.col("_h").alias("shuffle_key"),
+        F.col("_cum").cast("long").alias("rank"),
+    )
+
+
+def shuffle_order_sql(seed: int = 0) -> str:
+    from ..functions.hashing import h60_sql
+
+    h = h60_sql(
+        f"concat_ws(chr(31), '{seed}', cast(doc_id AS varchar))"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, {h} AS shuffle_key FROM documents
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id) AS rank
+FROM h
+"""

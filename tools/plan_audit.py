@@ -48,6 +48,7 @@ AUDIT = [
     "corpus_sample",
     "corpus_mix",
     "tokens_pack",
+    "corpus_shuffle",
     "dedup_chunks",
     "dedup_dup_spans",
     "tokens_dup_spans",
