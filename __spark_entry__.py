@@ -439,6 +439,36 @@ def q_cdc_tokens_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC-to-training handoff in ONE declarative plan: binlog ->
+    LWW final state (live docs + token counts) -> deterministic seeded
+    shuffle rank (range-partitioned prefix sums) -> packed sequence offsets
+    (cu_seqlens-style). What a trainer actually consumes from the lake.
+    Three scale-safe stages, each already oracle-checked alone
+    (cdc_tokens_final_state / corpus_shuffle / tokens_pack)."""
+    from ticdc_spark.pipeline.pack import pack_offsets, shuffle_order
+
+    feed = changelog(spark, sf_dir)
+    with_payload = feed.withColumn(
+        "n_tok", (F.col("seq") % 8 + 1).cast("long")
+    )
+    w = lww_latest_agg(with_payload, ["doc_id"])
+    live = w.filter(F.col("op") != "D").select("doc_id", "n_tok")
+    ranked = shuffle_order(live, seed=7).select("doc_id", "rank")
+    d = live.join(ranked, "doc_id")
+    off = pack_offsets(d, seq_len=64, order_col="rank", n_tok_col="n_tok")
+    return _longify(
+        off.join(d.select("doc_id", "rank"), "rank").select(
+            "doc_id",
+            "rank",
+            "n_tok",
+            "start_off",
+            "seq_id",
+            F.col("spans_boundary").cast("int").alias("spans_boundary"),
+        )
+    )
+
+
 def q_cdc_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prewrite x commit matcher (cdc/kv/matcher.go:43-99): equi-join on the
     txn key, rollback prewrites dropped. Mapped onto events: view=prewrite,
@@ -1744,6 +1774,34 @@ SELECT op, count(*) AS n_events, count(DISTINCT doc_id) AS n_keys
 FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM marks)
 GROUP BY op
 """,
+        "cdc_training_order": f"""
+WITH feed AS ({FEED_SQL}),
+ranked0 AS (
+  SELECT doc_id, (seq % 8 + 1) AS n_tok, op,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM feed
+),
+live AS (SELECT doc_id, n_tok FROM ranked0 WHERE rn = 1 AND op != 'D'),
+h AS (
+  SELECT doc_id, n_tok,
+         {h60_sql("concat_ws(chr(31), '7', cast(doc_id AS varchar))")} AS sk
+  FROM live
+),
+r AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY sk, doc_id) AS rank
+  FROM h
+),
+o AS (SELECT *, sum(n_tok) OVER (ORDER BY rank) AS cum FROM r)
+SELECT doc_id, rank, n_tok,
+       (cum - n_tok) AS start_off,
+       (cum - n_tok) // 64 AS seq_id,
+       CASE WHEN (cum - n_tok) // 64 != (cum - 1) // 64
+            THEN 1 ELSE 0 END AS spans_boundary
+FROM o
+""",
         "cdc_tokens_final_state": f"""
 WITH feed AS ({FEED_SQL}),
 payload AS (
@@ -2213,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_filter": q_cdc_table_filter,
         "cdc_mark_filter": q_cdc_mark_filter,
         "cdc_tokens_final_state": q_cdc_tokens_final_state,
+        "cdc_training_order": q_cdc_training_order,
         "cdc_tokens_vocab": q_cdc_tokens_vocab,
         "cdc_matcher": q_cdc_matcher,
         "codec_roundtrip": q_codec_roundtrip,

@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "decontam_incremental",
     "curate_corpus",
     "tokens_pack",
+    "corpus_shuffle",
+    "cdc_training_order",
     "events_sessionize",
     "q5_region_orders",
 ]

@@ -801,3 +801,22 @@ def test_shuffle_order_dense_deterministic_seeded(docs):
     by_rank = sorted(out, key=lambda r: r["rank"])
     keys = [(r["shuffle_key"], r["doc_id"]) for r in by_rank]
     assert keys == sorted(keys)
+
+
+def test_cdc_training_order_offsets_contiguous(spark):
+    """The CDC->training composition: offsets are contiguous in rank order
+    and seq ids follow floor(start/L)."""
+    import __spark_entry__ as e
+
+    out = sorted(
+        e.queries()["cdc_training_order"](spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    cum = 0
+    for r in out:
+        assert r["start_off"] == cum
+        assert r["seq_id"] == cum // 64
+        spans = (cum // 64) != ((cum + r["n_tok"] - 1) // 64)
+        assert r["spans_boundary"] == int(spans)
+        cum += r["n_tok"]
