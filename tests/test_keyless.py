@@ -438,3 +438,36 @@ def test_keyless_any_partition_any_order_with_redelivery_hypothesis(spark, tmp_p
         assert got == want
 
     run()
+
+
+def test_keyless_feed_multi_table_routing(spark, tmp_path):
+    """Events routed by the binlog's `table` column, one epoch per table
+    per batch; the off-target table sees nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ticdc_spark.lake.keyless import KeylessTable
+    from ticdc_spark.streaming.keyless_feed import KeylessFeed
+    from ticdc_spark.testgen import generate_keyless_binlog
+
+    tbl_a, rows_a = generate_keyless_binlog(120, seed=1, n_chunks=1, table="ta")
+    tbl_b, rows_b = generate_keyless_binlog(80, seed=2, n_chunks=1, table="tb")
+    binlog = str(tmp_path / "binlog")
+    import os
+
+    os.makedirs(binlog)
+    pq.write_table(pa.concat_tables([tbl_a, tbl_b]), f"{binlog}/binlog-0.parquet")
+
+    kts = {
+        n: KeylessTable.create(spark, str(tmp_path / n), TOKEN_FIELDS, n_buckets=2)
+        for n in ("ta", "tb")
+    }
+    feed = KeylessFeed(
+        tables=kts, binlog_dir=binlog, checkpoint_dir=str(tmp_path / "ck")
+    )
+    summaries = feed.run_available()
+    assert summaries and all(
+        s["committed"] for b in summaries for s in b["tables"].values()
+    )
+    assert kts["ta"].validate() == rows_a
+    assert kts["tb"].validate() == rows_b

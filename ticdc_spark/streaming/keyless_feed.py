@@ -29,11 +29,18 @@ from ..model import KEYLESS_BINLOG_SCHEMA, KEYLESS_OLD_COLS
 
 
 class KeylessFeed:
+    """Single- or multi-table: pass `table` for one target, or `tables`
+    (a name -> KeylessTable map) to route events by the binlog's `table`
+    column — each target folds its own filtered slice under its own epoch
+    id, so per-table exactly-once holds independently (a crash between two
+    tables' commits replays the batch; the committed one no-ops)."""
+
     def __init__(
         self,
-        table: KeylessTable,
-        binlog_dir: str,
-        checkpoint_dir: str,
+        table: KeylessTable | None = None,
+        binlog_dir: str = "",
+        checkpoint_dir: str = "",
+        tables: dict[str, KeylessTable] | None = None,
         old_cols: dict[str, str] | None = None,
         max_files_per_trigger: int | None = None,
         strategy: str = "agg",
@@ -41,8 +48,12 @@ class KeylessFeed:
         compact_max_deltas: int = 64,
         expire_keep_last: int | None = None,
     ):
+        if (table is None) == (tables is None):
+            raise ValueError("pass exactly one of table / tables")
         self.table = table
-        self.spark = table.spark
+        self.tables = tables
+        any_t = table if table is not None else next(iter(tables.values()))
+        self.spark = any_t.spark
         self.binlog_dir = binlog_dir
         self.checkpoint_dir = checkpoint_dir
         self.old_cols = KEYLESS_OLD_COLS if old_cols is None else old_cols
@@ -54,19 +65,34 @@ class KeylessFeed:
         self.batch_summaries: list[dict] = []
 
     def _process_batch(self, batch_df, batch_id: int) -> None:
-        st = self.table.apply_epoch(
-            batch_df,
-            f"kl-{self.feed_name}-{batch_id}",
-            old_cols=self.old_cols,
-            strategy=self.strategy,
-        )
-        # MOR hygiene: fold delta files when a bucket accumulates too many
-        # (the additive collapse makes compaction a pure sum — also when it
-        # purges zero-total tombstone tuples). Same cadence as ChangeFeed.
-        self.table.t.maybe_compact(self.compact_max_deltas)
-        if self.expire_keep_last is not None:
-            self.table.t.expire_versions(keep_last=self.expire_keep_last)
-        self.batch_summaries.append({"batch_id": batch_id, **st})
+        from pyspark.sql import functions as F
+
+        targets = self.tables if self.tables is not None else {"": self.table}
+        summary: dict = {"batch_id": batch_id}
+        for name, kt in targets.items():
+            sl = (
+                batch_df.filter(F.col("table") == F.lit(name))
+                if self.tables is not None
+                else batch_df
+            )
+            suffix = f"-{name}" if name else ""
+            st = kt.apply_epoch(
+                sl,
+                f"kl-{self.feed_name}-{batch_id}{suffix}",
+                old_cols=self.old_cols,
+                strategy=self.strategy,
+            )
+            # MOR hygiene: fold delta files when a bucket accumulates too
+            # many (the additive collapse makes compaction a pure sum —
+            # also purging zero-total tuples). Same cadence as ChangeFeed.
+            kt.t.maybe_compact(self.compact_max_deltas)
+            if self.expire_keep_last is not None:
+                kt.t.expire_versions(keep_last=self.expire_keep_last)
+            if self.tables is not None:
+                summary.setdefault("tables", {})[name] = st
+            else:
+                summary.update(st)
+        self.batch_summaries.append(summary)
 
     def _stream(self):
         r = self.spark.readStream.schema(KEYLESS_BINLOG_SCHEMA)
