@@ -307,7 +307,9 @@ def test_keyless_streaming_feed_converges_and_resumes(spark, tmp_path):
         max_files_per_trigger=1,
     )
     summaries = feed.run_available()
-    assert len(summaries) == 3 and all(s["committed"] for s in summaries)
+    # one batch per FILE (maxFilesPerTrigger=1; chunks are multi-file) —
+    # ANY batching converges, that's the additive-monoid point
+    assert len(summaries) >= 3 and all(s["committed"] for s in summaries)
     assert kt.read().agg(F.sum("mult")).collect()[0][0] == final_rows
 
     # restart with the same checkpoint: nothing to process

@@ -440,10 +440,21 @@ def generate_keyless_binlog(
 
 
 def write_keyless_binlog_chunks(
-    n_rows: int, out_dir: str, n_chunks: int = 4, seed: int = 0, **kw
+    n_rows: int,
+    out_dir: str,
+    n_chunks: int = 4,
+    seed: int = 0,
+    files_per_chunk: int = 8,
+    **kw,
 ) -> tuple[list[str], int]:
     """Chunked on-disk layout of generate_keyless_binlog (commit-order
-    position slices = commit-ts ranges, like write_binlog_chunks)."""
+    position slices = commit-ts ranges, like write_binlog_chunks).
+
+    files_per_chunk > 1 matters for SCALING measurements: a single ~100 MB
+    parquet file is one input split, so the scan + entry explode + partial
+    aggregation of a whole epoch would run in ONE task no matter how many
+    cores the session has (measured as a 0.65 scaling-efficiency ceiling
+    before this was split)."""
     tbl, final_rows = generate_keyless_binlog(
         n_rows, seed=seed, n_chunks=n_chunks, **kw
     )
@@ -456,6 +467,10 @@ def write_keyless_binlog_chunks(
             break
         cdir = os.path.join(out_dir, f"chunk-{c:05d}")
         os.makedirs(cdir, exist_ok=True)
-        pq.write_table(chunk, os.path.join(cdir, "binlog-00000.parquet"))
+        fstep = (len(chunk) + files_per_chunk - 1) // files_per_chunk
+        for i in range(files_per_chunk):
+            part = chunk.slice(i * fstep, fstep)
+            if len(part):
+                pq.write_table(part, os.path.join(cdir, f"binlog-{i:05d}.parquet"))
         dirs.append(cdir)
     return dirs, final_rows
