@@ -519,7 +519,7 @@ def main() -> None:
         qtimes["cdc_stream_old_value"] = oldval["sec"]
         incded = bench_incremental_dedup(spark, work_root, SF_DIR)
         qtimes["dedup_incremental_update"] = incded["incremental_epoch_sec"]
-        keyless = bench_replay_keyless(spark, work_root, N_EVENTS // 8)
+        keyless = bench_replay_keyless(spark, work_root, N_EVENTS // 2)
         qtimes["cdc_replay_keyless"] = keyless["sec"]
     if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
         # 4x-events replay (the sf≈1 row): generation is cached in work_root,
