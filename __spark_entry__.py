@@ -1042,6 +1042,15 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(pack_stats(d, seq_len=512))
 
 
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous-balanced shard assignment over the shuffle
+    order (pipeline.pack.shard_assign — the layout write_shards
+    materializes): per-doc (rank, shard_id), shard sizes differ by <= 1."""
+    from ticdc_spark.pipeline.pack import shard_assign
+
+    return _longify(shard_assign(_docs(spark, sf_dir), n_shards=7, seed=7))
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training shuffle (pipeline.pack.shuffle_order):
     dense rank 1..N by seeded hash order — range-partitioned prefix sums,
@@ -2035,6 +2044,7 @@ FROM t
         "curate_corpus": _curate_sql(),
         "curate_full": _curate_sql(src="train", prefix_ctes="train AS (SELECT * FROM documents WHERE NOT (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0)),\n", anti_cte="cont AS (\n  SELECT DISTINCT z.doc_id FROM (\n    SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks\n    FROM tq\n  ) z\n  JOIN (\n    SELECT DISTINCT array_to_string(e.toks[e.i:e.i+7], ' ') AS gram FROM (\n      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,\n             unnest(generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 7, 0))) AS i\n      FROM documents WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0\n    ) e\n  ) eg ON array_to_string(z.toks[z.i:z.i+7], ' ') = eg.gram\n)"),
         "corpus_shuffle": pk.shuffle_order_sql(seed=7),
+        "corpus_shards": pk.shard_assign_sql(n_shards=7, seed=7),
         "tokens_pack": f"""
 WITH d AS (
   SELECT doc_id, len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT AS n_tok
@@ -2301,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_strict": q_curate_strict,
         "tokens_pack": q_tokens_pack,
         "corpus_shuffle": q_corpus_shuffle,
+        "corpus_shards": q_corpus_shards,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_chunks": q_dedup_chunks,

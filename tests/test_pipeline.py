@@ -820,3 +820,37 @@ def test_cdc_training_order_offsets_contiguous(spark):
         spans = (cum // 64) != ((cum + r["n_tok"] - 1) // 64)
         assert r["spans_boundary"] == int(spans)
         cum += r["n_tok"]
+
+
+def test_write_shards_deterministic_and_balanced(docs, tmp_path, spark):
+    import json
+
+    from ticdc_spark.pipeline.pack import write_shards
+
+    out = str(tmp_path / "shards")
+    m1 = write_shards(docs, out, n_shards=5, seed=3)
+    sizes = [m1["shards"][str(s)] for s in range(5)]
+    assert sum(sizes) == docs.count()
+    assert max(sizes) - min(sizes) <= 1  # contiguous-balanced cut
+    # shards are disjoint contiguous rank ranges, rank-sorted inside files
+    df = spark.read.parquet(out)
+    rows = df.select("shard_id", "rank", "doc_id").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["rank"])
+    bounds = sorted((min(v), max(v)) for v in by_shard.values())
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 + 1 == lo2  # contiguous, no overlap, no gap
+    # deterministic: re-export to a second dir is identical
+    out2 = str(tmp_path / "shards2")
+    m2 = write_shards(docs, out2, n_shards=5, seed=3)
+    assert m1 == m2
+    a = {(r["doc_id"], r["shard_id"]) for r in rows}
+    b = {
+        (r["doc_id"], r["shard_id"])
+        for r in spark.read.parquet(out2).select("doc_id", "shard_id").collect()
+    }
+    assert a == b
+    # manifest round-trips
+    disk = json.load(open(f"{out}/_shard_manifest.json"))
+    assert disk == m1

@@ -169,3 +169,89 @@ SELECT doc_id, shuffle_key,
        row_number() OVER (ORDER BY shuffle_key, doc_id) AS rank
 FROM h
 """
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic contiguous-balanced shard assignment over the seeded
+    shuffle order: shard_id = ((rank-1) * n_shards) div N, so shard sizes
+    differ by at most one and each shard is a CONTIGUOUS rank range (the
+    layout a sequential-reading trainer wants — shard s = the s-th slice of
+    the global shuffled order). N comes from max(rank) as a broadcast 1-row
+    aggregate; integer `div` keeps the cut exact at any N.
+
+    Output: (doc_id, rank, shard_id).
+    """
+    ranked = shuffle_order(
+        docs, seed=seed, id_col=id_col, range_partitions=range_partitions
+    ).select("doc_id", "rank")
+    n = ranked.agg(F.max("rank").alias("_n_total"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "rank",
+        F.expr(f"((rank - 1) * {int(n_shards)}) div _n_total")
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+def shard_assign_sql(n_shards: int, seed: int = 0) -> str:
+    from ..functions.hashing import h60_sql
+
+    h = h60_sql(f"concat_ws(chr(31), '{seed}', cast(doc_id AS varchar))")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {h} AS sk
+  FROM documents
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rank FROM h
+)
+SELECT doc_id, rank,
+       ((rank - 1) * {int(n_shards)}) // (SELECT max(rank) FROM r) AS shard_id
+FROM r
+"""
+
+
+def write_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> dict:
+    """Materialize the training shards: every doc's full payload written
+    under shard_id=<s>/ in its shuffle-rank order slice, plus a manifest
+    (per-shard doc counts) at <out_dir>/_shard_manifest.json. Deterministic:
+    same corpus + seed + n_shards => byte-identical assignment (re-running
+    a failed export is safe). One payload shuffle (repartition on shard_id);
+    rows are rank-sorted within each shard file.
+    """
+    import json
+    import os
+
+    asg = shard_assign(docs, n_shards, seed=seed, id_col=id_col)
+    full = docs.join(asg, docs[id_col] == asg["doc_id"]).drop(asg["doc_id"])
+    (
+        full.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("rank")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    stats = {
+        int(r["shard_id"]): int(r["n"])
+        for r in asg.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "shards": {str(k): v for k, v in sorted(stats.items())},
+    }
+    with open(os.path.join(out_dir, "_shard_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

@@ -49,6 +49,7 @@ AUDIT = [
     "corpus_mix",
     "tokens_pack",
     "corpus_shuffle",
+    "corpus_shards",
     "cdc_training_order",
     "dedup_chunks",
     "dedup_dup_spans",
