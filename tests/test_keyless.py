@@ -473,3 +473,73 @@ def test_keyless_feed_multi_table_routing(spark, tmp_path):
     )
     assert kts["ta"].validate() == rows_a
     assert kts["tb"].validate() == rows_b
+
+
+def test_keyless_evolve_add_column_rewrites_identity(spark, tmp_path):
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
+    e = spark.createDataFrame(
+        [("I", 1, 0, "x", 1, None, None), ("I", 1, 1, "x", 1, None, None)],
+        SCHEMA,
+    )
+    kt.apply_epoch(e, "e0", old_cols=OLD)
+    assert kt.evolve("add_column", {"name": "c", "type": "string"}, "ddl1")
+    # replay of the same DDL no-ops
+    assert not kt.evolve("add_column", {"name": "c", "type": "string"}, "ddl1")
+    got = kt.read().collect()
+    assert len(got) == 1 and got[0]["mult"] == 2 and got[0]["c"] is None
+    assert kt.value_cols == ["a", "b", "c"]
+    # post-evolve events carry the new column; (x,1,NULL) and (x,1,'v')
+    # are DIFFERENT tuples now
+    sch2 = (
+        "op string, commit_ts long, seq long, a string, b long, c string, "
+        "old_a string, old_b long, old_c string"
+    )
+    e2 = spark.createDataFrame([("I", 2, 0, "x", 1, "v", None, None, None)], sch2)
+    kt.apply_epoch(e2, "e1", old_cols={"a": "old_a", "b": "old_b", "c": "old_c"})
+    rows = {(r["a"], r["b"], r["c"]): r["mult"] for r in kt.read().collect()}
+    assert rows == {("x", 1, None): 2, ("x", 1, "v"): 1}
+    # and a delete of the ORIGINAL tuple (now with NULL c) still lands
+    e3 = spark.createDataFrame([("D", 3, 0, "x", 1, None, None, None, None)], sch2)
+    kt.apply_epoch(e3, "e2", old_cols={"a": "old_a", "b": "old_b", "c": "old_c"})
+    rows = {(r["a"], r["b"], r["c"]): r["mult"] for r in kt.read().collect()}
+    assert rows == {("x", 1, None): 1, ("x", 1, "v"): 1}
+
+
+def test_keyless_evolve_drop_column_merges_tuples(spark, tmp_path):
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
+    e = spark.createDataFrame(
+        [
+            ("I", 1, 0, "x", 1, None, None),
+            ("I", 1, 1, "x", 2, None, None),  # distinct from (x,1) only by b
+            ("I", 1, 2, "y", 3, None, None),
+        ],
+        SCHEMA,
+    )
+    kt.apply_epoch(e, "e0", old_cols=OLD)
+    assert kt.evolve("drop_column", {"name": "b"}, "ddl1")
+    rows = {r["a"]: r["mult"] for r in kt.read().collect()}
+    # (x,1) and (x,2) collapse into (x) with summed multiplicity
+    assert rows == {"x": 2, "y": 1}
+    assert kt.value_cols == ["a"]
+
+
+def test_keyless_evolve_rename_is_metadata_only(spark, tmp_path):
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=4)
+    e = spark.createDataFrame([("I", 1, 0, "x", 1, None, None)], SCHEMA)
+    kt.apply_epoch(e, "e0", old_cols=OLD)
+    v_before = kt.t.version
+    assert kt.evolve("rename_column", {"from": "a", "to": "alpha"}, "ddl1")
+    assert kt.t.version == v_before + 1  # one metadata commit, no rewrite
+    got = kt.read().collect()
+    assert got[0]["alpha"] == "x" and kt.value_cols == ["alpha", "b"]
+    # identity unchanged: a delete keyed by the SAME values still retracts
+    sch = "op string, commit_ts long, seq long, alpha string, b long"
+    e2 = spark.createDataFrame([("D", 2, 0, "x", 1)], sch)
+    kt.apply_epoch(e2, "e1")
+    assert kt.read().count() == 0

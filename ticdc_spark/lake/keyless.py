@@ -228,6 +228,106 @@ class KeylessTable:
             changes, epoch_id, assume_deduped=True, prearranged=True
         )
 
+    # ---------------- schema evolution ----------------
+    def evolve(self, ddl_type: str, spec: dict, epoch_id: str) -> bool:
+        """DDL on a keyless table. rename/widen are metadata-only (the
+        value hash concatenates by POSITION, names never enter it, and the
+        type set here widens losslessly through the string cast) — they
+        delegate to LakeTable.update_schema. add/drop CHANGE ROW IDENTITY
+        (the identity IS the column tuple), so they rewrite: live tuples
+        read at the current version, transformed to the new column set
+        (add: NULL; drop: column removed — formerly-distinct tuples that
+        now collide MERGE, their multiplicities sum, exactly what deleting
+        a column from a keyless MySQL table does), re-hashed, and committed
+        as ONE manifest carrying both the new schema and the replacement
+        buckets. Crash before the commit leaves only orphan files; replay
+        no-ops on the committed epoch id. The rewrite is O(live tuples) —
+        the honest cost of identity-changing DDL on a value-keyed store
+        (the reference pays nothing because it stores rows natively).
+        """
+        t = self.t
+        if epoch_id in t.committed_epochs:
+            return False
+        if ddl_type in ("rename_column", "widen_column"):
+            return t.update_schema(ddl_type, spec, epoch_id=epoch_id)
+        if ddl_type not in ("add_column", "drop_column"):
+            raise ValueError(
+                f"unsupported keyless ddl_type {ddl_type} "
+                "(truncate via t.truncate)"
+            )
+        if ddl_type == "drop_column" and spec["name"] in (VH, "mult"):
+            raise ValueError(f"cannot drop system column {spec['name']}")
+        import json as _json
+        import os as _os
+
+        old_vcols = self.value_cols
+        live = self.read()  # collapsed; asserts no negative totals
+        if ddl_type == "add_column":
+            new_vcols = old_vcols + [spec["name"]]
+            live = live.withColumn(spec["name"], F.lit(None).cast(spec["type"]))
+            # mult field id must stay LAST in the field list? No: field ids
+            # are stable; order in the manifest is display-only. But the
+            # evolved field list appends the new column after mult — value
+            # identity follows self.value_cols order, which reads the
+            # manifest order, so keep the manifest consistent with it.
+        else:
+            new_vcols = [c for c in old_vcols if c != spec["name"]]
+            if len(new_vcols) == len(old_vcols):
+                raise KeyError(spec["name"])
+            live = live.drop(spec["name"])
+        regrouped = (
+            live.groupBy(*new_vcols)
+            .agg(F.sum("mult").alias("mult"))
+            .withColumn(VH, value_hash(new_vcols))
+        )
+        from ..model import SYS_COMMIT_TS as _CT
+        from ..model import SYS_SEQ as _SQ
+
+        out = regrouped.select(
+            F.col(VH),
+            *[F.col(c) for c in new_vcols],
+            F.col("mult"),
+            F.lit(0).cast("long").alias(_CT),
+            F.lit(0).cast("long").alias(_SQ),
+            F.lit(False).alias(SYS_DELETED),
+        ).withColumn("_bucket", t._bucket_expr(VH))
+
+        fields = t._evolved_fields(ddl_type, spec)
+        # keep the manifest's field order aligned with value_cols (the
+        # identity hash order): _vh first, value cols, mult last
+        mult_f = next(f for f in fields if f["name"] == "mult")
+        vh_f = next(f for f in fields if f["name"] == VH)
+        val_fs = [f for f in fields if f["name"] not in (VH, "mult")]
+        fields = [vh_f] + val_fs + [mult_f]
+
+        m = _json.loads(_json.dumps(t._manifest))
+        m.pop("commit_kind", None)
+        new_version = m["version"] + 1
+        data_dir = f"data/v{new_version:08d}"
+        abs_dir = _os.path.join(t.root, data_dir)
+        (
+            out.repartition(t.n_buckets, "_bucket")
+            .sortWithinPartitions(VH)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(abs_dir)
+        )
+        new_entries = t._scan_written(abs_dir)
+        # entries are written at the NEW schema version
+        m["parent"] = m["version"]
+        m["version"] = new_version
+        m["schema_version"] += 1
+        for es in new_entries.values():
+            for e in es:
+                e["schema_version"] = m["schema_version"]
+        m["schemas"][str(m["schema_version"])] = fields
+        m["buckets"] = new_entries
+        m["clean_buckets"] = sorted(int(b) for b in new_entries)
+        m["epoch_id"] = epoch_id
+        m["committed_epochs"].append(epoch_id)
+        t._commit_manifest(m)
+        return True
+
     # ---------------- read ----------------
     def read(self) -> DataFrame:
         """One row per distinct live value tuple, with its multiplicity.

@@ -198,6 +198,25 @@ class LakeTable:
         evolution rule)."""
         if epoch_id is not None and epoch_id in self.committed_epochs:
             return False
+        fields = self._evolved_fields(ddl_type, spec)
+        m = json.loads(json.dumps(self._manifest))
+        m.pop("commit_kind", None)  # kind describes THIS commit only
+        m["parent"] = m["version"]
+        m["version"] += 1
+        m["schema_version"] += 1
+        m["schemas"][str(m["schema_version"])] = fields
+        if ddl_type == "truncate_table":
+            m["buckets"] = {}
+            m["clean_buckets"] = []
+        m["epoch_id"] = epoch_id
+        if epoch_id is not None:
+            m["committed_epochs"].append(epoch_id)
+        self._commit_manifest(m)
+        return True
+
+    def _evolved_fields(self, ddl_type: str, spec: dict) -> list[dict]:
+        """The post-DDL field list (no commit) — shared by the metadata-only
+        update_schema and the keyless rewrite-evolution path."""
         fields = [dict(f) for f in self.current_fields]
         if ddl_type == "add_column":
             # ids are NEVER reused (Iceberg's last-column-id rule) — a
@@ -237,20 +256,7 @@ class LakeTable:
             pass
         else:
             raise ValueError(f"unsupported ddl_type {ddl_type}")
-        m = json.loads(json.dumps(self._manifest))
-        m.pop("commit_kind", None)  # kind describes THIS commit only
-        m["parent"] = m["version"]
-        m["version"] += 1
-        m["schema_version"] += 1
-        m["schemas"][str(m["schema_version"])] = fields
-        if ddl_type == "truncate_table":
-            m["buckets"] = {}
-            m["clean_buckets"] = []
-        m["epoch_id"] = epoch_id
-        if epoch_id is not None:
-            m["committed_epochs"].append(epoch_id)
-        self._commit_manifest(m)
-        return True
+        return fields
 
     # ---------------- read ----------------
     def _read_files(self, entries: list[dict]) -> DataFrame | None:
