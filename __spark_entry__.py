@@ -45,6 +45,8 @@ from ticdc_spark.functions.text import (
     repetition_columns,
     repetition_sql,
     tokens_col,
+    unigram_nll_buckets,
+    unigram_nll_buckets_sql,
     unigram_nll_columns,
     unigram_nll_sql,
 )
@@ -860,6 +862,13 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: per-doc mean NLL under the corpus
     unigram distribution (add-one smoothed). Two linear shuffles."""
     return _longify(unigram_nll_columns(_docs(spark, sf_dir)))
+
+
+def q_text_nll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: NLL score -> corpus-wide rank (range-
+    partitioned prefix sums) -> equal thirds. The complete rank-by-
+    perplexity pipeline shape."""
+    return _longify(unigram_nll_buckets(_docs(spark, sf_dir)))
 
 
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2040,6 +2049,7 @@ FROM t
         "text_fingerprint": fingerprint_sql(),
         "text_repetition": repetition_sql(),
         "text_unigram_nll": unigram_nll_sql(),
+        "text_nll_buckets": unigram_nll_buckets_sql(),
         "text_pii": pii_sql(),
         "curate_corpus": _curate_sql(),
         "curate_full": _curate_sql(src="train", prefix_ctes="train AS (SELECT * FROM documents WHERE NOT (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0)),\n", anti_cte="cont AS (\n  SELECT DISTINCT z.doc_id FROM (\n    SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks\n    FROM tq\n  ) z\n  JOIN (\n    SELECT DISTINCT array_to_string(e.toks[e.i:e.i+7], ' ') AS gram FROM (\n      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,\n             unnest(generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 7, 0))) AS i\n      FROM documents WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0\n    ) e\n  ) eg ON array_to_string(z.toks[z.i:z.i+7], ' ') = eg.gram\n)"),
@@ -2305,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_unigram_nll": q_text_unigram_nll,
+        "text_nll_buckets": q_text_nll_buckets,
         "text_pii": q_text_pii,
         "curate_corpus": q_curate_corpus,
         "curate_full": q_curate_full,

@@ -854,3 +854,24 @@ def test_write_shards_deterministic_and_balanced(docs, tmp_path, spark):
     # manifest round-trips
     disk = json.load(open(f"{out}/_shard_manifest.json"))
     assert disk == m1
+
+
+def test_unigram_nll_buckets_equal_thirds_ordered(docs):
+    from ticdc_spark.functions.text import unigram_nll_buckets
+
+    out = unigram_nll_buckets(docs).collect()
+    n = len(out)
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    sizes = {k: len(v) for k, v in by_bucket.items()}
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    # ordering invariant: every head nll <= every middle nll <= every tail
+    assert max(r["nll"] for r in by_bucket["head"]) <= min(
+        r["nll"] for r in by_bucket["middle"]
+    )
+    assert max(r["nll"] for r in by_bucket["middle"]) <= min(
+        r["nll"] for r in by_bucket["tail"]
+    )

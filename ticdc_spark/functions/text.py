@@ -356,3 +356,49 @@ SELECT t.doc_id, count(*) AS n_tok,
 FROM t JOIN c USING (tok) CROSS JOIN tot
 GROUP BY t.doc_id
 """
+
+
+def unigram_nll_buckets(
+    df: DataFrame, text_col: str = "text", n_buckets: int = 3
+) -> DataFrame:
+    """CCNet's actual output shape (Wenzek et al. 2020): score every doc,
+    rank corpus-wide, cut into equal head/middle/tail thirds — head =
+    lowest NLL (most LM-like), tail = rarest vocabulary. The rank is the
+    range-partitioned prefix sum (pipeline.pack.rank_by), so no
+    single-partition window; the (nll, doc_id) order is total (nll is
+    rounded, doc_id breaks ties deterministically in both engines)."""
+    from ..pipeline.pack import rank_by
+
+    nll = unigram_nll_columns(df, text_col)
+    ranked = rank_by(nll, ["nll", "doc_id"])
+    n = ranked.agg(F.max("_rank").alias("_n_total"))
+    lbl = F.expr(f"((_rank - 1) * {int(n_buckets)}) div _n_total")
+    name = (
+        F.when(lbl == 0, F.lit("head"))
+        .when(lbl == n_buckets - 1, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tok",
+        "nll",
+        F.col("_rank").cast("long").alias("nll_rank"),
+        name.alias("bucket"),
+    )
+
+
+def unigram_nll_buckets_sql(n_buckets: int = 3) -> str:
+    return f"""
+WITH q AS ({unigram_nll_sql()}),
+r AS (
+  SELECT doc_id, n_tok, nll,
+         row_number() OVER (ORDER BY nll, doc_id) AS nll_rank
+  FROM q
+)
+SELECT doc_id, n_tok, nll, nll_rank,
+       CASE ((nll_rank - 1) * {int(n_buckets)}) // (SELECT max(nll_rank) FROM r)
+            WHEN 0 THEN 'head'
+            WHEN {int(n_buckets) - 1} THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM r
+"""

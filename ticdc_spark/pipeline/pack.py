@@ -255,3 +255,15 @@ def write_shards(
     with open(os.path.join(out_dir, "_shard_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def rank_by(
+    df: DataFrame, order_cols: list[str], range_partitions: int = 32
+) -> DataFrame:
+    """Global dense rank 1..N over `order_cols` (pass enough columns for a
+    TOTAL order — ties would share a rank through the RANGE window frame).
+    Same range-partitioned prefix-sum machinery as packing/shuffling: no
+    single-partition window at any N. Adds a `_rank` column."""
+    base = df.withColumn("_one", F.lit(1))
+    cum = _global_cumsum(base, "_one", order_cols, range_partitions)
+    return cum.withColumnRenamed("_cum", "_rank").drop("_one")
