@@ -47,6 +47,8 @@ class KeylessFeed:
         feed_name: str = "keyless",
         compact_max_deltas: int = 64,
         expire_keep_last: int | None = None,
+        mq_dir: str | None = None,
+        mq_partitions: int = 16,
     ):
         if (table is None) == (tables is None):
             raise ValueError("pass exactly one of table / tables")
@@ -62,6 +64,11 @@ class KeylessFeed:
         self.feed_name = feed_name
         self.compact_max_deltas = compact_max_deltas
         self.expire_keep_last = expire_keep_last
+        # MQ sink (keyless open protocol, streaming/keyless_mq.py): whole
+        # batch emitted per trigger — no released-prefix gating because the
+        # additive state needs no frontier; table-dispatcher partitioning
+        self.mq_dir = mq_dir
+        self.mq_partitions = mq_partitions
         self.batch_summaries: list[dict] = []
 
     def _process_batch(self, batch_df, batch_id: int) -> None:
@@ -69,6 +76,19 @@ class KeylessFeed:
 
         targets = self.tables if self.tables is not None else {"": self.table}
         summary: dict = {"batch_id": batch_id}
+        if self.mq_dir is not None:
+            from .keyless_mq import emit_keyless_mq
+
+            any_t = next(iter(targets.values()))
+            emit_keyless_mq(
+                batch_df,
+                self.mq_dir,
+                batch_id,
+                any_t.value_cols,
+                self.old_cols,
+                n_partitions=self.mq_partitions,
+            )
+            summary["mq"] = True
         for name, kt in targets.items():
             sl = (
                 batch_df.filter(F.col("table") == F.lit(name))
