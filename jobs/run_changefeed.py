@@ -250,16 +250,10 @@ def main() -> int:
         return 0
 
     if args.keyless:
-        if (
-            args.ddl
-            or args.mq_dir
-            or args.derived_dedup
-            or args.derived_decontam
-            or args.cyclic
-        ):
+        if args.ddl or args.derived_dedup or args.derived_decontam or args.cyclic:
             p.error(
-                "--keyless is a plain single-table feed "
-                "(no DDL/MQ/derived-index/cyclic options)"
+                "--keyless supports a single-table feed with an optional "
+                "MQ sink (no DDL/derived-index/cyclic options)"
             )
         from ticdc_spark.lake.keyless import KeylessTable
         from ticdc_spark.streaming.keyless_feed import KeylessFeed
@@ -284,6 +278,8 @@ def main() -> int:
             args.binlog,
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            mq_dir=args.mq_dir,
+            mq_partitions=args.mq_partitions,
         )
         if args.available_now:
             summaries = feed.run_available()
