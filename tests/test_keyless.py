@@ -597,3 +597,23 @@ def test_keyless_mq_roundtrip_downstream_equals_primary(spark, tmp_path):
     st2 = consumer.run()
     assert all(not s["committed"] for s in st2)
     assert collections.Counter(key(r) for r in b.read_bag().collect()) == b_bag
+
+
+def test_keyless_feed_mq_rejects_heterogeneous_tables(spark, tmp_path):
+    from ticdc_spark.lake.keyless import KeylessTable
+    from ticdc_spark.streaming.keyless_feed import KeylessFeed
+
+    a = KeylessTable.create(spark, str(tmp_path / "a"), FIELDS, n_buckets=2)
+    b = KeylessTable.create(
+        spark, str(tmp_path / "b"),
+        [{"id": 1, "name": "z", "type": "string"}], n_buckets=2,
+    )
+    feed = KeylessFeed(
+        tables={"ta": a, "tb": b},
+        binlog_dir=str(tmp_path / "none"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        mq_dir=str(tmp_path / "mq"),
+    )
+    df = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError, match="homogeneous"):
+        feed._process_batch(df, 0)

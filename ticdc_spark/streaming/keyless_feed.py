@@ -80,6 +80,14 @@ class KeylessFeed:
             from .keyless_mq import emit_keyless_mq
 
             any_t = next(iter(targets.values()))
+            cols = {tuple(kt.value_cols) for kt in targets.values()}
+            if len(cols) != 1:
+                # one physical stream schema = one message value shape; a
+                # heterogeneous fleet would silently mis-encode the others
+                raise ValueError(
+                    f"keyless MQ emission needs homogeneous value columns "
+                    f"across tables, got {sorted(cols)}"
+                )
             emit_keyless_mq(
                 batch_df,
                 self.mq_dir,
