@@ -617,3 +617,26 @@ def test_keyless_feed_mq_rejects_heterogeneous_tables(spark, tmp_path):
     df = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="homogeneous"):
         feed._process_batch(df, 0)
+
+
+def test_keyless_changes_fold_to_current_state(spark, tmp_path):
+    """The incremental changelog is the signed delta stream: folding all
+    changes since v0 reproduces the live multiset; a compaction commit
+    contributes no change rows."""
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    rows, want = _consistent_history(150, seed=41)
+    kt = KeylessTable.create(spark, str(tmp_path / "kl"), FIELDS, n_buckets=2)
+    for i, lo in enumerate(range(0, 150, 50)):
+        kt.apply_epoch(
+            spark.createDataFrame(rows[lo : lo + 50], SCHEMA), f"e{i}", old_cols=OLD
+        )
+    v_pre_compact = kt.t.version
+    kt.compact()
+    ch = kt.changes(0).groupBy("a", "b").agg(F.sum("mult").alias("m"))
+    got = {
+        (r["a"], r["b"]): r["m"] for r in ch.collect() if r["m"] != 0
+    }
+    assert got == dict(want)
+    # compaction added no change rows
+    assert kt.changes(v_pre_compact).count() == 0

@@ -343,6 +343,17 @@ class KeylessTable:
             .select(*self.value_cols)
         )
 
+    def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental multiset CHANGELOG: the per-epoch net deltas
+        committed after `since_version` — (_vh, value cols..., mult) where
+        mult is SIGNED (negative = retract that many instances). Because
+        the state is additive, folding this stream into any snapshot at
+        `since_version` reproduces the current multiset exactly; compaction
+        commits contribute nothing (rewrites, not changes). IO proportional
+        to change volume — inherited from LakeTable.read_changes."""
+        ch = self.t.read_changes(since_version, to_version)
+        return ch.select(VH, *self.value_cols, "mult")
+
     def validate(self) -> int:
         """Force a full collapse; raises on any negative total. Returns the
         live instance count."""
