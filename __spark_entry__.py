@@ -1000,6 +1000,39 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means assignment over the embedding table
+    (pipeline/cluster.kmeans_assign): hash-seeded init, 2 Lloyd updates,
+    map-only argmax against driver-held centroid literals."""
+    from ticdc_spark.pipeline.cluster import kmeans_assign
+
+    return _longify(kmeans_assign(_emb(spark, sf_dir), k=8, iters=2, dim=64))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, drop
+    any vector with a smaller-id same-cluster neighbor at cosine >= tau —
+    semantic dedup whose pairwise stage is confined to single clusters."""
+    from ticdc_spark.pipeline.cluster import semdedup
+
+    return _longify(semdedup(_emb(spark, sf_dir), k=8, iters=2, threshold=0.4, dim=64))
+
+
+def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: training docs that are MinHash-LSH near-dups
+    (exact-Jaccard-verified) of the held-out eval split — catches the
+    paraphrased contamination the exact 8-gram rule misses."""
+    from ticdc_spark.functions.hashing import bucket
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    is_eval = bucket(F.col("doc_id").cast("string"), 20) == 0
+    return _longify(
+        dc.decontaminate_fuzzy(
+            docs.filter(~is_eval), docs.filter(is_eval), n=3, threshold=0.5
+        )
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: quality filter -> langid -> exact dedup ->
     near-dup dedup (pipeline.curate) — the composed training-data pipeline
@@ -1593,6 +1626,125 @@ WHERE {cos} >= {threshold}
 
 
 
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> tuple[str, str]:
+    """CTE chain replaying pipeline/cluster.kmeans_assign step-for-step:
+    unit-normalize, hash-seeded cents_0, then per iteration an argmax
+    assignment (ties -> smallest cluster) and a per-dim avg + renormalize
+    + round-6 centroid update. Returns (ctes, final_assignment_cte)."""
+    h = h60_sql("cast(vec_id AS varchar)")
+    norm = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    ctes = [
+        f"""u AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / {norm}) AS u
+  FROM embeddings)""",
+        f"""cents_0 AS (
+  SELECT c, list_transform(u, x -> round(x, 6)) AS cent FROM (
+    SELECT u, row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c FROM u
+  ) WHERE c < {k})""",
+    ]
+
+    def asg(i: int) -> str:
+        sim = f"round(list_dot_product(p.u, c.cent), 6)"
+        return f"""asg_{i} AS (
+  SELECT vec_id, u, c AS cluster, sim AS cos_sim FROM (
+    SELECT p.vec_id, p.u, c.c, {sim} AS sim,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY {sim} DESC, c.c ASC) AS rn
+    FROM u p CROSS JOIN cents_{i - 1} c
+  ) WHERE rn = 1)"""
+
+    for i in range(1, iters + 1):
+        ctes.append(asg(i))
+        ctes.append(
+            f"""raw_{i} AS (
+  SELECT cluster, list(a ORDER BY pos) AS araw FROM (
+    SELECT cluster, pos, avg(v) AS a FROM (
+      SELECT cluster, unnest(u) AS v, unnest(range(1, len(u) + 1)) AS pos FROM asg_{i}
+    ) GROUP BY cluster, pos
+  ) GROUP BY cluster)""",
+        )
+        ctes.append(
+            f"""cents_{i} AS (
+  SELECT cluster AS c,
+         list_transform(araw, x -> round(x / sqrt(list_dot_product(araw, araw)), 6)) AS cent
+  FROM raw_{i})""",
+        )
+    final = f"asg_{iters + 1}"
+    ctes.append(asg(iters + 1))
+    return ",\n".join(ctes), final
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    ctes, final = _kmeans_ctes(k, iters)
+    return f"WITH {ctes}\nSELECT vec_id, cluster, cos_sim FROM {final}"
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.4) -> str:
+    ctes, final = _kmeans_ctes(k, iters)
+    return f"""WITH {ctes},
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM {final} a JOIN {final} b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.u, b.u), 6) >= {threshold})
+SELECT a.vec_id, a.cluster,
+       (CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM {final} a LEFT JOIN dropped d ON d.vid = a.vec_id"""
+
+
+def _decontam_fuzzy_sql(
+    n: int = 3, n_perms: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    toks = TOKENS_SQL.format(t="text")
+    gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    h = f"({h60_sql('shingle')} % {MERSENNE_P})"
+    mins = []
+    for i in range(n_perms):
+        a, b = perm_params(i)
+        mins.append(f"min(({a} * {h} + {b}) % {MERSENNE_P}) AS mh_{i}")
+    r = n_perms // bands
+    band_parts = []
+    for b in range(bands):
+        cols = " || '_' || ".join(f"cast(mh_{b * r + j} as varchar)" for j in range(r))
+        band_parts.append(
+            f"SELECT doc_id, is_eval, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks,
+         {bucket_sql("cast(doc_id AS varchar)", 20)} = 0 AS is_eval
+  FROM documents),
+g AS (SELECT doc_id, is_eval,
+             unnest(generate_series(1, greatest(len(toks)-{n - 1}, 0))) AS i, toks
+      FROM t),
+sh AS (SELECT DISTINCT doc_id, is_eval, {gram} AS shingle FROM g),
+sig AS (SELECT doc_id, is_eval, {", ".join(mins)} FROM sh GROUP BY doc_id, is_eval),
+banded AS ({" UNION ALL ".join(band_parts)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS ev_id
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE NOT a.is_eval AND b.is_eval),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT train_id, ev_id,
+         round(n_inter * 1.0 / (st.n_sh + se.n_sh - n_inter), 6) AS j
+  FROM (
+    SELECT c.train_id, c.ev_id, count(*) AS n_inter
+    FROM cand c
+    JOIN sh st ON st.doc_id = c.train_id
+    JOIN sh se ON se.doc_id = c.ev_id AND se.shingle = st.shingle
+    GROUP BY 1, 2
+  ) JOIN sizes st ON st.doc_id = train_id JOIN sizes se ON se.doc_id = ev_id),
+hits AS (
+  SELECT train_id, count(*) AS n_eval_hits, max(j) AS max_jaccard
+  FROM jac WHERE j >= {threshold} GROUP BY train_id)
+SELECT t.doc_id, coalesce(h.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+       coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+       (CASE WHEN h.train_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS contaminated
+FROM t LEFT JOIN hits h ON h.train_id = t.doc_id
+WHERE NOT t.is_eval"""
+
+
 def _curate_sql(threshold: float = 0.8, src: str = "documents", prefix_ctes: str = "", anti_cte: str = "") -> str:
     """anti_cte: optional trailing CTE named `cont`; when given, curated
     docs in it are excluded (the decontamination stage)."""
@@ -2175,6 +2327,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         "dedup_embedding": _dedup_embedding_lsh_sql(
             n_bits=4, n_tables=6, threshold=0.4
         ),
+        "embed_kmeans": _kmeans_sql(k=8, iters=2),
+        "semdedup": _semdedup_sql(k=8, iters=2, threshold=0.4),
+        "decontam_fuzzy": _decontam_fuzzy_sql(n=3, threshold=0.5),
         "curate_decontaminate": f"""
 WITH t AS (
   SELECT doc_id, {bucket_sql("cast(doc_id AS varchar)", 20)} = 0 AS is_eval,
@@ -2335,6 +2490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "embed_kmeans": q_embed_kmeans,
+        "semdedup": q_semdedup,
+        "decontam_fuzzy": q_decontam_fuzzy,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "curate_decontaminate": q_curate_decontaminate,
         "decontam_incremental": q_decontam_incremental,

@@ -163,3 +163,89 @@ WITH counts AS (
 SELECT t.stratum, t.n_docs, t.keep_thresh, coalesce(kept.n_kept, 0) AS n_kept
 FROM t LEFT JOIN kept USING (stratum)
 """
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    n_perms: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy decontamination: flag training docs that are NEAR-duplicates
+    of an eval/benchmark doc (MinHash-LSH candidates across the two sets,
+    exact n-gram Jaccard verify >= threshold). Catches the paraphrased /
+    lightly-edited contamination the exact n-gram rule (decontaminate)
+    misses — the complement GPT-3/PaLM-style dedup-based decontamination
+    applies alongside the 8-gram rule.
+
+    Returns one row per training doc:
+        (doc_id, n_eval_hits, max_jaccard, contaminated)
+
+    Scale shape — identical to minhash_lsh_pairs but CROSS-set, which is
+    strictly cheaper than the self-join:
+      * both sides pay one explode + one K-min-agg groupBy (map-side
+        combined; shuffle <= K longs per doc per partition);
+      * the band join keys on (band_id, band_hash) and the eval side is
+        tiny (10^3-10^6 docs), so AQE broadcasts it; candidates are
+        (train, eval) pairs only — never train x train;
+      * verify re-joins shingles for candidate pairs only. No broadcast
+        HINTS anywhere (an adversarial eval set must not OOM the driver).
+    """
+    from .dedup import band_hash_exprs, minhash_signatures, shingles
+
+    def banded(d: DataFrame, side: str) -> DataFrame:
+        sig = minhash_signatures(d, n, n_perms, text_col)
+        return sig.select(
+            F.col("doc_id").alias(f"{side}_id"),
+            F.posexplode(F.array(*band_hash_exprs(n_perms, bands))).alias(
+                "band_id", "band_hash"
+            ),
+        )
+
+    cand = (
+        banded(docs, "train")
+        .join(banded(eval_docs, "ev"), ["band_id", "band_hash"])
+        .select("train_id", "ev_id")
+        .distinct()
+    )
+    sh_t = shingles(docs, n, text_col).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    sh_e = shingles(eval_docs, n, text_col).select(
+        F.col("doc_id").alias("ev_id"), "shingle"
+    )
+    sizes_t = sh_t.groupBy("train_id").agg(F.count("*").alias("n_t"))
+    sizes_e = sh_e.groupBy("ev_id").agg(F.count("*").alias("n_e"))
+    inter = (
+        cand.join(sh_t, "train_id")
+        .join(sh_e, ["ev_id", "shingle"])
+        .groupBy("train_id", "ev_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    hits = (
+        inter.join(sizes_t, "train_id")
+        .join(sizes_e, "ev_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_t") + F.col("n_e") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("train_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id"))
+        .join(hits, F.col("doc_id") == F.col("train_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).alias("n_eval_hits"),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
