@@ -59,16 +59,26 @@ def seed_centroids(
 ) -> list[tuple[int, list[float]]]:
     """The k deterministic seeds: rows with the smallest
     (h60(id), id), cluster c = rank order. Components rounded to 6 digits
-    (the same rule every later centroid follows).
+    (the same rule every later centroid follows)."""
+    unit_df = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("u"))
+    return _seed_from_unit(unit_df, k, id_col)
+
+
+def _seed_from_unit(
+    unit_df: DataFrame, k: int, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """Seed selection over an already unit-normalized (id, u) frame — lets
+    kmeans_assign/semdedup reuse one checkpointed normalization across
+    seed + every Lloyd pass instead of re-deriving it per pass.
 
     orderBy+limit compiles to TakeOrderedAndProject — a distributed
     per-partition top-k merged on the driver, never a global sort (the
     SQL oracle's row_number window is the semantic spec, not the plan)."""
     rows = (
-        emb.select(
+        unit_df.select(
             h60(F.col(id_col).cast("string")).alias("_h"),
             F.col(id_col).alias("_id"),
-            F.transform(_unit(F.col(vec_col)), lambda x: F.round(x, 6)).alias("u"),
+            F.transform(F.col("u"), lambda x: F.round(x, 6)).alias("u"),
         )
         .orderBy("_h", "_id")
         .limit(k)
@@ -95,7 +105,9 @@ def _assign(
             for c, cent in cents
         ]
     )
-    best = F.sort_array(scored, asc=False)[0]
+    # array_max by struct order = (max sim, then max negc = smallest c):
+    # identical to sort-desc[0] without materializing the sorted array.
+    best = F.array_max(scored)
     return unit_df.withColumn("cluster", (-best["negc"]).cast("int")).withColumn(
         "cos_sim", best["sim"]
     )
@@ -132,9 +144,15 @@ def kmeans_assign(
     where cluster is the argmax-cosine centroid after `iters` Lloyd
     updates from the hash-seeded init. `iters` is FIXED (not
     convergence-tested) so the computation is a finite, engine-agnostic
-    plan a SQL oracle can replay CTE-for-CTE."""
-    unit_df = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("u"))
-    cents = seed_centroids(emb, k, id_col, vec_col)
+    plan a SQL oracle can replay CTE-for-CTE.
+
+    The normalized frame is localCheckpoint-ed once: seed + every Lloyd
+    pass + the final assignment all scan it, and without the checkpoint
+    each pass re-reads parquet and re-runs the dim divisions."""
+    unit_df = emb.select(
+        F.col(id_col), _unit(F.col(vec_col)).alias("u")
+    ).localCheckpoint(eager=False)
+    cents = _seed_from_unit(unit_df, k, id_col)
     for _ in range(iters):
         cents = _update(_assign(unit_df, cents), dim)
     return _assign(unit_df, cents).select(
@@ -150,6 +168,7 @@ def semdedup(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_slices: int = 8,
 ) -> DataFrame:
     """SemDeDup: within each k-means cluster, drop any vector with a
     same-cluster neighbor at cosine >= threshold and a smaller id.
@@ -158,17 +177,40 @@ def semdedup(
 
     The pairwise join is per-cluster (shuffle on cluster id), never
     corpus-wide; survivors are chosen by min-id so the output is
-    order-independent and idempotent."""
-    unit_df = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("u"))
-    asg = kmeans_assign(emb, k, iters, dim, id_col, vec_col).select(id_col, "cluster")
-    pts = unit_df.join(asg, id_col).select(
-        F.col(id_col).alias("vid"), F.col("cluster"), F.col("u")
+    order-independent and idempotent.
+
+    Plan notes: the assigned point set feeds three consumers (both sides
+    of the pairwise join and the final keep-join), so it is
+    localCheckpoint-ed once — otherwise the whole k-means argmax subtree
+    re-executes per consumer. And the pairwise join is salted by
+    hash(vid) % pair_slices on the build side (probe side replicated to
+    every slice), lifting parallelism from k tasks to k x pair_slices —
+    with small k the per-cluster quadratic otherwise serializes onto k
+    cores regardless of cluster size."""
+    unit_df = emb.select(
+        F.col(id_col), _unit(F.col(vec_col)).alias("u")
+    ).localCheckpoint(eager=False)
+    cents = _seed_from_unit(unit_df, k, id_col)
+    for _ in range(iters):
+        cents = _update(_assign(unit_df, cents), dim)
+    pts = (
+        _assign(unit_df, cents)
+        .select(F.col(id_col).alias("vid"), F.col("cluster"), F.col("u"))
+        .localCheckpoint(eager=False)
     )
-    a, b = pts.alias("a"), pts.alias("b")
+    s = pair_slices
+    b = pts.withColumn(
+        "_slice", F.pmod(F.xxhash64(F.col("vid")), F.lit(s)).cast("int")
+    ).repartition(k * s, "cluster", "_slice")
+    a = pts.withColumn(
+        "_slice", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+    ).repartition(k * s, "cluster", "_slice")
     dropped = (
-        a.join(
-            b,
+        a.alias("a")
+        .join(
+            b.alias("b"),
             (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._slice") == F.col("b._slice"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
         .filter(F.round(_dot(F.col("a.u"), F.col("b.u")), 6) >= threshold)
