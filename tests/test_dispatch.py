@@ -138,3 +138,43 @@ def test_mq_ts_dispatch_partitions(spark, tmp_path):
         "partition",
     ).filter(F.col("ts") % 8 != F.col("partition"))
     assert bad.count() == 0
+
+
+def test_slot_representatives_cover_all_slots(spark):
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.streaming.dispatch import slot_representatives
+
+    for n in (8, 32):
+        reps = slot_representatives(spark, n)
+        assert len(reps) == n
+        # each representative must hash into its own slot under Spark's
+        # exact partitioning function (pmod(murmur3, n))
+        df = spark.createDataFrame([(p, v) for p, v in enumerate(reps)], "p int, v int")
+        bad = df.filter(F.pmod(F.hash("v"), F.lit(n)) != F.col("p"))
+        assert bad.count() == 0
+
+
+def test_identity_repartition_one_dir_per_task(spark):
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.streaming.dispatch import identity_repartition
+
+    n = 16
+    df = spark.range(0, 4_000).select(
+        (F.col("id") % n).cast("int").alias("partition"), F.col("id")
+    )
+    out = identity_repartition(df, n)
+    # rows preserved, schema unchanged
+    assert out.columns == ["partition", "id"]
+    assert out.count() == 4_000
+    # every task owns exactly one partition-dir value (the property the
+    # plain hash repartition lacks: murmur3 over 0..n-1 collides)
+    per_task = (
+        out.withColumn("task", F.spark_partition_id())
+        .groupBy("task")
+        .agg(F.countDistinct("partition").alias("dirs"))
+        .collect()
+    )
+    assert len(per_task) == n
+    assert all(r["dirs"] == 1 for r in per_task)

@@ -213,10 +213,21 @@ class KeylessTable:
         # aggregate buffer is then a bare sum, so Spark picks HashAggregate;
         # first(array<...>) would force a SortAggregate over the wide rows
         # (measured 1.5x slower end-to-end)
+        from ..functions.partitioning import identity_repartition
+
+        # identity_repartition: one bucket per task (dense ids collide under
+        # plain hash routing); _slot is kept and leads the groupBy so the
+        # aggregation still reuses this exchange (partitioning column must
+        # appear among the grouping keys; slot is 1:1 with bucket, so the
+        # groups are unchanged)
         agg = (
-            ex.withColumn("_bucket", self.t._bucket_expr(VH))
-            .repartition(self.t.n_buckets, "_bucket")
-            .groupBy("_bucket", VH, *vcols)
+            identity_repartition(
+                ex.withColumn("_bucket", self.t._bucket_expr(VH)),
+                self.t.n_buckets,
+                "_bucket",
+                keep_slot=True,
+            )
+            .groupBy("_slot", "_bucket", VH, *vcols)
             .agg(F.sum("d").alias("mult"))
             .filter(F.col("mult") != 0)
         )
@@ -305,9 +316,11 @@ class KeylessTable:
         new_version = m["version"] + 1
         data_dir = f"data/v{new_version:08d}"
         abs_dir = _os.path.join(t.root, data_dir)
+        from ..functions.partitioning import identity_repartition
+
         (
-            out.repartition(t.n_buckets, "_bucket")
-            .sortWithinPartitions(VH)
+            identity_repartition(out, t.n_buckets, "_bucket")
+            .sortWithinPartitions("_bucket", VH)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(abs_dir)

@@ -533,10 +533,18 @@ class LakeTable:
         new_version = self._manifest["version"] + 1
         data_dir = f"data/v{new_version:08d}"
         abs_dir = os.path.join(self.root, data_dir)
+        from ..functions.partitioning import identity_repartition
+
+        # identity_repartition: one bucket dir per task (dense bucket ids
+        # hash-collide under a plain repartition — see functions/
+        # partitioning.py); leading the sort with _bucket also hands the
+        # partitioned writer the ordering it requires, so it injects none
         out = (
             ch
             if prearranged
-            else ch.repartition(self.n_buckets, "_bucket").sortWithinPartitions(key)
+            else identity_repartition(
+                ch, self.n_buckets, "_bucket"
+            ).sortWithinPartitions("_bucket", key)
         )
         (
             out.write.mode("overwrite")
@@ -628,9 +636,12 @@ class LakeTable:
 
         new_version = self._manifest["version"] + 1
         abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
+        from ..functions.partitioning import identity_repartition
+
+        n_parts = max(1, min(len(touched), 256))
         (
-            out.repartition(max(1, min(len(touched), 256)), "_bucket")
-            .sortWithinPartitions(key)
+            identity_repartition(out, n_parts, "_bucket", domain=sorted(touched))
+            .sortWithinPartitions("_bucket", key)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(abs_dir)
@@ -862,9 +873,11 @@ class LakeTable:
             out = df.withColumn("_bucket", self._bucket_expr(self.bucket_col))
             new_version = m["version"] + 1
             abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
+            from ..functions.partitioning import identity_repartition
+
             (
-                out.repartition(new_n_buckets, "_bucket")
-                .sortWithinPartitions(self.key_col)
+                identity_repartition(out, new_n_buckets, "_bucket")
+                .sortWithinPartitions("_bucket", self.key_col)
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(abs_dir)
@@ -896,10 +909,15 @@ class LakeTable:
         out = df.withColumn("_bucket", self._bucket_expr(self.bucket_col))
         new_version = self._manifest["version"] + 1
         abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
+        from ..functions.partitioning import identity_repartition
+
         n_parts = self.n_buckets if buckets is None else max(1, min(len(buckets), 256))
         (
-            out.repartition(n_parts, "_bucket")
-            .sortWithinPartitions(self.key_col)
+            identity_repartition(
+                out, n_parts, "_bucket",
+                domain=None if buckets is None else sorted(buckets),
+            )
+            .sortWithinPartitions("_bucket", self.key_col)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(abs_dir)

@@ -139,17 +139,28 @@ def lww_collapse_prearranged(
     aggregation collapses the hot key across ALL input tasks before any
     shuffle (see BENCH.md skew rows).
     """
+    from ..functions.partitioning import identity_repartition
+
     key_cols = key_cols or [KEY_COL]
-    d = df.withColumn("_bucket", bucket_expr.cast("int")).repartition(
-        n_buckets, "_bucket"
+    # identity_repartition (vs plain repartition on _bucket): dense bucket
+    # ids hash-collide across slots, so the unluckiest task owned 3-4
+    # buckets while others idled — the routing slot is kept so the window
+    # below reuses this exchange (its partition keys must NAME the column
+    # the data is partitioned by; _slot is 1:1 with _bucket, so the key
+    # grouping is unchanged)
+    d = identity_repartition(
+        df.withColumn("_bucket", bucket_expr.cast("int")),
+        n_buckets,
+        "_bucket",
+        keep_slot=True,
     )
-    w = Window.partitionBy("_bucket", *key_cols).orderBy(
+    w = Window.partitionBy("_slot", *key_cols).orderBy(
         F.col("commit_ts").desc(), F.col("seq").desc(), op_rank_col().desc()
     )
     return (
         d.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_slot")
     )
 
 

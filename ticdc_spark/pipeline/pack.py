@@ -236,9 +236,11 @@ def write_shards(
 
     asg = shard_assign(docs, n_shards, seed=seed, id_col=id_col)
     full = docs.join(asg, docs[id_col] == asg["doc_id"]).drop(asg["doc_id"])
+    from ..functions.partitioning import identity_repartition
+
     (
-        full.repartition(n_shards, "shard_id")
-        .sortWithinPartitions("rank")
+        identity_repartition(full, n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "rank")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(out_dir)

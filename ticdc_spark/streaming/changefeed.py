@@ -807,7 +807,9 @@ class ChangeFeed:
         # "partition" leads the sort so the dynamic-partition writer's
         # required ordering is already satisfied — it would otherwise inject
         # its own (non-stable) sort and scramble the ts order back out
-        out.repartition(self.mq_partitions, "partition").sortWithinPartitions(
+        from .dispatch import identity_repartition
+
+        identity_repartition(out, self.mq_partitions).sortWithinPartitions(
             "partition", "_ots", "_oseq"
         ).drop("_ots", "_oseq").write.mode(
             "overwrite"

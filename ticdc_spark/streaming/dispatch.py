@@ -88,3 +88,12 @@ def compile_dispatch_rules(
                 F.col("table").rlike("^" + fnmatch.translate(pat)), d
             ).otherwise(expr)
     return expr.cast("int")
+
+
+# --- one-dir-per-task repartition for the MQ writers ---------------------
+# (shared with the lake bucket writers — see functions/partitioning.py for
+# the measured collision distribution; re-exported for the MQ sink sites)
+from ..functions.partitioning import (  # noqa: E402,F401
+    identity_repartition,
+    slot_representatives,
+)

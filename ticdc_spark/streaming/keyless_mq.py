@@ -96,9 +96,11 @@ def emit_keyless_mq(
     order). Overwrite-idempotent: a replayed batch rewrites byte-identical
     content."""
     out_dir = os.path.join(mq_dir, f"batch-{batch_id:06d}")
+    from .dispatch import identity_repartition
+
     msgs = encode_keyless_open(events, value_cols, old_cols, n_partitions)
     (
-        msgs.repartition(n_partitions, "partition")
+        identity_repartition(msgs, n_partitions)
         .sortWithinPartitions("partition", "commit_ts", "seq")
         .select("partition", "key_json", "value_json")
         .write.mode("overwrite")

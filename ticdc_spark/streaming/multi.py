@@ -532,7 +532,10 @@ class MultiTableChangeFeed:
             out = out.unionByName(o)
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
         # per-partition commit order — see ChangeFeed._emit_mq
-        out.repartition(self.mq_partitions, "partition").sortWithinPartitions(
+        from .dispatch import identity_repartition
+
+        out = identity_repartition(out, self.mq_partitions)
+        out.sortWithinPartitions(
             "partition", "_ots", "_oseq"
         ).drop("_ots", "_oseq").write.mode(
             "overwrite"
