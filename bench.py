@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "dedup_span_trim",
     "text_unigram_nll",
     "dedup_embedding",
+    "embed_kmeans",
+    "semdedup",
+    "decontam_fuzzy",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -309,6 +312,49 @@ def bench_stream_raw(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_stream_mq(spark, work_root: str, n_events: int) -> dict:
+    """Streaming replay + MQ sink (open protocol), old-value OFF — the
+    decomposition row between `cdc_stream_replay` (no MQ at all) and
+    `cdc_stream_old_value`: this prices pure message emission
+    (JSON-encode, dispatch repartition, per-partition commit-order sort,
+    partitioned parquet write), so old_value - this = the old-value
+    machinery alone (lag window + pre-batch snapshot join + wider rows)."""
+    import glob as g
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    binlog_dir = os.path.join(work_root, f"binlog_c_{n_events}")
+    n_files = len(g.glob(os.path.join(binlog_dir, "chunk-*", "*.parquet")))
+    tbl_dir = os.path.join(work_root, "mq_tbl")
+    ckpt = os.path.join(work_root, "mq_ckpt")
+    mq_dir = os.path.join(work_root, "mq_mq")
+    for d in (tbl_dir, ckpt, mq_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    cf = ChangeFeed(
+        table,
+        os.path.join(binlog_dir, "chunk-*"),
+        checkpoint_dir=ckpt,
+        mode="typed",
+        max_files_per_trigger=max(1, n_files // 4),
+        mq_dir=mq_dir,
+        mq_partitions=32,
+        mq_protocol="open",
+    )
+    t0 = time.time()
+    summaries = cf.run_available()
+    dt = time.time() - t0
+    n_msgs = spark.read.parquet(os.path.join(mq_dir, "batch-*", "partition=*")).count()
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(summaries),
+        "final_rows": table.read().count(),
+        "mq_messages": n_msgs,
+    }
+
+
 def bench_stream_old_value(spark, work_root: str, n_events: int) -> dict:
     """Streaming replay with the MQ sink in enable-old-value mode: every
     emitted message carries its pre-change image (in-batch via the LWW-
@@ -504,6 +550,7 @@ def main() -> None:
     stream1 = None
     replay_big = None
     oldval = None
+    mq = None
     incded = None
     keyless = None
     if not only_replay:
@@ -515,6 +562,8 @@ def main() -> None:
         qtimes["cdc_replay_skew"] = skew["sec"]
         raw = bench_stream_raw(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_raw"] = raw["sec"]
+        mq = bench_stream_mq(spark, work_root, N_EVENTS)
+        qtimes["cdc_stream_mq"] = mq["sec"]
         oldval = bench_stream_old_value(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_old_value"] = oldval["sec"]
         incded = bench_incremental_dedup(spark, work_root, SF_DIR)
@@ -549,6 +598,7 @@ def main() -> None:
                 "stream_one_batch": stream1,
                 "replay_skew": skew,
                 "stream_raw": raw,
+                "stream_mq": mq,
                 "stream_old_value": oldval,
                 "replay_big": replay_big,
                 "incremental_dedup": incded,
