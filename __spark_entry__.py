@@ -1199,6 +1199,18 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(mix_sample(_docs(spark, sf_dir)))
 
 
+def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    bag models (add-1 smoothing) for the target stratum vs the raw pool,
+    per-doc log importance weight, derandomized Gumbel-top-k selection.
+    See pipeline/decontam.dsir_select for the scale shape."""
+    from ticdc_spark.pipeline.decontam import dsir_select
+
+    return _longify(
+        dsir_select(_docs(spark, sf_dir), n_select=100, target_source="src0")
+    )
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same RP-LSH-blocked plan at a looser threshold (recall-oriented
     tier; see pipeline/similarity.cosine_pairs_blocked)."""
@@ -2373,6 +2385,7 @@ SELECT source, count(*) AS n_total,
 FROM d GROUP BY source
 """,
         "corpus_mix": dc.mix_sample_sql(),
+        "curate_dsir": dc.dsir_select_sql(n_select=100, target_source="src0"),
         "curate_strict": _curate_strict_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         "ann_topk": _ann_brute_sql(k=5),
@@ -2499,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": q_text_vocab_topk,
         "corpus_sample": q_corpus_sample,
         "corpus_mix": q_corpus_mix,
+        "curate_dsir": q_curate_dsir,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,

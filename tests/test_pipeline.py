@@ -875,3 +875,39 @@ def test_unigram_nll_buckets_equal_thirds_ordered(docs):
     assert max(r["nll"] for r in by_bucket["middle"]) <= min(
         r["nll"] for r in by_bucket["tail"]
     )
+
+
+# ---------------- DSIR ----------------
+
+
+def test_dsir_selects_from_raw_pool_deterministically(docs):
+    from ticdc_spark.pipeline.decontam import dsir_select
+
+    out = dsir_select(docs, n_select=50, target_source="src0").collect()
+    assert len(out) == 50
+    target_ids = {
+        r.doc_id for r in docs.filter("source = 'src0'").select("doc_id").collect()
+    }
+    # the target stratum is the model, never a candidate
+    assert not ({r.doc_id for r in out} & target_ids)
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # derandomized Gumbel: identical set on re-run
+    again = dsir_select(docs, n_select=50, target_source="src0").collect()
+    assert {(r.doc_id, r.score) for r in out} == {(r.doc_id, r.score) for r in again}
+
+
+def test_dsir_weight_favors_target_lookalikes(spark):
+    from ticdc_spark.pipeline.decontam import dsir_select
+
+    rows = (
+        # target stratum speaks "alpha beta"
+        [(i, "alpha beta alpha beta alpha", "tgt") for i in range(10)]
+        # raw pool: 5 target-lookalikes, 15 off-distribution docs
+        + [(100 + i, "alpha beta alpha beta gamma", "raw") for i in range(5)]
+        + [(200 + i, "delta epsilon zeta eta theta", "raw") for i in range(15)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_select(docs, n_select=5, target_source="tgt").collect()
+    assert {r.doc_id for r in out} == {100, 101, 102, 103, 104}
+    assert all(r.logw > 0 for r in out)

@@ -249,3 +249,140 @@ def decontaminate_fuzzy(
             (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    n_select: int = 100,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al. 2023):
+    pick the raw-corpus docs whose hashed-n-gram distribution looks most
+    like a small TARGET set (here: the ``target_source`` stratum plays the
+    curated target, every other stratum is the raw pool).
+
+      1. Features: unigrams + bigrams of whitespace tokens, hashed into
+         ``n_buckets`` buckets (the paper's hashed n-gram generative model).
+      2. Bag-of-buckets models with add-one smoothing for target and raw;
+         each bucket's log-likelihood ratio
+         llr(b) = ln( (cnt_t+1)(N_r+B) / ((cnt_r+1)(N_t+B)) ).
+      3. Per-doc log importance weight = sum of llr over its gram
+         occurrences (= log p_target(doc)/p_raw(doc) under the bag model).
+      4. Gumbel-top-k resampling, derandomized: g = -ln(-ln(u)) with
+         u = (h60(doc_id||'|dsir') % P + 1) / (P+1) — reproducible across
+         engines/runs (no rand()), same trick as sample_deterministic.
+         Select the n_select highest (logw + g).
+
+    Returns the selected rows: (doc_id, n_grams, logw, score), floats
+    rounded to 6 places for cross-engine comparison.
+
+    Scale shape: the gram stream is scanned twice (bucket counts, then the
+    per-doc weight join) — a projection+explode recompute, deliberately
+    cheaper at corpus scale than materializing 10^12 gram rows. The bucket
+    llr table is n_buckets rows (broadcast join); corpus-sized shuffles are
+    the two map-side-combined groupBys (bucket, then doc_id); the top-k is
+    a TakeOrdered, never a single-partition global sort.
+    """
+    from ..functions.hashing import MERSENNE_P, h60
+
+    toks = tokens_col(text_col)
+    grams = F.concat(toks, word_ngrams(toks, 2))
+    g = (
+        docs.select(
+            "doc_id",
+            (F.col(source_col) == target_source).alias("is_t"),
+            F.explode(grams).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .select("doc_id", "is_t", (h60("gram") % n_buckets).alias("bucket"))
+    )
+    c = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cnt_r"),
+    )
+    tot = c.agg(F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r"))
+    lr = c.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("cnt_t") + 1) * (F.col("n_r") + n_buckets)).cast("double")
+            / ((F.col("cnt_r") + 1) * (F.col("n_t") + n_buckets)).cast("double")
+        ).alias("llr"),
+    )
+    w = (
+        g.filter(~F.col("is_t"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("llr").alias("logw_raw"))
+    )
+    u = (
+        (h60(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))) % MERSENNE_P + 1)
+        .cast("double")
+        / F.lit(float(MERSENNE_P + 1))
+    )
+    return (
+        w.select(
+            "doc_id",
+            "n_grams",
+            F.round("logw_raw", 6).alias("logw"),
+            F.round(F.col("logw_raw") - F.log(-F.log(u)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(n_select)
+    )
+
+
+def dsir_select_sql(
+    n_select: int = 100, target_source: str = "src0", n_buckets: int = 1024
+) -> str:
+    """DuckDB oracle for :func:`dsir_select` — same hashing, smoothing,
+    rounding, and (rounded-score, doc_id) selection order."""
+    from ..functions.hashing import MERSENNE_P, h60_sql
+    from ..functions.text import TOKENS_SQL, ngrams_sql
+
+    toks = TOKENS_SQL.format(t="text")
+    hu = h60_sql("concat(cast(doc_id AS varchar), '|dsir')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source = '{target_source}' AS is_t, {toks} AS toks FROM documents
+),
+gi AS (
+  SELECT doc_id, is_t,
+         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i, toks
+  FROM t
+),
+g AS (
+  SELECT doc_id, is_t, unnest(toks) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, is_t, {ngrams_sql(2, "toks")} AS gram FROM gi
+),
+b AS (
+  SELECT doc_id, is_t, {h60_sql("gram")} % {n_buckets} AS bucket
+  FROM g WHERE gram != ''
+),
+c AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cnt_r
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT sum(cnt_t) AS n_t, sum(cnt_r) AS n_r FROM c),
+lr AS (
+  SELECT bucket,
+         ln(((cnt_t + 1) * (n_r + {n_buckets})) * 1.0
+            / ((cnt_r + 1) * (n_t + {n_buckets}))) AS llr
+  FROM c CROSS JOIN tot
+),
+w AS (
+  SELECT b.doc_id, count(*) AS n_grams, sum(lr.llr) AS logw_raw
+  FROM b JOIN lr USING (bucket) WHERE NOT is_t GROUP BY b.doc_id
+)
+SELECT doc_id, n_grams, round(logw_raw, 6) AS logw,
+       round(logw_raw - ln(-ln((({hu}) % {MERSENNE_P} + 1) * 1.0
+                               / {float(MERSENNE_P + 1)})), 6) AS score
+FROM w
+ORDER BY score DESC, doc_id
+LIMIT {n_select}
+"""
