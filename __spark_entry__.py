@@ -806,6 +806,33 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: every click event joined to the latest
+    purchase AT OR BEFORE it per user (union-window as-of join — one
+    shuffle, no range explosion; operators/asof.py). Oracle is DuckDB's
+    native ASOF LEFT JOIN — same semantics, entirely different plan."""
+    from ticdc_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dims = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(facts, dims, key="user_id", payload=("pvalue",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+        F.col("asof_pvalue"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -2129,6 +2156,18 @@ SELECT commit_ts, n_rows, n_keys, n_workers, first_worker,
        CASE WHEN n_workers > 1 THEN 1 ELSE 0 END AS conflict
 FROM t
 """,
+        "events_asof_enrich": """
+WITH c AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts, max(value) AS pvalue FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+       p.pvalue AS asof_pvalue, epoch_us(p.ts) AS asof_ts_us
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
         "events_tumbling": f"""
 SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
        event_type, count(*) AS n_events,
@@ -2476,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_segment": q_q3_segment,
         "q5_region_orders": q_q5_region_orders,
         "events_sessionize": q_events_sessionize,
+        "events_asof_enrich": q_events_asof_enrich,
         "events_tumbling": q_events_tumbling,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,

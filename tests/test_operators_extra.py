@@ -306,3 +306,35 @@ def test_span_frontier_overlapping_reports(spark):
     frags = {(r["f_lo"], r["f_hi"]): r["resolved"] for r in span_frontier(gappy).collect()}
     assert frags == {(0, 5): 7, (6, 10): 9}
     assert span_frontier_value(gappy) == 7
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    from ticdc_spark.operators.asof import asof_join
+
+    facts = spark.createDataFrame(
+        [(1, 100, 5), (1, 200, 6), (2, 50, 7), (3, 10, 8)],
+        "k long, ts long, fv long",
+    )
+    dims = spark.createDataFrame(
+        [(1, 90, "a"), (1, 150, "b"), (1, 200, "c"), (2, 60, "d")],
+        "k long, ts long, dv string",
+    )
+    out = {
+        r.fv: (r.asof_dv, r.asof_ts)
+        for r in asof_join(facts, dims, key="k", payload=("dv",)).collect()
+    }
+    assert out[5] == ("a", 90)  # 90 <= 100 < 150
+    assert out[6] == ("c", 200)  # allow_exact: equal ts matches
+    assert out[7] == (None, None)  # dim at 60 > fact at 50
+    assert out[8] == (None, None)  # key with no dims at all
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    from ticdc_spark.operators.asof import asof_join
+
+    facts = spark.createDataFrame([(1, 200, 6)], "k long, ts long, fv long")
+    dims = spark.createDataFrame(
+        [(1, 150, "b"), (1, 200, "c")], "k long, ts long, dv string"
+    )
+    r = asof_join(facts, dims, key="k", payload=("dv",), allow_exact=False).collect()[0]
+    assert (r.asof_dv, r.asof_ts) == ("b", 150)
