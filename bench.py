@@ -55,10 +55,12 @@ BENCH_QUERIES = [
     "codec_avro",
     "decontam_incremental",
     "curate_corpus",
+    "curate_dsir",
     "tokens_pack",
     "corpus_shuffle",
     "cdc_training_order",
     "events_sessionize",
+    "events_asof_enrich",
     "q5_region_orders",
 ]
 

@@ -279,12 +279,16 @@ def dsir_select(
     Returns the selected rows: (doc_id, n_grams, logw, score), floats
     rounded to 6 places for cross-engine comparison.
 
-    Scale shape: the gram stream is scanned twice (bucket counts, then the
-    per-doc weight join) — a projection+explode recompute, deliberately
-    cheaper at corpus scale than materializing 10^12 gram rows. The bucket
-    llr table is n_buckets rows (broadcast join); corpus-sized shuffles are
-    the two map-side-combined groupBys (bucket, then doc_id); the top-k is
-    a TakeOrdered, never a single-partition global sort.
+    Scale shape: the expensive subtree (explode + md5 bucket hash over
+    every gram occurrence) runs ONCE, collapsed immediately to per-
+    (doc, bucket) counts — a map-side-combined groupBy bounded by
+    docs x min(n_buckets, grams-per-doc) — and localCheckpoint-ed, since
+    both the bucket models and the per-doc weights read it (re-deriving it
+    would re-hash the whole gram stream; the count table is ~1000x smaller
+    than the gram stream it summarizes). The bucket llr table is n_buckets
+    rows (broadcast join); the only other corpus-sized shuffle is the
+    doc_id groupBy; the top-k is a TakeOrdered, never a single-partition
+    global sort.
     """
     from ..functions.hashing import MERSENNE_P, h60
 
@@ -299,9 +303,14 @@ def dsir_select(
         .filter(F.col("gram") != "")
         .select("doc_id", "is_t", (h60("gram") % n_buckets).alias("bucket"))
     )
-    c = g.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cnt_r"),
+    db = (
+        g.groupBy("doc_id", "is_t", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    c = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("n"))).alias("cnt_r"),
     )
     tot = c.agg(F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r"))
     lr = c.crossJoin(F.broadcast(tot)).select(
@@ -312,10 +321,13 @@ def dsir_select(
         ).alias("llr"),
     )
     w = (
-        g.filter(~F.col("is_t"))
+        db.filter(~F.col("is_t"))
         .join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"), F.sum("llr").alias("logw_raw"))
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("llr")).alias("logw_raw"),
+        )
     )
     u = (
         (h60(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))) % MERSENNE_P + 1)
