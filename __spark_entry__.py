@@ -1343,6 +1343,60 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(ivf.topk(queries, k=5, n_probe_hamming=1))
 
 
+def q_asof_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of enrichment view maintained FROM THE CHANGE STREAMS:
+    clicks (facts) and purchase versions (dims) arrive interleaved across
+    three epochs through IncrementalAsofView — late versions, bucket-pruned
+    recomputes — and the final view equals the batch as-of join, so the
+    oracle is the same ASOF LEFT JOIN SQL as events_asof_enrich."""
+    import shutil
+    import tempfile
+
+    from ticdc_spark.pipeline.incremental import IncrementalAsofView
+
+    root = tempfile.mkdtemp(prefix="ticdc_spark_q_incasof_")
+    shutil.rmtree(root, ignore_errors=True)
+    v = IncrementalAsofView(spark, root, n_buckets=4, k_buckets=4)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    facts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("fact_id"),
+        F.lit("I").alias("op"),
+        F.lit(0).cast("long").alias("commit_ts"),
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+    dims = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select(
+            F.col("user_id").alias("k"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+            "pvalue",
+            F.lit(0).cast("long").alias("commit_ts"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+    )
+    for e in range(3):
+        fc = facts.filter(F.pmod("fact_id", F.lit(3)) == e).withColumn(
+            "commit_ts", F.lit(e + 1).cast("long")
+        )
+        dc = dims.filter(F.pmod(F.col("k") + F.col("ts"), F.lit(3)) == e).withColumn(
+            "commit_ts", F.lit(e + 1).cast("long")
+        )
+        v.process_epoch(fc, dc, f"ep{e}")
+    return v.view.read().select(
+        F.col("fact_id").alias("event_id"),
+        F.col("k").alias("user_id"),
+        F.col("ts").alias("ts_us"),
+        "value",
+        "asof_pvalue",
+        F.col("asof_ts").alias("asof_ts_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (pack → binary column → mapInPandas decode)
 
@@ -2462,6 +2516,9 @@ FROM documents
     # the incremental path provably equals batch decontamination over the
     # same split (IncrementalDecontaminator invariant, tests/test_incremental.py)
     out["decontam_incremental"] = out["curate_decontaminate"]
+    # the CDC-maintained as-of view equals the batch as-of join
+    # (pipeline/incremental.IncrementalAsofView invariant, test_incremental)
+    out["asof_incremental"] = out["events_asof_enrich"]
     return out
 
 
@@ -2557,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_incremental": q_ann_ivf_incremental,
+        "asof_incremental": q_asof_incremental,
         "ann_ivf_recall": q_ann_ivf_recall,
         "bpe_merges": q_bpe_merges,
         "multimodal_meta": q_multimodal_meta,

@@ -728,3 +728,93 @@ def test_decontam_reset_keeps_eval_grams(spark, docs, eval_docs):
     assert dd.eval_grams().count() == n_grams  # config survives the wipe
     dd.process_epoch(_as_changes(docs.limit(50), 1), "ep0")
     assert _decon_report(dd) == _batch_decon(docs.limit(50), eval_docs)
+
+
+# ---------------- IncrementalAsofView ----------------
+
+
+def _asof_view(spark, tmp_path):
+    from ticdc_spark.pipeline.incremental import IncrementalAsofView
+
+    return IncrementalAsofView(spark, str(tmp_path / "asof"), n_buckets=4, k_buckets=4)
+
+
+def _fc(spark, rows):
+    return spark.createDataFrame(
+        rows, "fact_id long, op string, commit_ts long, seq long, k long, ts long, value double"
+    )
+
+
+def _dc(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, ts long, pvalue double, commit_ts long, seq long"
+    )
+
+
+def _assert_view_equals_batch(v):
+    got = sorted(map(tuple, v.view.read().select(
+        "fact_id", "k", "ts", "value", "asof_pvalue", "asof_ts").collect()))
+    want = sorted(map(tuple, v.expected().collect()))
+    assert got == want
+
+
+def test_asof_view_inserts_then_late_version(spark, tmp_path):
+    v = _asof_view(spark, tmp_path)
+    # epoch 1: facts only — no dims yet, all matches NULL
+    v.process_epoch(
+        _fc(spark, [(1, "I", 10, 0, 7, 100, 1.0), (2, "I", 10, 1, 7, 200, 2.0),
+                    (3, "I", 10, 2, 9, 150, 3.0)]),
+        None, "e1",
+    )
+    _assert_view_equals_batch(v)
+    # epoch 2: dims arrive — including a LATE version (ts=50 < every fact)
+    v.process_epoch(
+        None,
+        _dc(spark, [(7, 150, 10.0, 20, 0), (7, 50, 5.0, 20, 1), (9, 150, 7.0, 20, 2)]),
+        "e2",
+    )
+    _assert_view_equals_batch(v)
+    r = {x.fact_id: (x.asof_pvalue, x.asof_ts) for x in v.view.read().collect()}
+    assert r[1] == (5.0, 50)     # late version matched retroactively
+    assert r[2] == (10.0, 150)
+    assert r[3] == (7.0, 150)    # allow-exact at equal ts
+
+
+def test_asof_view_update_delete_and_k_move(spark, tmp_path):
+    v = _asof_view(spark, tmp_path)
+    v.process_epoch(
+        _fc(spark, [(1, "I", 10, 0, 7, 100, 1.0), (2, "I", 10, 1, 8, 100, 2.0)]),
+        _dc(spark, [(7, 90, 5.0, 10, 2), (8, 90, 6.0, 10, 3)]),
+        "e1",
+    )
+    _assert_view_equals_batch(v)
+    # epoch 2: fact 1 MOVES key 7 -> 8 (old-bucket tombstone path),
+    # fact 2 deleted, new fact on key 7
+    v.process_epoch(
+        _fc(spark, [(1, "U", 20, 0, 8, 100, 1.5), (2, "D", 20, 1, 8, 100, None),
+                    (4, "I", 20, 2, 7, 80, 4.0)]),
+        None, "e2",
+    )
+    _assert_view_equals_batch(v)
+    r = {x.fact_id: (x.value, x.asof_pvalue) for x in v.view.read().collect()}
+    assert set(r) == {1, 4}
+    assert r[1] == (1.5, 6.0)    # enriched from key 8's history now
+    assert r[4] == (4.0, None)   # ts=80 precedes key 7's version at 90
+    # facts store has no stale copy under the old k bucket
+    assert v.facts.read().filter("fact_id = 1").count() == 1
+
+
+def test_asof_view_redelivery_and_interleaved_epochs(spark, tmp_path):
+    v = _asof_view(spark, tmp_path)
+    f1 = _fc(spark, [(i, "I", 10, i, i % 3, 100 + i, float(i)) for i in range(12)])
+    d1 = _dc(spark, [(0, 95, 1.0, 10, 100), (1, 105, 2.0, 10, 101)])
+    v.process_epoch(f1, d1, "e1")
+    d2 = _dc(spark, [(2, 103, 3.0, 20, 0), (0, 104, 9.0, 20, 1)])
+    v.process_epoch(None, d2, "e2")
+    _assert_view_equals_batch(v)
+    before = sorted(map(tuple, v.view.read().collect()))
+    # redeliver BOTH epochs (same ids): all merges idempotent, state fixed
+    v.process_epoch(f1, d1, "e1")
+    v.process_epoch(None, d2, "e2")
+    assert sorted(map(tuple, v.view.read().collect())) == before
+    _assert_view_equals_batch(v)

@@ -804,3 +804,308 @@ def _maintain_tables(tables, max_deltas: int = 8, keep_versions: int = 4) -> dic
             "expired": e.get("removed", e) if isinstance(e, dict) else e,
         }
     return out
+
+
+def _rows_for_bucket_vals(table: LakeTable, vals: DataFrame, col: str) -> DataFrame:
+    """Bucket-pruned read of `table` restricted to rows whose BUCKET column
+    value appears in `vals` — the bucket_col sibling of _rows_for_ids (that
+    one prunes+joins on key_col). Collects only the (<= n_buckets) bucket-id
+    set, never the values."""
+    vals = vals.select(F.col(col).alias(table.bucket_col)).distinct()
+    bks = sorted(
+        int(r["b"])
+        for r in vals.select(table._bucket_expr(table.bucket_col).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not bks:
+        return table.read().limit(0)
+    live = (
+        table.read_raw(buckets=bks)
+        .filter(~F.col(SYS_DELETED))
+        .select(*[f["name"] for f in table.current_fields])
+    )
+    return live.join(vals, table.bucket_col)
+
+
+class IncrementalAsofView:
+    """CDC-maintained point-in-time enrichment view.
+
+    The batch form (operators/asof.asof_join) recomputes facts x dimension
+    history every run. This maintains the enriched view as a derived table
+    fed by TWO change streams — the fact stream (insert/update/delete) and
+    the dimension VERSION stream (append-only history: each dimension
+    change appends a version row at its commit time, which is exactly what
+    a CDC changelog of the dimension table is) — touching only what an
+    epoch invalidates:
+
+      facts  LakeTable(fact_id -> k, ts, value)   BUCKETED BY k, so the
+             dim-triggered recompute reads only affected keys' buckets
+      fkeys  LakeTable(fact_id -> k)              key-bucketed sidecar: the
+             stored pre-image k of every fact (the IncrementalIVF cells
+             pattern — old-bucket tombstones on k moves)
+      dims   LakeTable("k|ts" -> k, ts, pvalue)   version history, bucketed
+             by k (probes read only affected keys' buckets)
+      view   LakeTable(fact_id -> k, ts, value, asof_pvalue, asof_ts)
+
+    Per epoch: (1) merge fact changes (old-bucket tombstones via fkeys);
+    (2) append dim versions; (3) the invalidation set = batch's live facts
+    UNION stored facts with key k and ts >= min(new version ts for k) —
+    the ONLY facts whose as-of match can change (a version at v cannot
+    match a fact before v; facts after v re-match against full history,
+    which also makes LATE versions — older ts arriving in a later epoch —
+    correct by construction); (4) re-enrich the invalidation set with
+    asof_join against the affected keys' bucket-pruned dim history;
+    (5) upsert into the view, stamped at the epoch's max commit_ts (epochs
+    are resolved-ts ordered, so recomputes always beat stale rows).
+
+    Invariant (tested, incl. updates/deletes/late versions/redelivery):
+
+        view.read() == asof_join(current facts, current dim history)
+
+    Scale shape per epoch: O(fact batch) merges; the recompute is
+    O(invalidated facts x their dim history) through ONE union-window
+    shuffle — proportional to change rate x version density, never to the
+    fact table. Nothing rescans the store outside affected buckets.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 8,
+        k_buckets: int = 16,
+        id_type: str = "bigint",
+    ):
+        self.spark = spark
+        self.root = root
+        self._id_type = id_type
+        self._n_buckets = n_buckets
+        self._k_buckets = k_buckets
+        self.fkeys = self._open_or_create(
+            os.path.join(root, "fkeys"),
+            [
+                {"id": 1, "name": "fact_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "k", "type": "bigint"},
+            ],
+            n_buckets=n_buckets,
+            key_col="fact_id",
+        )
+        self.facts = self._open_or_create(
+            os.path.join(root, "facts"),
+            [
+                {"id": 1, "name": "fact_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "k", "type": "bigint"},
+                {"id": 3, "name": "ts", "type": "bigint"},
+                {"id": 4, "name": "value", "type": "double"},
+            ],
+            n_buckets=k_buckets,
+            key_col="fact_id",
+            bucket_col="k",
+        )
+        self.dims = self._open_or_create(
+            os.path.join(root, "dims"),
+            [
+                {"id": 1, "name": "vkey", "type": "string", "nullable": False},
+                {"id": 2, "name": "k", "type": "bigint"},
+                {"id": 3, "name": "ts", "type": "bigint"},
+                {"id": 4, "name": "pvalue", "type": "double"},
+            ],
+            n_buckets=k_buckets,
+            key_col="vkey",
+            bucket_col="k",
+        )
+        self.view = self._open_or_create(
+            os.path.join(root, "view"),
+            [
+                {"id": 1, "name": "fact_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "k", "type": "bigint"},
+                {"id": 3, "name": "ts", "type": "bigint"},
+                {"id": 4, "name": "value", "type": "double"},
+                {"id": 5, "name": "asof_pvalue", "type": "double"},
+                {"id": 6, "name": "asof_ts", "type": "bigint"},
+            ],
+            n_buckets=n_buckets,
+            key_col="fact_id",
+        )
+
+    _open_or_create = IncrementalLSHDeduper._open_or_create
+
+    def process_epoch(
+        self,
+        fact_changes: DataFrame | None,
+        dim_changes: DataFrame | None,
+        epoch_id: str,
+    ) -> dict:
+        """fact_changes: (fact_id, op, commit_ts, seq, k, ts, value);
+        dim_changes: (k, ts, pvalue, commit_ts, seq) — INSERTS only (a
+        version history never retracts; updates to the dimension arrive as
+        NEW versions). Either stream may be None/empty for the epoch.
+        Idempotent by epoch id, like every lake merge."""
+        fb = db = None
+        stamp = []
+        if fact_changes is not None:
+            fb = collapse_lww_batch(
+                fact_changes.select(
+                    "fact_id", "op", "commit_ts", "seq", "k", "ts", "value"
+                ),
+                "fact_id",
+            ).localCheckpoint(eager=True)
+            stamp.append(fb.agg(F.max("commit_ts").alias("m")))
+        if dim_changes is not None:
+            db = (
+                dim_changes.select(
+                    F.concat_ws("|", F.col("k"), F.col("ts")).alias("vkey"),
+                    "k",
+                    "ts",
+                    "pvalue",
+                    "commit_ts",
+                    "seq",
+                )
+                .groupBy("vkey")
+                .agg(
+                    F.max_by(
+                        F.struct("k", "ts", "pvalue"), F.struct("commit_ts", "seq")
+                    ).alias("_w"),
+                    F.max("commit_ts").alias("commit_ts"),
+                    F.max("seq").alias("seq"),
+                )
+                .select("vkey", "_w.k", "_w.ts", "_w.pvalue", "commit_ts", "seq")
+                .withColumn("op", F.lit(OP_INSERT))
+                .localCheckpoint(eager=True)
+            )
+            stamp.append(db.agg(F.max("commit_ts").alias("m")))
+        if not stamp:
+            return {"epoch": epoch_id, "invalidated": 0}
+        stamps = [r["m"] for df in stamp for r in df.collect() if r["m"] is not None]
+        if not stamps:
+            return {"epoch": epoch_id, "invalidated": 0}
+        stamp_ts = max(stamps)
+
+        if fb is not None:
+            stamped = fb.select("fact_id", "commit_ts", "seq")
+            old = _rows_for_ids(self.fkeys, fb.select("fact_id"), "fact_id")
+            # tombstone in the OLD k's bucket for every touched fact (the
+            # secondary-index move problem; no-op when k is unchanged —
+            # put-over-delete at equal (commit_ts, seq) keeps the new row)
+            fact_tombs = old.join(stamped, "fact_id").select(
+                "fact_id",
+                "k",
+                F.lit(None).cast("bigint").alias("ts"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(OP_DELETE).alias("op"),
+                "commit_ts",
+                "seq",
+            )
+            puts = fb.filter(F.col("op") != OP_DELETE)
+            fact_puts = puts.select(
+                "fact_id", "k", "ts", "value",
+                F.lit(OP_INSERT).alias("op"), "commit_ts", "seq",
+            )
+            self.facts.merge_epoch(
+                fact_tombs.unionByName(fact_puts),
+                f"{epoch_id}-facts",
+                assume_deduped=True,
+            )
+            self.fkeys.merge_epoch(
+                puts.select("fact_id", "k", F.lit(OP_INSERT).alias("op"),
+                            "commit_ts", "seq")
+                .unionByName(
+                    fb.filter(F.col("op") == OP_DELETE).select(
+                        "fact_id", F.lit(None).cast("bigint").alias("k"),
+                        F.lit(OP_DELETE).alias("op"), "commit_ts", "seq",
+                    )
+                ),
+                f"{epoch_id}-fkeys",
+                assume_deduped=True,
+            )
+        if db is not None:
+            self.dims.merge_epoch(db, f"{epoch_id}-dims", assume_deduped=True)
+
+        # invalidation set: the batch's live facts + stored facts a new
+        # version can re-match (k affected and ts >= min new version ts)
+        parts = []
+        if fb is not None:
+            parts.append(
+                fb.filter(F.col("op") != OP_DELETE).select("fact_id", "k", "ts", "value")
+            )
+        if db is not None:
+            kmin = db.groupBy("k").agg(F.min("ts").alias("_vmin"))
+            hit = (
+                _rows_for_bucket_vals(self.facts, kmin.select("k"), "k")
+                .join(kmin, "k")
+                .filter(F.col("ts") >= F.col("_vmin"))
+                .select("fact_id", "k", "ts", "value")
+            )
+            parts.append(hit)
+        affected = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1]).distinct()
+        affected = affected.localCheckpoint(eager=True)
+        n_affected = affected.count()
+
+        view_changes = []
+        if n_affected:
+            from ..operators.asof import asof_join
+
+            hist = _rows_for_bucket_vals(
+                self.dims, affected.select("k"), "k"
+            ).select("k", "ts", "pvalue")
+            enriched = asof_join(
+                affected, hist, key="k", payload=("pvalue",)
+            ).select(
+                "fact_id", "k", "ts", "value",
+                F.col("asof_pvalue"),
+                F.col("asof_ts").cast("bigint").alias("asof_ts"),
+                F.lit(OP_INSERT).alias("op"),
+                F.lit(stamp_ts).alias("commit_ts"),
+                F.lit(0).cast("long").alias("seq"),
+            )
+            view_changes.append(enriched)
+        if fb is not None:
+            view_changes.append(
+                fb.filter(F.col("op") == OP_DELETE).select(
+                    "fact_id",
+                    F.lit(None).cast("bigint").alias("k"),
+                    F.lit(None).cast("bigint").alias("ts"),
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit(None).cast("double").alias("asof_pvalue"),
+                    F.lit(None).cast("bigint").alias("asof_ts"),
+                    F.lit(OP_DELETE).alias("op"),
+                    F.lit(stamp_ts).alias("commit_ts"),
+                    F.lit(0).cast("long").alias("seq"),
+                )
+            )
+        if view_changes:
+            vc = view_changes[0]
+            for extra in view_changes[1:]:
+                vc = vc.unionByName(extra)
+            self.view.merge_epoch(vc, f"{epoch_id}-view", assume_deduped=True)
+        return {"epoch": epoch_id, "invalidated": int(n_affected)}
+
+    def expected(self) -> DataFrame:
+        """The batch recompute the view must equal (test/oracle surface)."""
+        from ..operators.asof import asof_join
+
+        return asof_join(
+            self.facts.read().select("fact_id", "k", "ts", "value"),
+            self.dims.read().select("k", "ts", "pvalue"),
+            key="k",
+            payload=("pvalue",),
+        ).select(
+            "fact_id", "k", "ts", "value", "asof_pvalue",
+            F.col("asof_ts").cast("bigint").alias("asof_ts"),
+        )
+
+    def maintain(self, max_deltas: int = 8, keep_versions: int = 4) -> dict:
+        return _maintain_tables(
+            [self.fkeys, self.facts, self.dims, self.view], max_deltas, keep_versions
+        )
+
+    def reset(self) -> None:
+        import shutil
+
+        for sub in ("fkeys", "facts", "dims", "view"):
+            shutil.rmtree(os.path.join(self.root, sub), ignore_errors=True)
+        self.__init__(
+            self.spark, self.root, n_buckets=self._n_buckets,
+            k_buckets=self._k_buckets, id_type=self._id_type,
+        )
