@@ -59,6 +59,8 @@ AUDIT = [
     "text_nll_buckets",
     "text_pii",
     "text_repetition",
+    "curate_dsir",
+    "events_asof_enrich",
 ]
 
 
