@@ -818,3 +818,72 @@ def test_asof_view_redelivery_and_interleaved_epochs(spark, tmp_path):
     v.process_epoch(None, d2, "e2")
     assert sorted(map(tuple, v.view.read().collect())) == before
     _assert_view_equals_batch(v)
+
+
+def test_asof_view_feed_follows_two_changelogs(spark, tmp_path):
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.incremental import AsofViewFeed, IncrementalAsofView
+
+    facts_src = LakeTable.create(
+        spark, str(tmp_path / "facts_src"),
+        fields=[
+            {"id": 1, "name": "fact_id", "type": "bigint", "nullable": False},
+            {"id": 2, "name": "k", "type": "bigint"},
+            {"id": 3, "name": "ts", "type": "bigint"},
+            {"id": 4, "name": "value", "type": "double"},
+        ],
+        n_buckets=4, key_col="fact_id",
+    )
+    dims_src = LakeTable.create(
+        spark, str(tmp_path / "dims_src"),
+        fields=[
+            {"id": 1, "name": "vkey", "type": "string", "nullable": False},
+            {"id": 2, "name": "k", "type": "bigint"},
+            {"id": 3, "name": "ts", "type": "bigint"},
+            {"id": 4, "name": "pvalue", "type": "double"},
+        ],
+        n_buckets=4, key_col="vkey",
+    )
+    v = IncrementalAsofView(spark, str(tmp_path / "asofv"), n_buckets=4, k_buckets=4)
+    feed = AsofViewFeed(facts_src, dims_src, v)
+
+    def fmerge(rows, eid, cts):
+        facts_src.merge_epoch(
+            spark.createDataFrame(
+                [(fid, k, ts, val, op, cts, i) for i, (fid, k, ts, val, op) in enumerate(rows)],
+                "fact_id long, k long, ts long, value double, op string, commit_ts long, seq long",
+            ), eid,
+        )
+
+    def dmerge(rows, eid, cts):
+        dims_src.merge_epoch(
+            spark.createDataFrame(
+                [(f"{k}|{ts}", k, ts, pv, "I", cts, i) for i, (k, ts, pv) in enumerate(rows)],
+                "vkey string, k long, ts long, pvalue double, op string, commit_ts long, seq long",
+            ), eid,
+        )
+
+    fmerge([(1, 7, 100, 1.0, "I"), (2, 7, 200, 2.0, "I"), (3, 9, 150, 3.0, "I")], "f1", 10)
+    dmerge([(7, 150, 5.0)], "d1", 10)
+    r1 = feed.sync()
+    assert r1["invalidated"] == 3
+    _assert_view_equals_batch(v)
+
+    # second round: late version for k=7, fact 3 deleted, fact 1 updated
+    dmerge([(7, 50, 4.0), (9, 140, 6.0)], "d2", 20)
+    fmerge([(3, 9, 150, None, "D"), (1, 7, 120, 1.5, "U")], "f2", 20)
+    r2 = feed.sync()
+    _assert_view_equals_batch(v)
+    got = {x.fact_id: (x.asof_pvalue, x.asof_ts) for x in v.view.read().collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == (4.0, 50)    # late version matched
+    assert got[2] == (5.0, 150)
+
+    # idempotent: nothing new -> no-op; cursor crash -> identical replay
+    assert feed.sync()["invalidated"] == 0
+    import os as _os
+    _os.remove(feed._cursor_path)
+    before = sorted(map(tuple, v.view.read().collect()))
+    feed.sync()  # replays f0-.. d0-.. ranges; epoch ids collide per-table? no: full range
+    _assert_view_equals_batch(v)
+    assert sorted(map(tuple, v.view.read().collect())) == before

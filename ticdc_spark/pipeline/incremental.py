@@ -1109,3 +1109,91 @@ class IncrementalAsofView:
             self.spark, self.root, n_buckets=self._n_buckets,
             k_buckets=self._k_buckets, id_type=self._id_type,
         )
+
+
+class AsofViewFeed:
+    """Keep an IncrementalAsofView in lockstep with TWO lake changelogs —
+    a CDC-mirrored fact table and an append-only dimension-version table —
+    via LakeTable.read_changes cursors (the dual-source DerivedIndexFeed).
+
+    Both cursors live in ONE atomically-replaced file under the view root,
+    so a crash can never split them: sync() either fully commits a
+    (facts hi, dims hi) pair or replays the identical ranges — and the
+    replayed epoch id is identical, so every lake merge no-ops
+    (at-least-once delivery + idempotent apply = exactly-once view state,
+    cdc/owner.go:706-800 analog).
+
+    A TRUNCATE of the fact source resets the view and replays the dim
+    history from version 0 (the dim source still holds it — version rows
+    are never retracted). A truncate of the DIM source is a contract
+    violation (append-only history) and raises.
+    """
+
+    def __init__(self, facts_source, dims_source, view, fact_transform=None,
+                 dim_transform=None):
+        """fact_transform: changelog slice -> (fact_id, op, commit_ts, seq,
+        k, ts, value); dim_transform: slice -> (k, ts, pvalue, commit_ts,
+        seq). Defaults pass columns through by those names. Must be
+        deterministic and preserve (op, commit_ts, seq)."""
+        self.facts_source = facts_source
+        self.dims_source = dims_source
+        self.view = view
+        self.fact_transform = fact_transform
+        self.dim_transform = dim_transform
+        self._cursor_path = os.path.join(view.root, "_cursor2")
+
+    @property
+    def cursors(self) -> tuple[int, int]:
+        try:
+            with open(self._cursor_path) as f:
+                a, b = f.read().split()
+                return int(a), int(b)
+        except FileNotFoundError:
+            return 0, 0
+
+    def _truncate_in(self, source, lo: int, hi: int) -> int | None:
+        t = None
+        for v in range(lo + 1, hi + 1):
+            if source._load_version_manifest(v).get("commit_kind") == "truncate":
+                t = v
+        return t
+
+    def sync(self) -> dict:
+        self.facts_source.refresh()
+        self.dims_source.refresh()
+        flo, dlo = self.cursors
+        fhi = self.facts_source.version
+        dhi = self.dims_source.version
+        if fhi <= flo and dhi <= dlo:
+            return {"facts": (flo, fhi), "dims": (dlo, dhi), "invalidated": 0}
+        if self._truncate_in(self.dims_source, dlo, dhi) is not None:
+            raise ValueError(
+                "dimension-version source was truncated — version history "
+                "is append-only; rebuild the view from scratch explicitly"
+            )
+        ft = self._truncate_in(self.facts_source, flo, fhi)
+        if ft is not None:
+            self.view.reset()
+            flo, dlo = ft, 0
+        fc = dc = None
+        if fhi > flo:
+            fc = self.facts_source.read_changes(flo, fhi)
+            if self.fact_transform is not None:
+                fc = self.fact_transform(fc)
+        if dhi > dlo:
+            dc = self.dims_source.read_changes(dlo, dhi)
+            if self.dim_transform is not None:
+                dc = self.dim_transform(dc)
+            if dc.filter(F.col("op") == OP_DELETE).limit(1).count():
+                raise ValueError(
+                    "dimension changelog carries a DELETE — version history "
+                    "is append-only"
+                )
+            dc = dc.select("k", "ts", "pvalue", "commit_ts", "seq")
+        out = self.view.process_epoch(fc, dc, f"f{flo}-{fhi}-d{dlo}-{dhi}")
+        tmp = self._cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{fhi} {dhi}")
+        os.replace(tmp, self._cursor_path)
+        return {"facts": (flo, fhi), "dims": (dlo, dhi),
+                "invalidated": out["invalidated"]}
