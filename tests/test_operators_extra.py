@@ -338,3 +338,47 @@ def test_asof_join_strict_excludes_equal_ts(spark):
     )
     r = asof_join(facts, dims, key="k", payload=("dv",), allow_exact=False).collect()[0]
     assert (r.asof_dv, r.asof_ts) == ("b", 150)
+
+
+def test_asof_join_matches_python_reference_hypothesis(spark):
+    """Fuzz the as-of semantics (both tie rules) against a brute-force
+    python reference over arbitrary fact/dim interleavings, including
+    duplicate fact timestamps and keys with no dims."""
+    from hypothesis import given, settings, strategies as st
+
+    from ticdc_spark.operators.asof import asof_join
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 9)),
+                 min_size=1, max_size=12),          # facts: (key, ts)
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 9)),
+                 min_size=0, max_size=10),          # dims: (key, ts)
+        st.booleans(),                              # allow_exact
+    )
+    def run(fact_rows, dim_rows, allow_exact):
+        dim_rows = sorted({(k, t) for k, t in dim_rows})  # unique (k, ts)
+        facts = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(fact_rows)],
+            "fid long, k long, ts long",
+        )
+        dims = spark.createDataFrame(
+            [(k, t, float(k * 100 + t)) for k, t in dim_rows],
+            "k long, ts long, pv double",
+        ) if dim_rows else spark.createDataFrame([], "k long, ts long, pv double")
+        got = {
+            r.fid: (r.asof_pv, r.asof_ts)
+            for r in asof_join(
+                facts, dims, key="k", payload=("pv",), allow_exact=allow_exact
+            ).collect()
+        }
+        for i, (k, t) in enumerate(fact_rows):
+            cand = [
+                (dt, float(dk * 100 + dt))
+                for dk, dt in dim_rows
+                if dk == k and (dt <= t if allow_exact else dt < t)
+            ]
+            want = (None, None) if not cand else (max(cand)[1], max(cand)[0])
+            assert got[i] == want, (i, k, t, allow_exact, got[i], want)
+
+    run()
