@@ -1200,6 +1200,41 @@ def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokens_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check: per-source out-of-vocabulary rate against
+    the corpus top-1000 vocabulary — the stat a pipeline reads before
+    committing to a vocab size. Top-k is a TakeOrdered over the token-count
+    table (bounded by vocab, not corpus); the vocab then broadcast-joins
+    the token stream — one corpus-linear pass, one map-side-combined
+    groupBy(source)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens_col("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1000)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample (hash-threshold, no rand()): per-source
     totals vs sampled counts — the reproducible-subset op every training-data
@@ -2458,6 +2493,20 @@ SELECT t.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
        CASE WHEN coalesce(hits.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
 FROM t LEFT JOIN hits USING (doc_id) WHERE NOT t.is_eval
 """,
+        "tokens_oov_rate": f"""
+WITH t AS (
+  SELECT source, unnest({TOKENS_SQL.format(t="text")}) AS tok FROM documents
+),
+t2 AS (SELECT source, tok FROM t WHERE tok != ''),
+c AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+v AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 1000)
+SELECT source, count(*) AS n_tokens,
+       cast(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS bigint)
+         AS n_oov,
+       round(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) * 1.0
+             / count(*), 6) AS oov_rate
+FROM t2 GROUP BY source
+""",
         "text_vocab_topk": f"""
 WITH tok AS (
   SELECT unnest({TOKENS_SQL.format(t="text")}) AS token FROM documents
@@ -2607,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_decontaminate": q_curate_decontaminate,
         "decontam_incremental": q_decontam_incremental,
         "text_vocab_topk": q_text_vocab_topk,
+        "tokens_oov_rate": q_tokens_oov_rate,
         "corpus_sample": q_corpus_sample,
         "corpus_mix": q_corpus_mix,
         "curate_dsir": q_curate_dsir,
