@@ -117,3 +117,41 @@ def test_submitted_master_is_honored(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "MASTER=local[3]" in proc.stdout, proc.stdout
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_curation(tmp_path):
+    """The curation CLI under spark-submit --py-files: curate -> DSIR ->
+    shard export, resolving ticdc_spark ONLY from the zip."""
+    zip_path = build_pyfiles_zip(str(tmp_path / "dist" / "ticdc_spark.zip"))
+    job = str(tmp_path / "jobs" / "run_curation.py")
+    os.makedirs(os.path.dirname(job))
+    shutil.copy(os.path.join(REPO, "jobs", "run_curation.py"), job)
+    out = str(tmp_path / "shards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env.pop("SPARK_GRAFT_CPUS", None)
+    env["SPARK_GRAFT_SHUFFLE"] = "8"
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=2g",
+        "--py-files", zip_path,
+        job,
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--target-source", "src0",
+        "--dsir-keep", "20",
+        "--shards", "4",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["counts"]["after_dsir"] == 20
+    assert summary["counts"]["exported"] == 20
+    manifest = json.load(open(os.path.join(out, "_shard_manifest.json")))
+    assert sum(manifest["shards"].values()) == 20
+    assert max(manifest["shards"].values()) - min(manifest["shards"].values()) <= 1
