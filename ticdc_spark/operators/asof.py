@@ -4,8 +4,9 @@ dimension version at or before each fact's timestamp.
 This is how a downstream consumer joins facts against a CDC-maintained
 dimension's VERSION HISTORY: the lake layer already exposes versioned state
 (LakeTable.read_version / syncpoints — the reference ships syncpoint
-precisely so downstreams can do consistent point-in-time reads,
-cdc/sink/mysql.go:1239-1278), and the as-of join is the query that consumes
+precisely so downstreams can do consistent point-in-time reads: the
+primary_ts→secondary_ts map table, cdc/sink/mysql.go:1267-1428 +
+syncpointStore.go:24-40), and the as-of join is the query that consumes
 it. Spark has no ASOF JOIN; the naive rewrite (range join + per-fact argmax)
 explodes to O(facts x versions-per-key). The scalable form is the
 union-window plan:
