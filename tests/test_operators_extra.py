@@ -382,3 +382,63 @@ def test_asof_join_matches_python_reference_hypothesis(spark):
             assert got[i] == want, (i, k, t, allow_exact, got[i], want)
 
     run()
+
+
+def test_asof_join_salted_equals_plain(spark):
+    """The skew-split form must be OUTPUT-IDENTICAL to the plain form —
+    hot key (90% of facts on one key), carry-in across empty ranges,
+    both tie rules, several range widths."""
+    from ticdc_spark.operators.asof import asof_join, asof_join_salted
+
+    facts = spark.createDataFrame(
+        [(i, 7 if i % 10 else 3, (i * 37) % 1000, float(i)) for i in range(300)],
+        "fid long, k long, ts long, fv double",
+    )
+    dims = spark.createDataFrame(
+        [(7, t, float(t)) for t in range(0, 1000, 211)]
+        + [(3, 500, 99.0), (5, 1, 1.0)],
+        "k long, ts long, pv double",
+    )
+    for allow_exact in (True, False):
+        for n_ranges in (1, 4, 16):
+            plain = asof_join(
+                facts, dims, key="k", payload=("pv",), allow_exact=allow_exact
+            )
+            salted = asof_join_salted(
+                facts, dims, key="k", payload=("pv",),
+                allow_exact=allow_exact, n_ranges=n_ranges,
+            )
+            a = sorted(map(tuple, plain.collect()))
+            b = sorted(map(tuple, salted.collect()))
+            assert a == b, (allow_exact, n_ranges)
+
+
+def test_asof_join_salted_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from ticdc_spark.operators.asof import asof_join, asof_join_salted
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                 min_size=1, max_size=14),
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                 min_size=1, max_size=10),
+        st.integers(2, 5),
+    )
+    def run(fact_rows, dim_rows, n_ranges):
+        dim_rows = sorted({(k, t) for k, t in dim_rows})
+        facts = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(fact_rows)],
+            "fid long, k long, ts long",
+        )
+        dims = spark.createDataFrame(
+            [(k, t, float(k * 100 + t)) for k, t in dim_rows],
+            "k long, ts long, pv double",
+        )
+        a = sorted(map(tuple, asof_join(facts, dims, key="k", payload=("pv",)).collect()))
+        b = sorted(map(tuple, asof_join_salted(
+            facts, dims, key="k", payload=("pv",), n_ranges=n_ranges).collect()))
+        assert a == b
+
+    run()

@@ -82,3 +82,125 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
+
+
+def asof_join_salted(
+    facts: DataFrame,
+    dims: DataFrame,
+    key: str | Sequence[str],
+    fact_ts: str = "ts",
+    dim_ts: str = "ts",
+    payload: Sequence[str] = ("value",),
+    prefix: str = "asof_",
+    allow_exact: bool = True,
+    n_ranges: int = 16,
+) -> DataFrame:
+    """Skew-hardened :func:`asof_join`: identical output, but each key's
+    timeline is SPLIT into ``n_ranges`` fixed-width time ranges and the
+    running window partitions on (key, range) — a hot key that would sort
+    as one giant task in the plain form becomes n_ranges parallel tasks
+    (the salting-for-skew rule applied to a time-ordered operator).
+
+    The trick is the carry-in: a fact in range r may need a dimension
+    version from an EARLIER range. Pass 1 reduces dims to one LATEST row
+    per (key, range) and as-of joins that tiny table onto the fact ranges
+    over the RANGE axis (strictly earlier ranges) — O(keys x ranges) rows.
+    Pass 2 seeds each (key, range) partition with its carry-in row (its
+    real ts precedes every in-range ts by construction, so the ordinary
+    (ts, side) ordering places it first) and runs the standard union
+    window within the partition.
+
+    Cost: the plain form's one shuffle becomes three small ones (dims
+    range-reduce, carry-in join, the seeded window) — pay it when a key's
+    per-epoch row count is large enough that a single sorted run dominates
+    a stage; the equality property test pins output parity.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    # range binning runs on a NUMERIC rendering of ts (timestamps cast to
+    # epoch seconds); only monotonicity matters — the in-partition ordering
+    # and the output still use the real ts column
+    fact_is_ts = "timestamp" in str(facts.schema[fact_ts].dataType).lower()
+    dim_is_ts = "timestamp" in str(dims.schema[dim_ts].dataType).lower()
+
+    def _numf(c, is_ts):
+        return (c.cast("timestamp").cast("double") if is_ts else c).cast("double")
+
+    ts_all = facts.select(_numf(F.col(fact_ts), fact_is_ts).alias("_t")).unionByName(
+        dims.select(_numf(F.col(dim_ts), dim_is_ts).alias("_t"))
+    )
+    bounds = ts_all.agg(
+        F.min("_t").alias("_lo"), F.max("_t").alias("_hi")
+    )
+
+    def _rng(num_col):
+        width = (F.col("_hi") - F.col("_lo") + F.lit(1.0)) / F.lit(float(n_ranges))
+        return F.least(
+            F.lit(n_ranges - 1),
+            F.floor((num_col - F.col("_lo")) / width),
+        ).cast("long")
+
+    d = (
+        dims.crossJoin(F.broadcast(bounds))
+        .select(
+            *[F.col(k) for k in keys],
+            _rng(_numf(F.col(dim_ts), dim_is_ts)).alias("_r"),
+            F.col(dim_ts).alias("_ats"),
+            *[F.col(c).alias(prefix + c) for c in payload],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    f = (
+        facts.crossJoin(F.broadcast(bounds))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_ats", F.col(fact_ts))
+        .withColumn("_r", _rng(_numf(F.col(fact_ts), fact_is_ts)))
+        .drop("_lo", "_hi")
+    )
+    d = d.localCheckpoint(eager=False)  # reused: range-reduce + seeded window
+
+    # pass 1: latest dim per (key, range), as-of joined onto the fact
+    # ranges over the RANGE axis (strictly earlier ranges only)
+    latest = d.groupBy(*keys, "_r").agg(
+        F.max_by(
+            F.struct("_ats", *[prefix + c for c in payload]), F.col("_ats")
+        ).alias("_w")
+    )
+    fact_ranges = f.select(*keys, "_r").distinct()
+    carry = asof_join(
+        fact_ranges,
+        latest.select(*keys, "_r", "_w"),
+        key=keys,
+        fact_ts="_r",
+        dim_ts="_r",
+        payload=("_w",),
+        prefix="_c_",
+        allow_exact=False,
+    ).filter(F.col("_c__w").isNotNull())
+    seeds = carry.select(
+        *keys,
+        "_r",
+        F.col("_c__w._ats").alias("_ats"),
+        *[F.col(f"_c__w.{prefix + c}").alias(prefix + c) for c in payload],
+    ).withColumn("_side", F.lit(0))
+
+    # pass 2: the ordinary union window, partitioned by (key, range)
+    u = f.unionByName(d.drop("_lo", "_hi").unionByName(seeds), allowMissingColumns=True)
+    side_order = F.col("_side").asc() if allow_exact else F.col("_side").desc()
+    w = (
+        Window.partitionBy(*keys, "_r")
+        .orderBy(F.col("_ats").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.col(prefix + c), ignorenulls=True).over(w).alias(prefix + c)
+        for c in payload
+    ]
+    matched_ts = F.last(
+        F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True
+    ).over(w).alias(prefix + "ts")
+    return (
+        u.select(*facts.columns, "_side", *carried, matched_ts)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
