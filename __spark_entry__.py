@@ -833,6 +833,33 @@ def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point-in-time enrichment through the skew-hardened plan
+    (asof_join_salted: per-key timeline split into 8 ranges + carry-in
+    seeding) — output-identical to events_asof_enrich, so it shares the
+    DuckDB ASOF oracle; this pins the skew path cross-engine."""
+    from ticdc_spark.operators.asof import asof_join_salted
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dims = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join_salted(facts, dims, key="user_id", payload=("pvalue",), n_ranges=8)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+        F.col("asof_pvalue"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -2568,6 +2595,8 @@ FROM documents
     # the CDC-maintained as-of view equals the batch as-of join
     # (pipeline/incremental.IncrementalAsofView invariant, test_incremental)
     out["asof_incremental"] = out["events_asof_enrich"]
+    # the salted plan is output-identical to the plain as-of (property-tested)
+    out["events_asof_salted"] = out["events_asof_enrich"]
     return out
 
 
@@ -2622,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_orders": q_q5_region_orders,
         "events_sessionize": q_events_sessionize,
         "events_asof_enrich": q_events_asof_enrich,
+        "events_asof_salted": q_events_asof_salted,
         "events_tumbling": q_events_tumbling,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
