@@ -887,3 +887,87 @@ def test_asof_view_feed_follows_two_changelogs(spark, tmp_path):
     feed.sync()  # replays f0-.. d0-.. ranges; epoch ids collide per-table? no: full range
     _assert_view_equals_batch(v)
     assert sorted(map(tuple, v.view.read().collect())) == before
+
+
+def test_asof_view_feed_follows_live_changefeed(spark):
+    """End-to-end composition: binlog -> streaming ChangeFeed maintains the
+    fact table -> post_batch hook syncs the enriched as-of view after EVERY
+    micro-batch; final view equals the batch as-of join over the final
+    state."""
+    import random
+    import time
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.model import BINLOG_SCHEMA
+    from ticdc_spark.pipeline.incremental import AsofViewFeed, IncrementalAsofView
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    root = os.path.join(ROOT, "asof_lockstep")
+    shutil.rmtree(root, ignore_errors=True)
+    binlog = os.path.join(root, "binlog")
+    os.makedirs(binlog)
+    rng = random.Random(23)
+    seq = 0
+    for fidx in range(2):
+        rows = []
+        for t in range(12):
+            seq += 1
+            toks = [rng.randrange(100, 1000), rng.randrange(50_000)]
+            rows.append(
+                (100 * (fidx + 1) + seq, seq, "t", "I",
+                 f"doc_{fidx}_{t}", toks, len(toks) + t, "web", seq % 2, 0)
+            )
+        spark.createDataFrame(rows, BINLOG_SCHEMA).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(binlog, f"f{fidx}"))
+        time.sleep(1.1)
+    tbl = LakeTable.create(spark, os.path.join(root, "tbl"), n_buckets=4)
+    dims_src = LakeTable.create(
+        spark, os.path.join(root, "dims_src"),
+        fields=[
+            {"id": 1, "name": "vkey", "type": "string", "nullable": False},
+            {"id": 2, "name": "k", "type": "bigint"},
+            {"id": 3, "name": "ts", "type": "bigint"},
+            {"id": 4, "name": "pvalue", "type": "double"},
+        ],
+        n_buckets=4, key_col="vkey",
+    )
+    dims_src.merge_epoch(
+        spark.createDataFrame(
+            [(f"{k}|{t}", k, t, float(k * 1000 + t), "I", 1, k * 10 + t)
+             for k in range(3) for t in (150, 600)],
+            "vkey string, k long, ts long, pvalue double, op string, commit_ts long, seq long",
+        ), "d1",
+    )
+    # facts derived from the tokens payload: event time = first token,
+    # entity key = n_tok % 3, value = n_tok
+    fact_tf = lambda df: df.select(  # noqa: E731
+        F.col("doc_id").alias("fact_id"), "op", "commit_ts", "seq",
+        (F.col("n_tok") % 3).cast("long").alias("k"),
+        F.element_at("tokens", 1).cast("long").alias("ts"),
+        F.col("n_tok").cast("double").alias("value"),
+    )
+    v = IncrementalAsofView(
+        spark, os.path.join(root, "view"), n_buckets=4, k_buckets=4,
+        id_type="string",
+    )
+    feed = AsofViewFeed(tbl, dims_src, v, fact_transform=fact_tf)
+    syncs = []
+    cf = ChangeFeed(
+        tbl,
+        os.path.join(binlog, "f*"),
+        os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+        post_batch=lambda summary: syncs.append(feed.sync()),
+    )
+    cf.run_available()
+    assert len(syncs) >= 2
+    # the resolved-ts frontier may hold the final event as carry-over
+    # (min-over-parts contract) — everything RELEASED must be enriched
+    n_released = tbl.read().count()
+    assert n_released >= 23
+    assert sum(s["invalidated"] for s in syncs) == n_released
+    got = sorted(map(tuple, v.view.read().select(
+        "fact_id", "k", "ts", "value", "asof_pvalue", "asof_ts").collect()))
+    want = sorted(map(tuple, v.expected().collect()))
+    assert got == want and len(got) == n_released
