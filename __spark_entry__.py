@@ -1262,6 +1262,31 @@ def q_tokens_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the DESCRIBE/ANALYZE surface a data engine owes its
+    users): per column — row count, nulls, exact distinct count, min/max
+    (rendered as strings). One single-column aggregate per column, so each
+    pass is a column-pruned parquet scan; at 100 TB swap countDistinct for
+    approx_count_distinct (exact here for cross-engine oracle parity)."""
+    d = _docs(spark, sf_dir)
+    parts = []
+    for c in ("doc_id", "lang", "source", "n_chars"):
+        parts.append(
+            d.agg(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_str"),
+                F.max(F.col(c)).cast("string").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample (hash-threshold, no rand()): per-source
     totals vs sampled counts — the reproducible-subset op every training-data
@@ -2554,6 +2579,35 @@ SELECT source, count(*) AS n_total,
 FROM d GROUP BY source
 """,
         "corpus_mix": dc.mix_sample_sql(),
+        "corpus_profile": """
+SELECT 'doc_id' AS col, count(*) AS n_rows,
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT doc_id) AS n_distinct,
+       cast(min(doc_id) AS varchar) AS min_str,
+       cast(max(doc_id) AS varchar) AS max_str
+FROM documents
+UNION ALL
+SELECT 'lang' AS col, count(*) AS n_rows,
+       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT lang) AS n_distinct,
+       cast(min(lang) AS varchar) AS min_str,
+       cast(max(lang) AS varchar) AS max_str
+FROM documents
+UNION ALL
+SELECT 'source' AS col, count(*) AS n_rows,
+       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT source) AS n_distinct,
+       cast(min(source) AS varchar) AS min_str,
+       cast(max(source) AS varchar) AS max_str
+FROM documents
+UNION ALL
+SELECT 'n_chars' AS col, count(*) AS n_rows,
+       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT n_chars) AS n_distinct,
+       cast(min(n_chars) AS varchar) AS min_str,
+       cast(max(n_chars) AS varchar) AS max_str
+FROM documents
+""",
         "curate_dsir": dc.dsir_select_sql(n_select=100, target_source="src0"),
         "curate_strict": _curate_strict_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
@@ -2689,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_oov_rate": q_tokens_oov_rate,
         "corpus_sample": q_corpus_sample,
         "corpus_mix": q_corpus_mix,
+        "corpus_profile": q_corpus_profile,
         "curate_dsir": q_curate_dsir,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
