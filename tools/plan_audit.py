@@ -61,6 +61,9 @@ AUDIT = [
     "text_repetition",
     "curate_dsir",
     "events_asof_enrich",
+    "events_asof_salted",
+    "tokens_oov_rate",
+    "corpus_profile",
 ]
 
 
