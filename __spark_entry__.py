@@ -1287,6 +1287,27 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles (exact linear-interpolation
+    percentiles — Spark percentile() and DuckDB quantile_cont share the
+    definition): the length-distribution check behind max-sequence-length
+    and packing decisions. Exact percentile sorts within each group; at
+    100 TB swap to approx_percentile (t-digest)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(name)
+                for name, q in (
+                    ("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)
+                )
+            ],
+        )
+    )
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample (hash-threshold, no rand()): per-source
     totals vs sampled counts — the reproducible-subset op every training-data
@@ -2579,6 +2600,14 @@ SELECT source, count(*) AS n_total,
 FROM d GROUP BY source
 """,
         "corpus_mix": dc.mix_sample_sql(),
+        "corpus_length_quantiles": """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6)  AS p50,
+       round(quantile_cont(n_chars, 0.9), 6)  AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY source
+""",
         "corpus_profile": """
 SELECT 'doc_id' AS col, count(*) AS n_rows,
        sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
@@ -2744,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "corpus_mix": q_corpus_mix,
         "corpus_profile": q_corpus_profile,
+        "corpus_length_quantiles": q_corpus_length_quantiles,
         "curate_dsir": q_curate_dsir,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
