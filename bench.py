@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "cdc_training_order",
     "events_sessionize",
     "events_asof_enrich",
+    "tokens_oov_rate",
+    "corpus_profile",
+    "corpus_length_quantiles",
     "q5_region_orders",
 ]
 

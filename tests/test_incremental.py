@@ -971,3 +971,50 @@ def test_asof_view_feed_follows_live_changefeed(spark):
         "fact_id", "k", "ts", "value", "asof_pvalue", "asof_ts").collect()))
     want = sorted(map(tuple, v.expected().collect()))
     assert got == want and len(got) == n_released
+
+
+def test_asof_view_randomized_epochs_hypothesis(spark, tmp_path):
+    """Randomized epoch interleavings (fact I/U/D + dim version appends in
+    arbitrary per-epoch groupings) must always leave the view equal to the
+    batch as-of join over the final state."""
+    from hypothesis import given, settings, strategies as st
+
+    from ticdc_spark.pipeline.incremental import IncrementalAsofView
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(  # per epoch: (facts, dims)
+            st.tuples(
+                st.lists(st.tuples(st.integers(0, 5),      # fact_id
+                                   st.integers(0, 1),      # op 0=put 1=del
+                                   st.integers(0, 2),      # k
+                                   st.integers(0, 30)),    # ts
+                         max_size=6),
+                st.lists(st.tuples(st.integers(0, 2),      # k
+                                   st.integers(0, 30)),    # ts
+                         max_size=4),
+            ),
+            min_size=1, max_size=4,
+        )
+    )
+    def run(epochs):
+        counter[0] += 1
+        v = _asof_view(spark, tmp_path / f"h{counter[0]}")
+        cts = 0
+        for ei, (fr, dr) in enumerate(epochs):
+            cts += 100
+            fc = _fc(spark, [
+                (fid, "D" if d else "I", cts, i, k, ts, float(fid))
+                for i, (fid, d, k, ts) in enumerate(fr)
+            ]) if fr else None
+            dr = sorted({(k, t) for k, t in dr})
+            dc = _dc(spark, [
+                (k, t, float(k * 100 + t), cts, i)
+                for i, (k, t) in enumerate(dr)
+            ]) if dr else None
+            v.process_epoch(fc, dc, f"e{ei}")
+        _assert_view_equals_batch(v)
+
+    run()
