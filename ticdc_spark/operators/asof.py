@@ -36,6 +36,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_collisions(
+    facts: DataFrame, payload: Sequence[str], prefix: str, extra: Sequence[str] = ()
+) -> None:
+    """The union-window plan adds internal working columns to the fact
+    frame; a caller column with one of those names would be silently
+    clobbered and produce wrong output — fail loudly instead."""
+    reserved = {"_side", "_ats", "_pay", *extra}
+    reserved.update(prefix + c for c in payload)
+    reserved.add(prefix + "ts")
+    clash = reserved.intersection(facts.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: fact columns collide with internals: {sorted(clash)}; "
+            f"rename them or pick a different prefix"
+        )
+
+
+def _carry_exprs(payload: Sequence[str], prefix: str, w):
+    """Carry ONE non-null struct per dimension row (not per-column
+    ignorenulls: a version whose payload value is legitimately NULL must
+    propagate that NULL with its own matched timestamp, never mix fields
+    from different versions — matches DuckDB ASOF semantics)."""
+    pay = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ats").alias("_mts"),
+            *[F.col(prefix + c).alias(prefix + c) for c in payload],
+        ),
+    )
+    carried_struct = F.last(pay, ignorenulls=True).over(w)
+    cols = [
+        carried_struct.getField(prefix + c).alias(prefix + c) for c in payload
+    ]
+    cols.append(carried_struct.getField("_mts").alias(prefix + "ts"))
+    return cols
+
+
 def asof_join(
     facts: DataFrame,
     dims: DataFrame,
@@ -56,6 +93,7 @@ def asof_join(
     (both engines would otherwise pick an arbitrary row).
     """
     keys = [key] if isinstance(key, str) else list(key)
+    _check_collisions(facts, payload, prefix)
     d = dims.select(
         *[F.col(k) for k in keys],
         F.col(dim_ts).alias("_ats"),
@@ -70,15 +108,8 @@ def asof_join(
         .orderBy(F.col("_ats").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.col(prefix + c), ignorenulls=True).over(w).alias(prefix + c)
-        for c in payload
-    ]
-    matched_ts = F.last(
-        F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True
-    ).over(w).alias(prefix + "ts")
     return (
-        u.select(*facts.columns, "_side", *carried, matched_ts)
+        u.select(*facts.columns, "_side", *_carry_exprs(payload, prefix, w))
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
@@ -116,6 +147,7 @@ def asof_join_salted(
     a stage; the equality property test pins output parity.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    _check_collisions(facts, payload, prefix, extra=("_r", "_lo", "_hi", "_t"))
 
     # range binning runs on a NUMERIC rendering of ts (timestamps cast to
     # epoch seconds); only monotonicity matters — the in-partition ordering
@@ -192,15 +224,8 @@ def asof_join_salted(
         .orderBy(F.col("_ats").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.col(prefix + c), ignorenulls=True).over(w).alias(prefix + c)
-        for c in payload
-    ]
-    matched_ts = F.last(
-        F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True
-    ).over(w).alias(prefix + "ts")
     return (
-        u.select(*facts.columns, "_side", *carried, matched_ts)
+        u.select(*facts.columns, "_side", *_carry_exprs(payload, prefix, w))
         .filter(F.col("_side") == 1)
         .drop("_side")
     )

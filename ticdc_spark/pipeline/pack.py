@@ -11,11 +11,20 @@ Scale shape: a naive global running-sum window is ONE partition — a single
 task folding the whole corpus. The global path here is the classic
 distributed prefix sum instead:
 
-  1. range-partition by the order key (S ranges, S-way parallel)
+  1. assign each row a DETERMINISTIC range id from the primary order key —
+     fixed-width numeric ranges (one min/max metadata agg) or, for string
+     keys, quantile boundaries from a key-hash-selected sample (the sample
+     is a pure function of the key VALUE, never of partition layout)
   2. local cumulative sum within each range (window partitioned by range id)
   3. per-range totals → driver prefix-scan (O(S) metadata fold, the same
      pattern as the engine's watermark folds) → broadcast offsets back
   4. global offset = range prefix + local cumsum
+
+Determinism contract (the reference treats replay determinism as a hard
+invariant — resume/replay tests under tests/availability/): the range id is
+a pure function of the row's own key, NOT of spark_partition_id() or of
+sampled repartitionByRange boundaries, so cache eviction, recomputation, or
+plan re-execution can never shift a row between ranges and corrupt offsets.
 
 Shuffle carries only (order_key, n_tok) ≈ 16 B/row; every stage is S-way
 parallel. Exact same numbers as the global window — range boundaries affect
@@ -25,32 +34,111 @@ is per-shard (fully parallel single window, ≤ S partially-filled tails).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType,
+)
+
+
+def _deterministic_range_id(
+    docs: DataFrame,
+    key: str,
+    n_ranges: int,
+    key_domain: tuple[int, int] | None = None,
+) -> Column:
+    """A Column mapping the primary order key to a range id in [0, n_ranges)
+    that is (a) monotone non-decreasing in the key's sort order and (b) a
+    pure function of the key value — never of execution-time partitioning.
+
+    Numeric keys: fixed-width buckets over [min, max] (one column-pruned
+    min/max agg — a deterministic metadata fold). Uniform keys (h60 hashes,
+    dense ranks) bucket perfectly evenly.
+
+    String keys: boundaries at sample quantiles, where the sample is chosen
+    by a hash of the key VALUE (xxhash64(key) % rate == 0) — deterministic
+    under any physical plan. Boundary comparison uses Spark's binary UTF-8
+    string order, which matches Python's code-point sort for the collected
+    boundary list.
+    """
+    dt = docs.schema[key].dataType
+    k = F.col(key)
+    if key_domain is not None:
+        # caller-declared key domain (e.g. a h60 hash is uniform in
+        # [0, 2^60)): skip the min/max job entirely
+        lo_i, hi_i = int(key_domain[0]), int(key_domain[1])
+        width = max(1, (hi_i - lo_i) // n_ranges + 1)
+        pid = ((k.cast("long") - F.lit(lo_i)) / F.lit(width)).cast("long")
+        return F.least(F.greatest(pid, F.lit(0)), F.lit(n_ranges - 1)).cast(
+            "int"
+        )
+    if isinstance(dt, _NUMERIC):
+        row = docs.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        if lo is None or hi is None or lo == hi:
+            return F.lit(0)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            span = float(hi) - float(lo)
+            pid = F.floor((k - F.lit(float(lo))) / F.lit(span) * n_ranges)
+        else:
+            lo_i, hi_i = int(lo), int(hi)
+            width = max(1, (hi_i - lo_i) // n_ranges + 1)
+            pid = ((k.cast("long") - F.lit(lo_i)) / F.lit(width)).cast("long")
+        return F.least(F.greatest(pid, F.lit(0)), F.lit(n_ranges - 1)).cast(
+            "int"
+        )
+    # string / other orderable key: deterministic value-hash sample
+    n = docs.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    target = max(1, n_ranges * 64)
+    rate = max(1, int(n // target))
+    sampled = (
+        docs.select(k.cast("string").alias("_k"))
+        .filter(F.pmod(F.xxhash64(F.col("_k"), F.lit(0x5eed)), rate) == 0)
+        .collect()
+    )
+    keys = sorted({r["_k"] for r in sampled if r["_k"] is not None})
+    if not keys:
+        return F.lit(0)
+    step = max(1, len(keys) // n_ranges)
+    bounds = keys[step::step][: n_ranges - 1]
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(k >= F.lit(b), 1).otherwise(0)
+    return pid.cast("int")
 
 
 def _global_cumsum(
-    docs: DataFrame, n_tok_col: str, order_col, range_partitions: int
+    docs: DataFrame,
+    n_tok_col: str,
+    order_col,
+    range_partitions: int,
+    key_domain: tuple[int, int] | None = None,
 ) -> DataFrame:
     """docs + `_cum` = inclusive global running sum of n_tok in order_col
     order (a str or a list of cols — extra cols break ties so the running
     sum is a total order), computed with range-parallel prefix sums (no
-    single-partition window)."""
+    single-partition window, no sampled repartitionByRange: the range id is
+    a deterministic function of the primary key, see module docstring)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    ranged = docs.repartitionByRange(
-        range_partitions, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    # persist BEFORE the totals fold: repartitionByRange samples its
-    # boundaries per execution, so without pinning, the totals job and the
-    # downstream job could assign different _pid ranges. The cached slice is
-    # (order, n_tok, pid, cum) ≈ 24 B/row, MEMORY_AND_DISK.
-    local = ranged.withColumn("_cum_local", F.sum(n_tok_col).over(w_local)).persist()
-    # per-range totals: O(range_partitions) rows to the driver — a metadata
-    # fold, not a data collect
+    pid_expr = _deterministic_range_id(
+        docs, order_cols[0], range_partitions, key_domain=key_domain
+    )
+    # persist is a recompute-avoidance cache ONLY — offsets are identical
+    # with or without it (the pid is a pure function of the key value), so
+    # eviction under cache pressure can no longer corrupt results
+    tagged = docs.withColumn("_pid", pid_expr).persist()
+    # per-range totals: a plain groupBy-sum (deterministic — no window, no
+    # persist dependency); O(range_partitions) rows to the driver
     totals = {
         int(r["_pid"]): int(r["t"])
-        for r in local.groupBy("_pid").agg(F.max("_cum_local").alias("t")).collect()
+        for r in tagged.groupBy("_pid")
+        .agg(F.sum(n_tok_col).alias("t"))
+        .collect()
     }
     prefix: dict[int, int] = {}
     acc = 0
@@ -62,8 +150,10 @@ def _global_cumsum(
     for pid, p in prefix.items():
         if p:
             off = F.when(F.col("_pid") == pid, F.lit(p)).otherwise(off)
-    return local.withColumn("_cum", F.col("_cum_local") + off).drop(
-        "_pid", "_cum_local"
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        tagged.withColumn("_cum", F.sum(n_tok_col).over(w_local) + off)
+        .drop("_pid")
     )
 
 
@@ -147,7 +237,12 @@ def shuffle_order(
         .withColumn("_h", h)
         .withColumn("_one", F.lit(1))
     )
-    cum = _global_cumsum(base, "_one", ["_h", "doc_id"], range_partitions)
+    # h60 is uniform in [0, 2^60): declare the domain so range assignment
+    # needs no min/max job at all — zero sampling, zero extra passes
+    cum = _global_cumsum(
+        base, "_one", ["_h", "doc_id"], range_partitions,
+        key_domain=(0, (1 << 60) - 1),
+    )
     return cum.select(
         "doc_id",
         F.col("_h").alias("shuffle_key"),
@@ -254,8 +349,14 @@ def write_shards(
         "seed": seed,
         "shards": {str(k): v for k, v in sorted(stats.items())},
     }
-    with open(os.path.join(out_dir, "_shard_manifest.json"), "w") as f:
+    # tmp + os.replace: same atomic-commit discipline as _commit_manifest
+    # and the cursor writers — a crash mid-write never leaves a truncated
+    # manifest behind
+    path = os.path.join(out_dir, "_shard_manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
     return manifest
 
 
