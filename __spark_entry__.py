@@ -1383,10 +1383,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (Sennrich et al. 2016) over the
     documents table: one corpus pass builds the word-freq table, then the
-    merge loop runs on the vocab-sized working set only. No SQL oracle —
-    the per-step argmax→rewrite recurrence is not expressible as a fixed
-    query; correctness is pinned by EXACT merge-list equality against a
-    pure-python reference (tests/test_bpe.py)."""
+    merge loop runs on the vocab-sized working set only. Oracle: the 30
+    rounds unrolled as chained DuckDB CTEs (argmax with the same tie-break;
+    greedy rewrite as replace() over a double-separator symbol encoding —
+    pipeline/bpe.bpe_merges_oracle_sql); merge-list equality against a
+    pure-python reference additionally pinned in tests/test_bpe.py."""
     from ticdc_spark.pipeline.bpe import bpe_merges_df
 
     return bpe_merges_df(_docs(spark, sf_dir), n_merges=30)
@@ -2680,6 +2681,12 @@ FROM documents
     out["asof_incremental"] = out["events_asof_enrich"]
     # the salted plan is output-identical to the plain as-of (property-tested)
     out["events_asof_salted"] = out["events_asof_enrich"]
+    # BPE merge learning: the 30 rounds unrolled as chained CTEs; the greedy
+    # left-to-right rewrite is ONE string replace() over a double-separator
+    # symbol encoding (ticdc_spark/pipeline/bpe.py module docstring)
+    from ticdc_spark.pipeline.bpe import bpe_merges_oracle_sql
+
+    out["bpe_merges"] = bpe_merges_oracle_sql(n_merges=30)
     return out
 
 
@@ -2693,33 +2700,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver's correctness gate checks the FIRST ~50
+    # entries in dict order. Entries that have never had a driver-green row
+    # (plus everything whose implementation changed this round) sit inside
+    # that window; one sentinel per already-proven family follows; the
+    # remaining proven queries close the dict. See CORRECTNESS_r0{1,2}.json.
     return {
+        # -- never driver-checked / changed this round --
+        "cdc_training_order": q_cdc_training_order,
+        "events_asof_enrich": q_events_asof_enrich,
+        "events_asof_salted": q_events_asof_salted,
+        "corpus_shuffle": q_corpus_shuffle,
+        "corpus_shards": q_corpus_shards,
+        "tokens_pack": q_tokens_pack,
+        "curate_strict": q_curate_strict,
+        "dedup_chunks": q_dedup_chunks,
+        "dedup_dup_spans": q_dedup_dup_spans,
+        "dedup_span_trim": q_dedup_span_trim,
+        "tokens_dup_spans": q_tokens_dup_spans,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_kmeans": q_embed_kmeans,
+        "semdedup": q_semdedup,
+        "decontam_fuzzy": q_decontam_fuzzy,
+        "decontam_incremental": q_decontam_incremental,
+        "tokens_oov_rate": q_tokens_oov_rate,
+        "corpus_mix": q_corpus_mix,
+        "corpus_profile": q_corpus_profile,
+        "corpus_length_quantiles": q_corpus_length_quantiles,
+        "curate_dsir": q_curate_dsir,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        "asof_incremental": q_asof_incremental,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "bpe_merges": q_bpe_merges,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "corpus_sample": q_corpus_sample,
+        "curate_corpus": q_curate_corpus,
+        "curate_full": q_curate_full,
+        "curate_decontaminate": q_curate_decontaminate,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "text_vocab_topk": q_text_vocab_topk,
+        "cdc_final_state": q_cdc_final_state,
         "cdc_lww_window": q_cdc_lww_window,
+        "cdc_span_frontier": q_cdc_span_frontier,
+        "cdc_matcher": q_cdc_matcher,
+        "cdc_mounter_decode": q_cdc_mounter_decode,
+        "cdc_dispatch_rules": q_cdc_dispatch_rules,
+        "codec_roundtrip": q_codec_roundtrip,
+        "text_quality": q_text_quality,
+        # -- proven in r1/r2 driver runs (outside the ~50 window) --
         "cdc_lww_agg": q_cdc_lww_agg,
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_lww_semijoin": q_cdc_lww_semijoin,
-        "cdc_final_state": q_cdc_final_state,
         "cdc_keyless_delta": q_cdc_keyless_delta,
         "cdc_resolved_frontier": q_cdc_resolved_frontier,
         "cdc_epoch_slice": q_cdc_epoch_slice,
         "cdc_txn_group": q_cdc_txn_group,
         "cdc_dispatch_buckets": q_cdc_dispatch_buckets,
         "cdc_cyclic_stamp": q_cdc_cyclic_stamp,
-        "cdc_span_frontier": q_cdc_span_frontier,
         "cdc_old_value": q_cdc_old_value,
         "cdc_dispatch_ts": q_cdc_dispatch_ts,
-        "cdc_dispatch_rules": q_cdc_dispatch_rules,
         "cdc_op_ordering": q_cdc_op_ordering,
         "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
         "cdc_sink_stats": q_cdc_sink_stats,
-        "cdc_mounter_decode": q_cdc_mounter_decode,
         "cdc_table_filter": q_cdc_table_filter,
         "cdc_mark_filter": q_cdc_mark_filter,
         "cdc_tokens_final_state": q_cdc_tokens_final_state,
-        "cdc_training_order": q_cdc_training_order,
         "cdc_tokens_vocab": q_cdc_tokens_vocab,
-        "cdc_matcher": q_cdc_matcher,
-        "codec_roundtrip": q_codec_roundtrip,
         "codec_canal_flat": q_codec_canal_flat,
         "codec_canal_old": q_codec_canal_old,
         "codec_maxwell": q_codec_maxwell,
@@ -2733,54 +2789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_segment": q_q3_segment,
         "q5_region_orders": q_q5_region_orders,
         "events_sessionize": q_events_sessionize,
-        "events_asof_enrich": q_events_asof_enrich,
-        "events_asof_salted": q_events_asof_salted,
         "events_tumbling": q_events_tumbling,
         "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_unigram_nll": q_text_unigram_nll,
         "text_nll_buckets": q_text_nll_buckets,
         "text_pii": q_text_pii,
-        "curate_corpus": q_curate_corpus,
-        "curate_full": q_curate_full,
-        "curate_strict": q_curate_strict,
-        "tokens_pack": q_tokens_pack,
-        "corpus_shuffle": q_corpus_shuffle,
-        "corpus_shards": q_corpus_shards,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_chunks": q_dedup_chunks,
-        "dedup_dup_spans": q_dedup_dup_spans,
-        "dedup_span_trim": q_dedup_span_trim,
-        "tokens_dup_spans": q_tokens_dup_spans,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "embed_kmeans": q_embed_kmeans,
-        "semdedup": q_semdedup,
-        "decontam_fuzzy": q_decontam_fuzzy,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "curate_decontaminate": q_curate_decontaminate,
-        "decontam_incremental": q_decontam_incremental,
-        "text_vocab_topk": q_text_vocab_topk,
-        "tokens_oov_rate": q_tokens_oov_rate,
-        "corpus_sample": q_corpus_sample,
-        "corpus_mix": q_corpus_mix,
-        "corpus_profile": q_corpus_profile,
-        "corpus_length_quantiles": q_corpus_length_quantiles,
-        "curate_dsir": q_curate_dsir,
-        "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_incremental": q_ann_ivf_incremental,
-        "asof_incremental": q_asof_incremental,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "bpe_merges": q_bpe_merges,
-        "multimodal_meta": q_multimodal_meta,
     }

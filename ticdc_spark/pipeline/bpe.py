@@ -27,10 +27,16 @@ connected_components). Words that can no longer merge (single symbol) are
 dropped from the working set, so the working table shrinks as merges
 consume it.
 
-No DuckDB oracle: the per-step argmax + rewrite recurrence is not
-expressible as a fixed SQL query; correctness is pinned by an exact
-pure-python reference implementation over the same word-freq table
-(tests/test_bpe.py) — merge-list equality, not just counts.
+DuckDB oracle (bpe_merges_oracle_sql): the fixed number of merge rounds
+unrolls into a chain of CTEs — per round, a pair-count aggregate + argmax
+with the same deterministic tie-break, then the greedy left-to-right
+rewrite expressed as a single string replace() over a double-separator
+encoding of the symbol array ('␟a␟␟b␟␟c␟'; pattern '␟l␟␟r␟' → '␟lr␟').
+SQL replace scans the input once left-to-right without rescanning its own
+output — exactly the BPE merge contract — and the doubled boundary
+separators mean adjacent matches never share a character, so one replace
+per round IS the greedy pass. A pure-python reference implementation
+additionally pins merge-list equality in tests/test_bpe.py.
 """
 
 from __future__ import annotations
@@ -142,6 +148,59 @@ def bpe_merges_df(docs: DataFrame, n_merges: int = 50, text_col: str = "text") -
     rows = bpe_learn(docs, n_merges=n_merges, text_col=text_col)
     return spark.createDataFrame(
         rows, "rank long, left string, right string, cnt long"
+    )
+
+
+def bpe_merges_oracle_sql(
+    n_merges: int = 50, min_pair_count: int = 2, text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`bpe_merges_df` — the n_merges rounds unrolled
+    as chained CTEs (see module docstring for the replace()-as-greedy-merge
+    encoding). Separator chr(30) must not occur in corpus words (it is a
+    control character; whitespace tokenization never produces it)."""
+    from ..functions.text import TOKENS_SQL
+
+    s = chr(30)
+    d = s + s
+    toks = TOKENS_SQL.format(t=text_col)
+    parts = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT freq, '{s}' || substr(r, 1, length(r) - 1) AS s
+  FROM (SELECT freq, regexp_replace(word, '(.)', '\\1{d}', 'g') AS r FROM wf)
+)""",
+    ]
+    for k in range(n_merges):
+        parts.append(f"""a{k} AS MATERIALIZED (
+  SELECT freq, list_transform(string_split(s, '{d}'), x -> trim(x, '{s}')) AS a
+  FROM s{k}
+)""")
+        parts.append(f"""p{k} AS (
+  SELECT a[i] AS l, a[i + 1] AS r, sum(freq) AS cnt
+  FROM (SELECT freq, a, unnest(range(1, len(a))) AS i FROM a{k} WHERE len(a) >= 2)
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""m{k} AS (
+  SELECT {k} AS rank, l, r, cnt FROM p{k}
+  WHERE cnt >= {int(min_pair_count)}
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+)""")
+        parts.append(f"""s{k + 1} AS MATERIALIZED (
+  SELECT freq, replace(s, '{s}' || l || '{d}' || r || '{s}',
+                          '{s}' || l || r || '{s}') AS s
+  FROM s{k}, m{k}
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(n_merges))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT rank, l AS "left", r AS "right", cnt FROM ({union}) ORDER BY rank
+"""
     )
 
 
