@@ -173,9 +173,11 @@ def test_cdclog_sink_layout_and_roundtrip(spark, tmp_path):
     sink = CdclogSink(spark, root, {"ta": 11, "tb": 22})
     paths = sink.emit(df, {"ta": ["tokens", "n_tok", "source"],
                            "tb": ["tokens", "n_tok", "source"]})
-    # layout: file name carries the table MAX commit ts
-    assert paths["ta"].endswith("t_11/cdclog.105")
-    assert paths["tb"].endswith("t_22/cdclog.103")
+    # layout: file name carries the table MAX commit ts; small batch = one
+    # file per table (rotation kicks in past rotate_bytes)
+    assert [p for p in paths["ta"]] and paths["ta"][0].endswith("t_11/cdclog.105")
+    assert len(paths["ta"]) == 1 and len(paths["tb"]) == 1
+    assert paths["tb"][0].endswith("t_22/cdclog.103")
     meta = json.load(open(os.path.join(root, "log.meta")))
     assert meta["names"] == {"11": "`cdc`.`ta`", "22": "`cdc`.`tb`"}
 

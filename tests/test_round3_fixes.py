@@ -162,6 +162,57 @@ def test_asof_rejects_colliding_fact_columns(spark):
         asof_join_salted(facts_r, dims, key="key", payload=("v",))
 
 
+def test_cdclog_executor_side_rotation(spark, tmp_path):
+    """The r2 structural scale-killer: emit() folded a table's whole batch
+    into one driver row. Now executors stream size-rotated files; this
+    drives a batch big enough to rotate into >1 file per table and checks
+    (a) rotation happened, (b) every event survives the round-trip in
+    order, (c) file names carry each file's max commit ts."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ticdc_spark.streaming.cdclog import CdclogSink, read_cdclog
+
+    n = 3000
+    df = spark.range(n).select(
+        (F.lit(1000) + F.col("id")).alias("commit_ts"),
+        F.col("id").alias("seq"),
+        F.lit("ta").alias("table"),
+        F.when(F.col("id") % 10 == 0, "D").otherwise("I").alias("op"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.sequence(F.lit(0), F.lit(30)).cast("array<int>").alias("tokens"),
+        F.lit(31).alias("n_tok"),
+        F.lit("web").alias("source"),
+    )
+    root = str(tmp_path / "cdclog")
+    sink = CdclogSink(spark, root, {"ta": 7})
+    # tiny rotate size so 3000 events split into several files
+    paths = sink.emit(
+        df, {"ta": ["tokens", "n_tok", "source"]},
+        rotate_bytes=64 * 1024, flush_bytes=16 * 1024,
+    )
+    assert len(paths["ta"]) > 1, "batch must rotate into multiple files"
+    # every file exists, no tmp leftovers, names sorted by their max ts
+    tdir = os.path.join(root, "t_7")
+    assert not [f for f in os.listdir(tdir) if f.startswith(".cdclog.tmp")]
+    max_ts = [int(os.path.basename(p).split(".")[1]) for p in paths["ta"]]
+    assert max_ts == sorted(max_ts)
+    assert max_ts[-1] == 1000 + n - 1
+    # round-trip: all events come back, deletes as null payloads
+    schema = T.StructType([
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    back = read_cdclog(spark, root, schema)
+    assert back.count() == n
+    assert back.filter(F.col("op") == "D").count() == n // 10
+    # per-file byte size stays in the rotate ballpark (no giant single file)
+    sizes = [os.path.getsize(p) for p in paths["ta"]]
+    assert max(sizes) < 3 * 64 * 1024
+
+
 def test_write_shards_manifest_atomic(spark, docs_str, tmp_path):
     from ticdc_spark.pipeline.pack import write_shards
 

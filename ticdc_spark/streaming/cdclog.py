@@ -11,22 +11,34 @@ Message bytes are the MixedBuild layout (json.go:370-398): [8B BE version]
 then per message [8B BE keyLen][key][8B BE valLen][value] — deletes frame a
 zero-length value.
 
-Spark shape: the per-table frame is assembled with one groupBy + Arrow-
-batched packer (same plan as the MQ batch framer); the file write is
-driver-side like the reference's (a log file is a single object — the
-reference rotates at maxRowFileSize=64MB, emit() callers control frame
-size via their trigger)."""
+Spark shape: EXECUTOR-SIDE size-rotated writes — the reference rotates
+files at a max size and flushes >=5MB multipart chunks precisely because a
+batch does not fit one buffer (cdc/sink/cdclog/s3.go:35-42), so the sink
+must never fold a table's batch into a single driver row. The plan:
+
+  1. encode key/value JSON per row (JVM-side to_json, no Python),
+  2. deterministic per-table byte prefix-sum over (commit_ts, seq) order
+     (fixed-width commit_ts ranges — the same no-sampling machinery as
+     pipeline/pack) → byte offset → file slot = offset div rotate_bytes,
+  3. identity_repartition on the global file id (each file = one task),
+     sortWithinPartitions(commit_ts, seq),
+  4. mapInPandas streams mixed-framing bytes straight to the file from the
+     executor, flushing every flush_bytes — per-Arrow-batch memory only,
+  5. the driver collects O(files) metadata rows and only RENAMES tmp files
+     to their final cdclog.<maxCommitTs> names (commit step).
+"""
 
 from __future__ import annotations
 
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.codec import (
+    BATCH_VERSION_1,
     KEY_FIELDS,
     decode_open_protocol,
     pack_open_protocol_mixed,
@@ -57,41 +69,171 @@ class CdclogSink:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(self.root, "log.meta"))
 
-    def emit(self, events: DataFrame, payload_cols: dict[str, list[str]]) -> dict:
-        """Write one cdclog file per table containing the batch's events in
-        (commit_ts, seq) order. File name = cdclog.<max commit ts in file>
-        (file.go:111 makeTableFileName). Returns {table: path}."""
+    def emit(
+        self,
+        events: DataFrame,
+        payload_cols: dict[str, list[str]],
+        rotate_bytes: int = 100 * (1 << 20),
+        flush_bytes: int = 5 * (1 << 20),
+        time_ranges: int = 32,
+    ) -> dict:
+        """Write the batch as size-rotated cdclog files per table, events in
+        (commit_ts, seq) order across the table's file sequence. File name =
+        cdclog.<max commit ts in file> (file.go:111 makeTableFileName);
+        rotation at rotate_bytes with flush_bytes streaming flushes mirrors
+        cdc/sink/cdclog/s3.go:35-42. Event bytes NEVER pass through the
+        driver — executors write the files; the driver renames O(files)
+        tmp paths. Returns {table: [paths in file order]}."""
+        from ..functions.partitioning import identity_repartition
+
+        names = list(self.table_ids)
         key = F.to_json(F.struct(*[F.col(c) for c in KEY_FIELDS]))
-        out: dict[str, str] = {}
-        for name, tid in self.table_ids.items():
-            cols = payload_cols[name]
-            val = F.when(
-                F.col("op") != "D",
-                F.to_json(F.struct(*[F.col(c) for c in cols])),
+        vpay = F.lit(None).cast("string")
+        for name in names:
+            vpay = F.when(
+                F.col("table") == name,
+                F.to_json(F.struct(*[F.col(c) for c in payload_cols[name]])),
+            ).otherwise(vpay)
+        val = F.when(F.col("op") != "D", vpay)
+        # frame size: [8B keyLen][key][8B valLen][val]
+        nb = (
+            F.lit(16)
+            + F.octet_length(key)
+            + F.coalesce(F.octet_length(val), F.lit(0))
+        )
+        enc = events.filter(F.col("table").isin(names)).select(
+            "table",
+            "commit_ts",
+            "seq",
+            key.alias("_k"),
+            val.alias("_v"),
+            nb.alias("_nb"),
+        )
+
+        # deterministic byte prefix-sum per table over (commit_ts, seq):
+        # fixed-width commit_ts ranges from one min/max metadata agg — the
+        # range id is a pure function of the row (pipeline/pack discipline)
+        row = enc.agg(
+            F.min("commit_ts").alias("lo"), F.max("commit_ts").alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:
+            return {}
+        lo, hi = int(row["lo"]), int(row["hi"])
+        width = max(1, (hi - lo) // time_ranges + 1)
+        pid = ((F.col("commit_ts") - F.lit(lo)) / F.lit(width)).cast("int")
+        tagged = enc.withColumn("_pid", pid).persist()
+
+        # per-(table, range) byte totals: O(tables x ranges) metadata fold
+        totals = {
+            (r["table"], int(r["_pid"])): int(r["t"])
+            for r in tagged.groupBy("table", "_pid")
+            .agg(F.sum("_nb").alias("t"))
+            .collect()
+        }
+        prefix: dict[tuple, int] = {}
+        table_total: dict[str, int] = {}
+        for tbl, p in sorted(totals):
+            prefix[(tbl, p)] = table_total.get(tbl, 0)
+            table_total[tbl] = table_total.get(tbl, 0) + totals[(tbl, p)]
+        # global file ids: contiguous slot blocks per table
+        base: dict[str, int] = {}
+        n_files = 0
+        for tbl in sorted(table_total):
+            base[tbl] = n_files
+            n_files += (table_total[tbl] + rotate_bytes - 1) // rotate_bytes
+        spark = events.sparkSession
+        off_df = spark.createDataFrame(
+            [(t, p, off, base[t]) for (t, p), off in prefix.items()],
+            "table string, _pid int, _off long, _base long",
+        )
+        w_local = Window.partitionBy("table", "_pid").orderBy(
+            "commit_ts", "seq"
+        )
+        start_off = F.col("_off") + F.sum("_nb").over(w_local) - F.col("_nb")
+        placed = (
+            tagged.join(F.broadcast(off_df), ["table", "_pid"])
+            .withColumn(
+                "_file_idx",
+                (F.col("_base") + (start_off / rotate_bytes).cast("long")).cast(
+                    "int"
+                ),
             )
-            sub = events.filter(F.col("table") == F.lit(name)).select(
-                F.struct(
-                    F.col("commit_ts"), F.col("seq"), key.alias("k"), val.alias("v")
-                ).alias("_msg")
+            .select("table", "commit_ts", "seq", "_k", "_v", "_file_idx")
+        )
+        routed = identity_repartition(
+            placed, n_files, "_file_idx", domain=list(range(n_files))
+        ).sortWithinPartitions("_file_idx", "commit_ts", "seq")
+
+        root, tid_map = self.root, dict(self.table_ids)
+        version, fl_bytes = BATCH_VERSION_1, flush_bytes
+
+        def _write(batches):
+            import struct
+            import uuid
+
+            import pandas as pd
+
+            state: dict[int, dict] = {}
+            for pdf in batches:
+                for tbl, fidx, cts, k, v in zip(
+                    pdf["table"], pdf["_file_idx"], pdf["commit_ts"],
+                    pdf["_k"], pdf["_v"],
+                ):
+                    fidx = int(fidx)
+                    st = state.get(fidx)
+                    if st is None:
+                        tdir = os.path.join(root, f"t_{tid_map[tbl]}")
+                        os.makedirs(tdir, exist_ok=True)
+                        tmp = os.path.join(
+                            tdir, f".cdclog.tmp.{uuid.uuid4().hex}"
+                        )
+                        fh = open(tmp, "wb")
+                        fh.write(struct.pack(">Q", version))
+                        st = state[fidx] = {
+                            "fh": fh, "tmp": tmp, "table": tbl,
+                            "max_ts": int(cts), "n": 0, "unflushed": 0,
+                        }
+                    ke = k.encode("utf-8")
+                    ve = b"" if v is None else v.encode("utf-8")
+                    frame = (
+                        struct.pack(">Q", len(ke)) + ke
+                        + struct.pack(">Q", len(ve)) + ve
+                    )
+                    st["fh"].write(frame)
+                    st["unflushed"] += len(frame)
+                    if st["unflushed"] >= fl_bytes:
+                        st["fh"].flush()
+                        st["unflushed"] = 0
+                    st["max_ts"] = max(st["max_ts"], int(cts))
+                    st["n"] += 1
+            rows = []
+            for fidx, st in state.items():
+                st["fh"].close()
+                rows.append(
+                    (st["table"], fidx, st["max_ts"], st["tmp"], st["n"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["table", "file_idx", "max_ts", "tmp", "n_msgs"]
             )
-            frame = sub.agg(
-                F.array_sort(F.collect_list("_msg")).alias("_msgs"),
-                F.max("_msg.commit_ts").alias("_max_ts"),
-            ).collect()[0]
-            if not frame["_msgs"]:
-                continue
-            data = pack_open_protocol_mixed(
-                [m["k"] for m in frame["_msgs"]],
-                [m["v"] for m in frame["_msgs"]],
-            )
-            tdir = os.path.join(self.root, f"t_{tid}")
-            os.makedirs(tdir, exist_ok=True)
-            path = os.path.join(tdir, f"cdclog.{int(frame['_max_ts'])}")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)
-            out[name] = path
+
+        written = routed.mapInPandas(
+            _write,
+            "table string, file_idx int, max_ts long, tmp string, n_msgs long",
+        ).collect()  # O(files) metadata rows, never event data
+        tagged.unpersist()
+
+        # commit step: rename tmp -> cdclog.<max_ts> in file order; a
+        # max_ts shared across rotated files gets a .<k> disambiguator
+        out: dict[str, list[str]] = {}
+        for r in sorted(written, key=lambda r: r["file_idx"]):
+            tdir = os.path.join(root, f"t_{self.table_ids[r['table']]}")
+            path = os.path.join(tdir, f"cdclog.{int(r['max_ts'])}")
+            k = 1
+            while os.path.exists(path):
+                path = os.path.join(tdir, f"cdclog.{int(r['max_ts'])}.{k}")
+                k += 1
+            os.replace(r["tmp"], path)
+            out.setdefault(r["table"], []).append(path)
         return out
 
     def emit_ddl(self, commit_ts: int, ddl_type: str, table: str, spec: dict) -> str:
