@@ -590,29 +590,114 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 3)
 
     total = round(sum(qtimes.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_replay_plus_operator_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": _sf_of(SF_DIR),
-                "replay": replay,
-                "stream": stream,
-                "stream_one_batch": stream1,
-                "replay_skew": skew,
-                "stream_raw": raw,
-                "stream_mq": mq,
-                "stream_old_value": oldval,
-                "replay_big": replay_big,
-                "incremental_dedup": incded,
-                "replay_keyless": keyless,
-                "cpus": int(CPUS),
-            }
+    full = {
+        "metric": "cdc_replay_plus_operator_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_of(SF_DIR),
+        "replay": replay,
+        "stream": stream,
+        "stream_one_batch": stream1,
+        "replay_skew": skew,
+        "stream_raw": raw,
+        "stream_mq": mq,
+        "stream_old_value": oldval,
+        "replay_big": replay_big,
+        "incremental_dedup": incded,
+        "replay_keyless": keyless,
+        "cpus": int(CPUS),
+        "regressions": _regression_check(qtimes),
+    }
+    # full detail goes to a FILE (atomic tmp+rename); stdout gets ONE short
+    # line so the driver's tail capture always parses (r2 shipped a line too
+    # long to capture — BENCH_r02.json had parsed=null)
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+    )
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    os.replace(tmp, out_path)
+    short = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": full["sf"],
+        "cpus": int(CPUS),
+        "replay_events_per_sec": replay and replay.get("events_per_sec"),
+        "stream_events_per_sec": stream and stream.get("events_per_sec"),
+        "n_regressions": len(full["regressions"]),
+        "detail_file": out_path,
+    }
+    print(json.dumps(short, separators=(",", ":")))
+    spark.stop()
+
+
+def _regression_check(qtimes: dict, threshold: float = 1.2) -> list[dict]:
+    """Compare this run's per-query times against the prior driver-recorded
+    bench (env SPARK_GRAFT_BENCH_BASELINE, default the newest BENCH_r*.json
+    with a parsed queries map). Returns [{query, prior, now, ratio}] for
+    every query slower than threshold x prior — the round-2 verdict's
+    regression guard (task 4/10 of r1)."""
+    base_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = (
+        [base_path]
+        if base_path
+        else sorted(
+            (
+                os.path.join(here, f)
+                for f in os.listdir(here)
+                if f.startswith("BENCH_r") and f.endswith(".json")
+            ),
+            reverse=True,
         )
     )
-    spark.stop()
+    prior_q: dict = {}
+    for cand in candidates:
+        try:
+            with open(cand) as f:
+                doc = json.load(f)
+            # driver files wrap the bench line: look for a queries map in
+            # the parsed doc or inside the raw tail text
+            if isinstance(doc.get("queries"), dict):
+                prior_q = doc["queries"]
+            elif isinstance(doc.get("parsed"), dict) and isinstance(
+                doc["parsed"].get("queries"), dict
+            ):
+                prior_q = doc["parsed"]["queries"]
+            elif isinstance(doc.get("tail"), str) and '"queries"' in doc["tail"]:
+                frag = doc["tail"]
+                i = frag.index('"queries"')
+                j = frag.index("{", i)
+                depth, k = 0, j
+                while k < len(frag):
+                    depth += frag[k] == "{"
+                    depth -= frag[k] == "}"
+                    k += 1
+                    if depth == 0:
+                        break
+                prior_q = json.loads(frag[j:k])
+            if prior_q:
+                break
+        except (OSError, ValueError, KeyError):
+            continue
+    out = []
+    for name, now in qtimes.items():
+        prior = prior_q.get(name)
+        if prior and now > threshold * float(prior):
+            out.append(
+                {
+                    "query": name,
+                    "prior": float(prior),
+                    "now": now,
+                    "ratio": round(now / float(prior), 3),
+                }
+            )
+    return sorted(out, key=lambda r: -r["ratio"])
 
 
 if __name__ == "__main__":
