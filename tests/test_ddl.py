@@ -207,3 +207,91 @@ def test_truncate_table_ddl_mid_stream(spark, tmp_path):
     counts = [t1.read_version(v).count() for v in versions]
     wipe = counts.index(0, 1)
     assert counts[wipe - 1] > 0 and counts[-1] > 0
+
+
+def test_modify_column_lake_rewrite(spark, tmp_path):
+    """Non-widening type change (ActionModifyColumn parity,
+    schema_storage.go:539-624): physically rewrites the data in ONE atomic
+    manifest commit; tombstones survive so a replayed old event still loses
+    the conditional merge; idempotent by epoch id."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ch = spark.createDataFrame(
+        [("a", [1], 7, "web", "I", 10, 1),
+         ("b", [2], 9, "api", "I", 11, 2),
+         ("b", None, None, None, "D", 12, 3)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, commit_ts long, seq long",
+    )
+    t.merge_epoch(ch, "e1")
+    v_before = t.version
+    assert t.modify_column({"name": "n_tok", "to": "string"}, "ddl-mod-1")
+    assert t.schema_version == 1 and t.version == v_before + 1
+    assert dict((f["name"], f["type"]) for f in t.current_fields)["n_tok"] == "string"
+    live = {r["doc_id"]: r["n_tok"] for r in t.read().collect()}
+    assert live == {"a": "7"}  # cast applied; b's tombstone still hides it
+    # replay of an OLD pre-modify event must lose to the retained tombstone
+    old = spark.createDataFrame(
+        [("b", [3], "5", "web", "I", 11, 1)],
+        "doc_id string, tokens array<int>, n_tok string, source string, "
+        "op string, commit_ts long, seq long",
+    )
+    t.merge_epoch(old, "e-replay")
+    assert "b" not in {r["doc_id"] for r in t.read().collect()}
+    # idempotence: re-applying the same DDL epoch no-ops
+    assert not t.modify_column({"name": "n_tok", "to": "string"}, "ddl-mod-1")
+    # handle key type is protected
+    with pytest.raises(ValueError, match="handle key"):
+        t.modify_column({"name": "doc_id", "to": "bigint"}, "ddl-mod-2")
+
+
+def test_modify_column_ddl_mid_stream(spark, tmp_path):
+    """modify column through the DDL stream: widen (metadata) then a
+    NARROWING modify (rewrite), interleaved with DML; final state matches
+    the raw-mode oracle and the same-ts pre-DDL rule holds (a DML whose
+    commit-ts equals the modify's finished-ts decodes at the pre-modify
+    type)."""
+    spec = BinlogSpec(
+        n_events=8_000, n_keys=800, seed=57, p_delete=0.15, p_insert=0.55,
+        tie_frac=0.3,
+    )
+    typed = generate_binlog(spec)
+    import pyarrow.compute as pc
+
+    lo = pc.min(typed.column("commit_ts")).as_py()
+    hi = pc.max(typed.column("commit_ts")).as_py()
+    q = (hi - lo) // 4
+    ddls = [
+        (lo + q, "widen_column", {"name": "n_tok", "to": "bigint"}),
+        (lo + 3 * q, "modify_column", {"name": "n_tok", "to": "int"}),
+    ]
+    raw = binlog_to_raw(typed, ddls)
+    write_raw_binlog(raw, str(tmp_path / "binlog"), n_files=5)
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+    ddl_rows = [
+        {"commit_ts": ts, "ddl_type": typ, "spec": s} for ts, typ, s in ddls
+    ]
+    cf = ChangeFeed(
+        t, str(tmp_path / "binlog"), str(tmp_path / "ckpt"),
+        mode="raw", ddl_rows=ddl_rows, max_files_per_trigger=2,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert t.schema_version == 2
+    assert dict((f["name"], f["type"]) for f in t.current_fields)["n_tok"] == "int"
+
+    expected = apply_binlog_raw(raw, BASE, ddls, upto_ts=resolved)
+    pdf = t.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    got = pa.table({
+        "doc_id": pa.array(pdf["doc_id"], pa.string()),
+        "tokens": pa.array(
+            [None if x is None else list(x) for x in pdf["tokens"]],
+            pa.list_(pa.int32()),
+        ),
+        "n_tok": pa.array(pdf["n_tok"], pa.int32()),
+        "source": pa.array(pdf["source"], pa.string()),
+    })
+    problems = diff_tables(expected, got)
+    assert not problems, problems[:3]

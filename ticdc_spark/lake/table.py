@@ -247,6 +247,18 @@ class LakeTable:
             if len(kept) == len(fields):
                 raise KeyError(spec["name"])
             fields = kept
+        elif ddl_type == "modify_column":
+            # arbitrary type change (ActionModifyColumn) — same field-list
+            # effect as widen, but applied through the PHYSICAL rewrite in
+            # modify_column() because the direction may be lossy
+            if spec["name"] == self.key_col:
+                raise ValueError("cannot modify the handle key's type")
+            for f in fields:
+                if f["name"] == spec["name"]:
+                    f["type"] = spec["to"]
+                    break
+            else:
+                raise KeyError(spec["name"])
         elif ddl_type == "truncate_table":
             # fields unchanged; every bucket's file references drop in the
             # SAME commit (schema_storage.go:539-624 truncate swaps in a
@@ -257,6 +269,61 @@ class LakeTable:
         else:
             raise ValueError(f"unsupported ddl_type {ddl_type}")
         return fields
+
+    def modify_column(self, spec: dict, epoch_id: str | None = None) -> bool:
+        """Non-widening column type change (the reference replicates
+        arbitrary ``modify column``, cdc/entry/schema_storage.go:539-624
+        ActionModifyColumn; stressed by tests/multi_source/main.go:74-131).
+        Unlike widen_column — metadata-only, because the read-time cast is
+        lossless — an arbitrary type change physically rewrites: the
+        collapsed state (live rows AND tombstones, so replayed old events
+        still lose the conditional merge) is cast to the new type and
+        committed as ONE manifest carrying both the new schema version and
+        the replacement buckets — the same atomic identity-rewrite commit
+        the keyless layer uses (lake/keyless.py KeylessTable.evolve). Crash
+        before the commit leaves orphan files only; replay no-ops on the
+        committed epoch id. O(live rows) — the honest cost of a lossy DDL
+        on a columnar store."""
+        if epoch_id is not None and epoch_id in self.committed_epochs:
+            return False
+        fields = self._evolved_fields("modify_column", spec)
+        # collapsed current state incl. tombstones + system columns, with
+        # the column cast to its new type (a failed cast is NULL — MySQL
+        # coerces too; the per-row outcome is the downstream contract)
+        df = self.read_raw().withColumn(
+            spec["name"], F.col(spec["name"]).cast(spec["to"])
+        )
+        out = df.withColumn("_bucket", self._bucket_expr(self.bucket_col))
+        m = json.loads(json.dumps(self._manifest))
+        m.pop("commit_kind", None)
+        new_version = m["version"] + 1
+        abs_dir = os.path.join(self.root, f"data/v{new_version:08d}")
+        from ..functions.partitioning import identity_repartition
+
+        (
+            identity_repartition(out, self.n_buckets, "_bucket")
+            .sortWithinPartitions("_bucket", self.key_col)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(abs_dir)
+        )
+        m["parent"] = m["version"]
+        m["version"] = new_version
+        m["schema_version"] += 1
+        m["schemas"][str(m["schema_version"])] = fields
+        new_entries = self._scan_written(abs_dir)
+        for es in new_entries.values():
+            for e in es:
+                e["schema_version"] = m["schema_version"]
+        m["buckets"] = new_entries
+        # collapsed to one row per key, but tombstones are retained, so the
+        # buckets are NOT clean (read_raw must keep skipping deleted rows)
+        m["clean_buckets"] = []
+        m["epoch_id"] = epoch_id
+        if epoch_id is not None:
+            m["committed_epochs"].append(epoch_id)
+        self._commit_manifest(m)
+        return True
 
     # ---------------- read ----------------
     def _read_files(self, entries: list[dict]) -> DataFrame | None:

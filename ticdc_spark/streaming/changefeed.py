@@ -73,9 +73,28 @@ def schema_version_violation(ddl_ts: list[int]):
     return F.when(F.col("schema_version") > expected, 1).otherwise(0)
 
 
+# lossless cast directions: metadata-only widen is safe, the read-time cast
+# by field id never loses information. Anything else is a MODIFY (physical
+# rewrite) — MySQL's modify column rewrites for the same reason.
+_WIDENING = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("int", "double"),
+    ("float", "double"),
+}
+
+
+def is_widening(frm: str, to: str) -> bool:
+    f, t = frm.strip().lower(), to.strip().lower()
+    return f == t or t == "string" or (f, t) in _WIDENING
+
+
 def advance_lake_schema(table: LakeTable, fields_next: list[dict], epoch_id: str) -> None:
-    """Diff current lake fields vs target and emit add/widen/rename/drop ops.
-    (The registry and lake share field ids, so the diff is exact.)"""
+    """Diff current lake fields vs target and emit add/widen/modify/rename/
+    drop ops. (The registry and lake share field ids, so the diff is exact.)
+    Type changes split by direction: lossless → widen_column (metadata-only
+    commit); lossy/narrowing → modify_column (atomic physical rewrite,
+    ActionModifyColumn parity, schema_storage.go:539-624)."""
     cur = {f["id"]: f for f in table.current_fields}
     next_ids = {f["id"] for f in fields_next}
     ops: list[tuple[str, dict]] = []
@@ -89,11 +108,20 @@ def advance_lake_schema(table: LakeTable, fields_next: list[dict], epoch_id: str
         elif c["name"] != f["name"]:
             ops.append(("rename_column", {"from": c["name"], "to": f["name"]}))
         elif c["type"] != f["type"]:
-            ops.append(("widen_column", {"name": f["name"], "to": f["type"]}))
+            kind = (
+                "widen_column"
+                if is_widening(c["type"], f["type"])
+                else "modify_column"
+            )
+            ops.append((kind, {"name": f["name"], "to": f["type"]}))
     # per-op epoch ids: a multi-change diff must not have its tail ops
     # swallowed by the first op's idempotence record
     for k, (typ, spec) in enumerate(ops):
-        table.update_schema(typ, spec, f"{epoch_id}#{k}" if len(ops) > 1 else epoch_id)
+        eid = f"{epoch_id}#{k}" if len(ops) > 1 else epoch_id
+        if typ == "modify_column":
+            table.modify_column(spec, eid)
+        else:
+            table.update_schema(typ, spec, eid)
 
 
 def attach_old_images(table: LakeTable, ready: DataFrame, pre_version: int) -> DataFrame:

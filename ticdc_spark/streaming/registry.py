@@ -24,15 +24,27 @@ from pyspark.sql import types as T
 # jobs) — one exotic DDL in the stream must not halt replication.
 SUPPORTED_DDL = (
     "add_column", "widen_column", "rename_column", "drop_column",
-    "truncate_table",
+    "modify_column", "truncate_table",
 )
+
+# Feed-level lifecycle DDL: these change the TABLE SET, not a table's
+# columns (reference applies them in the schema snapshot,
+# cdc/entry/schema_storage.go:539-624 ActionCreateTable / ActionDropTable /
+# ActionRecoverTable; stressed by tests/multi_source/main.go:74-131). They
+# are routed to MultiTableChangeFeed's lifecycle handling, never into a
+# per-table SchemaRegistry.
+LIFECYCLE_DDL = ("create_table", "drop_table", "recover_table")
 
 
 def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[dict]:
     out = [dict(f) for f in fields]
     if ddl_type == "add_column":
         out.append({"id": max(f["id"] for f in out) + 1, "name": spec["name"], "type": spec["type"]})
-    elif ddl_type == "widen_column":
+    elif ddl_type in ("widen_column", "modify_column"):
+        # widen = declared-lossless direction (metadata-only downstream);
+        # modify = arbitrary type change (schema_storage.go:539-624
+        # ActionModifyColumn) — same field-list effect, different lake
+        # application (modify physically rewrites, see LakeTable.modify_column)
         for f in out:
             if f["name"] == spec["name"]:
                 f["type"] = spec["to"]
