@@ -303,3 +303,44 @@ def test_target_ts_finishes_feed(spark, ws):
         target_ts=target, admin=reg, feed_name="feed1",
     )
     assert cf_new.run_available() == []  # registry gate: nothing processed
+
+
+def test_create_validates_start_ts_against_gc_safepoint(spark, tmp_path):
+    """Feed creation below the GC safepoint must fail fast (pkg/util/
+    gc_service.go:31-43 CheckSafetyOfStartTs → ErrStartTsBeforeGC, surfaced
+    by `cdc cli changefeed create`). The lake analog of the safepoint is
+    the oldest syncpoint that survived expire_versions."""
+    from ticdc_spark.streaming.admin import table_gc_safepoint
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    # four epochs, each recording a syncpoint (watermarks given) — the
+    # shape ChangeFeed commits produce
+    for e in range(4):
+        ch = spark.createDataFrame(
+            [(f"d{e}", [e], 1, "web", "I", 100 + e * 10, e)],
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, commit_ts long, seq long",
+        )
+        t.merge_epoch(ch, f"e{e}", watermarks={"0": 100 + e * 10})
+    sps = [sp["primary_ts"] for sp in t.syncpoints]
+    assert len(sps) >= 4
+    # before expiry every syncpoint is resumable
+    assert table_gc_safepoint(t) == min(sps)
+    t.expire_versions(keep_last=2)
+    floor = table_gc_safepoint(t)
+    assert floor is not None and floor > min(sps)
+
+    reg = FeedRegistry(str(tmp_path / "feeds"))
+    with pytest.raises(FeedLifecycleError, match="GC safepoint"):
+        reg.create("too-old", start_ts=floor - 1, gc_tables=[t])
+    # at/above the floor the create succeeds and records start_ts
+    info = reg.create("ok", start_ts=floor, gc_tables=[t])
+    assert info["config"]["start_ts"] == floor
+    # the reference's --disable-gc-check escape hatch
+    info2 = reg.create(
+        "forced", start_ts=floor - 1, gc_tables=[t], check_gc_safe_point=False
+    )
+    assert info2["state"] == "normal"
+    # explicit safepoint (no tables handy) works the same way
+    with pytest.raises(FeedLifecycleError, match="GC safepoint"):
+        reg.create("too-old-2", start_ts=99, gc_safepoint_ts=100)

@@ -688,3 +688,104 @@ def test_multi_table_truncate_ddl(spark, tmp_path):
         b = {r["doc_id"]: list(r["tokens"]) for r in down.read().collect()}
         assert a == b and len(a) > 0
     assert consumer.run_once() == []
+
+
+def test_in_stream_create_and_drop_table(spark, tmp_path):
+    """Lifecycle DDL through the feed's DDL stream (schema_storage.go:
+    539-624 create/drop table; tests/multi_source/main.go:74-131): a feed
+    configured with ONE table grows a second table at the create barrier,
+    replicates its DML, and stops it at the drop barrier — no config
+    changes. Final state of the created table = LWW fold of its events in
+    (create_ts, drop_ts]."""
+    binlog, ev_a, ev_c = _mk_two_table_binlog(tmp_path)
+    # reuse tb's events as table "tc" by rewriting the table column
+    import pyarrow as pa
+
+    lo = pc.min(ev_c.column("commit_ts")).as_py()
+    hi = pc.max(ev_c.column("commit_ts")).as_py()
+    create_ts = lo + (hi - lo) // 4
+    drop_ts = lo + 3 * (hi - lo) // 4
+    ev_c = ev_c.set_column(
+        ev_c.schema.get_field_index("table"),
+        "table",
+        pa.array(["tc"] * len(ev_c), pa.string()),
+    )
+    # rewrite the binlog dir: ta files as-is + tc files
+    import shutil
+
+    shutil.rmtree(binlog)
+    os.makedirs(binlog)
+    for f in glob.glob(str(tmp_path / "stage_a/*.parquet")):
+        os.link(f, os.path.join(binlog, "a-" + os.path.basename(f)))
+    pq.write_table(ev_c, os.path.join(binlog, "c-0.parquet"))
+
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "tokens", "type": "array<int>"},
+        {"id": 3, "name": "n_tok", "type": "int"},
+        {"id": 4, "name": "source", "type": "string"},
+    ]
+    ddl_rows = [
+        {"commit_ts": create_ts, "ddl_type": "create_table", "table": "tc",
+         "spec": {"fields": fields, "key": "doc_id", "n_buckets": 4}},
+        {"commit_ts": drop_ts, "ddl_type": "drop_table", "table": "tc",
+         "spec": {}},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, ddl_rows=ddl_rows,
+        table_root=str(tmp_path / "created"),
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert resolved > drop_ts  # both barriers passed
+
+    # the configured table replicated normally
+    expected_a = apply_binlog(ev_a, upto_ts=resolved)
+    assert not diff_tables(expected_a, _lake_arrow(ta))
+
+    # the created table materialized under table_root, converged to the
+    # (create, drop] fold, and is marked dropped (data retained)
+    assert "tc" in cf.tables and cf.dropped == {"tc": drop_ts}
+    tc = cf.tables["tc"]
+    win = ev_c.filter(
+        pc.and_(
+            pc.greater(ev_c.column("commit_ts"), create_ts),
+            pc.less_equal(ev_c.column("commit_ts"), drop_ts),
+        )
+    )
+    expected_c = apply_binlog(win)
+    assert not diff_tables(expected_c, _lake_arrow(tc))
+    assert len(expected_c) > 10  # the window actually carried data
+
+
+def test_in_stream_recover_table(spark, tmp_path):
+    """drop → recover: the table resumes (data retained across the drop —
+    TiDB drop is deferred GC, which is what makes RECOVER possible); the
+    applied event set is (…, drop] ∪ (recover, ∞) regardless of batch
+    alignment."""
+    binlog, ev_a, _ = _mk_two_table_binlog(tmp_path, n=4000)
+    lo = pc.min(ev_a.column("commit_ts")).as_py()
+    hi = pc.max(ev_a.column("commit_ts")).as_py()
+    drop_ts = lo + (hi - lo) // 3
+    recover_ts = lo + 2 * (hi - lo) // 3
+    ddl_rows = [
+        {"commit_ts": drop_ts, "ddl_type": "drop_table", "table": "ta", "spec": {}},
+        {"commit_ts": recover_ts, "ddl_type": "recover_table", "table": "ta", "spec": {}},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, ddl_rows=ddl_rows,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert resolved > recover_ts and not cf.dropped
+
+    keep = pc.or_(
+        pc.less_equal(ev_a.column("commit_ts"), drop_ts),
+        pc.greater(ev_a.column("commit_ts"), recover_ts),
+    )
+    expected = apply_binlog(ev_a.filter(keep), upto_ts=resolved)
+    assert not diff_tables(expected, _lake_arrow(ta))

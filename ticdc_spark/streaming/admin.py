@@ -61,7 +61,24 @@ STATUS_TTL_S = 24 * 3600  # owner.go:1070 SetChangeFeedStatusTTL(…, 24*3600)
 
 class FeedLifecycleError(RuntimeError):
     """An admin operation that the reference refuses (e.g. resume of a
-    removed feed, create of a live duplicate)."""
+    removed feed, create of a live duplicate, start-ts below the GC
+    safepoint)."""
+
+
+def table_gc_safepoint(table) -> int | None:
+    """The oldest upstream ts this lake table can still serve a consistent
+    snapshot for: the smallest syncpoint whose manifest survived
+    expire_versions. None = unconstrained (fresh table / no syncpoints).
+    The analog of the PD service GC safepoint the reference checks at feed
+    creation (pkg/util/gc_service.go:31-43)."""
+    pts = [
+        sp["primary_ts"]
+        for sp in getattr(table, "syncpoints", [])
+        if os.path.exists(
+            os.path.join(table._mdir, f"v{sp['version']:08d}.json")
+        )
+    ]
+    return min(pts) if pts else None
 
 
 class FeedRegistry:
@@ -96,15 +113,48 @@ class FeedRegistry:
         os.replace(tmp, self._path(feed))
 
     # ---------- lifecycle ----------
-    def create(self, feed: str, **config: Any) -> dict[str, Any]:
+    def create(
+        self,
+        feed: str,
+        start_ts: int | None = None,
+        gc_tables: list | None = None,
+        gc_safepoint_ts: int | None = None,
+        check_gc_safe_point: bool = True,
+        **config: Any,
+    ) -> dict[str, Any]:
         """Register a feed in state ``normal``. Re-creating over a REMOVED
         feed is allowed (the reference deletes the info key on remove, so
-        the id becomes free); over a live feed it is an error."""
+        the id becomes free); over a live feed it is an error.
+
+        start_ts validation (pkg/util/gc_service.go:31-43
+        CheckSafetyOfStartTs, surfaced by `changefeed create`,
+        cmd/client_changefeed.go — ErrStartTsBeforeGC): a feed cannot start
+        below the point history has been garbage-collected past. The lake
+        analog of the PD service GC safepoint is the oldest RETAINED
+        syncpoint (expire_versions deletes older snapshots — resuming below
+        it is impossible); pass the target tables via ``gc_tables`` or an
+        explicit ``gc_safepoint_ts``. ``check_gc_safe_point=False`` is the
+        reference's --disable-gc-check escape hatch (config.py's
+        check-gc-safe-point toml key)."""
         cur = self._load(feed)
         if cur is not None and cur["state"] != STATE_REMOVED:
             raise FeedLifecycleError(
                 f"changefeed {feed!r} already exists in state {cur['state']!r}"
             )
+        if start_ts is not None and check_gc_safe_point:
+            floor = gc_safepoint_ts
+            for t in gc_tables or []:
+                sp = table_gc_safepoint(t)
+                if sp is not None:
+                    floor = sp if floor is None else max(floor, sp)
+            if floor is not None and start_ts < floor:
+                raise FeedLifecycleError(
+                    f"start-ts {start_ts} is earlier than the GC safepoint "
+                    f"{floor}: the required history has been expired "
+                    "(ErrStartTsBeforeGC, pkg/util/gc_service.go:39-41)"
+                )
+        if start_ts is not None:
+            config["start_ts"] = start_ts
         info = {
             "feed": feed,
             "state": STATE_NORMAL,

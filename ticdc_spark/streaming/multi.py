@@ -50,11 +50,25 @@ class MultiTableChangeFeed:
         feed_name: str | None = None,
         post_batch=None,
         collapse_overrides: dict[str, str] | None = None,
+        table_root: str | None = None,
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
         956-971). Each table's barriers apply independently at its own
         finished-ts, splitting that table's slice.
+
+        Lifecycle DDL (create_table / drop_table / recover_table — the
+        reference applies these in its schema snapshot,
+        cdc/entry/schema_storage.go:539-624; stressed by
+        tests/multi_source/main.go:74-131) GROW/SHRINK the table set
+        in-stream: a create_table row (spec: {"fields": [...], "key":
+        "doc_id", "n_buckets": 16}) materializes a new LakeTable under
+        `table_root` once the feed's frontier passes its finished-ts, with
+        its add-boundary at that ts; drop_table stops the table at its ts
+        (data RETAINED — TiDB drop is deferred GC, which is exactly what
+        makes RECOVER TABLE possible); recover_table resumes it. All three
+        are pure functions of the batch's resolved frontier, so crash
+        replays re-derive the identical table set.
 
         mode="typed": one physical stream schema = union of every table's
         schema versions; supports add/drop DDLs (a single physical column
@@ -109,22 +123,77 @@ class MultiTableChangeFeed:
         self.admin_feed = feed_name
         self._stop_reason: str | None = None
         self.batch_summaries: list[dict] = []
-        # per-table schema registries built from the routed DDL stream
+        # per-table schema registries built from the routed DDL stream;
+        # lifecycle DDLs are split out first (they change the TABLE SET)
         import json as _json
 
-        from .registry import SchemaRegistry
+        from .registry import LIFECYCLE_DDL, SchemaRegistry
 
+        self.table_root = table_root or os.path.join(
+            checkpoint_dir, "created_tables"
+        )
+        # [(finished_ts, kind, table, spec)] in ts order
+        self.lifecycle: list[tuple[int, str, str, dict]] = []
+        # table -> create spec, for _stream_schema before materialization
+        self.create_specs: dict[str, dict] = {}
+        self.dropped: dict[str, int] = {}
         self.registries: dict[str, SchemaRegistry] = {}
         by_table: dict[str, list] = {}
         for r in ddl_rows or []:
             spec = r["spec"] if isinstance(r["spec"], dict) else _json.loads(r["spec"])
+            if r["ddl_type"] in LIFECYCLE_DDL:
+                self.lifecycle.append(
+                    (int(r["commit_ts"]), r["ddl_type"], r["table"], spec)
+                )
+                if r["ddl_type"] == "create_table":
+                    if r["table"] in self.tables:
+                        raise ValueError(
+                            f"create_table DDL for already-configured table "
+                            f"{r['table']!r}"
+                        )
+                    self.create_specs[r["table"]] = spec
+                continue
             by_table.setdefault(r["table"], []).append(
                 (int(r["commit_ts"]), r["ddl_type"], spec)
             )
+        self.lifecycle.sort(key=lambda x: x[0])
+        # per-table ACTIVE WINDOWS ((lo exclusive, hi inclusive], hi=None =
+        # open): a table's applied event set is the union of its windows —
+        # a pure function of the DDL config, so it cannot depend on how
+        # micro-batches happen to align with the barriers (events above the
+        # resolved frontier are withheld by the release filter anyway)
+        self.lifecycle_windows: dict[str, list[list[int | None]]] = {}
+        for ts, kind, name, _spec in self.lifecycle:
+            wins = self.lifecycle_windows.setdefault(name, [])
+            if kind == "create_table":
+                wins.append([ts, None])
+            elif kind == "drop_table":
+                if not wins:  # configured table: open since the beginning
+                    wins.append([None, None])
+                if wins[-1][1] is None:
+                    wins[-1][1] = ts
+            elif kind == "recover_table":
+                wins.append([ts, None])
         for name, tbl in self.tables.items():
             base = [dict(f) for f in tbl._manifest["schemas"]["0"]]
             self.registries[name] = SchemaRegistry(
                 base, sorted(by_table.get(name, []), key=lambda x: x[0])
+            )
+        # registries for in-stream created tables exist from the start (the
+        # typed stream schema is fixed at stream build time and must union
+        # their fields); only later column DDLs apply to them
+        for name, spec in self.create_specs.items():
+            base = [dict(f) for f in spec["fields"]]
+            create_ts = next(
+                ts for ts, k, t, _ in self.lifecycle
+                if k == "create_table" and t == name
+            )
+            self.registries[name] = SchemaRegistry(
+                base,
+                sorted(
+                    (d for d in by_table.get(name, []) if d[0] > create_ts),
+                    key=lambda x: x[0],
+                ),
             )
         if self.mq_old_value and any(
             "truncate_table" in r.ddl_kinds for r in self.registries.values()
@@ -156,6 +225,43 @@ class MultiTableChangeFeed:
         """Stop `name` at stop_at_ts (inclusive); later events are dropped
         (pipeline/sink.go:199-207 stop-at-target-ts)."""
         self.stop_ts[name] = stop_at_ts
+
+    def _apply_lifecycle(self, resolved: int) -> None:
+        """Materialize create/drop/recover-table DDLs whose finished-ts is
+        at or below the batch's resolved frontier. Pure function of
+        (lifecycle config, resolved) — a crash-replayed batch re-derives the
+        same table set; LakeTable creation is guarded on the CURRENT pointer
+        so a replay reopens instead of resetting."""
+        from ..lake.table import LakeTable
+
+        for ts, kind, name, spec in self.lifecycle:
+            if ts > resolved:
+                break
+            if kind == "create_table":
+                if name not in self.tables:
+                    root = os.path.join(self.table_root, name)
+                    if os.path.exists(os.path.join(root, "_manifests", "CURRENT")):
+                        t = LakeTable(self.spark, root)
+                    else:
+                        t = LakeTable.create(
+                            self.spark,
+                            root,
+                            fields=[dict(f) for f in spec["fields"]],
+                            n_buckets=int(spec.get("n_buckets", 16)),
+                            key_col=spec.get("key", "doc_id"),
+                        )
+                    self.tables[name] = t
+                    # DML at commit_ts == create finished-ts decodes against
+                    # the pre-create snapshot (no table) — excluded by the
+                    # window's exclusive lower bound (mounter.go:242-247)
+            elif kind == "drop_table":
+                # data RETAINED (TiDB drop is deferred GC — which is what
+                # makes RECOVER TABLE possible); the window list already
+                # excludes post-drop events, this only tracks status
+                if name in self.tables:
+                    self.dropped[name] = ts
+            elif kind == "recover_table":
+                self.dropped.pop(name, None)
 
     # ---------------- micro-batch ----------------
     def _read_pending(self, batch_id: int) -> DataFrame | None:
@@ -194,7 +300,11 @@ class MultiTableChangeFeed:
         ]
         payload: dict[str, str] = {}
         for name, reg in self.registries.items():
-            key = self.tables[name].key_col
+            key = (
+                self.tables[name].key_col
+                if name in self.tables
+                else self.create_specs[name].get("key", "doc_id")
+            )
             # union over EVERY version, not just the final one: a pre-barrier
             # slice still reads columns a later DDL drops
             for ver_fields in reg.versions:
@@ -331,6 +441,10 @@ class MultiTableChangeFeed:
         ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
         tail = events.filter(F.col("commit_ts") > F.lit(resolved))
 
+        # grow/shrink the table set from in-stream lifecycle DDLs before
+        # routing (handleTableOperation analog, driven by the DDL stream)
+        self._apply_lifecycle(resolved)
+
         per_table = {}
         mq_tables: dict[str, tuple] = {}
         for name, table in self.tables.items():
@@ -339,6 +453,17 @@ class MultiTableChangeFeed:
                 sl = sl.filter(F.col("commit_ts") > F.lit(self.boundaries[name]))
             if name in self.stop_ts:
                 sl = sl.filter(F.col("commit_ts") <= F.lit(self.stop_ts[name]))
+            wins = self.lifecycle_windows.get(name)
+            if wins:
+                cond = F.lit(False)
+                for wlo, whi in wins:
+                    c = F.lit(True)
+                    if wlo is not None:
+                        c = F.col("commit_ts") > F.lit(wlo)
+                    if whi is not None:
+                        c = c & (F.col("commit_ts") <= F.lit(whi))
+                    cond = cond | c
+                sl = sl.filter(cond)
 
             # per-table DDL barriers within the releasable range (same split
             # rule as the single-table feed: DML at commit_ts <= ddl_ts uses
@@ -517,7 +642,9 @@ class MultiTableChangeFeed:
             if self.mq_old_value:
                 from .changefeed import attach_old_images
 
-                sl = attach_old_images(table, sl, pre_versions[name])
+                # a table created THIS batch has no pre-batch version —
+                # every key is a true insert against version 0
+                sl = attach_old_images(table, sl, pre_versions.get(name, 0))
             outs.append(
                 encode_mq(
                     sl, table, self.mq_protocol, key_json, part_col,
