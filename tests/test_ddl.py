@@ -152,7 +152,12 @@ def test_truncate_table_ddl_mid_stream(spark, tmp_path):
     from ticdc_spark.streaming.consumer import MQConsumer
     from ticdc_spark.testgen import write_binlog
 
-    spec = BinlogSpec(n_events=8_000, n_keys=500, seed=83, p_delete=0.15, p_insert=0.55)
+    # ordered arrival (out_of_order=False): barrier-ordered DATA operations
+    # require the puller's no-late-events contract (puller.go:163-168) —
+    # the feed now REFUSES late events when such DDLs are configured, so
+    # the harness must deliver files as commit-ts ranges
+    spec = BinlogSpec(n_events=8_000, n_keys=500, seed=83, p_delete=0.15,
+                      p_insert=0.55, out_of_order=False)
     binlog_dir = str(tmp_path / "binlog")
     write_binlog(spec, binlog_dir, files_per_part=4)
     binlog = pq.read_table(binlog_dir)
@@ -295,3 +300,83 @@ def test_modify_column_ddl_mid_stream(spark, tmp_path):
     })
     problems = diff_tables(expected, got)
     assert not problems, problems[:3]
+
+
+def test_drop_partition_ddl_mid_stream(spark, tmp_path):
+    """Partition-table ops (schema_storage.go:586-624 ActionDrop/Truncate
+    TablePartition): drop_partition is a barrier-ordered DATA operation —
+    rows matching the partition predicate are tombstoned as of the barrier
+    ts (same-ts DML applies first, pre-DDL-schema rule), later events
+    rebuild freely. Checked against an independent fold, and replayed
+    downstream through the MQ consumer."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ticdc_spark.oracle import apply_binlog
+    from ticdc_spark.streaming.consumer import MQConsumer
+    from ticdc_spark.testgen import write_binlog
+
+    # many keys / few events-per-key: a good share of keys see their LAST
+    # event before the barrier, so the partition drop has lasting victims
+    spec = BinlogSpec(n_events=8_000, n_keys=4_000, seed=29, p_delete=0.1,
+                      p_insert=0.6, out_of_order=False)
+    binlog_dir = str(tmp_path / "binlog")
+    write_binlog(spec, binlog_dir, files_per_part=4)
+    binlog = pq.read_table(binlog_dir)
+    lo = pc.min(binlog.column("commit_ts")).as_py()
+    hi = pc.max(binlog.column("commit_ts")).as_py()
+    part_ts = (lo + hi) // 2
+    ddl_rows = [{
+        "commit_ts": part_ts, "ddl_type": "drop_partition",
+        "spec": '{"where": "source = \'web\'"}',
+    }]
+    t1 = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    mq = str(tmp_path / "mq")
+    cf = ChangeFeed(
+        t1, binlog_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2,
+        ddl_rows=ddl_rows, mq_dir=mq, mq_partitions=4, n_parts=8,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert resolved > part_ts
+    assert t1.schema_version == 1  # version bumped, fields unchanged
+    assert [f["name"] for f in t1.current_fields] == [
+        "doc_id", "tokens", "n_tok", "source"]
+
+    # expected: LWW fold of everything, minus keys whose LAST event is at
+    # or below the barrier and whose winning row sits in the dropped
+    # partition (no later event re-added them)
+    full = apply_binlog(binlog, upto_ts=resolved)
+    import collections
+
+    last_ts = collections.defaultdict(int)
+    for ts, k in zip(
+        binlog.column("commit_ts").to_pylist(), binlog.column("doc_id").to_pylist()
+    ):
+        if ts <= resolved:
+            last_ts[k] = max(last_ts[k], ts)
+    want = {}
+    for d, tok, n, src in zip(
+        full.column("doc_id").to_pylist(), full.column("tokens").to_pylist(),
+        full.column("n_tok").to_pylist(), full.column("source").to_pylist(),
+    ):
+        if src == "web" and last_ts[d] <= part_ts:
+            continue  # dropped with the partition, never rebuilt
+        want[d] = (tok, n, src)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in t1.read().collect()
+    }
+    assert got == want and len(want) > 50
+    # the partition actually had victims
+    assert len(want) < len(full)
+
+    # downstream consumer replays the partition drop between DML slices
+    t2 = LakeTable.create(spark, str(tmp_path / "down"), n_buckets=4)
+    stats = MQConsumer(spark, mq, t2).run_once()
+    assert stats and all(s["committed"] for s in stats)
+    down = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in t2.read().collect()
+    }
+    assert down == got

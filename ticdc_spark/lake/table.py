@@ -259,16 +259,45 @@ class LakeTable:
                     break
             else:
                 raise KeyError(spec["name"])
-        elif ddl_type == "truncate_table":
-            # fields unchanged; every bucket's file references drop in the
-            # SAME commit (schema_storage.go:539-624 truncate swaps in a
-            # fresh table id — one atomic transition, and the version bump
+        elif ddl_type in (
+            "truncate_table", "add_partition", "drop_partition",
+            "truncate_partition",
+        ):
+            # fields unchanged; truncate additionally drops every bucket's
+            # file references in the SAME commit (schema_storage.go:539-624
+            # truncate swaps in a fresh table id — one atomic transition).
+            # Partition ops (schema_storage.go:586-624) are data operations
+            # executed by delete_where at the barrier; the version bump
             # keeps the lake's schema_version in lockstep with the
-            # registry's, which the mounter's decode math relies on)
+            # registry's, which the mounter's decode math relies on.
             pass
         else:
             raise ValueError(f"unsupported ddl_type {ddl_type}")
         return fields
+
+    def delete_where(
+        self, where: str, barrier_ts: int, epoch_id: str | None = None
+    ) -> dict:
+        """Barrier-ordered bulk delete — the data half of drop/truncate
+        PARTITION (cdc/entry/schema_storage.go:586-624): tombstone every
+        live row matching the partition predicate, stamped
+        (commit_ts=barrier_ts, seq=2^62) so any event at or below the
+        barrier loses the conditional merge while later inserts re-add
+        freely — exactly 'partition dropped as of ts T'. Set-oriented: one
+        read of the live keys + one ordinary idempotent epoch commit."""
+        if epoch_id is not None and epoch_id in self.committed_epochs:
+            return {"committed": False}
+        key = self.key_col
+        payload = [f for f in self.current_fields if f["name"] != key]
+        victims = self.read().filter(F.expr(where)).select(key)
+        ch = victims.select(
+            F.col(key),
+            *[F.lit(None).cast(f["type"]).alias(f["name"]) for f in payload],
+            F.lit("D").alias("op"),
+            F.lit(int(barrier_ts)).cast("long").alias("commit_ts"),
+            F.lit(1 << 62).cast("long").alias("seq"),
+        )
+        return self.merge_epoch(ch, epoch_id, assume_deduped=True)
 
     def modify_column(self, spec: dict, epoch_id: str | None = None) -> bool:
         """Non-widening column type change (the reference replicates

@@ -210,8 +210,18 @@ class ChangeFeed:
         feed_name: str | None = None,
         post_batch=None,
         collapse: str = "bucket_window",
+        n_parts: int | None = None,
     ):
-        """start_ts: replicate only events with commit_ts > start_ts — the
+        """n_parts: the binlog's partition universe. The reference's frontier
+        is INITIALIZED with the full span set at feed start (cdc/puller/
+        frontier), so an unseen span holds the resolved-ts back; without the
+        universe, a partition whose files all arrive in a later micro-batch
+        delivers events below an already-advanced frontier ("late"), which
+        set-oriented LWW tolerates but barrier-ordered DATA operations
+        (truncate_table, drop/truncate_partition) do not. Pass it whenever
+        the feed carries such DDLs; late events are fatal in that case.
+
+        start_ts: replicate only events with commit_ts > start_ts — the
         `changefeed create --start-ts` contract (SURVEY.md §3.1): state at or
         below start_ts comes from the bootstrap snapshot
         (LakeTable.bootstrap), not the log.
@@ -242,6 +252,7 @@ class ChangeFeed:
         self.compact_max_deltas = compact_max_deltas
         self.start_ts = start_ts
         self.strict_watermarks = strict_watermarks
+        self.n_parts = n_parts
         # LWW collapse strategy for the apply path (operators/lww.py):
         #   "bucket_window" (default) — single payload shuffle fused with
         #     the bucketed write (lww_collapse_prearranged); fastest plan.
@@ -328,14 +339,18 @@ class ChangeFeed:
             for r in (ddl_rows or [])
         ]
         self.registry = SchemaRegistry(base, ddls)
-        if self.mq_old_value and "truncate_table" in self.registry.ddl_kinds:
+        _wipes = ("truncate_table", "drop_partition", "truncate_partition")
+        if self.mq_old_value and any(
+            k in self.registry.ddl_kinds for k in _wipes
+        ):
             # the reference gets old values from TiKV, so they stay
-            # consistent across a truncate; we RECONSTRUCT them from table
-            # state + the lag window, and neither sees the wipe — refuse
-            # loudly rather than emit pre-truncate images as pre-images
+            # consistent across a truncate/partition-drop; we RECONSTRUCT
+            # them from table state + the lag window, and neither sees the
+            # wipe — refuse loudly rather than emit stale pre-images
             raise ValueError(
-                "mq_old_value cannot be combined with a truncate_table DDL "
-                "(reconstructed pre-images would span the truncate)"
+                "mq_old_value cannot be combined with a data-wiping DDL "
+                "(truncate_table / drop_partition / truncate_partition): "
+                "reconstructed pre-images would span the wipe"
             )
         self.batch_summaries: list[dict] = []
         # set when processing halts for a LIFECYCLE reason (paused/removed/
@@ -464,6 +479,11 @@ class ChangeFeed:
             # below it violate the puller contract (late arrivals; the
             # carried-over pending tail is by construction above it).
             stored0 = {int(k): int(v) for k, v in self.table.part_watermarks.items()}
+            # seed the full span universe when declared: an unseen part
+            # pins the frontier at -1 until it reports (frontier-initialized-
+            # with-all-spans semantics, cdc/puller/frontier)
+            for p_ in range(self.n_parts or 0):
+                stored0.setdefault(p_, -1)
             prev_resolved = min(stored0.values()) if stored0 else -1
             # table version BEFORE this batch's merges — the old-value MQ
             # mode reads pre-images from this snapshot (emission runs after
@@ -494,7 +514,13 @@ class ChangeFeed:
             timings["part_stats"] = _time.time() - t0
             t0 = _time.time()
             n_late = sum(int(r["late"]) for r in part_stats)
-            if n_late and (self.strict_watermarks or self.mq_old_value):
+            _data_op_ddl = any(
+                k in ("truncate_table", "drop_partition", "truncate_partition")
+                for k in self.registry.ddl_kinds
+            )
+            if n_late and (
+                self.strict_watermarks or self.mq_old_value or _data_op_ddl
+            ):
                 # old-value mode cannot tolerate late events even when the
                 # feed otherwise could: LWW makes a late event harmless for
                 # table STATE, but the pre-image attached to every already-
@@ -504,7 +530,9 @@ class ChangeFeed:
                     f"late-event contract violated: {n_late} events at or below "
                     f"resolved frontier {prev_resolved} (puller.go:163-168"
                     + (", required by enable-old-value)" if self.mq_old_value
-                       else ")")
+                       else (", required by barrier-ordered data DDL — pass "
+                             "n_parts so the frontier covers the span "
+                             "universe)" if _data_op_ddl else ")"))
                 )
             n_sv = sum(int(r["sv_viol"]) for r in part_stats)
             if n_sv:
@@ -614,10 +642,25 @@ class ChangeFeed:
                         # already-advanced schema backwards). truncate_table
                         # wipes every bucket AND bumps the version in one
                         # atomic manifest commit (idempotent by epoch id).
-                        if self.registry.ddl_kinds[ver - 1] == "truncate_table":
+                        kind = self.registry.ddl_kinds[ver - 1]
+                        dspec = self.registry.ddl_specs[ver - 1]
+                        if kind == "truncate_table":
                             self.table.update_schema(
                                 "truncate_table", {}, f"ddl-{shi}"
                             )
+                        elif kind in (
+                            "add_partition", "drop_partition",
+                            "truncate_partition",
+                        ):
+                            # partition ops (schema_storage.go:586-624):
+                            # drop/truncate tombstone the partition's rows
+                            # at the barrier (idempotent data epoch), then
+                            # the version bump keeps registry/lake lockstep
+                            if kind != "add_partition":
+                                self.table.delete_where(
+                                    dspec["where"], shi, f"ddl-{shi}#del"
+                                )
+                            self.table.update_schema(kind, dspec, f"ddl-{shi}")
                         else:
                             self._advance_lake_schema(
                                 ver, self.registry.fields(ver), f"ddl-{shi}"
@@ -628,7 +671,12 @@ class ChangeFeed:
             # Re-emission across batches is safe: the consumer's field-id
             # diff is a no-op once its table has advanced.
             executed_ddls = [
-                (ts, self.registry.fields(ver), self.registry.ddl_kinds[ver - 1])
+                (
+                    ts,
+                    self.registry.fields(ver),
+                    self.registry.ddl_kinds[ver - 1],
+                    self.registry.ddl_specs[ver - 1],
+                )
                 for ver, ts in barriers
             ]
             timings["apply"] = _time.time() - t0
@@ -864,12 +912,15 @@ class ChangeFeed:
         # DDL messages (json.go:425-446): value carries the POST-ddl field
         # list (registry fields with stable ids) so the consumer evolves its
         # table by field-id diff, exactly like the primary sink
-        for ts, fields_next, kind in executed_ddls or []:
+        for ts, fields_next, kind, dspec in executed_ddls or []:
             ddl = pa.table(
                 {
                     "key_json": pa.array([json.dumps({"ts": ts, "type": "ddl"})]),
                     "value_json": pa.array(
-                        [json.dumps({"fields": fields_next, "ddl_type": kind})]
+                        [json.dumps(
+                            {"fields": fields_next, "ddl_type": kind,
+                             "spec": dspec}
+                        )]
                     ),
                 }
             )

@@ -100,13 +100,19 @@ class MQConsumer:
                         f"applying the batch would lose the DDL ({name})"
                     )
                 val = j.loads(row["value_json"])
-                if val.get("ddl_type") == "truncate_table":
-                    # DATA operation, not a projection change: it must
+                kind = val.get("ddl_type")
+                if kind in (
+                    "truncate_table", "drop_partition", "truncate_partition"
+                ):
+                    # DATA operations, not projection changes: they must
                     # execute BETWEEN the batch's DML ranges (below), not
-                    # up-front — an up-front wipe would let pre-truncate
-                    # events re-appear downstream
-                    truncs.append(ts)
+                    # up-front — an up-front wipe/delete would let earlier
+                    # events re-appear downstream, and a late one would eat
+                    # post-barrier rows
+                    truncs.append((ts, kind, val.get("spec") or {}))
                     continue
+                if kind == "add_partition":
+                    continue  # no data effect, no projection change
                 advance_lake_schema(self.table, val["fields"], f"mq-ddl-{ts}")
             # idempotence marker: the LAST thing this batch commits
             epoch_id = f"mq-{name}" if not truncs else f"mq-{name}-s{len(truncs)}"
@@ -121,7 +127,8 @@ class MQConsumer:
                 f["name"] for f in self.table.current_fields if f["name"] != key
             ]
             rows = dec.select(key, "op", "commit_ts", "seq", *payload)
-            bounds = [None, *truncs, None]
+            by_ts = {ts: (kind, spec) for ts, kind, spec in truncs}
+            bounds = [None, *[ts for ts, _, _ in truncs], None]
             n_slices = len(bounds) - 1
             st = {}
             for k in range(n_slices):
@@ -136,9 +143,18 @@ class MQConsumer:
                     lww_latest_semijoin(sl, [key]), eid, assume_deduped=True
                 )
                 if hi is not None:
-                    self.table.update_schema(
-                        "truncate_table", {}, f"mq-ddl-trunc-{hi}"
-                    )
+                    k_kind, k_spec = by_ts[hi]
+                    if k_kind == "truncate_table":
+                        self.table.update_schema(
+                            "truncate_table", {}, f"mq-ddl-trunc-{hi}"
+                        )
+                    else:
+                        self.table.delete_where(
+                            k_spec["where"], hi, f"mq-ddl-part-{hi}#del"
+                        )
+                        self.table.update_schema(
+                            k_kind, k_spec, f"mq-ddl-part-{hi}"
+                        )
             stats.append({"batch": name, "frontier": frontier, **st})
         return stats
 
@@ -205,10 +221,17 @@ class MultiMQConsumer:
                 if tname not in self.tables:
                     continue
                 val = j.loads(row["value_json"])
-                if val.get("ddl_type") == "truncate_table":
-                    # data operation — ordered against the table's DML
+                kind = val.get("ddl_type")
+                if kind in (
+                    "truncate_table", "drop_partition", "truncate_partition"
+                ):
+                    # data operations — ordered against the table's DML
                     # slices below, not applied up-front (see MQConsumer)
-                    truncs.setdefault(tname, []).append(ts)
+                    truncs.setdefault(tname, []).append(
+                        (ts, kind, val.get("spec") or {})
+                    )
+                    continue
+                if kind == "add_partition":
                     continue
                 advance_lake_schema(
                     self.tables[tname], val["fields"], f"mq-ddl-{tname}-{ts}"
@@ -236,7 +259,8 @@ class MultiMQConsumer:
                     f["name"] for f in table.current_fields if f["name"] != key
                 ]
                 rows = dec.select(key, "op", "commit_ts", "seq", *payload)
-                bounds = [None, *tt, None]
+                by_ts = {ts: (kind, spec) for ts, kind, spec in tt}
+                bounds = [None, *[ts for ts, _, _ in tt], None]
                 st = {}
                 for k2 in range(len(bounds) - 1):
                     lo, hi = bounds[k2], bounds[k2 + 1]
@@ -254,9 +278,20 @@ class MultiMQConsumer:
                         lww_latest_semijoin(sl, [key]), eid, assume_deduped=True
                     )
                     if hi is not None:
-                        table.update_schema(
-                            "truncate_table", {}, f"mq-ddl-trunc-{tname}-{hi}"
-                        )
+                        k_kind, k_spec = by_ts[hi]
+                        if k_kind == "truncate_table":
+                            table.update_schema(
+                                "truncate_table", {},
+                                f"mq-ddl-trunc-{tname}-{hi}",
+                            )
+                        else:
+                            table.delete_where(
+                                k_spec["where"], hi,
+                                f"mq-ddl-part-{tname}-{hi}#del",
+                            )
+                            table.update_schema(
+                                k_kind, k_spec, f"mq-ddl-part-{tname}-{hi}"
+                            )
                 stats.append(
                     {"batch": name, "table": tname, "frontier": frontier, **st}
                 )

@@ -51,6 +51,7 @@ class MultiTableChangeFeed:
         post_batch=None,
         collapse_overrides: dict[str, str] | None = None,
         table_root: str | None = None,
+        n_parts: int | None = None,
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
@@ -90,6 +91,10 @@ class MultiTableChangeFeed:
         self.boundaries = dict(boundaries or {})
         self.stop_ts = dict(stop_ts or {})
         self.mode = mode
+        # span universe (see ChangeFeed.n_parts): unseen parts pin the
+        # frontier; required when the DDL stream carries barrier-ordered
+        # data operations
+        self.n_parts = n_parts
         # per-table LWW collapse strategy override ("agg"/"semijoin") for
         # tables with adversarial per-key skew; default is the single-
         # shuffle bucket_window plan (see ChangeFeed.collapse)
@@ -196,7 +201,9 @@ class MultiTableChangeFeed:
                 ),
             )
         if self.mq_old_value and any(
-            "truncate_table" in r.ddl_kinds for r in self.registries.values()
+            k in r.ddl_kinds
+            for r in self.registries.values()
+            for k in ("truncate_table", "drop_partition", "truncate_partition")
         ):
             # see ChangeFeed: reconstructed pre-images cannot span a wipe
             raise ValueError(
@@ -395,6 +402,8 @@ class MultiTableChangeFeed:
         for t in self.tables.values():
             for k, v in t.part_watermarks.items():
                 stored[int(k)] = max(stored.get(int(k), -1), int(v))
+        for p_ in range(self.n_parts or 0):
+            stored.setdefault(p_, -1)
         prev_resolved = min(stored.values()) if stored else -1
         # persist (prev_resolved, per-table pre-versions) before any merge:
         # a crash-replay of this batch sees the tables already advanced, and
@@ -425,7 +434,12 @@ class MultiTableChangeFeed:
                 "version_at(commit_ts) — the mounter hint would drop them"
             )
         n_late = sum(int(r["late"]) for r in part_stats)
-        if n_late and self.mq_old_value:
+        _data_op_ddl = any(
+            k in ("truncate_table", "drop_partition", "truncate_partition")
+            for r in self.registries.values()
+            for k in r.ddl_kinds
+        )
+        if n_late and (self.mq_old_value or _data_op_ddl):
             # same rule as ChangeFeed: pre-image reconstruction is sequence-
             # sensitive, so old-value mode cannot tolerate late events
             raise RuntimeError(
@@ -550,9 +564,26 @@ class MultiTableChangeFeed:
                 if shi is not None:
                     ver = reg.ddl_ts.index(shi) + 1
                     if table.schema_version < ver:
-                        if reg.ddl_kinds[ver - 1] == "truncate_table":
+                        kind = reg.ddl_kinds[ver - 1]
+                        dspec = reg.ddl_specs[ver - 1]
+                        if kind == "truncate_table":
                             table.update_schema(
                                 "truncate_table", {}, f"ddl-{name}-{shi}"
+                            )
+                        elif kind in (
+                            "add_partition", "drop_partition",
+                            "truncate_partition",
+                        ):
+                            # partition ops (schema_storage.go:586-624):
+                            # tombstone the partition's rows at the barrier,
+                            # then bump the version (registry/lake lockstep)
+                            if kind != "add_partition":
+                                table.delete_where(
+                                    dspec["where"], shi,
+                                    f"ddl-{name}-{shi}#del",
+                                )
+                            table.update_schema(
+                                kind, dspec, f"ddl-{name}-{shi}"
                             )
                         else:
                             from .changefeed import advance_lake_schema
@@ -653,7 +684,10 @@ class MultiTableChangeFeed:
                 )
             )
             for ver, ts in barriers:
-                ddl_msgs.append((name, ts, reg.fields(ver), reg.ddl_kinds[ver - 1]))
+                ddl_msgs.append(
+                    (name, ts, reg.fields(ver), reg.ddl_kinds[ver - 1],
+                     reg.ddl_specs[ver - 1])
+                )
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
@@ -681,14 +715,17 @@ class MultiTableChangeFeed:
         tmp = os.path.join(batch_dir, ".resolved.parquet.tmp")
         pq.write_table(res, tmp)
         os.replace(tmp, os.path.join(batch_dir, "resolved.parquet"))
-        for name, ts, fields_next, kind in ddl_msgs:
+        for name, ts, fields_next, kind, dspec in ddl_msgs:
             ddl = pa.table(
                 {
                     "key_json": pa.array(
                         [json.dumps({"ts": ts, "type": "ddl", "table": name})]
                     ),
                     "value_json": pa.array(
-                        [json.dumps({"fields": fields_next, "ddl_type": kind})]
+                        [json.dumps(
+                            {"fields": fields_next, "ddl_type": kind,
+                             "spec": dspec}
+                        )]
                     ),
                 }
             )

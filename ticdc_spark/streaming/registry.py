@@ -25,6 +25,11 @@ from pyspark.sql import types as T
 SUPPORTED_DDL = (
     "add_column", "widen_column", "rename_column", "drop_column",
     "modify_column", "truncate_table",
+    # partition-table ops (schema_storage.go:586-624 ActionAddTablePartition
+    # / ActionDropTablePartition / ActionTruncateTablePartition): no field
+    # change; drop/truncate are barrier-ordered DATA operations — the spec
+    # carries the partition's row predicate ({"where": "<sql bool expr>"})
+    "add_partition", "drop_partition", "truncate_partition",
 )
 
 # Feed-level lifecycle DDL: these change the TABLE SET, not a table's
@@ -61,10 +66,15 @@ def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[d
         if len(kept) == len(out):
             raise KeyError(spec["name"])
         return kept
-    elif ddl_type == "truncate_table":
+    elif ddl_type in (
+        "truncate_table", "add_partition", "drop_partition",
+        "truncate_partition",
+    ):
         # no field change — the version exists so the barrier splits slices
-        # and the lake's bucket wipe lands between them (ActionTruncateTable
-        # is on the reference's built-in allowlist, filter.go:149)
+        # and the lake's data operation (bucket wipe / partition delete)
+        # lands between them (ActionTruncateTable is on the reference's
+        # built-in allowlist, filter.go:149; partition ops
+        # schema_storage.go:586-624)
         return out
     else:
         raise ValueError(f"unsupported ddl_type {ddl_type}")
@@ -79,6 +89,7 @@ class SchemaRegistry:
         self.versions: list[list[dict]] = [[dict(f) for f in base_fields]]
         self.ddl_ts: list[int] = []
         self.ddl_kinds: list[str] = []  # kind of the DDL creating version i+1
+        self.ddl_specs: list[dict] = []  # spec of that DDL (partition preds)
         for ts, typ, spec in ddls or []:
             self.add_ddl(ts, typ, spec)
 
@@ -101,6 +112,7 @@ class SchemaRegistry:
         self.versions.append(apply_ddl_to_fields(self.versions[-1], ddl_type, spec))
         self.ddl_ts.append(finished_ts)
         self.ddl_kinds.append(ddl_type)
+        self.ddl_specs.append(dict(spec))
         return len(self.versions) - 1
 
     def fields(self, version: int) -> list[dict]:
