@@ -39,6 +39,12 @@ def main() -> int:
     p.add_argument("--trigger", default="10 seconds")
     p.add_argument("--available-now", action="store_true")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--n-parts", type=int, default=None,
+        help="binlog partition universe: unseen parts hold the resolved "
+             "frontier back (required when the DDL stream carries "
+             "truncate/partition-drop data operations)",
+    )
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument(
         "--start-ts", type=int, default=None,
@@ -235,6 +241,7 @@ def main() -> int:
             args.binlog,
             checkpoint_dir=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            n_parts=args.n_parts,
             ddl_rows=ddl_rows,
             mq_dispatch_rules=rules,
             admin=admin,
@@ -365,6 +372,7 @@ def main() -> int:
         ddl_rows=ddl_rows,
         lineage_dir=args.lineage,
         max_files_per_trigger=args.max_files_per_trigger,
+        n_parts=args.n_parts,
         start_ts=args.start_ts,
         mq_dispatch_rule=dispatch_rule,
         cyclic=cyclic,
