@@ -182,6 +182,48 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_partition semantics as one declarative plan (schema_storage.go:
+    586-624 ActionDropTablePartition; engine path = LakeTable.delete_where):
+    at barrier ts T (the stream midpoint), every key whose LWW winner at T
+    sits in the dropped partition (event_type='click') is tombstoned at
+    (T, 2^62) — same-ts DML applies first, later events rebuild freely.
+    Keys are (user, day) so day-keys ending before the barrier (the 90%
+    point) stay dropped — the drop has a visible, oracle-checked effect.
+    Final state = LWW fold of events ∪ derived tombstones, minus deletes."""
+    from ticdc_spark.operators.lww import lww_latest_agg as _agg
+
+    # key by (user, day): a day-key stops receiving events when its day
+    # ends, so pre-barrier click-winners STAY dropped (non-vacuous effect)
+    feed = changelog(spark, sf_dir).withColumn(
+        "doc_id",
+        F.concat_ws("-", F.col("doc_id"),
+                    (F.col("commit_ts") / F.lit(86_400_000_000)).cast("long")),
+    )
+    row = feed.agg(
+        F.min("commit_ts").alias("lo"), F.max("commit_ts").alias("hi")
+    ).collect()[0]  # deterministic metadata fold
+    t_barrier = int(row["lo"]) + (int(row["hi"]) - int(row["lo"])) * 9 // 10
+    pre_w = _agg(feed.filter(F.col("commit_ts") <= F.lit(t_barrier)), ["doc_id"])
+    victims = pre_w.filter(
+        (F.col("op") != "D") & (F.col("event_type") == "click")
+    ).select("doc_id")
+    tomb = victims.select(
+        F.lit(t_barrier).cast("long").alias("commit_ts"),
+        F.lit(1 << 62).cast("long").alias("seq"),
+        F.col("doc_id"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).cast("long").alias("part"),
+    )
+    final = _agg(feed.unionByName(tomb), ["doc_id"])
+    return final.filter(F.col("op") != "D").select(
+        "doc_id", "commit_ts", "seq", "event_type",
+        F.round("value", 6).alias("val"),
+    )
+
+
 def q_cdc_keyless_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Force-replicate keyless-table semantics (mysql.go:1203-1221 whereSlice
     all-columns fallback): an epoch of keyless events collapses to per-value-
@@ -2008,6 +2050,47 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": LWW_SQL
         + "SELECT doc_id, commit_ts, seq, event_type, round(value, 6) AS val "
         "FROM ranked WHERE rn = 1 AND op != 'D'",
+        "cdc_partition_drop": f"""
+WITH feed0 AS ({FEED_SQL}),
+feed AS (
+  SELECT commit_ts, seq,
+         concat(doc_id, '-', cast(commit_ts // 86400000000 AS varchar)) AS doc_id,
+         op, event_type, value
+  FROM feed0
+),
+bar AS (
+  SELECT min(commit_ts) + (max(commit_ts) - min(commit_ts)) * 9 // 10 AS t
+  FROM feed
+),
+pre AS (
+  SELECT doc_id, op, event_type,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC
+         ) AS rn
+  FROM feed WHERE commit_ts <= (SELECT t FROM bar)
+),
+victims AS (
+  SELECT doc_id FROM pre WHERE rn = 1 AND op != 'D' AND event_type = 'click'
+),
+unioned AS (
+  SELECT commit_ts, seq, doc_id, op, event_type, value FROM feed
+  UNION ALL
+  SELECT (SELECT t FROM bar) AS commit_ts, 4611686018427387904 AS seq,
+         doc_id, 'D' AS op, NULL AS event_type, NULL::DOUBLE AS value
+  FROM victims
+),
+ranked AS (
+  SELECT doc_id, commit_ts, seq, op, event_type, value,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC
+         ) AS rn
+  FROM unioned
+)
+SELECT doc_id, commit_ts, seq, event_type, round(value, 6) AS val
+FROM ranked WHERE rn = 1 AND op != 'D'
+""",
         "cdc_keyless_delta": """
 WITH e AS (
   SELECT event_id AS seq, cast(user_id AS varchar) AS uid,
@@ -2708,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked / changed this round --
         "cdc_training_order": q_cdc_training_order,
+        "cdc_partition_drop": q_cdc_partition_drop,
         "events_asof_enrich": q_events_asof_enrich,
         "events_asof_salted": q_events_asof_salted,
         "corpus_shuffle": q_corpus_shuffle,
