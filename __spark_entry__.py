@@ -498,11 +498,18 @@ def q_cdc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = lww_latest_agg(with_payload, ["doc_id"])
     live = w.filter(F.col("op") != "D").select("doc_id", "n_tok")
-    ranked = shuffle_order(live, seed=7).select("doc_id", "rank")
+    ranked = shuffle_order(live, seed=7)  # doc_id, shuffle_key, rank
     d = live.join(ranked, "doc_id")
-    off = pack_offsets(d, seq_len=64, order_col="rank", n_tok_col="n_tok")
+    # pack in (shuffle_key, doc_id) order — IDENTICAL offsets to rank order
+    # (rank is the dense numbering of exactly that order), but the primary
+    # key is a h60 hash with a declared domain, so the distributed prefix
+    # sum needs no min/max pass at all
+    off = pack_offsets(
+        d, seq_len=64, order_col=["shuffle_key", "doc_id"],
+        n_tok_col="n_tok", key_domain=(0, (1 << 60) - 1),
+    )
     return _longify(
-        off.join(d.select("doc_id", "rank"), "rank").select(
+        off.join(d.select("doc_id", "rank"), "doc_id").select(
             "doc_id",
             "rank",
             "n_tok",

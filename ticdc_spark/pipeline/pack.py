@@ -58,11 +58,11 @@ def _deterministic_range_id(
     min/max agg — a deterministic metadata fold). Uniform keys (h60 hashes,
     dense ranks) bucket perfectly evenly.
 
-    String keys: boundaries at sample quantiles, where the sample is chosen
-    by a hash of the key VALUE (xxhash64(key) % rate == 0) — deterministic
-    under any physical plan. Boundary comparison uses Spark's binary UTF-8
-    string order, which matches Python's code-point sort for the collected
-    boundary list.
+    String keys: fixed-width buckets over a MONOTONE numeric proxy — the
+    first 7 UTF-8 bytes as a big-endian integer (keys sharing a 7-byte
+    prefix collapse into one bucket, which affects balance, never
+    correctness; UTF-8 byte order equals Spark's binary string order). One
+    min/max metadata agg, no sampling, no key collect.
     """
     dt = docs.schema[key].dataType
     k = F.col(key)
@@ -92,24 +92,25 @@ def _deterministic_range_id(
         return F.least(F.greatest(pid, F.lit(0)), F.lit(n_ranges - 1)).cast(
             "int"
         )
-    # string / other orderable key: deterministic value-hash sample
-    n = docs.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-    target = max(1, n_ranges * 64)
-    rate = max(1, int(n // target))
-    sampled = (
-        docs.select(k.cast("string").alias("_k"))
-        .filter(F.pmod(F.xxhash64(F.col("_k"), F.lit(0x5eed)), rate) == 0)
-        .collect()
+    # string / other orderable key: monotone 7-byte-prefix proxy (fits a
+    # signed long: 2^56 < 2^63), right-padded with 0x00 so shorter strings
+    # order first — then the numeric fixed-width path on the proxy
+    proxy = F.coalesce(
+        F.conv(
+            F.rpad(F.hex(F.encode(F.substring(k.cast("string"), 1, 7), "UTF-8")), 14, "0"),
+            16, 10,
+        ).cast("long"),
+        F.lit(0),
     )
-    keys = sorted({r["_k"] for r in sampled if r["_k"] is not None})
-    if not keys:
+    row = docs.agg(
+        F.min(proxy).alias("lo"), F.max(proxy).alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None or lo == hi:
         return F.lit(0)
-    step = max(1, len(keys) // n_ranges)
-    bounds = keys[step::step][: n_ranges - 1]
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + F.when(k >= F.lit(b), 1).otherwise(0)
-    return pid.cast("int")
+    width = max(1, (int(hi) - int(lo)) // n_ranges + 1)
+    pid = ((proxy - F.lit(int(lo))) / F.lit(width)).cast("long")
+    return F.least(F.greatest(pid, F.lit(0)), F.lit(n_ranges - 1)).cast("int")
 
 
 def _global_cumsum(
@@ -128,16 +129,22 @@ def _global_cumsum(
     pid_expr = _deterministic_range_id(
         docs, order_cols[0], range_partitions, key_domain=key_domain
     )
-    # persist is a recompute-avoidance cache ONLY — offsets are identical
-    # with or without it (the pid is a pure function of the key value), so
-    # eviction under cache pressure can no longer corrupt results
-    tagged = docs.withColumn("_pid", pid_expr).persist()
-    # per-range totals: a plain groupBy-sum (deterministic — no window, no
-    # persist dependency); O(range_partitions) rows to the driver
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    # persist the WINDOWED frame: the totals fold reuses the local cumsums
+    # (max per range) and the final job is a cheap projection over the
+    # cache. Unlike the r2 design, this persist is a recompute-avoidance
+    # cache ONLY — the pid is a pure function of the key value, so eviction
+    # or recomputation can never shift a row between ranges.
+    local = (
+        docs.withColumn("_pid", pid_expr)
+        .withColumn("_cum_local", F.sum(n_tok_col).over(w_local))
+        .persist()
+    )
+    # per-range totals: O(range_partitions) rows to the driver
     totals = {
         int(r["_pid"]): int(r["t"])
-        for r in tagged.groupBy("_pid")
-        .agg(F.sum(n_tok_col).alias("t"))
+        for r in local.groupBy("_pid")
+        .agg(F.max("_cum_local").alias("t"))
         .collect()
     }
     prefix: dict[int, int] = {}
@@ -150,10 +157,8 @@ def _global_cumsum(
     for pid, p in prefix.items():
         if p:
             off = F.when(F.col("_pid") == pid, F.lit(p)).otherwise(off)
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        tagged.withColumn("_cum", F.sum(n_tok_col).over(w_local) + off)
-        .drop("_pid")
+    return local.withColumn("_cum", F.col("_cum_local") + off).drop(
+        "_pid", "_cum_local"
     )
 
 
@@ -161,24 +166,30 @@ def pack_offsets(
     docs: DataFrame,
     seq_len: int,
     n_tok_col: str = "n_tok",
-    order_col: str = "doc_id",
+    order_col: str | list = "doc_id",
     shard_col: str | None = None,
     range_partitions: int = 32,
+    key_domain: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-document packing metadata: (order cols..., start_off, end_off,
-    seq_id, spans_boundary)."""
+    seq_id, spans_boundary). order_col may be a list (extra columns break
+    ties); key_domain declares the primary key's value range (e.g. a h60
+    hash is uniform in [0, 2^60)) so range assignment needs no min/max
+    job."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if shard_col:
         # per-shard pack: the shard IS the window partition — parallel as-is
-        w = Window.partitionBy(shard_col).orderBy(order_col)
-        cum = docs.select(shard_col, order_col, n_tok_col).withColumn(
+        w = Window.partitionBy(shard_col).orderBy(*order_cols)
+        cum = docs.select(shard_col, *order_cols, n_tok_col).withColumn(
             "_cum", F.sum(n_tok_col).over(w)
         )
-        keep = [shard_col, order_col, n_tok_col]
+        keep = [shard_col, *order_cols, n_tok_col]
     else:
         cum = _global_cumsum(
-            docs.select(order_col, n_tok_col), n_tok_col, order_col, range_partitions
+            docs.select(*order_cols, n_tok_col), n_tok_col, order_cols,
+            range_partitions, key_domain=key_domain,
         )
-        keep = [order_col, n_tok_col]
+        keep = [*order_cols, n_tok_col]
     out = cum.select(
         *keep,
         (F.col("_cum") - F.col(n_tok_col)).alias("start_off"),
