@@ -50,6 +50,9 @@ def measure_bandwidth() -> dict:
 
 
 def run_level(cpus: int, n_events: int, reps: int = 3) -> dict:
+    # bench.py's stdout is the SHORT driver line now; the replay detail
+    # lives in the per-invocation detail file (SPARK_GRAFT_BENCH_OUT)
+    detail = os.path.join(REPO, f".scaling_detail_{cpus}.json")
     env = dict(os.environ)
     env.update(
         {
@@ -58,6 +61,7 @@ def run_level(cpus: int, n_events: int, reps: int = 3) -> dict:
             "SPARK_GRAFT_BENCH_ONLY_REPLAY": "1",
             "SPARK_GRAFT_BENCH_REPS": str(reps),
             "SPARK_GRAFT_SHUFFLE": str(max(2 * cpus, 8)),
+            "SPARK_GRAFT_BENCH_OUT": detail,
             # local mode: driver == executor; same heap at all levels so only
             # parallelism varies
             "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
@@ -71,11 +75,16 @@ def run_level(cpus: int, n_events: int, reps: int = 3) -> dict:
         cwd=REPO,
         timeout=5400,
     )
-    for line in out.stdout.splitlines():
-        line = line.strip()
-        if line.startswith('{"metric"'):
-            return json.loads(line)
-    raise RuntimeError(f"no bench JSON at cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    try:
+        with open(detail) as f:
+            doc = json.load(f)
+        os.remove(detail)
+        if doc.get("replay"):
+            doc["cpus"] = cpus
+            return doc
+    except (OSError, ValueError):
+        pass
+    raise RuntimeError(f"no bench detail at cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
 def main() -> None:
