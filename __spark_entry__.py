@@ -1442,6 +1442,26 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(_docs(spark, sf_dir), n_merges=30)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned tokenizer at corpus scale: learn 30 merges, then
+    encode every document. The scale shape is encode-the-vocabulary-not-
+    the-corpus — distinct words (vocab-sized) run the merge loop once each
+    in an Arrow-batched UDF; the corpus pass is posexplode + equi-join +
+    ordered reassembly, all native (pipeline/bpe.bpe_encode). Oracle: the
+    same 30 unrolled merge CTEs + a vocab encode chain + per-doc
+    reassembly (bpe_encode_oracle_sql). Tokens joined on chr(31) so the
+    value hash covers the full token sequence, not just counts."""
+    from ticdc_spark.pipeline.bpe import bpe_encode, bpe_learn
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_learn(docs, n_merges=30)
+    return bpe_encode(docs, merges).select(
+        "doc_id",
+        F.col("n_bpe").cast("long").alias("n_bpe"),
+        F.array_join("bpe_tokens", "\x1f").alias("pieces"),
+    )
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the multi-probe IVF against exact brute-force cosine,
     per query — the evaluation op an ANN deployment runs before trusting
@@ -2774,9 +2794,15 @@ FROM documents
     # BPE merge learning: the 30 rounds unrolled as chained CTEs; the greedy
     # left-to-right rewrite is ONE string replace() over a double-separator
     # symbol encoding (ticdc_spark/pipeline/bpe.py module docstring)
-    from ticdc_spark.pipeline.bpe import bpe_merges_oracle_sql
+    from ticdc_spark.pipeline.bpe import (
+        bpe_encode_oracle_sql,
+        bpe_merges_oracle_sql,
+    )
 
     out["bpe_merges"] = bpe_merges_oracle_sql(n_merges=30)
+    # tokenizer APPLICATION: the same merge chain + a vocab encode chain +
+    # per-doc reassembly in token order
+    out["bpe_encode"] = bpe_encode_oracle_sql(n_merges=30)
     return out
 
 
@@ -2824,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_incremental": q_asof_incremental,
         "ann_ivf_recall": q_ann_ivf_recall,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,

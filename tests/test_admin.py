@@ -344,3 +344,44 @@ def test_create_validates_start_ts_against_gc_safepoint(spark, tmp_path):
     # explicit safepoint (no tables handy) works the same way
     with pytest.raises(FeedLifecycleError, match="GC safepoint"):
         reg.create("too-old-2", start_ts=99, gc_safepoint_ts=100)
+
+
+def test_registry_update_stopped_only(tmp_path):
+    """`changefeed update` (cmd/client_changefeed.go:497-580): config
+    mutation is allowed only on a STOPPED feed, records a changelog diff,
+    and refuses immutable fields."""
+    reg = FeedRegistry(str(tmp_path / "admin"))
+    reg.create("f1", binlog="/b", table="/t", target_ts=100)
+
+    # running feed: refused ("can only update ... when it is stopped")
+    with pytest.raises(FeedLifecycleError, match="stopped"):
+        reg.update("f1", target_ts=200)
+
+    reg.pause("f1")
+    info = reg.update("f1", target_ts=200, sink_uri="mq:/out")
+    assert info["config"]["target_ts"] == 200
+    assert info["config"]["sink_uri"] == "mq:/out"
+    # changelog mirrors the reference's old-vs-new diff print
+    fields = {c["field"]: c for c in info["changelog"]}
+    assert fields["target_ts"]["old"] == 100
+    assert fields["target_ts"]["new"] == 200
+    assert fields["sink_uri"]["old"] is None
+
+    # unchanged values produce no changelog entries
+    n = len(info["changelog"])
+    info = reg.update("f1", target_ts=200)
+    assert len(info["changelog"]) == n
+
+    # immutable fields raise instead of silently applying
+    with pytest.raises(FeedLifecycleError, match="start_ts"):
+        reg.update("f1", start_ts=5)
+
+    # update survives the pause/resume round trip and a reload from disk
+    reg.resume("f1")
+    assert reg.query("f1")["config"]["target_ts"] == 200
+
+    # removed/finished feeds cannot be updated
+    reg.pause("f1")
+    reg.remove("f1")
+    with pytest.raises(FeedLifecycleError):
+        reg.update("f1", target_ts=300)

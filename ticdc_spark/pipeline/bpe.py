@@ -151,13 +151,12 @@ def bpe_merges_df(docs: DataFrame, n_merges: int = 50, text_col: str = "text") -
     )
 
 
-def bpe_merges_oracle_sql(
-    n_merges: int = 50, min_pair_count: int = 2, text_col: str = "text"
-) -> str:
-    """DuckDB twin of :func:`bpe_merges_df` — the n_merges rounds unrolled
-    as chained CTEs (see module docstring for the replace()-as-greedy-merge
-    encoding). Separator chr(30) must not occur in corpus words (it is a
-    control character; whitespace tokenization never produces it)."""
+def _merge_chain_parts(
+    n_merges: int, min_pair_count: int, text_col: str
+) -> list[str]:
+    """The shared CTE chain: word freqs → symbol encoding → n_merges rounds
+    of (pair count, argmax m{k}, greedy rewrite s{k+1}). Used by both the
+    merge-list oracle and the corpus-encode oracle."""
     from ..functions.text import TOKENS_SQL
 
     s = chr(30)
@@ -194,12 +193,86 @@ def bpe_merges_oracle_sql(
                           '{s}' || l || r || '{s}') AS s
   FROM s{k}, m{k}
 )""")
+    return parts
+
+
+def bpe_merges_oracle_sql(
+    n_merges: int = 50, min_pair_count: int = 2, text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`bpe_merges_df` — the n_merges rounds unrolled
+    as chained CTEs (see module docstring for the replace()-as-greedy-merge
+    encoding). Separator chr(30) must not occur in corpus words (it is a
+    control character; whitespace tokenization never produces it)."""
+    parts = _merge_chain_parts(n_merges, min_pair_count, text_col)
     union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(n_merges))
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT rank, l AS "left", r AS "right", cnt FROM ({union}) ORDER BY rank
+"""
+    )
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    join_sep: str = chr(31),
+) -> str:
+    """DuckDB twin of learn-then-:func:`bpe_encode`: the merge chain from
+    :func:`_merge_chain_parts`, then a vocab-sized encode chain (the same
+    greedy replace() per learned merge, applied to every DISTINCT word —
+    mirroring bpe_encode's encode-the-vocabulary-not-the-corpus shape),
+    then per-document reassembly in token order.
+
+    Output: (doc_id, n_bpe, pieces) where pieces = the document's BPE
+    tokens joined on `join_sep` (chr(31), the unit separator — absent from
+    whitespace tokens for the same reason chr(30) is).
+
+    The encode chain LEFT JOINs each m{{k}} so an early-stopped merge list
+    (m{{k}} empty below min_pair_count) passes words through unchanged
+    instead of emptying the chain."""
+    s = chr(30)
+    d = s + s
+    parts = _merge_chain_parts(n_merges, min_pair_count, text_col)
+    # v0: every distinct corpus word in the same double-separator symbol
+    # encoding as s0
+    parts.append(f"""v0 AS MATERIALIZED (
+  SELECT word, '{s}' || substr(r, 1, length(r) - 1) AS s
+  FROM (SELECT word, regexp_replace(word, '(.)', '\\1{d}', 'g') AS r FROM wf)
+)""")
+    for k in range(n_merges):
+        parts.append(f"""v{k + 1} AS MATERIALIZED (
+  SELECT v.word,
+         CASE WHEN m.l IS NULL THEN v.s
+              ELSE replace(v.s, '{s}' || m.l || '{d}' || m.r || '{s}',
+                                '{s}' || m.l || m.r || '{s}') END AS s
+  FROM v{k} v LEFT JOIN m{k} m ON TRUE
+)""")
+    from ..functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(t=text_col)
+    parts.append(f"""enc AS (
+  SELECT word,
+         len(string_split(s, '{d}'))::BIGINT AS n_pieces,
+         replace(trim(s, '{s}'), '{d}', '{join_sep}') AS pieces_str
+  FROM v{n_merges}
+)""")
+    parts.append(f"""ex AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS word
+  FROM (SELECT doc_id, {toks} AS t FROM documents)
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT e.doc_id,
+       sum(c.n_pieces)::BIGINT AS n_bpe,
+       string_agg(c.pieces_str, '{join_sep}' ORDER BY e.pos) AS pieces
+FROM ex e JOIN enc c USING (word)
+WHERE e.word <> ''
+GROUP BY e.doc_id
 """
     )
 

@@ -197,6 +197,43 @@ class FeedRegistry:
         self._store(feed, info)
         return info
 
+    def update(self, feed: str, **changes: Any) -> dict[str, Any]:
+        """`cdc cli changefeed update` (cmd/client_changefeed.go:497-580
+        newUpdateChangefeedCommand): mutate the config of an EXISTING feed —
+        target-ts, sink-uri, filter rules, cyclic settings, sync-point, free
+        opts — refused unless the feed is STOPPED ("can only update
+        changefeed config when it is stopped"); removed/finished feeds have
+        no updatable info. The applied change set is recorded on the info as
+        ``changelog`` entries (the reference diffs old vs new and prints the
+        changelog before confirming).
+
+        ``start_ts`` and the feed id are immutable (the reference's cli
+        does not expose them as update flags; here passing one raises
+        instead of silently ignoring it)."""
+        info = self._require(feed)
+        if info["state"] in (STATE_REMOVED, STATE_FINISHED):
+            raise FeedLifecycleError(
+                f"changefeed {feed!r} is {info['state']} and cannot be updated"
+            )
+        if info["state"] != STATE_STOPPED:
+            raise FeedLifecycleError(
+                "can only update changefeed config when it is stopped; "
+                f"changefeed {feed!r} is {info['state']} "
+                "(cmd/client_changefeed.go:570-578)"
+            )
+        for k in ("feed", "start_ts"):
+            if k in changes:
+                raise FeedLifecycleError(f"{k} cannot be updated")
+        changelog = []
+        for k, v in sorted(changes.items()):
+            old = info["config"].get(k)
+            if old != v:
+                changelog.append({"field": k, "old": old, "new": v})
+                info["config"][k] = v
+        info.setdefault("changelog", []).extend(changelog)
+        self._store(feed, info)
+        return info
+
     def remove(self, feed: str, force: bool = False) -> dict[str, Any] | None:
         """AdminRemove: delete feed info. Without ``force`` the status
         (checkpoint_ts) is kept under a TTL marker (owner.go:1068-1072);
