@@ -26,12 +26,19 @@ def _lake_arrow(table):
     )
 
 
-def _mk_two_table_binlog(tmp_path, n=6_000):
-    """Two tables' events interleaved in one binlog dir."""
+def _mk_two_table_binlog(tmp_path, n=6_000, ordered=False):
+    """Two tables' events interleaved in one binlog dir.
+
+    ordered=True delivers each table's files as commit-ts ranges with no ts
+    group straddling two files — the puller's per-span no-late contract
+    (required by old-value mode and barrier-ordered data DDLs; arbitrary
+    INTERLEAVING of the two tables' ordered streams remains, which is
+    exactly what the per-table span frontier must tolerate)."""
     stage_a = str(tmp_path / "stage_a")
     stage_b = str(tmp_path / "stage_b")
-    write_binlog(BinlogSpec(n_events=n, n_keys=n // 10, seed=51, table="ta", p_delete=0.15, p_insert=0.55), stage_a, files_per_part=3)
-    write_binlog(BinlogSpec(n_events=n, n_keys=n // 10, seed=52, table="tb", p_delete=0.1, p_insert=0.6), stage_b, files_per_part=3)
+    ooo = not ordered
+    write_binlog(BinlogSpec(n_events=n, n_keys=n // 10, seed=51, table="ta", p_delete=0.15, p_insert=0.55, out_of_order=ooo), stage_a, files_per_part=3, align_ts=ordered)
+    write_binlog(BinlogSpec(n_events=n, n_keys=n // 10, seed=52, table="tb", p_delete=0.1, p_insert=0.6, out_of_order=ooo), stage_b, files_per_part=3, align_ts=ordered)
     binlog = str(tmp_path / "binlog")
     os.makedirs(binlog)
     for tag, stage in (("a", stage_a), ("b", stage_b)):
@@ -117,7 +124,7 @@ def test_multi_table_ddl_barriers_route_per_table(spark, tmp_path):
     """One DDL stream routed by table: ta gains `lang` at its barrier, tb
     drops `source` at its own; each table's data still matches its oracle,
     and neither table sees the other's DDL."""
-    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000, ordered=True)
     lo = pc.min(ev_a.column("commit_ts")).as_py()
     hi = pc.max(ev_a.column("commit_ts")).as_py()
     mid = (lo + hi) // 2
@@ -326,7 +333,7 @@ def test_multi_table_mq_pipeline_with_rules_and_ddl(spark, tmp_path):
 
     from ticdc_spark.streaming.consumer import MultiMQConsumer
 
-    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000, ordered=True)
     lo = pc.min(ev_a.column("commit_ts")).as_py()
     hi = pc.max(ev_a.column("commit_ts")).as_py()
     ddl_rows = [
@@ -533,8 +540,8 @@ def test_multi_table_mq_old_value(spark, tmp_path):
     spec = dict(n_events=3_000, n_keys=150, p_delete=0.2, p_insert=0.5,
                 out_of_order=False, n_parts=4)
     stage_a, stage_b = str(tmp_path / "sa"), str(tmp_path / "sb")
-    write_binlog(BinlogSpec(seed=81, table="ta", **spec), stage_a, files_per_part=3)
-    write_binlog(BinlogSpec(seed=82, table="tb", **spec), stage_b, files_per_part=3)
+    write_binlog(BinlogSpec(seed=81, table="ta", **spec), stage_a, files_per_part=3, align_ts=True)
+    write_binlog(BinlogSpec(seed=82, table="tb", **spec), stage_b, files_per_part=3, align_ts=True)
     # shift tb onto parts 4..7 (its own span set)
     for f in glob.glob(stage_b + "/*.parquet"):
         t = pq.read_table(f)
@@ -602,8 +609,8 @@ def test_multi_table_old_value_crash_replay(spark, tmp_path):
     spec = dict(n_events=2_000, n_keys=120, p_delete=0.2, p_insert=0.5,
                 out_of_order=False, n_parts=4)
     stage_a, stage_b = str(tmp_path / "sa"), str(tmp_path / "sb")
-    write_binlog(BinlogSpec(seed=91, table="ta", **spec), stage_a, files_per_part=2)
-    write_binlog(BinlogSpec(seed=92, table="tb", **spec), stage_b, files_per_part=2)
+    write_binlog(BinlogSpec(seed=91, table="ta", **spec), stage_a, files_per_part=2, align_ts=True)
+    write_binlog(BinlogSpec(seed=92, table="tb", **spec), stage_b, files_per_part=2, align_ts=True)
     for f in glob.glob(stage_b + "/*.parquet"):
         t = pq.read_table(f)
         t = t.set_column(t.schema.get_field_index("part"), "part",
@@ -658,7 +665,7 @@ def test_multi_table_truncate_ddl(spark, tmp_path):
     from ticdc_spark.oracle import apply_binlog
     from ticdc_spark.streaming.consumer import MultiMQConsumer
 
-    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000, ordered=True)
     lo = pc.min(ev_a.column("commit_ts")).as_py()
     hi = pc.max(ev_a.column("commit_ts")).as_py()
     trunc_ts = (lo + hi) // 2
@@ -789,3 +796,59 @@ def test_in_stream_recover_table(spark, tmp_path):
     )
     expected = apply_binlog(ev_a.filter(keep), upto_ts=resolved)
     assert not diff_tables(expected, _lake_arrow(ta))
+
+
+def test_truncate_defers_until_tables_own_spans_drain(spark, tmp_path):
+    """A data-wiping DDL on a table whose stream arrives LATE — after the
+    union release frontier already passed the barrier ts on the OTHER
+    table's progress — must not apply until the table's own span frontier
+    drains past it (the reference's DDL barrier waits for the table
+    sorter); applying it early would order the wipe before the table's
+    pre-barrier events. Regression test for the per-table span fix."""
+    from ticdc_spark.oracle import apply_binlog
+
+    spec = dict(n_events=3_000, n_keys=150, p_delete=0.2, p_insert=0.5,
+                out_of_order=False)
+    stage_a, stage_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    write_binlog(BinlogSpec(seed=61, table="ta", **spec), stage_a,
+                 files_per_part=2, align_ts=True)
+    write_binlog(BinlogSpec(seed=62, table="tb", **spec), stage_b,
+                 files_per_part=2, align_ts=True)
+    # deliver ALL of ta before ANY of tb (a-* sorts first; 2 files/table +
+    # max_files_per_trigger=2 → batch 1 is exactly ta, batch 2 exactly tb)
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    for tag, stage in (("a", stage_a), ("b", stage_b)):
+        for f in sorted(glob.glob(stage + "/*.parquet")):
+            os.link(f, os.path.join(binlog, f"{tag}-{os.path.basename(f)}"))
+    ev_a = pq.read_table(stage_a)
+    ev_b = pq.read_table(stage_b)
+
+    lo = pc.min(ev_b.column("commit_ts")).as_py()
+    hi = pc.max(ev_b.column("commit_ts")).as_py()
+    trunc_ts = (lo + hi) // 2
+    ddl_rows = [{"commit_ts": trunc_ts, "ddl_type": "truncate_table",
+                 "table": "tb", "spec": "{}"}]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, ddl_rows=ddl_rows,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert resolved > trunc_ts
+    # batch 1's union frontier already exceeded trunc_ts (ta fully
+    # arrived), yet tb must end up = LWW of ONLY its post-truncate events:
+    # the wipe waited for tb's own spans instead of firing over -1
+    assert summaries[0]["resolved_ts"] > trunc_ts
+    exp_b = apply_binlog(
+        ev_b.filter(pc.greater(ev_b.column("commit_ts"), trunc_ts)),
+        upto_ts=resolved,
+    )
+    assert not diff_tables(exp_b, _lake_arrow(tb))
+    assert tb.schema_version == 1  # the barrier DID apply (second batch)
+    # ta untouched by tb's DDL
+    exp_a = apply_binlog(ev_a, upto_ts=resolved)
+    assert not diff_tables(exp_a, _lake_arrow(ta))
+    assert ta.schema_version == 0

@@ -331,12 +331,13 @@ class MultiTableChangeFeed:
         return T.StructType(pf + meta)
 
     def _load_or_save_batch_meta(
-        self, batch_id: int, prev_resolved: int, pre_versions: dict
-    ) -> tuple[int, dict]:
+        self, batch_id: int, prev_resolved: int, prev_spans: dict, pre_versions: dict
+    ) -> tuple[int, dict, dict]:
         """Multi-table twin of ChangeFeed._load_or_save_batch_meta: records
-        the pre-batch frontier and every table's pre-batch version, write-
-        once per batch id, so a crash-replay recomputes the identical
-        batch."""
+        the pre-batch frontier (global + the per-table per-part span maps
+        the late check compares against) and every table's pre-batch
+        version, write-once per batch id, so a crash-replay recomputes the
+        identical batch."""
         import json as _json
 
         mdir = os.path.join(self.checkpoint_dir, "batchmeta")
@@ -344,20 +345,33 @@ class MultiTableChangeFeed:
         if os.path.exists(path):
             with open(path) as f:
                 rec = _json.load(f)
-            return int(rec["prev_resolved"]), {
-                k: int(v) for k, v in rec["pre_versions"].items()
-            }
+            return (
+                int(rec["prev_resolved"]),
+                {
+                    name: {int(p): int(v) for p, v in m.items()}
+                    for name, m in rec.get("prev_spans", {}).items()
+                },
+                {k: int(v) for k, v in rec["pre_versions"].items()},
+            )
         os.makedirs(mdir, exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(
-                {"prev_resolved": prev_resolved, "pre_versions": pre_versions}, f
+                {
+                    "prev_resolved": prev_resolved,
+                    "prev_spans": {
+                        name: {str(p): v for p, v in m.items()}
+                        for name, m in prev_spans.items()
+                    },
+                    "pre_versions": pre_versions,
+                },
+                f,
             )
         os.replace(tmp, path)
         for d in os.listdir(mdir):
             if d.endswith(".json") and d != f"{batch_id:010d}.json":
                 os.remove(os.path.join(mdir, d))
-        return prev_resolved, pre_versions
+        return prev_resolved, prev_spans, pre_versions
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # lifecycle gate before any work (see ChangeFeed._process_batch):
@@ -398,31 +412,81 @@ class MultiTableChangeFeed:
                     F.col("table") == F.lit(name),
                     schema_version_violation(reg.ddl_ts),
                 ).otherwise(0)
-        stored: dict[int, int] = {}
-        for t in self.tables.values():
-            for k, v in t.part_watermarks.items():
-                stored[int(k)] = max(stored.get(int(k), -1), int(v))
+        # per-table span maps: each table's puller owns its own spans — the
+        # reference folds resolved per TABLE and the owner min-folds across
+        # tables (cdc/owner.go); merging parts across tables would credit a
+        # lagging table with another table's progress, falsely flagging its
+        # (perfectly ordered) events as late — fatal under old-value mode or
+        # a barrier-ordered data DDL
+        stored: dict[str, dict[int, int]] = {}
+        for name, t in self.tables.items():
+            m = {int(k): int(v) for k, v in t.part_watermarks.items()}
+            # the declared span universe is PER TABLE: a table's unseen
+            # parts pin ITS OWN resolved at -1 until they report (frontier-
+            # initialized-with-all-spans, cdc/puller/frontier) — gating its
+            # barrier-ordered data DDLs, not the feed's release frontier
+            for p_ in range(self.n_parts or 0):
+                m.setdefault(p_, -1)
+            stored[name] = m
+        # the feed's RELEASE frontier stays the union across tables (max
+        # per part) so it is monotone and live even while tables' files
+        # interleave unevenly; per-table lag is handled by the per-table
+        # late check + data-DDL gating below, not by regressing the global
+        # frontier (which would un-release already-released prefixes)
+        union: dict[int, int] = {}
+        for m in stored.values():
+            for p, v in m.items():
+                union[p] = max(union.get(p, -1), v)
         for p_ in range(self.n_parts or 0):
-            stored.setdefault(p_, -1)
-        prev_resolved = min(stored.values()) if stored else -1
-        # persist (prev_resolved, per-table pre-versions) before any merge:
-        # a crash-replay of this batch sees the tables already advanced, and
-        # the live state would false-panic the late check and corrupt
-        # old-value pre-images (see ChangeFeed._load_or_save_batch_meta)
-        prev_resolved, pre_versions = self._load_or_save_batch_meta(
+            union.setdefault(p_, -1)
+        prev_resolved = min(union.values()) if union else -1
+        # persist (frontier, per-table span maps, per-table pre-versions)
+        # before any merge: a crash-replay of this batch sees the tables
+        # already advanced, and the live state would false-panic the late
+        # check and corrupt old-value pre-images (see
+        # ChangeFeed._load_or_save_batch_meta)
+        prev_resolved, stored, pre_versions = self._load_or_save_batch_meta(
             batch_id,
             prev_resolved,
+            stored,
             {name: t.version for name, t in self.tables.items()},
         )
+        # late threshold per (table, part): an event is late only against
+        # its OWN span's RELEASED watermark (puller.go:163-168 is per
+        # puller) = min(span's seen max, the released union frontier) —
+        # the min clamp excludes the carried pending tail (above the
+        # frontier, never released) and spans that never reported (-1,
+        # promised nothing). The single-table feed's global-min check is
+        # the one-table special case of exactly this rule.
+        thr_pairs: list = []
+        for name, m in stored.items():
+            for p, v in m.items():
+                thr_pairs += [
+                    F.lit(f"{name}#{p}"),
+                    F.lit(min(int(v), prev_resolved)),
+                ]
+        thr = (
+            F.coalesce(
+                F.element_at(
+                    F.create_map(*thr_pairs),
+                    F.concat_ws(
+                        "#", F.col("table"), F.col("part").cast("string")
+                    ),
+                ),
+                F.lit(-1),
+            )
+            if thr_pairs
+            else F.lit(-1)
+        )
         part_stats = (
-            events.groupBy("part")
+            events.groupBy("table", "part")
             .agg(
                 F.max("commit_ts").alias("max_ts"),
                 F.min("commit_ts").alias("min_ts"),
                 F.count(F.lit(1)).alias("cnt"),
                 F.sum(sv_viol).alias("sv_viol"),
                 F.sum(
-                    F.when(F.col("commit_ts") <= F.lit(prev_resolved), 1).otherwise(0)
+                    F.when(F.col("commit_ts") <= thr, 1).otherwise(0)
                 ).alias("late"),
             )
             .collect()
@@ -444,13 +508,15 @@ class MultiTableChangeFeed:
             # sensitive, so old-value mode cannot tolerate late events
             raise RuntimeError(
                 f"late-event contract violated: {n_late} events at or below "
-                f"resolved frontier {prev_resolved} (puller.go:163-168, "
+                f"their own table's span frontier (puller.go:163-168, "
                 "required by enable-old-value)"
             )
         for r in part_stats:
-            stored[int(r["part"])] = max(stored.get(int(r["part"]), -1), int(r["max_ts"]))
-        resolved = min(stored.values()) if stored else -1
-        watermarks = {str(k): v for k, v in stored.items()}
+            m = stored.setdefault(r["table"], {})
+            p = int(r["part"])
+            m[p] = max(m.get(p, -1), int(r["max_ts"]))
+            union[p] = max(union.get(p, -1), int(r["max_ts"]))
+        resolved = min(union.values()) if union else -1
 
         ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
         tail = events.filter(F.col("commit_ts") > F.lit(resolved))
@@ -462,6 +528,11 @@ class MultiTableChangeFeed:
         per_table = {}
         mq_tables: dict[str, tuple] = {}
         for name, table in self.tables.items():
+            # each table persists ITS OWN span map (a lifecycle table
+            # created this batch takes whatever its first slice reported)
+            watermarks = {
+                str(k): v for k, v in stored.get(name, {}).items()
+            }
             sl = ready.filter(F.col("table") == F.lit(name))
             if name in self.boundaries:
                 sl = sl.filter(F.col("commit_ts") > F.lit(self.boundaries[name]))
@@ -488,11 +559,27 @@ class MultiTableChangeFeed:
             # schema commit must not re-slice differently, or post-DDL
             # events land in an already-committed epoch id and are lost).
             reg = self.registries.get(name)
+            # barrier-ordered DATA ops additionally wait for the TABLE's
+            # own span frontier to drain past them (the reference's DDL
+            # barrier waits for the table sorter): the feed-level union
+            # frontier may run ahead on another table's progress, and a
+            # wipe applied before this table's pre-barrier events arrived
+            # would be mis-ordered — once applied, anything at or below
+            # t_res is late-FATAL above, closing the window. Every barrier
+            # AFTER a deferred one defers too (version indices are ordered).
+            t_res = min(stored[name].values()) if stored.get(name) else -1
             barriers = []
             if reg is not None:
-                barriers = [
-                    (i + 1, ts) for i, ts in enumerate(reg.ddl_ts) if ts <= resolved
-                ]
+                for i, ts in enumerate(reg.ddl_ts):
+                    if ts > resolved:
+                        break
+                    if (
+                        reg.ddl_kinds[i]
+                        in ("truncate_table", "drop_partition", "truncate_partition")
+                        and ts > t_res
+                    ):
+                        break
+                    barriers.append((i + 1, ts))
             slices: list[tuple[int | None, int | None]] = []
             lo = None
             for _ver, ts in barriers:

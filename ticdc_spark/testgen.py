@@ -171,16 +171,42 @@ def _mask_list(arr: pa.ListArray, mask: pa.BooleanArray) -> pa.ListArray:
     return arr.take(indices)
 
 
-def write_binlog(spec: BinlogSpec, out_dir: str, files_per_part: int = 1) -> str:
+def write_binlog(
+    spec: BinlogSpec, out_dir: str, files_per_part: int = 1, align_ts: bool = False
+) -> str:
     """Write the binlog as parquet under out_dir (one or more files).
 
     Multiple files let Structured Streaming pick them up as separate
     micro-batch inputs (maxFilesPerTrigger).
+
+    align_ts=True (requires out_of_order=False) pushes every file boundary
+    forward past commit_ts ties so no ts group straddles two files — the
+    arrival shape the puller's per-span no-late contract demands (a tie
+    group split across micro-batches would re-deliver a ts at or below the
+    released span watermark, puller.go:163-168).
     """
     os.makedirs(out_dir, exist_ok=True)
     tbl = generate_binlog(spec)
     nfiles = max(1, files_per_part)
     step = (len(tbl) + nfiles - 1) // nfiles
+    if align_ts:
+        if spec.out_of_order:
+            raise ValueError("align_ts requires out_of_order=False")
+        ts = tbl.column("commit_ts").to_numpy()
+        bounds = [0]
+        for i in range(1, nfiles):
+            b = max(i * step, bounds[-1])
+            while 0 < b < len(tbl) and ts[b] == ts[b - 1]:
+                b += 1
+            bounds.append(min(b, len(tbl)))
+        bounds.append(len(tbl))
+        for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            if hi > lo:
+                pq.write_table(
+                    tbl.slice(lo, hi - lo),
+                    os.path.join(out_dir, f"binlog-{i:05d}.parquet"),
+                )
+        return out_dir
     for i in range(nfiles):
         chunk = tbl.slice(i * step, step)
         if len(chunk):
