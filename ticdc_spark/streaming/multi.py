@@ -458,28 +458,23 @@ class MultiTableChangeFeed:
         # frontier, never released) and spans that never reported (-1,
         # promised nothing). The single-table feed's global-min check is
         # the one-table special case of exactly this rule.
-        thr_pairs: list = []
-        for name, m in stored.items():
-            for p, v in m.items():
-                thr_pairs += [
-                    F.lit(f"{name}#{p}"),
-                    F.lit(min(int(v), prev_resolved)),
-                ]
-        thr = (
-            F.coalesce(
-                F.element_at(
-                    F.create_map(*thr_pairs),
-                    F.concat_ws(
-                        "#", F.col("table"), F.col("part").cast("string")
-                    ),
-                ),
-                F.lit(-1),
+        # thresholds ship as a BROADCAST side table, not literals baked into
+        # the plan: O(tables × parts) rows is tiny to broadcast but would be
+        # a plan-size explosion as an expression at thousands of tables
+        thr_rows = [
+            (name, int(p), min(int(v), prev_resolved))
+            for name, m in stored.items()
+            for p, v in m.items()
+        ]
+        ev_thr = events
+        if thr_rows:
+            thr_df = self.spark.createDataFrame(
+                thr_rows, "table string, part int, _thr long"
             )
-            if thr_pairs
-            else F.lit(-1)
-        )
+            ev_thr = events.join(F.broadcast(thr_df), ["table", "part"], "left")
+        thr = F.coalesce(F.col("_thr"), F.lit(-1)) if thr_rows else F.lit(-1)
         part_stats = (
-            events.groupBy("table", "part")
+            ev_thr.groupBy("table", "part")
             .agg(
                 F.max("commit_ts").alias("max_ts"),
                 F.min("commit_ts").alias("min_ts"),
