@@ -21,6 +21,16 @@ from pyspark.sql import types as T
 OP_INSERT = "I"
 OP_UPDATE = "U"
 OP_DELETE = "D"
+# resolved-ts CONTROL event (cdc/model/mounter.go polymorphic resolved
+# events; kv/client.go forwards per-region resolved ts to the puller): a
+# row with op='R' carries NO data — it promises that its (table, part)
+# span will deliver no further data at or below commit_ts, advancing the
+# span's frontier exactly like a data event's max would. This is what
+# keeps an IDLE span live: a part (or a whole table in a multi feed) with
+# no traffic still advances resolved, so downstream barriers (DDL,
+# target_ts, syncpoints) are reachable without data. Stale heartbeats
+# (at or below the frontier) are ignored — the frontier fold is monotone.
+OP_RESOLVED = "R"
 
 # entry_sorter.go:62-72 — at equal commit-ts a delete sorts/applies BEFORE a
 # put, so when both land at the same (commit_ts, seq) the put is the later

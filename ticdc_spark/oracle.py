@@ -15,7 +15,10 @@ import pyarrow.compute as pc
 
 from .model import OP_RANK, PAYLOAD_COLS
 
+# resolved-ts control events (op='R') carry no data: rank them with the
+# puts so sorting never KeyErrors, and skip them in the apply loops
 _OP_RANK_MAP = {k: v for k, v in OP_RANK.items()}
+_OP_RANK_MAP.setdefault("R", 1)
 
 
 def apply_binlog(binlog: pa.Table, upto_ts: int | None = None) -> pa.Table:
@@ -33,6 +36,8 @@ def apply_binlog(binlog: pa.Table, upto_ts: int | None = None) -> pa.Table:
     for i in order:
         if upto_ts is not None and cols["commit_ts"][i] > upto_ts:
             continue
+        if cols["op"][i] == "R":
+            continue  # frontier heartbeat, not a row change
         k = cols["doc_id"][i]
         if cols["op"][i] == "D":
             state.pop(k, None)
@@ -74,6 +79,8 @@ def apply_binlog_raw(
     for i in order:
         if upto_ts is not None and cols["commit_ts"][i] > upto_ts:
             continue
+        if cols["op"][i] == "R":
+            continue  # frontier heartbeat, not a row change
         k = cols["doc_id"][i]
         if cols["op"][i] == "D":
             state.pop(k, None)

@@ -497,17 +497,33 @@ class ChangeFeed:
             prev_resolved, pre_version = self._load_or_save_batch_meta(
                 batch_id, prev_resolved, self.table.version
             )
+            # resolved-ts control events (op='R', model.OP_RESOLVED) advance
+            # their part's frontier through max_ts exactly like a data
+            # event's max would, but are NOT rows: they never count as
+            # late (a stale heartbeat is ignored — the fold is monotone),
+            # never as events, and are dropped from the stream after this
+            # fold (their promise persists via the stored watermarks)
+            _is_data = F.col("op") != "R"
             part_stats = (
                 events.groupBy("part")
                 .agg(
                     F.max("commit_ts").alias("max_ts"),
                     F.min("commit_ts").alias("min_ts"),
-                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.when(_is_data, 1).otherwise(0)).alias("cnt"),
                     F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
                     F.sum(
-                        F.when(F.col("commit_ts") <= F.lit(prev_resolved), 1).otherwise(0)
+                        F.when(
+                            _is_data
+                            & (F.col("commit_ts") <= F.lit(prev_resolved)),
+                            1,
+                        ).otherwise(0)
                     ).alias("late"),
-                    F.sum(schema_version_violation(self.registry.ddl_ts)).alias("sv_viol"),
+                    F.sum(
+                        F.when(
+                            _is_data,
+                            schema_version_violation(self.registry.ddl_ts),
+                        ).otherwise(0)
+                    ).alias("sv_viol"),
                 )
                 .collect()
             )
@@ -555,9 +571,11 @@ class ChangeFeed:
             )
             watermarks = {str(k): v for k, v in stored.items()}
 
-            # 3. releasable prefix / carried tail
-            ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
-            tail = events.filter(F.col("commit_ts") > F.lit(resolved))
+            # 3. releasable prefix / carried tail (control events dropped:
+            # their watermark contribution is already persisted above)
+            data = events.filter(_is_data)
+            ready = data.filter(F.col("commit_ts") <= F.lit(resolved))
+            tail = data.filter(F.col("commit_ts") > F.lit(resolved))
             if self.target_ts is not None:
                 # beyond-target events are DROPPED, not carried: the
                 # reference puller subscribes [start_ts, target_ts) and

@@ -473,15 +473,22 @@ class MultiTableChangeFeed:
             )
             ev_thr = events.join(F.broadcast(thr_df), ["table", "part"], "left")
         thr = F.coalesce(F.col("_thr"), F.lit(-1)) if thr_rows else F.lit(-1)
+        # resolved-ts control events (op='R') advance their (table, part)
+        # span's frontier via max_ts with no data — what keeps an IDLE
+        # table's barriers (data DDLs, target_ts) reachable; excluded from
+        # event/late/violation counts and dropped from the stream below
+        _is_data = F.col("op") != "R"
         part_stats = (
             ev_thr.groupBy("table", "part")
             .agg(
                 F.max("commit_ts").alias("max_ts"),
                 F.min("commit_ts").alias("min_ts"),
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(sv_viol).alias("sv_viol"),
+                F.sum(F.when(_is_data, 1).otherwise(0)).alias("cnt"),
+                F.sum(F.when(_is_data, sv_viol).otherwise(0)).alias("sv_viol"),
                 F.sum(
-                    F.when(F.col("commit_ts") <= thr, 1).otherwise(0)
+                    F.when(
+                        _is_data & (F.col("commit_ts") <= thr), 1
+                    ).otherwise(0)
                 ).alias("late"),
             )
             .collect()
@@ -513,8 +520,9 @@ class MultiTableChangeFeed:
             union[p] = max(union.get(p, -1), int(r["max_ts"]))
         resolved = min(union.values()) if union else -1
 
-        ready = events.filter(F.col("commit_ts") <= F.lit(resolved))
-        tail = events.filter(F.col("commit_ts") > F.lit(resolved))
+        data = events.filter(_is_data)
+        ready = data.filter(F.col("commit_ts") <= F.lit(resolved))
+        tail = data.filter(F.col("commit_ts") > F.lit(resolved))
 
         # grow/shrink the table set from in-stream lifecycle DDLs before
         # routing (handleTableOperation analog, driven by the DDL stream)
