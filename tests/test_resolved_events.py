@@ -126,3 +126,28 @@ def test_stale_heartbeat_is_ignored(spark, tmp_path):
     assert s2 == [] or s2[-1]["resolved_ts"] == resolved
     expected = apply_binlog(full, upto_ts=resolved)
     assert not diff_tables(expected, _lake_arrow(t1))
+
+
+def test_heartbeat_raw_mode(spark, tmp_path):
+    """Heartbeats also flow through a RAW-mode feed (payload-json wire
+    form): same release semantics, no decode of the NULL payload."""
+    from ticdc_spark.testgen import binlog_to_raw, generate_binlog, write_raw_binlog
+
+    spec = BinlogSpec(n_events=2_000, n_keys=200, seed=43, n_parts=4)
+    typed = generate_binlog(spec)
+    raw = binlog_to_raw(typed)
+    binlog_dir = str(tmp_path / "binlog")
+    write_raw_binlog(raw, binlog_dir, n_files=2)
+    hi = pc.max(typed.column("commit_ts")).as_py()
+
+    t1 = LakeTable.create(spark, str(tmp_path / "t1"), n_buckets=4)
+    cf = ChangeFeed(t1, binlog_dir, str(tmp_path / "ck"), mode="raw", n_parts=8)
+    s1 = cf.run_available()
+    assert s1[-1]["resolved_ts"] == -1 and t1.read().count() == 0
+
+    write_resolved_events(binlog_dir, {p: hi for p in range(4, 8)}, raw=True)
+    s2 = cf.run_available()
+    resolved = s2[-1]["resolved_ts"]
+    assert resolved > 0
+    expected = apply_binlog(typed, upto_ts=resolved)
+    assert not diff_tables(expected, _lake_arrow(t1))

@@ -219,30 +219,35 @@ def write_resolved_events(
     ts_by_part: dict[int, int],
     table: str = "target_tokens",
     fname: str = "resolved-00000.parquet",
+    raw: bool = False,
 ) -> str:
     """Append resolved-ts CONTROL events (op='R', model.OP_RESOLVED) to a
     binlog dir: one heartbeat row per (part → resolved ts). The kv-client
     analog of per-region resolved-ts events (kv/client.go → puller) — an
     idle span advances its frontier through these, with no data rows.
-    Payload columns are NULL; doc_id/seq are placeholders (never applied)."""
+    Payload columns are NULL; doc_id/seq are placeholders (never applied).
+    raw=True emits the raw-mode shape (one NULL payload-json column)."""
     import os as _os
 
     n = len(ts_by_part)
     parts = sorted(ts_by_part)
-    tbl = pa.table(
-        {
-            "commit_ts": pa.array([int(ts_by_part[p]) for p in parts], pa.int64()),
-            "seq": pa.array([0] * n, pa.int64()),
-            "table": pa.array([table] * n, pa.string()),
-            "op": pa.array(["R"] * n, pa.string()),
-            "doc_id": pa.array([""] * n, pa.string()),
-            "tokens": pa.array([None] * n, pa.list_(pa.int32())),
-            "n_tok": pa.array([None] * n, pa.int32()),
-            "source": pa.array([None] * n, pa.string()),
-            "part": pa.array(parts, pa.int32()),
-            "schema_version": pa.array([0] * n, pa.int32()),
-        }
-    )
+    cols = {
+        "commit_ts": pa.array([int(ts_by_part[p]) for p in parts], pa.int64()),
+        "seq": pa.array([0] * n, pa.int64()),
+        "table": pa.array([table] * n, pa.string()),
+        "op": pa.array(["R"] * n, pa.string()),
+        "doc_id": pa.array([""] * n, pa.string()),
+        "tokens": pa.array([None] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array([None] * n, pa.int32()),
+        "source": pa.array([None] * n, pa.string()),
+        "part": pa.array(parts, pa.int32()),
+        "schema_version": pa.array([0] * n, pa.int32()),
+    }
+    if raw:
+        for c in ("tokens", "n_tok", "source"):
+            del cols[c]
+        cols["payload"] = pa.array([None] * n, pa.string())
+    tbl = pa.table(cols)
     _os.makedirs(out_dir, exist_ok=True)
     path = _os.path.join(out_dir, fname)
     pq.write_table(tbl, path)
