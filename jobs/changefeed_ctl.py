@@ -1,5 +1,5 @@
-"""Changefeed admin CLI — the `cdc cli changefeed pause/resume/remove/query/
-list` analog (reference: cmd/client_changefeed.go, admin jobs handled in
+"""Changefeed admin CLI — the `cdc cli changefeed pause/resume/update/remove/
+query/list` analog (reference: cmd/client_changefeed.go, admin jobs handled in
 cdc/owner.go:966-1128).
 
 Operates purely on the feed registry (no Spark session): a running
@@ -10,6 +10,7 @@ committing that batch (resume replays it — exactly-once preserved).
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin pause  feed1
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin pause  feed1 --error "operator stop"
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin resume feed1
+    python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin update feed1 --set target_ts=2000000
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin remove feed1 [--force]
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin query  feed1
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin list
@@ -37,6 +38,18 @@ def main() -> int:
     sp = sub.add_parser("resume", help="AdminResume: clear error, restart")
     sp.add_argument("feed")
 
+    sp = sub.add_parser(
+        "update",
+        help="update a STOPPED feed's config (cmd/client_changefeed.go:497-580)",
+    )
+    sp.add_argument("feed")
+    sp.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="config field to change (repeatable); values parse as JSON "
+        "when possible, else strings — e.g. --set target_ts=2000000 "
+        "--set sink_uri=kafka://broker/topic",
+    )
+
     sp = sub.add_parser("remove", help="AdminRemove: delete feed info")
     sp.add_argument("feed")
     sp.add_argument(
@@ -60,6 +73,15 @@ def main() -> int:
             out = reg.pause(args.feed, error=args.error)
         elif args.cmd == "resume":
             out = reg.resume(args.feed)
+        elif args.cmd == "update":
+            changes = {}
+            for kv in args.set:
+                k, _, v = kv.partition("=")
+                try:
+                    changes[k] = json.loads(v)
+                except ValueError:
+                    changes[k] = v
+            out = reg.update(args.feed, **changes)
         elif args.cmd == "remove":
             out = reg.remove(args.feed, force=args.force) or {
                 "feed": args.feed, "state": "removed", "force": args.force
