@@ -852,3 +852,27 @@ def test_truncate_defers_until_tables_own_spans_drain(spark, tmp_path):
     exp_a = apply_binlog(ev_a, upto_ts=resolved)
     assert not diff_tables(exp_a, _lake_arrow(ta))
     assert ta.schema_version == 0
+
+
+def test_summaries_expose_per_table_positions(spark, tmp_path):
+    """`cdc cli processor query` analog: each batch summary reports every
+    table's OWN span position (min over its spans). The feed's release
+    frontier is the union fold, so it is >= every table's own position —
+    the per-table numbers show which table lags it."""
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=3_000)
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    summaries = cf.run_available()
+    for s in summaries:
+        tr = s["tables_resolved"]
+        assert set(tr) == {"ta", "tb"}
+        vals = [v for v in tr.values() if v is not None]
+        # the union release frontier dominates every table's own position
+        assert vals and s["resolved_ts"] >= min(vals)
+    # final positions: both tables fully drained
+    last = summaries[-1]["tables_resolved"]
+    assert all(v is not None and v > 0 for v in last.values())

@@ -708,6 +708,14 @@ class MultiTableChangeFeed:
                 "batch_id": batch_id,
                 "resolved_ts": resolved,
                 "tables": per_table,
+                # per-table span positions (`cdc cli processor query`
+                # analog, cmd/client_processor.go: each table's resolved =
+                # min over ITS OWN spans; None = no span info yet)
+                "tables_resolved": {
+                    name: (min(m.values()) if m else None)
+                    for name, m in stored.items()
+                    if name in self.tables
+                },
                 "events": sum(int(r["cnt"]) for r in part_stats),
             }
         )
