@@ -233,6 +233,54 @@ def bench_streaming(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_stream_multi(spark, work_root: str, n_events: int) -> dict:
+    """Multi-table streaming replication: two tables' ordered streams
+    interleaved in ONE binlog dir (n_events total, half each), routed by
+    the `table` column through per-table span frontiers, per-table LWW
+    collapse + bucketed merges. The delta vs the single-table stream row
+    is the multi feed's routing + frontier bookkeeping overhead."""
+    import glob as g
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.multi import MultiTableChangeFeed
+    from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+    half = n_events // 2
+    binlog = os.path.join(work_root, f"binlog_m_{n_events}")
+    if not g.glob(os.path.join(binlog, "*.parquet")):
+        os.makedirs(binlog, exist_ok=True)
+        for tag, seed in (("ta", 171), ("tb", 172)):
+            stage = os.path.join(work_root, f"stage_m_{tag}_{n_events}")
+            shutil.rmtree(stage, ignore_errors=True)
+            write_binlog(
+                BinlogSpec(n_events=half, n_keys=max(1, half // 10), seed=seed,
+                           table=tag, out_of_order=False),
+                stage, files_per_part=8, align_ts=True,
+            )
+            for f in g.glob(stage + "/*.parquet"):
+                os.link(f, os.path.join(binlog, f"{tag}-{os.path.basename(f)}"))
+    n_files = len(g.glob(os.path.join(binlog, "*.parquet")))
+    tables = {}
+    for tag in ("ta", "tb"):
+        d = os.path.join(work_root, f"multi_{tag}")
+        shutil.rmtree(d, ignore_errors=True)
+        tables[tag] = LakeTable.create(spark, d, n_buckets=32)
+    ck = os.path.join(work_root, "multi_ckpt")
+    shutil.rmtree(ck, ignore_errors=True)
+    cf = MultiTableChangeFeed(
+        tables, binlog, ck, max_files_per_trigger=max(1, n_files // 4)
+    )
+    t0 = time.time()
+    summaries = cf.run_available()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(summaries),
+        "final_rows": sum(t.read().count() for t in tables.values()),
+    }
+
+
 def bench_streaming_one_batch(spark, work_root: str, n_events: int) -> dict:
     """Streaming at a production batch size: ONE availableNow batch over the
     whole binlog. The delta vs the 4-batch row isolates the fixed per-
@@ -558,6 +606,7 @@ def main() -> None:
     mq = None
     incded = None
     keyless = None
+    multi = None
     if not only_replay:
         stream = bench_streaming(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_replay"] = stream["sec"]
@@ -575,6 +624,8 @@ def main() -> None:
         qtimes["dedup_incremental_update"] = incded["incremental_epoch_sec"]
         keyless = bench_replay_keyless(spark, work_root, N_EVENTS // 2)
         qtimes["cdc_replay_keyless"] = keyless["sec"]
+        multi = bench_stream_multi(spark, work_root, N_EVENTS // 2)
+        qtimes["cdc_stream_multi"] = multi["sec"]
     if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
         # 4x-events replay (the sf≈1 row): generation is cached in work_root,
         # so repeat runs measure only the replay
@@ -606,6 +657,7 @@ def main() -> None:
         "replay_big": replay_big,
         "incremental_dedup": incded,
         "replay_keyless": keyless,
+        "stream_multi": multi,
         "cpus": int(CPUS),
         "regressions": _regression_check(qtimes),
     }
