@@ -12,6 +12,7 @@ committing that batch (resume replays it — exactly-once preserved).
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin resume feed1
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin update feed1 --set target_ts=2000000
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin remove feed1 [--force]
+    python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin stats  feed1 --lineage-dir /ckpt/lineage
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin query  feed1
     python jobs/changefeed_ctl.py --admin-dir /ckpt/_admin list
 """
@@ -58,6 +59,18 @@ def main() -> int:
         "info under a 24 h TTL marker (owner.go:1068-1072)",
     )
 
+    sp = sub.add_parser(
+        "stats",
+        help="one statistics snapshot (profileStatus analog: Count/OPS/"
+        "SinkGap, cmd/client_changefeed.go:628-680)",
+    )
+    sp.add_argument("feed")
+    sp.add_argument(
+        "--lineage-dir", default=None,
+        help="the feed's lineage dir (TaskPosition rows): enables "
+        "count/OPS/sink-gap; without it only registry state is shown",
+    )
+
     sp = sub.add_parser("query", help="show one feed's info + status")
     sp.add_argument("feed")
 
@@ -86,6 +99,46 @@ def main() -> int:
             out = reg.remove(args.feed, force=args.force) or {
                 "feed": args.feed, "state": "removed", "force": args.force
             }
+        elif args.cmd == "stats":
+            info = reg.query(args.feed)
+            if info is None:
+                print(f"changefeed {args.feed!r} not found", file=sys.stderr)
+                return 1
+            out = {
+                "feed": args.feed,
+                "state": info["state"],
+                "checkpoint_ts": info.get("checkpoint_ts"),
+            }
+            if args.lineage_dir:
+                import glob as _g
+
+                import pyarrow.parquet as _pq
+
+                batch_dirs = sorted(
+                    _g.glob(os.path.join(args.lineage_dir, "batch-*"))
+                )
+                count = 0
+                resolved = None
+                for d in batch_dirs:
+                    t = _pq.read_table(d, columns=["event_count", "resolved_ts"])
+                    count += sum(t.column("event_count").to_pylist())
+                    m = max(t.column("resolved_ts").to_pylist(), default=None)
+                    if m is not None:
+                        resolved = m if resolved is None else max(resolved, m)
+                out["count"] = count
+                out["resolved_ts"] = resolved
+                # SinkGap analog: resolved - checkpoint (logical ts units)
+                if resolved is not None and info.get("checkpoint_ts") is not None:
+                    out["sink_gap"] = resolved - info["checkpoint_ts"]
+                # OPS over the lineage window, from batch-dir mtimes (the
+                # reference samples the count twice over wall time)
+                if len(batch_dirs) >= 2:
+                    span = os.path.getmtime(batch_dirs[-1]) - os.path.getmtime(
+                        batch_dirs[0]
+                    )
+                    if span > 0:
+                        out["ops"] = round(count / span, 1)
+                out["batches"] = len(batch_dirs)
         elif args.cmd == "query":
             out = reg.query(args.feed)
             if out is None:

@@ -385,3 +385,40 @@ def test_registry_update_stopped_only(tmp_path):
     reg.remove("f1")
     with pytest.raises(FeedLifecycleError):
         reg.update("f1", target_ts=300)
+
+
+def test_cli_stats_snapshot(spark, ws):
+    """`changefeed statistics` analog (cmd/client_changefeed.go:628-680):
+    one profileStatus snapshot — Count from the lineage TaskPosition rows,
+    SinkGap = resolved - checkpoint, OPS over the lineage window."""
+    import json as j
+    import subprocess
+    import sys as _sys
+
+    spec = BinlogSpec(n_events=6_000, n_keys=600, seed=77, n_parts=4)
+    write_binlog(spec, ws["binlog"], files_per_part=2)
+    reg = FeedRegistry(ws["admin"])
+    reg.create("feed1")
+    t = LakeTable.create(spark, ws["tbl"], n_buckets=4)
+    lineage = os.path.join(ws["ckpt"], "lineage")
+    cf = ChangeFeed(
+        t, ws["binlog"], ws["ckpt"], max_files_per_trigger=1,
+        admin=reg, feed_name="feed1", lineage_dir=lineage,
+    )
+    cf.run_available()
+
+    r = subprocess.run(
+        [_sys.executable, "jobs/changefeed_ctl.py", "--admin-dir", ws["admin"],
+         "stats", "feed1", "--lineage-dir", lineage],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    out = j.loads(r.stdout)
+    binlog = pq.read_table(ws["binlog"])
+    assert out["state"] == STATE_NORMAL
+    # TaskPosition Count is PROCESSED events (the reference's semantics):
+    # carried-tail rows re-enter the next batch's fold, so >= unique rows
+    assert out["count"] >= binlog.num_rows
+    assert out["resolved_ts"] == out["checkpoint_ts"]  # checkpoint kept up
+    assert out["sink_gap"] == 0
+    assert out["batches"] >= 2
