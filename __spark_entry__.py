@@ -224,6 +224,45 @@ def q_cdc_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_syncpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syncpoint consistent read (cdc/sink/syncpointStore.go; the sync-diff
+    check compares upstream/downstream state at the SAME primary ts): the
+    visible table state at each of 4 evenly spaced syncpoint timestamps —
+    per-syncpoint LWW fold of the prefix commit_ts <= sync_ts, reduced to
+    the invariants a consistency checker compares (visible keys, value
+    total in cents, tombstoned keys).
+
+    Scale shape: events x S syncpoints via a broadcast cross join (S is
+    small and fixed) -> ONE (sync_id, key) shuffle with map-side combine;
+    no per-syncpoint job loop, nothing quadratic."""
+    feed = changelog(spark, sf_dir)
+    row = feed.agg(
+        F.min("commit_ts").alias("lo"), F.max("commit_ts").alias("hi")
+    ).collect()[0]  # deterministic metadata fold
+    lo, hi = int(row["lo"]), int(row["hi"])
+    pts = [(i, lo + (hi - lo) * i // 4) for i in (1, 2, 3, 4)]
+    sp = spark.createDataFrame(pts, "sync_id int, sync_ts long")
+    pref = feed.crossJoin(F.broadcast(sp)).filter(
+        F.col("commit_ts") <= F.col("sync_ts")
+    )
+    w = lww_latest_agg(pref, ["sync_id", "sync_ts", "doc_id"])
+    alive = F.col("op") != "D"
+    return (
+        w.groupBy("sync_id", "sync_ts")
+        .agg(
+            F.sum(alive.cast("long")).alias("n_visible"),
+            F.sum(
+                F.when(alive, _cents(F.col("value"))).otherwise(F.lit(0))
+            ).alias("sum_val_cents"),
+            F.sum((~alive).cast("long")).alias("n_deleted"),
+        )
+        .select(
+            F.col("sync_id").cast("long").alias("sync_id"),
+            "sync_ts", "n_visible", "sum_val_cents", "n_deleted",
+        )
+    )
+
+
 def q_cdc_keyless_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Force-replicate keyless-table semantics (mysql.go:1203-1221 whereSlice
     all-columns fallback): an epoch of keyless events collapses to per-value-
@@ -2118,6 +2157,29 @@ ranked AS (
 SELECT doc_id, commit_ts, seq, event_type, round(value, 6) AS val
 FROM ranked WHERE rn = 1 AND op != 'D'
 """,
+        "cdc_syncpoint_read": f"""
+WITH feed AS ({FEED_SQL}),
+b AS (SELECT min(commit_ts) AS lo, max(commit_ts) AS hi FROM feed),
+sp AS (
+  SELECT i AS sync_id, lo + (hi - lo) * i // 4 AS sync_ts
+  FROM (VALUES (1), (2), (3), (4)) AS t(i) CROSS JOIN b
+),
+ranked AS (
+  SELECT sp.sync_id, sp.sync_ts, f.doc_id, f.op, f.value,
+         row_number() OVER (
+           PARTITION BY sp.sync_id, f.doc_id
+           ORDER BY f.commit_ts DESC, f.seq DESC, {OP_RANK_SQL} DESC
+         ) AS rn
+  FROM feed f JOIN sp ON f.commit_ts <= sp.sync_ts
+)
+SELECT cast(sync_id AS bigint) AS sync_id, sync_ts,
+       cast(sum(CASE WHEN op != 'D' THEN 1 ELSE 0 END) AS bigint) AS n_visible,
+       cast(sum(CASE WHEN op != 'D' THEN {_CENTS.format(x="value")} ELSE 0 END) AS bigint)
+         AS sum_val_cents,
+       cast(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS bigint) AS n_deleted
+FROM ranked WHERE rn = 1
+GROUP BY sync_id, sync_ts
+""",
         "cdc_keyless_delta": """
 WITH e AS (
   SELECT event_id AS seq, cast(user_id AS varchar) AS uid,
@@ -2825,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked / changed this round --
         "cdc_training_order": q_cdc_training_order,
         "cdc_partition_drop": q_cdc_partition_drop,
+        "cdc_syncpoint_read": q_cdc_syncpoint_read,
         "events_asof_enrich": q_events_asof_enrich,
         "events_asof_salted": q_events_asof_salted,
         "corpus_shuffle": q_corpus_shuffle,
