@@ -45,6 +45,12 @@ def main() -> int:
              "frontier back (required when the DDL stream carries "
              "truncate/partition-drop data operations)",
     )
+    p.add_argument(
+        "--dynamic-spans", action="store_true",
+        help="accept span-topology control events (op S/M: region "
+             "split/merge — children resubscribe at the parent's "
+             "checkpoint); single-table feeds only",
+    )
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument(
         "--start-ts", type=int, default=None,
@@ -373,6 +379,7 @@ def main() -> int:
         lineage_dir=args.lineage,
         max_files_per_trigger=args.max_files_per_trigger,
         n_parts=args.n_parts,
+        dynamic_spans=args.dynamic_spans,
         start_ts=args.start_ts,
         mq_dispatch_rule=dispatch_rule,
         cyclic=cyclic,

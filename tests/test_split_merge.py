@@ -1,0 +1,285 @@
+"""Span-topology CONTROL events (op='S' split / op='M' merge,
+model.TOPOLOGY_OPS): the kv-client region-change analog (cdc/kv/client.go —
+on a TiKV region split/merge the old region's stream ENDS and the new
+regions resubscribe at the old span's checkpoint; the puller frontier
+absorbs the new spans, cdc/puller/frontier). Here the span universe is the
+binlog's `part` ids: a split retires the parent and seeds its children at
+the parent's position; a merge retires the parents and seeds the child at
+min(parent positions). Data on a retired span in a LATER batch is fatal;
+a stale heartbeat racing a committed retirement is dropped."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from ticdc_spark.lake.table import LakeTable
+from ticdc_spark.oracle import apply_binlog, diff_tables
+from ticdc_spark.streaming.changefeed import ChangeFeed
+from ticdc_spark.testgen import (
+    BinlogSpec,
+    write_binlog,
+    write_resolved_events,
+    write_topology_events,
+)
+
+
+def _lake_arrow(table):
+    pdf = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.string()),
+            "tokens": pa.array(
+                [list(t) for t in pdf["tokens"]], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array(pdf["n_tok"], pa.int32()),
+            "source": pa.array(pdf["source"], pa.string()),
+        }
+    )
+
+
+def _write_data_rows(out_dir, rows, fname, table="target_tokens"):
+    """rows: list of (commit_ts, seq, op, doc_id, tokens, part)."""
+    cols = {
+        "commit_ts": pa.array([r[0] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "table": pa.array([table] * len(rows), pa.string()),
+        "op": pa.array([r[2] for r in rows], pa.string()),
+        "doc_id": pa.array([r[3] for r in rows], pa.string()),
+        "tokens": pa.array(
+            [r[4] if r[2] != "D" else None for r in rows], pa.list_(pa.int32())
+        ),
+        "n_tok": pa.array(
+            [len(r[4]) if r[2] != "D" else None for r in rows], pa.int32()
+        ),
+        "source": pa.array(
+            ["web" if r[2] != "D" else None for r in rows], pa.string()
+        ),
+        "part": pa.array([r[5] for r in rows], pa.int32()),
+        "schema_version": pa.array([0] * len(rows), pa.int32()),
+    }
+    tbl = pa.table(cols)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, fname)
+    pq.write_table(tbl, path)
+    return tbl
+
+
+def _data_only(tbl):
+    return tbl.filter(pc.is_in(tbl.column("op"), pa.array(["I", "U", "D"])))
+
+
+def test_split_retires_parent_and_seeds_children(spark, tmp_path):
+    """Split mid-stream: parent leaves the universe, children inherit its
+    checkpoint, later traffic on the children keeps converging to the
+    sequential oracle, and the persisted watermark map shows the new
+    universe."""
+    spec = BinlogSpec(n_events=3_000, n_keys=250, seed=5, n_parts=2,
+                      out_of_order=False)
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spec, binlog, files_per_part=1, align_ts=True)
+    stage1 = pq.read_table(binlog)
+    hi = pc.max(stage1.column("commit_ts")).as_py()
+    # split part 1 -> children 2,3 (topology ts orders it; positions derive
+    # from the parent's checkpoint, never from this ts)
+    write_topology_events(binlog, [("S", 1, [2, 3], hi + 1)])
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), n_parts=2,
+                    dynamic_spans=True)
+    s1 = cf.run_available()
+    assert s1[-1]["span_changes"] == 1
+    assert s1[-1]["spans_retired"] == [1]
+    assert t.retired_parts == {"1"}
+    wm = {int(k) for k in t.part_watermarks}
+    assert wm == {0, 2, 3}
+    # children seeded at the parent's position: the frontier did not regress
+    res1 = s1[-1]["resolved_ts"]
+    assert res1 > 0
+
+    # stage 2: traffic arrives on the NEW spans (and the surviving part 0)
+    rows = [
+        (hi + 10, 10_000, "I", "doc_s2_a", [1, 2, 3], 2),
+        (hi + 11, 10_001, "U", "doc_0", [9, 9], 3),
+        (hi + 12, 10_002, "I", "doc_s2_b", [7], 0),
+        (hi + 13, 10_003, "D", "doc_1", None, 2),
+    ]
+    stage2 = _write_data_rows(binlog, rows, "stage2-00000.parquet")
+    s2 = cf.run_available()
+    res2 = s2[-1]["resolved_ts"]
+    assert res2 >= hi + 10
+    full = pa.concat_tables([_data_only(stage1), stage2])
+    expected = apply_binlog(full, upto_ts=res2)
+    assert not diff_tables(expected, _lake_arrow(t))
+
+
+def test_data_on_retired_span_is_fatal(spark, tmp_path):
+    """The old region's stream ended at the split: data for the parent in a
+    LATER batch violates the contract and must fail loudly."""
+    spec = BinlogSpec(n_events=1_000, n_keys=100, seed=6, n_parts=2,
+                      out_of_order=False)
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spec, binlog, files_per_part=1, align_ts=True)
+    hi = pc.max(pq.read_table(binlog).column("commit_ts")).as_py()
+    write_topology_events(binlog, [("S", 1, [2, 3], hi + 1)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), n_parts=2,
+                    dynamic_spans=True)
+    cf.run_available()
+    _write_data_rows(
+        binlog, [(hi + 20, 20_000, "I", "late_doc", [1], 1)],
+        "stage2-00000.parquet",
+    )
+    with pytest.raises(Exception, match="retired span"):
+        cf.run_available()
+
+
+def test_stale_heartbeat_on_retired_span_is_dropped(spark, tmp_path):
+    """A resolved-ts heartbeat racing a committed retirement (in flight when
+    the region went away) is silently ignored — it neither resurrects the
+    span nor moves the frontier."""
+    spec = BinlogSpec(n_events=1_000, n_keys=100, seed=7, n_parts=2,
+                      out_of_order=False)
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spec, binlog, files_per_part=1, align_ts=True)
+    hi = pc.max(pq.read_table(binlog).column("commit_ts")).as_py()
+    write_topology_events(binlog, [("S", 1, [2, 3], hi + 1)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), n_parts=2,
+                    dynamic_spans=True)
+    s1 = cf.run_available()
+    res1 = s1[-1]["resolved_ts"]
+    write_resolved_events(binlog, {1: hi + 500}, fname="stale-hb.parquet")
+    s2 = cf.run_available()
+    assert s2 == [] or s2[-1]["resolved_ts"] == res1
+    assert t.retired_parts == {"1"}
+    assert {int(k) for k in t.part_watermarks} == {0, 2, 3}
+
+
+def test_merge_seeds_child_at_min_parent_position(spark, tmp_path):
+    """Merge: the union span resubscribes at the FRONTIER of its
+    constituents — min over parent checkpoints — so no undelivered parent
+    data can land below the merged span's seed."""
+    binlog = str(tmp_path / "binlog")
+    # hand-built: part 0 ahead (ts 100..200), part 1 behind (ts 100..150)
+    rows = [(100 + i, i, "I", f"a{i}", [i], 0) for i in range(0, 101, 10)]
+    rows += [(100 + i, 1000 + i, "I", f"b{i}", [i], 1) for i in range(0, 51, 10)]
+    stage1 = _write_data_rows(binlog, rows, "stage1-00000.parquet")
+    write_topology_events(binlog, [("M", 5, [0, 1], 900)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), dynamic_spans=True)
+    s1 = cf.run_available()
+    assert t.retired_parts == {"0", "1"}
+    wm = t.part_watermarks
+    assert set(wm) == {"5"}
+    # seeded at min(200, 150) = 150 — the lagging parent's checkpoint
+    assert int(wm["5"]) == 150
+    assert s1[-1]["resolved_ts"] == 150
+
+    # post-merge traffic on the union span releases the rest
+    rows2 = [(210, 5_000, "I", "c1", [1, 2], 5)]
+    stage2 = _write_data_rows(binlog, rows2, "stage2-00000.parquet")
+    s2 = cf.run_available()
+    assert s2[-1]["resolved_ts"] == 210
+    full = pa.concat_tables([stage1, stage2])
+    expected = apply_binlog(full, upto_ts=210)
+    assert not diff_tables(expected, _lake_arrow(t))
+
+
+def test_static_feed_rejects_topology_events(spark, tmp_path):
+    """A feed without dynamic_spans=True treats topology events as a fatal
+    contract violation (never silently misfolds them as data)."""
+    spec = BinlogSpec(n_events=500, n_keys=50, seed=8, n_parts=2,
+                      out_of_order=False)
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spec, binlog, files_per_part=1, align_ts=True)
+    hi = pc.max(pq.read_table(binlog).column("commit_ts")).as_py()
+    write_topology_events(binlog, [("S", 1, [2, 3], hi + 1)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), n_parts=2)
+    with pytest.raises(Exception, match="dynamic_spans"):
+        cf.run_available()
+
+
+def test_chained_split_in_one_batch(spark, tmp_path):
+    """Two topology events in ONE batch apply in (commit_ts, seq) order:
+    parent -> (2,3), then 3 -> (4,5). Final universe {0,2,4,5}; every
+    child chain inherits the original parent's checkpoint."""
+    spec = BinlogSpec(n_events=1_000, n_keys=100, seed=9, n_parts=2,
+                      out_of_order=False)
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spec, binlog, files_per_part=1, align_ts=True)
+    hi = pc.max(pq.read_table(binlog).column("commit_ts")).as_py()
+    write_topology_events(
+        binlog, [("S", 1, [2, 3], hi + 1), ("S", 3, [4, 5], hi + 2)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), n_parts=2,
+                    dynamic_spans=True)
+    s1 = cf.run_available()
+    assert s1[-1]["span_changes"] == 2
+    assert t.retired_parts == {"1", "3"}
+    assert {int(k) for k in t.part_watermarks} == {0, 2, 4, 5}
+
+
+def test_topology_only_batch_persists_retirement(spark, tmp_path):
+    """A batch holding ONLY the topology event (no data at all) still
+    persists the universe change — the source never re-reads the file, so
+    losing it would pin the frontier on the parent forever."""
+    spec = BinlogSpec(n_events=1_000, n_keys=100, seed=10, n_parts=2,
+                      out_of_order=False)
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spec, binlog, files_per_part=1, align_ts=True)
+    hi = pc.max(pq.read_table(binlog).column("commit_ts")).as_py()
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), n_parts=2,
+                    dynamic_spans=True)
+    cf.run_available()
+    # second run: one file, one topology row, zero data
+    write_topology_events(binlog, [("S", 1, [2, 3], hi + 1)])
+    s2 = cf.run_available()
+    assert s2[-1]["span_changes"] == 1
+    assert t.retired_parts == {"1"}
+    assert {int(k) for k in t.part_watermarks} == {0, 2, 3}
+    # and a third, heartbeat-driven advance over the new spans still works
+    write_resolved_events(binlog, {2: hi + 50, 3: hi + 60},
+                          fname="hb-children.parquet")
+    s3 = cf.run_available()
+    assert s3[-1]["resolved_ts"] >= min(
+        int(t.part_watermarks[k]) for k in t.part_watermarks
+    )
+
+
+def test_split_batch_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash between the topology batch's commits and its streaming
+    checkpoint: foreachBatch re-delivers the same files with the same id.
+    The replayed batch re-offers the parent's data AND the split — both
+    must no-op (retire-again is absorbed, child seeds are monotone max,
+    epoch ids dedupe the merges)."""
+    spec = BinlogSpec(n_events=2_000, n_keys=150, seed=12, n_parts=2,
+                      out_of_order=False)
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spec, binlog, files_per_part=1, align_ts=True)
+    hi = pc.max(pq.read_table(binlog).column("commit_ts")).as_py()
+    write_topology_events(binlog, [("S", 1, [2, 3], hi + 1)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), n_parts=2,
+                    dynamic_spans=True)
+    s1 = cf.run_available()
+    state = {r["doc_id"]: list(r["tokens"]) for r in t.read().collect()}
+    wm1, retired1 = dict(t.part_watermarks), set(t.retired_parts)
+
+    files = sorted(glob.glob(os.path.join(binlog, "*.parquet")))
+    batch = spark.read.parquet(*files)
+    t2 = LakeTable(spark, str(tmp_path / "t"))
+    cf2 = ChangeFeed(t2, binlog, str(tmp_path / "ck"), n_parts=2,
+                     dynamic_spans=True)
+    cf2._process_batch(batch, 0)  # replay of batch 0 — must not raise
+    assert dict(t2.part_watermarks) == wm1
+    assert set(t2.retired_parts) == retired1
+    state2 = {r["doc_id"]: list(r["tokens"]) for r in t2.read().collect()}
+    assert state2 == state
+    assert s1[-1]["spans_retired"] == [1]

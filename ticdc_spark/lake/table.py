@@ -554,6 +554,22 @@ class LakeTable:
         cdc/model/owner.go:77-86), persisted with each commit."""
         return dict(self._manifest.get("part_watermarks", {}))
 
+    @property
+    def retired_parts(self) -> set[str]:
+        """Spans retired by split/merge topology events (string part ids).
+        Monotone-growing; a retired span never re-enters the universe."""
+        return set(self._manifest.get("retired_parts", {}))
+
+    @property
+    def retired_positions(self) -> dict[str, int]:
+        """Retirement checkpoints: part id → the span's final position when
+        it left the universe. In-flight data at or below this (the carried
+        tail) is legal; data above it is a fatal contract violation."""
+        return {
+            str(k): int(v)
+            for k, v in self._manifest.get("retired_parts", {}).items()
+        }
+
     def merge_epoch(
         self,
         changes: DataFrame,
@@ -780,10 +796,31 @@ class LakeTable:
         m["clean_buckets"] = sorted(clean)
         if watermarks:
             wm = m.setdefault("part_watermarks", {})
+            retired = dict(m.get("retired_parts", {}))
             for k, v in watermarks.items():
                 k = str(k)
+                if isinstance(v, dict) and "retired_at" in v:
+                    # span retirement (region split/merge, model.TOPOLOGY_OPS):
+                    # the part leaves the universe — its position must stop
+                    # pinning the frontier (children carry it forward). The
+                    # retirement checkpoint is kept: in-flight data at or
+                    # below it (the carried tail) is still legal; data above
+                    # it can never arrive (the old region's stream ended).
+                    retired[k] = max(int(v["retired_at"]), int(retired.get(k, -1)))
+                    continue
                 # watermarks are monotone (puller.go:163-168 contract)
                 wm[k] = max(int(v), int(wm.get(k, -1)))
+            if retired:
+                m["retired_parts"] = {k: retired[k] for k in sorted(retired)}
+                # idempotent under replay: a re-delivered pre-split batch
+                # may re-offer the parent's watermark — drop it again
+                for k in retired:
+                    wm.pop(k, None)
+            if not wm:
+                # retirement-only commit with an empty remaining universe:
+                # no syncpoint (no frontier to record)
+                self._commit_manifest(m)
+                return
             # syncpoint record (cdc/sink/mysql.go:1364-1426 analog): map the
             # upstream consistency point (primary_ts = resolved frontier) to
             # the downstream snapshot (secondary = this manifest version) so
@@ -797,6 +834,17 @@ class LakeTable:
                 }
             )
         self._commit_manifest(m)
+
+    def advance_watermarks(self, watermarks: dict, epoch_id: str) -> bool:
+        """Metadata-only commit of span positions / retirements (no data
+        files). Used by a feed whose batch produced no merge (e.g. a
+        topology-only or heartbeat-only batch) but whose span-universe
+        changes MUST persist — the topology event's file is consumed by the
+        streaming source and never re-read. Idempotent by epoch_id."""
+        if epoch_id in self.committed_epochs:
+            return False
+        self._finalize_commit(epoch_id, {}, 0, [], watermarks, replace=False)
+        return True
 
     @property
     def syncpoints(self) -> list[dict]:

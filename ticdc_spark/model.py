@@ -32,6 +32,30 @@ OP_DELETE = "D"
 # (at or below the frontier) are ignored — the frontier fold is monotone.
 OP_RESOLVED = "R"
 
+# span-topology CONTROL events (kv/client.go region-change handling: on a
+# TiKV region split/merge the CDC client ends the old region's stream and
+# RESUBSCRIBES the new regions at the old span's checkpoint — cdc/kv/
+# client.go singleRegionInfo resolvedTs seeding; the frontier absorbs the
+# new spans, cdc/puller/frontier). Our span universe is the binlog's `part`
+# ids, so topology changes are explicit control rows:
+#
+#   op='S' (split): part = the RETIRING parent span; doc_id = "c1,c2,..."
+#     the child span ids. Children are seeded at the parent's current
+#     position (resubscribe-at-checkpoint); the parent leaves the universe.
+#   op='M' (merge): part = the surviving/new span; doc_id = "p1,p2,..."
+#     the RETIRING parents. The child seeds at min(parent positions) — the
+#     merged region resubscribes at the frontier of its union span.
+#
+# commit_ts/seq order topology events against EACH OTHER only; positions
+# never derive from the event's ts. A topology row carries no data, never
+# counts as an event, and takes effect at the end of its micro-batch: data
+# for a retired span in any LATER batch is a fatal contract violation
+# (the old region's stream has ended), while a stale heartbeat on a
+# retired span is dropped (an in-flight resolved event racing the split).
+OP_SPLIT = "S"
+OP_MERGE = "M"
+TOPOLOGY_OPS = (OP_SPLIT, OP_MERGE)
+
 # entry_sorter.go:62-72 — at equal commit-ts a delete sorts/applies BEFORE a
 # put, so when both land at the same (commit_ts, seq) the put is the later
 # write and wins; a bare delete wins as a delete.

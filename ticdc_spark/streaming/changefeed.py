@@ -211,6 +211,7 @@ class ChangeFeed:
         post_batch=None,
         collapse: str = "bucket_window",
         n_parts: int | None = None,
+        dynamic_spans: bool = False,
     ):
         """n_parts: the binlog's partition universe. The reference's frontier
         is INITIALIZED with the full span set at feed start (cdc/puller/
@@ -239,7 +240,15 @@ class ChangeFeed:
         resolved frontier is a PANIC, not a silent drop). Default off: the
         conditional merge makes late events harmless (they lose recency), so
         the tolerant mode is strictly safer; strict mode exists to surface
-        upstream ordering bugs the way the reference does."""
+        upstream ordering bugs the way the reference does.
+
+        dynamic_spans: accept span-topology control events (op='S' split /
+        op='M' merge, model.TOPOLOGY_OPS) that rewrite the part universe
+        mid-stream — the kv-client region-change contract (children
+        resubscribe at the parent's checkpoint; the parent's stream ends).
+        Off by default: a topology event in a static feed is a fatal
+        contract violation, and the static path pays ZERO extra jobs
+        (detection rides the existing per-batch part_stats fold)."""
         self.table = table
         self.spark = table.spark
         self.binlog_dir = binlog_dir
@@ -253,6 +262,7 @@ class ChangeFeed:
         self.start_ts = start_ts
         self.strict_watermarks = strict_watermarks
         self.n_parts = n_parts
+        self.dynamic_spans = dynamic_spans
         # LWW collapse strategy for the apply path (operators/lww.py):
         #   "bucket_window" (default) — single payload shuffle fused with
         #     the bucketed write (lww_collapse_prearranged); fastest plan.
@@ -479,11 +489,17 @@ class ChangeFeed:
             # below it violate the puller contract (late arrivals; the
             # carried-over pending tail is by construction above it).
             stored0 = {int(k): int(v) for k, v in self.table.part_watermarks.items()}
+            retired_pos = {
+                int(k): v for k, v in self.table.retired_positions.items()
+            }
+            retired0 = set(retired_pos)
             # seed the full span universe when declared: an unseen part
             # pins the frontier at -1 until it reports (frontier-initialized-
-            # with-all-spans semantics, cdc/puller/frontier)
+            # with-all-spans semantics, cdc/puller/frontier). Spans retired
+            # by split/merge have left the universe and never re-seed.
             for p_ in range(self.n_parts or 0):
-                stored0.setdefault(p_, -1)
+                if p_ not in retired0:
+                    stored0.setdefault(p_, -1)
             prev_resolved = min(stored0.values()) if stored0 else -1
             # table version BEFORE this batch's merges — the old-value MQ
             # mode reads pre-images from this snapshot (emission runs after
@@ -503,12 +519,24 @@ class ChangeFeed:
             # late (a stale heartbeat is ignored — the fold is monotone),
             # never as events, and are dropped from the stream after this
             # fold (their promise persists via the stored watermarks)
-            _is_data = F.col("op") != "R"
+            # span-topology control events (op='S'/'M', model.TOPOLOGY_OPS)
+            # carry NO stream position: commit_ts/seq order them against
+            # each other only — positions always derive from checkpoint
+            # state (kv-client resubscribe-at-checkpoint). Excluding them
+            # from max/min keeps a merge event from advancing its child
+            # span past still-lagging parents.
+            from ..model import OP_MERGE, OP_SPLIT, TOPOLOGY_OPS
+
+            _is_topo = F.col("op").isin(list(TOPOLOGY_OPS))
+            _is_pos = ~_is_topo
+            _is_data = ~F.col("op").isin(["R", *TOPOLOGY_OPS])
             part_stats = (
                 events.groupBy("part")
                 .agg(
-                    F.max("commit_ts").alias("max_ts"),
-                    F.min("commit_ts").alias("min_ts"),
+                    F.max(F.when(_is_pos, F.col("commit_ts"))).alias("max_ts"),
+                    F.min(F.when(_is_pos, F.col("commit_ts"))).alias("min_ts"),
+                    F.max(F.when(_is_data, F.col("commit_ts"))).alias("data_max_ts"),
+                    F.sum(F.when(_is_topo, 1).otherwise(0)).alias("topo"),
                     F.sum(F.when(_is_data, 1).otherwise(0)).alias("cnt"),
                     F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
                     F.sum(
@@ -557,9 +585,103 @@ class ChangeFeed:
                     "version above version_at(commit_ts) — the mounter's version "
                     "hint would silently drop them (mounter.go:242-247)"
                 )
+            # span topology: collect the (tiny) control-row set only when the
+            # stats fold saw one — static feeds pay nothing
+            n_topo = sum(int(r["topo"]) for r in part_stats)
+            topo_rows: list = []
+            if n_topo:
+                if not self.dynamic_spans:
+                    raise RuntimeError(
+                        f"{n_topo} span-topology events (op S/M) in a feed "
+                        "created without dynamic_spans=True — a static span "
+                        "universe cannot split/merge (kv/client.go region-"
+                        "change contract)"
+                    )
+                topo_rows = sorted(
+                    events.filter(_is_topo)
+                    .select("commit_ts", "seq", "op", "part", "doc_id")
+                    .collect(),
+                    key=lambda r: (int(r["commit_ts"]), int(r["seq"])),
+                )
+            # spans retiring in THIS batch: their data rows are legal (the
+            # stream ends at the topology event, which takes effect at the
+            # end of the batch) — also exactly what a crash-replay of the
+            # topology batch re-delivers
+            batch_retiring: set[int] = set()
+            for r in topo_rows:
+                if r["op"] == OP_SPLIT:
+                    batch_retiring.add(int(r["part"]))
+                else:
+                    batch_retiring.update(
+                        int(x) for x in str(r["doc_id"]).split(",")
+                    )
+            # data on a retired span is legal UP TO its retirement
+            # checkpoint (the carried tail re-delivers in-flight pre-split
+            # rows); data ABOVE it can never arrive — the old region's
+            # stream ended there (kv/client.go region-change contract)
+            bad = sorted(
+                int(r["part"])
+                for r in part_stats
+                if int(r["part"]) in retired0
+                and int(r["part"]) not in batch_retiring
+                and r["data_max_ts"] is not None
+                and int(r["data_max_ts"]) > retired_pos[int(r["part"])]
+            )
+            if bad:
+                raise RuntimeError(
+                    f"data events above the retirement checkpoint on retired "
+                    f"span(s) {bad}: the old region's stream ended at its "
+                    "split/merge (kv/client.go region-change contract)"
+                )
             stored = dict(stored0)
             for r in part_stats:
-                stored[int(r["part"])] = max(stored.get(int(r["part"]), -1), int(r["max_ts"]))
+                p = int(r["part"])
+                if r["max_ts"] is None:
+                    continue  # topology-only part: no position to fold
+                if p in retired0 and p not in batch_retiring:
+                    continue  # stale heartbeat racing a committed retirement
+                stored[p] = max(stored.get(p, -1), int(r["max_ts"]))
+            # apply topology (ordered among themselves; end-of-batch effect)
+            retired_new: dict[int, int] = {}  # part -> retirement checkpoint
+            for r in topo_rows:
+                spec = [int(x) for x in str(r["doc_id"]).split(",")]
+                if r["op"] == OP_SPLIT:
+                    parent = int(r["part"])
+                    pos = stored.pop(parent, -1)
+                    if parent in retired0:
+                        # replayed topology batch: keep the committed
+                        # retirement checkpoint (the fold above may have
+                        # re-derived a smaller one from a partial replay)
+                        pos = max(pos, retired_pos[parent])
+                    retired_new[parent] = pos
+                    for c in spec:
+                        if c in retired0 or c in retired_new:
+                            raise RuntimeError(
+                                f"split child span {c} is retired — span ids "
+                                "are never reused"
+                            )
+                        # resubscribe-at-checkpoint: children inherit the
+                        # parent's position as a floor (max keeps replay
+                        # idempotent when children have already advanced)
+                        stored[c] = max(stored.get(c, -1), pos)
+                else:
+                    child = int(r["part"])
+                    if child in retired0 or child in retired_new:
+                        raise RuntimeError(
+                            f"merge target span {child} is retired — span "
+                            "ids are never reused"
+                        )
+                    # merged region resubscribes at the frontier of its
+                    # union span = min over constituent checkpoints; each
+                    # parent retires at ITS OWN final position
+                    seed = None
+                    for p in spec:
+                        pos = stored.pop(p, -1)
+                        if p in retired0:
+                            pos = max(pos, retired_pos[p])
+                        retired_new[p] = pos
+                        seed = pos if seed is None else min(seed, pos)
+                    stored[child] = max(stored.get(child, -1), seed if seed is not None else -1)
             resolved_raw = min(stored.values()) if stored else -1
             # target_ts clamp: the checkpoint stops AT target_ts
             # (owner.go:940 `status.CheckpointTs == info.GetTargetTs()`);
@@ -570,6 +692,11 @@ class ChangeFeed:
                 else resolved_raw
             )
             watermarks = {str(k): v for k, v in stored.items()}
+            for p, pos in retired_new.items():
+                # sentinel: _finalize_commit drops the span from the
+                # persisted universe and records its final checkpoint (the
+                # carried tail may still re-deliver data at or below it)
+                watermarks[str(p)] = {"retired_at": int(pos)}
 
             # 3. releasable prefix / carried tail (control events dropped:
             # their watermark contribution is already persisted above)
@@ -633,7 +760,14 @@ class ChangeFeed:
             # leading slices (barriers executed in PRIOR batches) without an
             # epoch commit. Derived from the batch's data, so identical on
             # replay; bounds per-batch slice work to new-DDLs + 1.
-            lo_evt = min((int(r["min_ts"]) for r in part_stats), default=None)
+            lo_evt = min(
+                (
+                    int(r["min_ts"])
+                    for r in part_stats
+                    if r["min_ts"] is not None
+                ),
+                default=None,
+            )
             epoch_stats = []
             for k, (slo, shi) in enumerate(slices):
                 provably_empty = (
@@ -683,6 +817,14 @@ class ChangeFeed:
                             self._advance_lake_schema(
                                 ver, self.registry.fields(ver), f"ddl-{shi}"
                             )
+            # topology batches force a watermark commit even when no slice
+            # merged (a topology-only batch is provably empty of data): the
+            # retirement must outlive the consumed source file. Idempotent
+            # by epoch id; when slices DID merge this dedupes the same info.
+            if topo_rows:
+                self.table.advance_watermarks(
+                    watermarks, f"cf-{self.feed_id}-{batch_id:010d}-topo"
+                )
             # MQ DDL messages: EVERY barrier ≤ resolved, not just the ones
             # executed in this attempt — a crash between the schema commit
             # and emission would otherwise lose the DDL downstream forever.
@@ -745,7 +887,10 @@ class ChangeFeed:
             # 5. persist tail for the next batch. Existence is known from
             # part_stats (tail nonempty ⟺ some partition's max is above the
             # global min) — no extra probe job.
-            had_tail = any(int(r["max_ts"]) > resolved for r in part_stats)
+            had_tail = any(
+                r["max_ts"] is not None and int(r["max_ts"]) > resolved
+                for r in part_stats
+            )
             self._write_tail(tail, batch_id, had_rows=had_tail)
             timings["tail"] = _time.time() - t0
             t0 = _time.time()
@@ -760,6 +905,11 @@ class ChangeFeed:
                     "resolved_ts": resolved,
                     "slices": len(slices),
                     "events": sum(int(r["cnt"]) for r in part_stats),
+                    **(
+                        {"span_changes": n_topo, "spans_retired": sorted(retired_new)}
+                        if n_topo
+                        else {}
+                    ),
                     "timings": {k: round(v, 3) for k, v in timings.items()},
                 }
             )
@@ -963,7 +1113,9 @@ class ChangeFeed:
                 cols["epoch_id"].append(epoch_id)
                 cols["part"].append(int(r["part"]))
                 cols["event_count"].append(int(r["cnt"]))
-                cols["max_commit_ts"].append(int(r["max_ts"]))
+                cols["max_commit_ts"].append(
+                    -1 if r["max_ts"] is None else int(r["max_ts"])
+                )
                 cols["delete_count"].append(int(r["dels"]))
                 cols["resolved_ts"].append(int(resolved))
                 cols["committed"].append(bool(st.get("committed", False)))

@@ -74,10 +74,13 @@ class KeylessFeed:
     def _process_batch(self, batch_df, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        # resolved-ts control events are a KEYED-feed concept (the additive
-        # keyless state needs no frontier) — drop them defensively so a
-        # shared binlog dir never turns a heartbeat into a phantom bag row
-        batch_df = batch_df.filter(F.col("op") != "R")
+        # control events are a KEYED-feed concept (the additive keyless
+        # state needs no frontier, and has no span universe to split) —
+        # drop resolved heartbeats AND span-topology rows defensively so a
+        # shared binlog dir never turns a control row into a phantom bag row
+        from ..model import TOPOLOGY_OPS
+
+        batch_df = batch_df.filter(~F.col("op").isin(["R", *TOPOLOGY_OPS]))
         targets = self.tables if self.tables is not None else {"": self.table}
         summary: dict = {"batch_id": batch_id}
         if self.mq_dir is not None:

@@ -477,12 +477,17 @@ class MultiTableChangeFeed:
         # span's frontier via max_ts with no data — what keeps an IDLE
         # table's barriers (data DDLs, target_ts) reachable; excluded from
         # event/late/violation counts and dropped from the stream below
-        _is_data = F.col("op") != "R"
+        from ..model import TOPOLOGY_OPS
+
+        _is_data = ~F.col("op").isin(["R", *TOPOLOGY_OPS])
         part_stats = (
             ev_thr.groupBy("table", "part")
             .agg(
                 F.max("commit_ts").alias("max_ts"),
                 F.min("commit_ts").alias("min_ts"),
+                F.sum(
+                    F.when(F.col("op").isin(list(TOPOLOGY_OPS)), 1).otherwise(0)
+                ).alias("topo"),
                 F.sum(F.when(_is_data, 1).otherwise(0)).alias("cnt"),
                 F.sum(F.when(_is_data, sv_viol).otherwise(0)).alias("sv_viol"),
                 F.sum(
@@ -498,6 +503,17 @@ class MultiTableChangeFeed:
             raise RuntimeError(
                 f"schema_version contract violated: {n_sv} events stamped above "
                 "version_at(commit_ts) — the mounter hint would drop them"
+            )
+        n_topo = sum(int(r["topo"]) for r in part_stats)
+        if n_topo:
+            # dynamic span topology (split/merge) is a single-table-feed
+            # capability (ChangeFeed(dynamic_spans=True)); the multi feed's
+            # per-table universes are static — fail loudly rather than
+            # misfold a control row as data
+            raise RuntimeError(
+                f"{n_topo} span-topology events (op S/M) in a multi-table "
+                "feed — dynamic spans are supported by single-table "
+                "ChangeFeed(dynamic_spans=True) only"
             )
         n_late = sum(int(r["late"]) for r in part_stats)
         _data_op_ddl = any(

@@ -254,6 +254,44 @@ def write_resolved_events(
     return path
 
 
+def write_topology_events(
+    out_dir: str,
+    changes: list[tuple[str, int, list[int], int]],
+    table: str = "target_tokens",
+    fname: str = "topology-00000.parquet",
+) -> str:
+    """Append span-topology CONTROL events (model.TOPOLOGY_OPS) to a binlog
+    dir — the kv-client region split/merge analog. `changes` is a list of
+    (op, part, spec, commit_ts):
+      ("S", parent, [child ids...], ts)  — parent splits into children
+      ("M", child, [parent ids...], ts)  — parents merge into child
+    The spec rides doc_id as a CSV (control rows carry no data payload);
+    seq enumerates the list so same-ts changes stay ordered."""
+    import os as _os
+
+    n = len(changes)
+    cols = {
+        "commit_ts": pa.array([int(ts) for _, _, _, ts in changes], pa.int64()),
+        "seq": pa.array(list(range(n)), pa.int64()),
+        "table": pa.array([table] * n, pa.string()),
+        "op": pa.array([op for op, _, _, _ in changes], pa.string()),
+        "doc_id": pa.array(
+            [",".join(str(x) for x in spec) for _, _, spec, _ in changes],
+            pa.string(),
+        ),
+        "tokens": pa.array([None] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array([None] * n, pa.int32()),
+        "source": pa.array([None] * n, pa.string()),
+        "part": pa.array([int(p) for _, p, _, _ in changes], pa.int32()),
+        "schema_version": pa.array([0] * n, pa.int32()),
+    }
+    tbl = pa.table(cols)
+    _os.makedirs(out_dir, exist_ok=True)
+    path = _os.path.join(out_dir, fname)
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_binlog_chunks(
     spec: BinlogSpec, out_dir: str, n_chunks: int = 4, files_per_chunk: int = 8
 ) -> list[str]:
