@@ -253,6 +253,50 @@ def test_topology_only_batch_persists_retirement(spark, tmp_path):
     )
 
 
+def test_split_truncate_restart_composition(spark, tmp_path):
+    """Composition soak: a split, a barrier-ordered data-wiping DDL
+    (truncate — makes late events FATAL), a feed restart over the same
+    checkpoint, and heartbeats releasing the post-split universe. The
+    truncate defers until the CHILDREN's spans clear its barrier, the
+    restarted feed inherits the retired universe, and the final state
+    matches the post-truncate oracle."""
+    binlog = str(tmp_path / "binlog")
+    ddl_rows = [{"commit_ts": 300, "ddl_type": "truncate_table",
+                 "table": "target_tokens", "spec": "{}"}]
+
+    # run 1: part 0 ahead (ts..190), part 1 behind (ts..150); split 1->(2,3)
+    rows1 = [(100 + 10 * i, i, "I", f"a{i}", [i], 0) for i in range(10)]
+    rows1 += [(100 + 10 * i, 100 + i, "I", f"b{i}", [i], 1) for i in range(6)]
+    _write_data_rows(binlog, rows1, "stage1-00000.parquet")
+    write_topology_events(binlog, [("S", 1, [2, 3], 900)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ck"), n_parts=2,
+                    dynamic_spans=True, ddl_rows=ddl_rows)
+    s1 = cf.run_available()
+    assert s1[-1]["resolved_ts"] == 150  # children pinned at parent's pos
+    assert t.schema_version == 0  # truncate barrier (300) still deferred
+
+    # restart: a fresh feed over the same checkpoint inherits the retired
+    # universe {1} and the children's positions
+    rows2 = [(200 + 10 * i, 200 + i, "I", f"c{i}", [7, i], 0) for i in range(7)]
+    rows2 += [(210, 300, "I", "d0", [1], 2), (310, 301, "I", "d1", [2], 2)]
+    rows2 += [(205, 302, "I", "e0", [3], 3), (320, 303, "U", "a1", [9, 9], 3)]
+    stage2 = _write_data_rows(binlog, rows2, "stage2-00000.parquet")
+    write_resolved_events(binlog, {0: 400, 2: 400, 3: 400},
+                          fname="hb-final.parquet")
+    t2 = LakeTable(spark, str(tmp_path / "t"))
+    cf2 = ChangeFeed(t2, binlog, str(tmp_path / "ck"), n_parts=2,
+                     dynamic_spans=True, ddl_rows=ddl_rows)
+    s2 = cf2.run_available()
+    assert s2[-1]["resolved_ts"] == 400
+    assert t2.schema_version == 1  # truncate executed past its barrier
+    assert t2.retired_parts == {"1"}
+    # final state = post-truncate events only (ts > 300), LWW-folded
+    post = stage2.filter(pc.greater(stage2.column("commit_ts"), 300))
+    expected = apply_binlog(post, upto_ts=400)
+    assert not diff_tables(expected, _lake_arrow(t2))
+
+
 def test_split_batch_crash_replay_is_idempotent(spark, tmp_path):
     """Crash between the topology batch's commits and its streaming
     checkpoint: foreachBatch re-delivers the same files with the same id.
