@@ -49,7 +49,7 @@ def main() -> int:
         "--dynamic-spans", action="store_true",
         help="accept span-topology control events (op S/M: region "
              "split/merge — children resubscribe at the parent's "
-             "checkpoint); single-table feeds only",
+             "checkpoint; per-table universes in multi-table feeds)",
     )
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument(
@@ -248,6 +248,7 @@ def main() -> int:
             checkpoint_dir=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             n_parts=args.n_parts,
+            dynamic_spans=args.dynamic_spans,
             ddl_rows=ddl_rows,
             mq_dispatch_rules=rules,
             admin=admin,

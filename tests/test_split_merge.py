@@ -297,6 +297,68 @@ def test_split_truncate_restart_composition(spark, tmp_path):
     assert not diff_tables(expected, _lake_arrow(t2))
 
 
+def test_multi_feed_split_is_per_table(spark, tmp_path):
+    """Multi-table feed: regions are per-table key ranges, so a split on
+    (ta, part 1) rewrites ONLY ta's universe — tb keeps replicating its own
+    part 1 untouched; both converge to their oracles."""
+    from ticdc_spark.streaming.multi import MultiTableChangeFeed
+
+    binlog = str(tmp_path / "binlog")
+    rows_a = [(100 + 10 * i, i, "I", f"a{i}", [i], 0) for i in range(10)]
+    rows_a += [(100 + 10 * i, 100 + i, "I", f"b{i}", [i], 1) for i in range(6)]
+    sa1 = _write_data_rows(binlog, rows_a, "a1-00000.parquet", table="ta")
+    rows_b = [(100 + 10 * i, 200 + i, "I", f"x{i}", [i, i], p)
+              for i in range(9) for p in (0, 1)]
+    sb1 = _write_data_rows(binlog, rows_b, "b1-00000.parquet", table="tb")
+    write_topology_events(binlog, [("S", 1, [2, 3], 900)], table="ta")
+
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ck"),
+        n_parts=2, dynamic_spans=True,
+    )
+    s1 = cf.run_available()
+    assert s1[-1]["span_changes"] == 1
+    assert s1[-1]["spans_retired"] == {"ta": [1]}
+    assert ta.retired_parts == {"1"}
+    assert tb.retired_parts == set()
+    assert {int(k) for k in ta.part_watermarks} == {0, 2, 3}
+    assert {int(k) for k in tb.part_watermarks} == {0, 1}
+
+    # post-split traffic: ta on its children, tb STILL on part 1
+    rows_a2 = [(300, 500, "I", "c0", [5], 2), (310, 501, "U", "a1", [9], 3)]
+    sa2 = _write_data_rows(binlog, rows_a2, "a2-00000.parquet", table="ta")
+    rows_b2 = [(305, 600, "I", "y0", [6, 6], 1)]
+    sb2 = _write_data_rows(binlog, rows_b2, "b2-00000.parquet", table="tb")
+    write_resolved_events(binlog, {0: 400, 2: 400, 3: 400}, table="ta",
+                          fname="hb-a.parquet")
+    write_resolved_events(binlog, {0: 400, 1: 400}, table="tb",
+                          fname="hb-b.parquet")
+    s2 = cf.run_available()
+    assert s2[-1]["resolved_ts"] == 400
+    exp_a = apply_binlog(pa.concat_tables([sa1, sa2]), upto_ts=400)
+    exp_b = apply_binlog(pa.concat_tables([sb1, sb2]), upto_ts=400)
+    assert not diff_tables(exp_a, _lake_arrow(ta))
+    assert not diff_tables(exp_b, _lake_arrow(tb))
+
+
+def test_multi_feed_static_rejects_topology(spark, tmp_path):
+    """A multi feed without dynamic_spans=True treats topology events as a
+    fatal contract violation."""
+    from ticdc_spark.streaming.multi import MultiTableChangeFeed
+
+    binlog = str(tmp_path / "binlog")
+    _write_data_rows(
+        binlog, [(100, 1, "I", "a", [1], 0)], "a-00000.parquet", table="ta"
+    )
+    write_topology_events(binlog, [("S", 0, [1, 2], 900)], table="ta")
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    cf = MultiTableChangeFeed({"ta": ta}, binlog, str(tmp_path / "ck"))
+    with pytest.raises(Exception, match="dynamic_spans"):
+        cf.run_available()
+
+
 def test_split_batch_crash_replay_is_idempotent(spark, tmp_path):
     """Crash between the topology batch's commits and its streaming
     checkpoint: foreachBatch re-delivers the same files with the same id.

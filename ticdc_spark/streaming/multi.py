@@ -52,6 +52,7 @@ class MultiTableChangeFeed:
         collapse_overrides: dict[str, str] | None = None,
         table_root: str | None = None,
         n_parts: int | None = None,
+        dynamic_spans: bool = False,
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
@@ -95,6 +96,10 @@ class MultiTableChangeFeed:
         # frontier; required when the DDL stream carries barrier-ordered
         # data operations
         self.n_parts = n_parts
+        # accept span-topology control events (op S/M): each (table, part)
+        # span splits/merges within ITS OWN table's universe (regions are
+        # per-table key ranges in the reference) — see ChangeFeed.dynamic_spans
+        self.dynamic_spans = dynamic_spans
         # per-table LWW collapse strategy override ("agg"/"semijoin") for
         # tables with adversarial per-key skew; default is the single-
         # shuffle bucket_window plan (see ChangeFeed.collapse)
@@ -419,26 +424,46 @@ class MultiTableChangeFeed:
         # (perfectly ordered) events as late — fatal under old-value mode or
         # a barrier-ordered data DDL
         stored: dict[str, dict[int, int]] = {}
+        # per-table retirement checkpoints (span split/merge): a retired
+        # (table, part) span left its table's universe; in-flight data at
+        # or below its final position stays legal, data above it is fatal
+        retired_pos: dict[str, dict[int, int]] = {}
         for name, t in self.tables.items():
+            retired_pos[name] = {
+                int(k): v for k, v in t.retired_positions.items()
+            }
             m = {int(k): int(v) for k, v in t.part_watermarks.items()}
             # the declared span universe is PER TABLE: a table's unseen
             # parts pin ITS OWN resolved at -1 until they report (frontier-
             # initialized-with-all-spans, cdc/puller/frontier) — gating its
-            # barrier-ordered data DDLs, not the feed's release frontier
+            # barrier-ordered data DDLs, not the feed's release frontier.
+            # Retired spans never re-seed.
             for p_ in range(self.n_parts or 0):
-                m.setdefault(p_, -1)
+                if p_ not in retired_pos[name]:
+                    m.setdefault(p_, -1)
             stored[name] = m
-        # the feed's RELEASE frontier stays the union across tables (max
-        # per part) so it is monotone and live even while tables' files
-        # interleave unevenly; per-table lag is handled by the per-table
-        # late check + data-DDL gating below, not by regressing the global
-        # frontier (which would un-release already-released prefixes)
-        union: dict[int, int] = {}
-        for m in stored.values():
-            for p, v in m.items():
-                union[p] = max(union.get(p, -1), v)
-        for p_ in range(self.n_parts or 0):
-            union.setdefault(p_, -1)
+
+        def _union_fold(maps: dict[str, dict[int, int]]) -> dict[int, int]:
+            # the feed's RELEASE frontier stays the union across tables (max
+            # per part) so it is monotone and live even while tables' files
+            # interleave unevenly; per-table lag is handled by the per-table
+            # late check + data-DDL gating below, not by regressing the
+            # global frontier (which would un-release released prefixes).
+            # A universe part retired by EVERY table has left the stream —
+            # it must not re-pin the union at -1.
+            u: dict[int, int] = {}
+            for m in maps.values():
+                for p, v in m.items():
+                    u[p] = max(u.get(p, -1), v)
+            for p_ in range(self.n_parts or 0):
+                if self.tables and all(
+                    p_ in retired_pos.get(n, {}) for n in self.tables
+                ):
+                    continue
+                u.setdefault(p_, -1)
+            return u
+
+        union = _union_fold(stored)
         prev_resolved = min(union.values()) if union else -1
         # persist (frontier, per-table span maps, per-table pre-versions)
         # before any merge: a crash-replay of this batch sees the tables
@@ -477,17 +502,18 @@ class MultiTableChangeFeed:
         # span's frontier via max_ts with no data — what keeps an IDLE
         # table's barriers (data DDLs, target_ts) reachable; excluded from
         # event/late/violation counts and dropped from the stream below
-        from ..model import TOPOLOGY_OPS
+        from ..model import OP_SPLIT, TOPOLOGY_OPS
 
+        _is_topo = F.col("op").isin(list(TOPOLOGY_OPS))
+        _is_pos = ~_is_topo  # topology rows carry no stream position
         _is_data = ~F.col("op").isin(["R", *TOPOLOGY_OPS])
         part_stats = (
             ev_thr.groupBy("table", "part")
             .agg(
-                F.max("commit_ts").alias("max_ts"),
-                F.min("commit_ts").alias("min_ts"),
-                F.sum(
-                    F.when(F.col("op").isin(list(TOPOLOGY_OPS)), 1).otherwise(0)
-                ).alias("topo"),
+                F.max(F.when(_is_pos, F.col("commit_ts"))).alias("max_ts"),
+                F.min(F.when(_is_pos, F.col("commit_ts"))).alias("min_ts"),
+                F.max(F.when(_is_data, F.col("commit_ts"))).alias("data_max_ts"),
+                F.sum(F.when(_is_topo, 1).otherwise(0)).alias("topo"),
                 F.sum(F.when(_is_data, 1).otherwise(0)).alias("cnt"),
                 F.sum(F.when(_is_data, sv_viol).otherwise(0)).alias("sv_viol"),
                 F.sum(
@@ -505,15 +531,43 @@ class MultiTableChangeFeed:
                 "version_at(commit_ts) — the mounter hint would drop them"
             )
         n_topo = sum(int(r["topo"]) for r in part_stats)
+        topo_rows: list = []
         if n_topo:
-            # dynamic span topology (split/merge) is a single-table-feed
-            # capability (ChangeFeed(dynamic_spans=True)); the multi feed's
-            # per-table universes are static — fail loudly rather than
-            # misfold a control row as data
+            if not self.dynamic_spans:
+                # fail loudly rather than misfold a control row as data
+                raise RuntimeError(
+                    f"{n_topo} span-topology events (op S/M) in a feed "
+                    "created without dynamic_spans=True — a static span "
+                    "universe cannot split/merge"
+                )
+            topo_rows = sorted(
+                events.filter(_is_topo)
+                .select("table", "commit_ts", "seq", "op", "part", "doc_id")
+                .collect(),
+                key=lambda r: (int(r["commit_ts"]), int(r["seq"])),
+            )
+        # spans retiring in THIS batch (legal same-batch data + the crash-
+        # replay of a topology batch)
+        batch_retiring: dict[str, set[int]] = {}
+        for r in topo_rows:
+            s = batch_retiring.setdefault(r["table"], set())
+            if r["op"] == OP_SPLIT:
+                s.add(int(r["part"]))
+            else:
+                s.update(int(x) for x in str(r["doc_id"]).split(","))
+        bad = sorted(
+            (r["table"], int(r["part"]))
+            for r in part_stats
+            if int(r["part"]) in retired_pos.get(r["table"], {})
+            and int(r["part"]) not in batch_retiring.get(r["table"], set())
+            and r["data_max_ts"] is not None
+            and int(r["data_max_ts"]) > retired_pos[r["table"]][int(r["part"])]
+        )
+        if bad:
             raise RuntimeError(
-                f"{n_topo} span-topology events (op S/M) in a multi-table "
-                "feed — dynamic spans are supported by single-table "
-                "ChangeFeed(dynamic_spans=True) only"
+                f"data events above the retirement checkpoint on retired "
+                f"span(s) {bad}: the old region's stream ended at its "
+                "split/merge (kv/client.go region-change contract)"
             )
         n_late = sum(int(r["late"]) for r in part_stats)
         _data_op_ddl = any(
@@ -530,10 +584,61 @@ class MultiTableChangeFeed:
                 "required by enable-old-value)"
             )
         for r in part_stats:
-            m = stored.setdefault(r["table"], {})
             p = int(r["part"])
+            name = r["table"]
+            if r["max_ts"] is None:
+                continue  # topology-only (table, part): no position to fold
+            if p in retired_pos.get(name, {}) and p not in batch_retiring.get(
+                name, set()
+            ):
+                continue  # stale heartbeat racing a committed retirement
+            m = stored.setdefault(name, {})
             m[p] = max(m.get(p, -1), int(r["max_ts"]))
-            union[p] = max(union.get(p, -1), int(r["max_ts"]))
+        # apply span topology per table (ordered; end-of-batch effect) —
+        # same rules as the single-table feed: split children resubscribe
+        # at the parent's checkpoint, a merge seeds at min(parent positions),
+        # each retiring span records its own final position
+        retired_new: dict[str, dict[int, int]] = {}
+        for r in topo_rows:
+            name = r["table"]
+            m = stored.setdefault(name, {})
+            rp = retired_pos.get(name, {})
+            rn = retired_new.setdefault(name, {})
+            spec = [int(x) for x in str(r["doc_id"]).split(",")]
+            if r["op"] == OP_SPLIT:
+                parent = int(r["part"])
+                pos = m.pop(parent, -1)
+                if parent in rp:
+                    pos = max(pos, rp[parent])
+                rn[parent] = pos
+                for c in spec:
+                    if c in rp or c in rn:
+                        raise RuntimeError(
+                            f"split child span {c} of table {name!r} is "
+                            "retired — span ids are never reused"
+                        )
+                    m[c] = max(m.get(c, -1), pos)
+            else:
+                child = int(r["part"])
+                if child in rp or child in rn:
+                    raise RuntimeError(
+                        f"merge target span {child} of table {name!r} is "
+                        "retired — span ids are never reused"
+                    )
+                seed = None
+                for p in spec:
+                    pos = m.pop(p, -1)
+                    if p in rp:
+                        pos = max(pos, rp[p])
+                    rn[p] = pos
+                    seed = pos if seed is None else min(seed, pos)
+                m[child] = max(m.get(child, -1), seed if seed is not None else -1)
+        if topo_rows:
+            # retirements change per-table universes: fold the union fresh
+            # (monotone — children floors equal their parents' positions)
+            for name, rn in retired_new.items():
+                retired_pos.setdefault(name, {}).update(rn)
+        union = _union_fold(stored)
         resolved = min(union.values()) if union else -1
 
         data = events.filter(_is_data)
@@ -552,6 +657,10 @@ class MultiTableChangeFeed:
             watermarks = {
                 str(k): v for k, v in stored.get(name, {}).items()
             }
+            for p, pos in retired_new.get(name, {}).items():
+                # sentinel: _finalize_commit drops the span from this
+                # table's persisted universe, recording its final checkpoint
+                watermarks[str(p)] = {"retired_at": int(pos)}
             sl = ready.filter(F.col("table") == F.lit(name))
             if name in self.boundaries:
                 sl = sl.filter(F.col("commit_ts") > F.lit(self.boundaries[name]))
@@ -611,7 +720,14 @@ class MultiTableChangeFeed:
 
             # skip provably-empty leading slices (barriers from prior
             # batches) — data-derived, so identical on replay
-            lo_evt = min((int(r["min_ts"]) for r in part_stats), default=None)
+            lo_evt = min(
+                (
+                    int(r["min_ts"])
+                    for r in part_stats
+                    if r["min_ts"] is not None
+                ),
+                default=None,
+            )
             committed_any = False
             for k, (slo, shi) in enumerate(slices):
                 provably_empty = (
@@ -699,10 +815,27 @@ class MultiTableChangeFeed:
                             )
             per_table[name] = committed_any
 
+        # topology batches force a per-table watermark commit even when the
+        # table had no merge this batch: the retirement must outlive the
+        # consumed source file (idempotent by epoch id)
+        for name, rn in retired_new.items():
+            t = self.tables.get(name)
+            if t is None or not rn:
+                continue
+            wm = {str(k): v for k, v in stored.get(name, {}).items()}
+            for p, pos in rn.items():
+                wm[str(p)] = {"retired_at": int(pos)}
+            t.advance_watermarks(
+                wm, f"cfm-{self.feed_id}-{batch_id:010d}-{name}-topo"
+            )
+
         if self.mq_dir is not None:
             self._emit_mq(mq_tables, batch_id, resolved, pre_versions)
 
-        had_tail = any(int(r["max_ts"]) > resolved for r in part_stats)
+        had_tail = any(
+            r["max_ts"] is not None and int(r["max_ts"]) > resolved
+            for r in part_stats
+        )
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
         if had_tail:
             # dropDuplicates: see ChangeFeed._write_tail — a crash-replayed
@@ -733,6 +866,16 @@ class MultiTableChangeFeed:
                     if name in self.tables
                 },
                 "events": sum(int(r["cnt"]) for r in part_stats),
+                **(
+                    {
+                        "span_changes": n_topo,
+                        "spans_retired": {
+                            n: sorted(rn) for n, rn in retired_new.items()
+                        },
+                    }
+                    if n_topo
+                    else {}
+                ),
             }
         )
         if self.post_batch is not None:
