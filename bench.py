@@ -281,6 +281,80 @@ def bench_stream_multi(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_stream_split(spark, work_root: str, n_events: int) -> dict:
+    """Dynamic span topology under streaming load: the SAME chunked stream
+    as cdc_stream_replay, plus four idle heartbeat-driven root spans of
+    which one SPLITS per chunk (op='S' control rows). The delta vs the
+    plain stream row is the topology machinery's whole cost — one tiny
+    control-row collect plus one metadata-only manifest commit per
+    topology batch; the data path (shuffles, merges, buckets) is
+    untouched by design."""
+    import glob as g
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+    from ticdc_spark.testgen import write_resolved_events, write_topology_events
+
+    src = os.path.join(work_root, f"binlog_c_{n_events}")
+    binlog = os.path.join(work_root, f"binlog_cs_{n_events}")
+    chunks = sorted(g.glob(os.path.join(src, "chunk-*")))
+    if not g.glob(os.path.join(binlog, "chunk-*")):
+        live = list(range(32, 36))  # idle roots beyond the 32 data parts
+        next_child = 40
+        for k, ch in enumerate(chunks):
+            dst = os.path.join(binlog, os.path.basename(ch))
+            os.makedirs(dst, exist_ok=True)
+            for f in g.glob(os.path.join(ch, "*.parquet")):
+                os.link(f, os.path.join(dst, os.path.basename(f)))
+            hi = int(
+                pc.max(
+                    pq_.read_table(ch, columns=["commit_ts"]).column("commit_ts")
+                ).as_py()
+            )
+            # idle spans stay live via heartbeats at the chunk's frontier
+            write_resolved_events(
+                dst, {p: hi for p in live}, fname="zz-hb.parquet"
+            )
+            # one region split per chunk: always a span that exists since
+            # feed start (roots), so any file->batch regrouping is safe
+            parent = live.pop(0)
+            c1, c2 = next_child, next_child + 1
+            next_child += 2
+            write_topology_events(
+                dst, [("S", parent, [c1, c2], hi + 1)], fname="zz-topo.parquet"
+            )
+            live.extend([c1, c2])
+    stream_glob = os.path.join(binlog, "chunk-*")
+    n_files = len(g.glob(os.path.join(binlog, "chunk-*", "*.parquet")))
+    tbl_dir = os.path.join(work_root, "stream_split_tbl")
+    ckpt = os.path.join(work_root, "stream_split_ckpt")
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    cf = ChangeFeed(
+        table,
+        stream_glob,
+        checkpoint_dir=ckpt,
+        mode="typed",
+        n_parts=36,
+        dynamic_spans=True,
+        max_files_per_trigger=max(1, n_files // 4),
+    )
+    t0 = time.time()
+    summaries = cf.run_available()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(summaries),
+        "splits": sum(s.get("span_changes", 0) for s in summaries),
+        "final_rows": table.read().count(),
+    }
+
+
 def bench_streaming_one_batch(spark, work_root: str, n_events: int) -> dict:
     """Streaming at a production batch size: ONE availableNow batch over the
     whole binlog. The delta vs the 4-batch row isolates the fixed per-
@@ -607,6 +681,7 @@ def main() -> None:
     incded = None
     keyless = None
     multi = None
+    split = None
     if not only_replay:
         stream = bench_streaming(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_replay"] = stream["sec"]
@@ -626,6 +701,8 @@ def main() -> None:
         qtimes["cdc_replay_keyless"] = keyless["sec"]
         multi = bench_stream_multi(spark, work_root, N_EVENTS // 2)
         qtimes["cdc_stream_multi"] = multi["sec"]
+        split = bench_stream_split(spark, work_root, N_EVENTS)
+        qtimes["cdc_stream_split"] = split["sec"]
     if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
         # 4x-events replay (the sf≈1 row): generation is cached in work_root,
         # so repeat runs measure only the replay
@@ -658,6 +735,7 @@ def main() -> None:
         "incremental_dedup": incded,
         "replay_keyless": keyless,
         "stream_multi": multi,
+        "stream_split": split,
         "cpus": int(CPUS),
         "regressions": _regression_check(qtimes),
     }

@@ -70,6 +70,12 @@ def main() -> int:
         help="the feed's lineage dir (TaskPosition rows): enables "
         "count/OPS/sink-gap; without it only registry state is shown",
     )
+    sp.add_argument(
+        "--table-root", default=None,
+        help="the feed's lake-table root: adds the span universe (live "
+        "span positions + retired spans with their final checkpoints — "
+        "the region-topology view after splits/merges)",
+    )
 
     sp = sub.add_parser("query", help="show one feed's info + status")
     sp.add_argument("feed")
@@ -139,6 +145,18 @@ def main() -> int:
                     if span > 0:
                         out["ops"] = round(count / span, 1)
                 out["batches"] = len(batch_dirs)
+            if args.table_root:
+                # span universe straight from the manifest (no Spark job)
+                mdir = os.path.join(args.table_root, "_manifests")
+                with open(os.path.join(mdir, "CURRENT")) as f:
+                    v = int(f.read().strip())
+                with open(os.path.join(mdir, f"v{v:08d}.json")) as f:
+                    m = json.load(f)
+                wm = m.get("part_watermarks", {})
+                out["spans"] = {
+                    "live": {k: wm[k] for k in sorted(wm, key=int)},
+                    "retired": m.get("retired_parts", {}),
+                }
         elif args.cmd == "query":
             out = reg.query(args.feed)
             if out is None:
