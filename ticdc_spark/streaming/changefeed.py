@@ -530,22 +530,6 @@ class ChangeFeed:
             _is_topo = F.col("op").isin(list(TOPOLOGY_OPS))
             _is_pos = ~_is_topo
             _is_data = ~F.col("op").isin(["R", *TOPOLOGY_OPS])
-            # dynamic feeds ride the control-row PAYLOAD on the same fold
-            # (collect_list skips the non-topology NULLs, so the buffers are
-            # empty for every data part) — a separate filter+collect would
-            # re-scan the whole batch just to pick up a handful of rows
-            _topo_payload = (
-                [
-                    F.collect_list(
-                        F.when(
-                            _is_topo,
-                            F.struct("commit_ts", "seq", "op", "doc_id"),
-                        )
-                    ).alias("trows")
-                ]
-                if self.dynamic_spans
-                else []
-            )
             part_stats = (
                 events.groupBy("part")
                 .agg(
@@ -553,7 +537,6 @@ class ChangeFeed:
                     F.min(F.when(_is_pos, F.col("commit_ts"))).alias("min_ts"),
                     F.max(F.when(_is_data, F.col("commit_ts"))).alias("data_max_ts"),
                     F.sum(F.when(_is_topo, 1).otherwise(0)).alias("topo"),
-                    *_topo_payload,
                     F.sum(F.when(_is_data, 1).otherwise(0)).alias("cnt"),
                     F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
                     F.sum(
@@ -602,8 +585,8 @@ class ChangeFeed:
                     "version above version_at(commit_ts) — the mounter's version "
                     "hint would silently drop them (mounter.go:242-247)"
                 )
-            # span topology: the control-row payload arrived ON the stats
-            # fold (trows) — no second scan; static feeds pay nothing
+            # span topology: collect the (tiny) control-row set only when the
+            # stats fold saw one — static feeds pay nothing
             n_topo = sum(int(r["topo"]) for r in part_stats)
             topo_rows: list = []
             if n_topo:
@@ -615,18 +598,10 @@ class ChangeFeed:
                         "change contract)"
                     )
                 topo_rows = sorted(
-                    (
-                        {
-                            "commit_ts": int(t["commit_ts"]),
-                            "seq": int(t["seq"]),
-                            "op": t["op"],
-                            "part": int(r["part"]),
-                            "doc_id": t["doc_id"],
-                        }
-                        for r in part_stats
-                        for t in (r["trows"] or [])
-                    ),
-                    key=lambda r: (r["commit_ts"], r["seq"]),
+                    events.filter(_is_topo)
+                    .select("commit_ts", "seq", "op", "part", "doc_id")
+                    .collect(),
+                    key=lambda r: (int(r["commit_ts"]), int(r["seq"])),
                 )
             # spans retiring in THIS batch: their data rows are legal (the
             # stream ends at the topology event, which takes effect at the

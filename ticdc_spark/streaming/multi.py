@@ -507,19 +507,6 @@ class MultiTableChangeFeed:
         _is_topo = F.col("op").isin(list(TOPOLOGY_OPS))
         _is_pos = ~_is_topo  # topology rows carry no stream position
         _is_data = ~F.col("op").isin(["R", *TOPOLOGY_OPS])
-        # dynamic feeds ride the control-row payload on the same fold —
-        # a separate filter+collect would re-scan the whole batch
-        _topo_payload = (
-            [
-                F.collect_list(
-                    F.when(
-                        _is_topo, F.struct("commit_ts", "seq", "op", "doc_id")
-                    )
-                ).alias("trows")
-            ]
-            if self.dynamic_spans
-            else []
-        )
         part_stats = (
             ev_thr.groupBy("table", "part")
             .agg(
@@ -527,7 +514,6 @@ class MultiTableChangeFeed:
                 F.min(F.when(_is_pos, F.col("commit_ts"))).alias("min_ts"),
                 F.max(F.when(_is_data, F.col("commit_ts"))).alias("data_max_ts"),
                 F.sum(F.when(_is_topo, 1).otherwise(0)).alias("topo"),
-                *_topo_payload,
                 F.sum(F.when(_is_data, 1).otherwise(0)).alias("cnt"),
                 F.sum(F.when(_is_data, sv_viol).otherwise(0)).alias("sv_viol"),
                 F.sum(
@@ -555,19 +541,10 @@ class MultiTableChangeFeed:
                     "universe cannot split/merge"
                 )
             topo_rows = sorted(
-                (
-                    {
-                        "table": r["table"],
-                        "commit_ts": int(t["commit_ts"]),
-                        "seq": int(t["seq"]),
-                        "op": t["op"],
-                        "part": int(r["part"]),
-                        "doc_id": t["doc_id"],
-                    }
-                    for r in part_stats
-                    for t in (r["trows"] or [])
-                ),
-                key=lambda r: (r["commit_ts"], r["seq"]),
+                events.filter(_is_topo)
+                .select("table", "commit_ts", "seq", "op", "part", "doc_id")
+                .collect(),
+                key=lambda r: (int(r["commit_ts"]), int(r["seq"])),
             )
         # spans retiring in THIS batch (legal same-batch data + the crash-
         # replay of a topology batch)
