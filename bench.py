@@ -315,7 +315,7 @@ def bench_stream_split(spark, work_root: str, n_events: int) -> dict:
                 ).as_py()
             )
             # idle spans stay live via heartbeats at the chunk's frontier
-            write_resolved_events(
+            hb = write_resolved_events(
                 dst, {p: hi for p in live}, fname="zz-hb.parquet"
             )
             # one region split per chunk: always a span that exists since
@@ -323,10 +323,25 @@ def bench_stream_split(spark, work_root: str, n_events: int) -> dict:
             parent = live.pop(0)
             c1, c2 = next_child, next_child + 1
             next_child += 2
-            write_topology_events(
+            tp = write_topology_events(
                 dst, [("S", parent, [c1, c2], hi + 1)], fname="zz-topo.parquet"
             )
             live.extend([c1, c2])
+            # Structured Streaming's file source orders by MODIFICATION
+            # TIME, and the hardlinked data files keep the original chunk
+            # mtimes — stamp the control files with their chunk's mtime so
+            # each chunk's heartbeats+split arrive IN that chunk's batch
+            # (otherwise every control file sorts last, the idle roots pin
+            # the frontier at -1, and the bench measures tail-carry, not
+            # topology)
+            data_files = [
+                f
+                for f in g.glob(os.path.join(dst, "*.parquet"))
+                if not os.path.basename(f).startswith("zz-")
+            ]
+            mt = os.path.getmtime(data_files[0])
+            for f in (hb, tp):
+                os.utime(f, (mt, mt))
     stream_glob = os.path.join(binlog, "chunk-*")
     n_files = len(g.glob(os.path.join(binlog, "chunk-*", "*.parquet")))
     tbl_dir = os.path.join(work_root, "stream_split_tbl")
