@@ -1235,6 +1235,33 @@ def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(shard_assign(_docs(spark, sf_dir), n_shards=7, seed=7))
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: bucket = h60(seed ++ doc_id) mod
+    100 → <80 train, <90 val, else test. Pure per-row hash (no shuffle, no
+    stored assignment — re-running reproduces the split bit-exact, the
+    property every training pipeline needs for resumable preprocessing);
+    per-split counts + token totals verify the bucketing globally."""
+    from ticdc_spark.functions.hashing import h60
+
+    seed = 13
+    b = h60(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.col("doc_id").cast("string"))
+    ) % 100
+    docs = _docs(spark, sf_dir).withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+    )
+    return (
+        docs.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars_total"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .select("split", "n_docs", "n_chars_total", "n_sources")
+    )
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training shuffle (pipeline.pack.shuffle_order):
     dense rank 1..N by seeded hash order — range-partitioned prefix sums,
@@ -2592,6 +2619,20 @@ FROM t
         "curate_corpus": _curate_sql(),
         "curate_full": _curate_sql(src="train", prefix_ctes="train AS (SELECT * FROM documents WHERE NOT (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0)),\n", anti_cte="cont AS (\n  SELECT DISTINCT z.doc_id FROM (\n    SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i, toks\n    FROM tq\n  ) z\n  JOIN (\n    SELECT DISTINCT array_to_string(e.toks[e.i:e.i+7], ' ') AS gram FROM (\n      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,\n             unnest(generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 7, 0))) AS i\n      FROM documents WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) as bigint) % 20 = 0\n    ) e\n  ) eg ON array_to_string(z.toks[z.i:z.i+7], ' ') = eg.gram\n)"),
         "corpus_shuffle": pk.shuffle_order_sql(seed=7),
+        "corpus_split": f"""
+WITH b AS (
+  SELECT doc_id, n_chars, source,
+         {h60_sql("concat_ws(chr(31), '13', cast(doc_id AS varchar))")} % 100 AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 80 THEN 'train'
+            WHEN bk < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS n_chars_total,
+       cast(count(DISTINCT source) AS bigint) AS n_sources
+FROM b GROUP BY 1
+""",
         "corpus_shards": pk.shard_assign_sql(n_shards=7, seed=7),
         "tokens_pack": f"""
 WITH d AS (
@@ -2891,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_enrich": q_events_asof_enrich,
         "events_asof_salted": q_events_asof_salted,
         "corpus_shuffle": q_corpus_shuffle,
+        "corpus_split": q_corpus_split,
         "corpus_shards": q_corpus_shards,
         "tokens_pack": q_tokens_pack,
         "curate_strict": q_curate_strict,
