@@ -359,6 +359,130 @@ def test_multi_feed_static_rejects_topology(spark, tmp_path):
         cf.run_available()
 
 
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_randomized_topology_matches_simulator(spark, tmp_path, seed):
+    """Randomized interleavings of data / heartbeats / splits / merges /
+    stale-retired heartbeats, driven batch-by-batch through
+    ChangeFeed._process_batch, against a pure-python span-map simulator:
+    after every batch the persisted watermark map, retired checkpoints and
+    resolved frontier must equal the simulator's, and the final table
+    state must equal the LWW fold of the released data prefix."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cf = ChangeFeed(t, str(tmp_path / "nolog"), str(tmp_path / "ck"),
+                    n_parts=3, dynamic_spans=True)
+
+    live = {0: -1, 1: -1, 2: -1}   # span -> position (simulator)
+    retired: dict[int, int] = {}   # span -> retirement checkpoint
+    next_child = 10
+    ts = 100
+    seq = 0
+    all_data: list[tuple] = []     # (commit_ts, seq, op, doc_id, tokens)
+
+    for batch_id in range(5):
+        rows = []
+        # data on live spans (per-span increasing ts)
+        for p in list(live):
+            for _ in range(rng.randrange(0, 4)):
+                ts += rng.randrange(1, 5)
+                seq += 1
+                op = rng.choice(["I", "I", "U", "D"])
+                doc = f"d{rng.randrange(0, 30)}"
+                toks = None if op == "D" else [rng.randrange(0, 99)]
+                rows.append(Row(
+                    commit_ts=ts, seq=seq, table="target_tokens", op=op,
+                    doc_id=doc, tokens=toks,
+                    n_tok=None if toks is None else len(toks),
+                    source=None if toks is None else "web",
+                    part=p, schema_version=0,
+                ))
+                all_data.append((ts, seq, op, doc, toks))
+                live[p] = max(live[p], ts)
+        # heartbeats (sometimes stale) on live spans
+        for p in list(live):
+            if rng.random() < 0.5:
+                hb = ts + rng.randrange(-10, 10)
+                rows.append(Row(
+                    commit_ts=hb, seq=0, table="target_tokens", op="R",
+                    doc_id="", tokens=None, n_tok=None, source=None,
+                    part=p, schema_version=0,
+                ))
+                live[p] = max(live[p], hb)
+        # stale heartbeat on an already-retired span: must be dropped
+        if retired and rng.random() < 0.5:
+            p = rng.choice(list(retired))
+            rows.append(Row(
+                commit_ts=ts + 50, seq=0, table="target_tokens", op="R",
+                doc_id="", tokens=None, n_tok=None, source=None,
+                part=p, schema_version=0,
+            ))
+        # topology: one split or merge per batch (sometimes none)
+        roll = rng.random()
+        if roll < 0.45 and live:
+            p = rng.choice(list(live))
+            c1, c2 = next_child, next_child + 1
+            next_child += 2
+            rows.append(Row(
+                commit_ts=ts + 1, seq=seq + 1, table="target_tokens",
+                op="S", doc_id=f"{c1},{c2}", tokens=None, n_tok=None,
+                source=None, part=p, schema_version=0,
+            ))
+            pos = live.pop(p)
+            retired[p] = pos
+            live[c1] = pos
+            live[c2] = pos
+        elif roll < 0.7 and len(live) >= 2:
+            pa_, pb = rng.sample(list(live), 2)
+            c = next_child
+            next_child += 1
+            rows.append(Row(
+                commit_ts=ts + 1, seq=seq + 1, table="target_tokens",
+                op="M", doc_id=f"{pa_},{pb}", tokens=None, n_tok=None,
+                source=None, part=c, schema_version=0,
+            ))
+            a, b = live.pop(pa_), live.pop(pb)
+            retired[pa_] = a
+            retired[pb] = b
+            live[c] = min(a, b)
+        if not rows:
+            continue
+        batch = spark.createDataFrame(rows)
+        cf._process_batch(batch.select(
+            "commit_ts", "seq", "table", "op", "doc_id",
+            F.col("tokens").cast("array<int>").alias("tokens"),
+            F.col("n_tok").cast("int").alias("n_tok"),
+            "source",
+            F.col("part").cast("int").alias("part"),
+            F.col("schema_version").cast("int").alias("schema_version"),
+        ), batch_id)
+        # simulator vs persisted state after every batch
+        assert {int(k): v for k, v in t.part_watermarks.items()} == live, (
+            batch_id, live)
+        assert {int(k): v for k, v in t.retired_positions.items()} == retired
+        resolved = min(live.values()) if live else -1
+        assert cf.batch_summaries[-1]["resolved_ts"] == resolved
+
+    # final state = LWW winners of the released data prefix, minus deletes
+    resolved = min(live.values()) if live else -1
+    winners: dict[str, tuple] = {}
+    for cts, sq, op, doc, toks in all_data:
+        if cts > resolved:
+            continue
+        rank = (cts, sq, 0 if op == "D" else 1)
+        if doc not in winners or rank > winners[doc][0]:
+            winners[doc] = (rank, op, toks)
+    expect = {
+        d: tuple(tk) for d, (r, o, tk) in winners.items() if o != "D"
+    }
+    got = {r["doc_id"]: tuple(r["tokens"]) for r in t.read().collect()}
+    assert got == expect
+
+
 def test_split_batch_crash_replay_is_idempotent(spark, tmp_path):
     """Crash between the topology batch's commits and its streaming
     checkpoint: foreachBatch re-delivers the same files with the same id.
