@@ -1226,6 +1226,31 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(pack_stats(d, seq_len=512))
 
 
+def q_tokens_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed sequences THEMSELVES (pipeline.pack.pack_sequences):
+    tokenize, hash token strings to a 50k-id space, concat in doc_id order,
+    cut every 512 tokens, assemble each sequence's id array — the artifact
+    a training data loader reads. Token order inside every sequence is
+    hash-checked in full via the CSV serialization."""
+    from ticdc_spark.functions.hashing import h60
+    from ticdc_spark.pipeline.pack import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            bpe_tokens_col("text"), lambda t: h60(t) % 50_000
+        ).alias("tok_ids"),
+    )
+    seqs = pack_sequences(d, seq_len=512, tokens_col="tok_ids")
+    return seqs.select(
+        "seq_id",
+        F.col("n_fill").cast("long").alias("n_fill"),
+        F.array_join(
+            F.transform(F.col("tokens"), lambda t: t.cast("string")), ","
+        ).alias("tokens_csv"),
+    )
+
+
 def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contiguous-balanced shard assignment over the shuffle
     order (pipeline.pack.shard_assign — the layout write_shards
@@ -2656,6 +2681,27 @@ SELECT seq_id, count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tokens,
        cast(min(start_off) as bigint) AS first_off
 FROM x GROUP BY seq_id
 """,
+        "tokens_pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '{BPE_RE}') AS toks
+  FROM documents
+),
+off AS (
+  SELECT doc_id, toks,
+         sum(len(toks)::BIGINT) OVER (ORDER BY doc_id)
+           - len(toks)::BIGINT AS start_off
+  FROM d
+),
+ex AS (
+  SELECT start_off + generate_subscripts(toks, 1) - 1 AS g,
+         {h60_sql("unnest(toks)")} % 50000 AS tokid
+  FROM off
+)
+SELECT cast(g // 512 AS bigint) AS seq_id,
+       count(*) AS n_fill,
+       string_agg(cast(tokid AS varchar), ',' ORDER BY g) AS tokens_csv
+FROM ex GROUP BY 1
+""",
         "dedup_exact": """
 SELECT md5(lower(trim(text))) AS content_md5, count(*) AS dup_count,
        min(doc_id) AS canonical_doc_id
@@ -2933,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_salted": q_events_asof_salted,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_split": q_corpus_split,
+        "tokens_pack_sequences": q_tokens_pack_sequences,
         "corpus_shards": q_corpus_shards,
         "tokens_pack": q_tokens_pack,
         "curate_strict": q_curate_strict,

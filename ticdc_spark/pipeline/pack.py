@@ -217,6 +217,53 @@ def pack_stats(docs: DataFrame, seq_len: int, **kw) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    order_col: str = "doc_id",
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Materialize the packed training sequences themselves — the step
+    AFTER pack_offsets' metadata: documents concatenated in order_col
+    order, cut every seq_len tokens; each output row is one training
+    sequence with its assembled token array (cu_seqlens consumers read
+    pack_offsets; data loaders read THIS).
+
+    Plan shape: the same deterministic global prefix sum as pack_offsets
+    for start offsets (no single-partition window), then ONE posexplode +
+    hash shuffle keyed by seq_id, per-sequence assembly as a native
+    array_sort over (slot, token) structs — no UDF, no driver collect.
+    Every shuffle group is <= seq_len tokens regardless of document
+    length (a boundary-spanning doc feeds both neighbor sequences), so
+    group size is bounded by construction at any corpus size.
+
+    Output: (seq_id, n_fill, tokens) — the final sequence may be
+    partially filled (n_fill < seq_len).
+    """
+    base = docs.select(order_col, tokens_col).withColumn(
+        "_n", F.size(F.col(tokens_col)).cast("long")
+    )
+    cum = _global_cumsum(base, "_n", [order_col], range_partitions)
+    ex = cum.select(
+        (F.col("_cum") - F.col("_n")).alias("_start"),
+        F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"),
+    )
+    g = F.col("_start") + F.col("_pos")
+    ex = ex.select(
+        (g / seq_len).cast("long").alias("seq_id"),
+        (g % seq_len).cast("int").alias("_slot"),
+        F.col("_tok"),
+    )
+    return ex.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_fill"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_slot", "_tok"))),
+            lambda s: s["_tok"],
+        ).alias("tokens"),
+    )
+
+
 def shuffle_order(
     docs: DataFrame,
     seed: int = 0,
