@@ -316,6 +316,33 @@ def test_pack_offsets_contiguous_and_sharded(docs, spark):
         by_shard[r["shard"]] = r["end_off"]
 
 
+def test_pack_sequences_assembles_in_order(spark):
+    """pack_sequences materializes exactly the concatenation-in-order cut
+    every L tokens: boundary-spanning docs feed both neighbors, the tail
+    sequence is partial, token order inside every sequence is global."""
+    from ticdc_spark.pipeline.pack import pack_offsets, pack_sequences
+
+    rows = [
+        (1, list(range(0, 7))),      # 7 tokens
+        (2, list(range(100, 103))),  # 3
+        (3, []),                     # empty doc contributes nothing
+        (4, list(range(200, 206))),  # 6 -> total 16, L=5 -> 4 seqs
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    seqs = {
+        r["seq_id"]: list(r["tokens"])
+        for r in pack_sequences(d, seq_len=5).collect()
+    }
+    flat = list(range(0, 7)) + list(range(100, 103)) + list(range(200, 206))
+    expect = {i: flat[i * 5:(i + 1) * 5] for i in range((len(flat) + 4) // 5)}
+    assert seqs == expect
+    # n_fill agrees with pack_offsets' per-sequence token accounting
+    off = pack_offsets(
+        d.selectExpr("doc_id", "size(tokens) as n_tok"), seq_len=5
+    ).collect()
+    assert sum(r["n_tok"] for r in off) == len(flat)
+
+
 def test_decontaminate_flags_overlapping_docs(spark):
     from ticdc_spark.pipeline.decontam import decontaminate
 
