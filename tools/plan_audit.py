@@ -64,6 +64,9 @@ AUDIT = [
     "events_asof_salted",
     "tokens_oov_rate",
     "corpus_profile",
+    "cdc_syncpoint_read",
+    "corpus_split",
+    "tokens_pack_sequences",
 ]
 
 
