@@ -151,3 +151,39 @@ def test_heartbeat_raw_mode(spark, tmp_path):
     assert resolved > 0
     expected = apply_binlog(typed, upto_ts=resolved)
     assert not diff_tables(expected, _lake_arrow(t1))
+
+
+def test_heartbeat_only_batch_persists_frontier_across_restart(spark, tmp_path):
+    """A heartbeat that advances a span in a batch with NO releasable data
+    (everything else pending/idle) must survive a restart: the control file
+    is consumed by the source and never re-read, so the advance has to ride
+    a metadata-only commit — an in-memory-only fold would roll the frontier
+    back and lose the delivered heartbeat forever (the reference checkpoints
+    forwarded resolved-ts: processor position, cdc/processor/processor.go).
+    """
+    from tests.test_split_merge import _write_data_rows
+
+    binlog = str(tmp_path / "binlog")
+    rows = [(100, i, "I", f"d{i}", [i], p) for i, p in enumerate((0, 1, 2))]
+    sa = _write_data_rows(binlog, rows, "a-00000.parquet")
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    ck = str(tmp_path / "ck")
+    s1 = ChangeFeed(t, binlog, ck, n_parts=3).run_available()
+    assert s1[-1]["resolved_ts"] == 100
+
+    # heartbeat-only batch: part 0 → 900 (parts 1,2 still at 100, so the
+    # frontier stays 100 and the batch is provably empty of releasable data)
+    write_resolved_events(binlog, {0: 900}, fname="b-hb.parquet")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    s2 = ChangeFeed(t, binlog, ck, n_parts=3).run_available()
+    assert s2[-1]["resolved_ts"] == 100
+    assert int(t.part_watermarks["0"]) == 900  # persisted, not in-memory
+
+    # restart: the remaining heartbeats close the frontier — reaches 900
+    # only if part 0's earlier advance survived the restart
+    write_resolved_events(binlog, {1: 900, 2: 900}, fname="c-hb.parquet")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    s3 = ChangeFeed(t, binlog, ck, n_parts=3).run_available()
+    assert s3[-1]["resolved_ts"] == 900
+    expected = apply_binlog(sa, upto_ts=900)
+    assert not diff_tables(expected, _lake_arrow(t))

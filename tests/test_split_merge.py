@@ -513,3 +513,76 @@ def test_split_batch_crash_replay_is_idempotent(spark, tmp_path):
     state2 = {r["doc_id"]: list(r["tokens"]) for r in t2.read().collect()}
     assert state2 == state
     assert s1[-1]["spans_retired"] == [1]
+
+
+def test_lifecycle_created_table_split_drop_restart(spark, tmp_path):
+    """Lifecycle × topology interplay: a table CREATED by an in-stream DDL
+    acquires its own dynamic span universe — a later split retires its
+    parent span (retirement persisted across a restart), post-split data
+    lands on the children, and the drop_table window freezes its state; the
+    statically-configured sibling's universe is untouched throughout.
+    Reference analog: schema_storage create/drop (cdc/entry/schema_storage
+    .go:539-624) composed with kv-client region splits (cdc/kv/client.go)."""
+    from ticdc_spark.streaming.multi import MultiTableChangeFeed
+
+    binlog = str(tmp_path / "binlog")
+    rows_a = [(100 + 10 * i, i, "I", f"a{i}", [i], i % 2) for i in range(12)]
+    sa = _write_data_rows(binlog, rows_a, "a1-00000.parquet", table="ta")
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "string"},
+        {"id": 2, "name": "tokens", "type": "array<int>"},
+        {"id": 3, "name": "n_tok", "type": "int"},
+        {"id": 4, "name": "source", "type": "string"},
+    ]
+    ddl_rows = [
+        {"commit_ts": 150, "ddl_type": "create_table", "table": "tc",
+         "spec": {"fields": fields, "key": "doc_id", "n_buckets": 4}},
+        {"commit_ts": 800, "ddl_type": "drop_table", "table": "tc",
+         "spec": {}},
+    ]
+    rows_c1 = [(200 + 10 * i, 50 + i, "I", f"c{i}", [i, i], i % 2)
+               for i in range(10)]
+    sc1 = _write_data_rows(binlog, rows_c1, "c1-00000.parquet", table="tc")
+    # split the CREATED table's part 1 into {2, 3}
+    write_topology_events(binlog, [("S", 1, [2, 3], 500)], table="tc",
+                          fname="d1-topo.parquet")
+
+    LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    ck = str(tmp_path / "ck")
+
+    def mk_feed():
+        return MultiTableChangeFeed(
+            {"ta": LakeTable(spark, str(tmp_path / "ta"))}, binlog, ck,
+            n_parts=2, dynamic_spans=True, ddl_rows=ddl_rows,
+            table_root=str(tmp_path / "created"), max_files_per_trigger=1,
+        )
+
+    mk_feed().run_available()
+    tc = LakeTable(spark, str(tmp_path / "created" / "tc"))
+    assert tc.retired_parts == {"1"}
+    assert {int(k) for k in tc.part_watermarks} == {0, 2, 3}
+    assert LakeTable(spark, str(tmp_path / "ta")).retired_parts == set()
+
+    # ---- restart: children data, then heartbeats carry past the drop ----
+    rows_c2 = [(600, 90, "I", "cx", [7], 2), (610, 91, "U", "c1", [8, 8], 3),
+               (620, 92, "D", "c2", [0], 0)]
+    sc2 = _write_data_rows(binlog, rows_c2, "e1-00000.parquet", table="tc")
+    write_resolved_events(binlog, {0: 900, 2: 900, 3: 900}, table="tc",
+                          fname="f1-hb.parquet")
+    write_resolved_events(binlog, {0: 900, 1: 900}, table="ta",
+                          fname="g1-hb.parquet")
+    s2 = mk_feed().run_available()
+    assert s2[-1]["resolved_ts"] == 900  # past the drop: tc frozen at 800
+
+    exp_a = apply_binlog(sa, upto_ts=900)
+    assert not diff_tables(
+        exp_a, _lake_arrow(LakeTable(spark, str(tmp_path / "ta")))
+    )
+    ev_c = pa.concat_tables([sc1, sc2])
+    win = ev_c.filter(
+        pc.and_(pc.greater(ev_c.column("commit_ts"), 150),
+                pc.less_equal(ev_c.column("commit_ts"), 800))
+    )
+    exp_c = apply_binlog(win, upto_ts=900)
+    tc = LakeTable(spark, str(tmp_path / "created" / "tc"))
+    assert not diff_tables(exp_c, _lake_arrow(tc))

@@ -825,6 +825,21 @@ class ChangeFeed:
                 self.table.advance_watermarks(
                     watermarks, f"cf-{self.feed_id}-{batch_id:010d}-topo"
                 )
+            elif not epoch_stats and any(
+                int(v) > int(stored0.get(p, -1)) for p, v in stored.items()
+            ):
+                # heartbeat-persisted frontier: a batch provably empty of
+                # releasable data commits no epoch, yet resolved-ts control
+                # rows may still have advanced span positions — and control
+                # rows, unlike the data tail (persisted in pending/), are
+                # consumed by the source and never re-read. Persist the
+                # advance (metadata-only, idempotent by epoch id) or the
+                # frontier rolls back on restart; the reference checkpoints
+                # forwarded resolved-ts (processor position / puller
+                # frontier, cdc/processor/processor.go).
+                self.table.advance_watermarks(
+                    watermarks, f"cf-{self.feed_id}-{batch_id:010d}-wm"
+                )
             # MQ DDL messages: EVERY barrier ≤ resolved, not just the ones
             # executed in this attempt — a crash between the schema commit
             # and emission would otherwise lose the DDL downstream forever.

@@ -829,6 +829,25 @@ class MultiTableChangeFeed:
                 wm, f"cfm-{self.feed_id}-{batch_id:010d}-{name}-topo"
             )
 
+        # heartbeat-persisted frontier (same rule as the single-table
+        # feed): a table whose span map advanced via resolved-ts control
+        # rows in a batch that merged nothing for it must persist the
+        # advance — control rows are consumed by the source and never
+        # re-read (unlike the data tail, which persists in pending/), so an
+        # in-memory-only advance rolls that table's frontier back on the
+        # next batch's reload and loses delivered heartbeats forever.
+        # Metadata-only commit, idempotent by epoch id.
+        for name, t in self.tables.items():
+            if per_table.get(name) or retired_new.get(name):
+                continue
+            m = stored.get(name) or {}
+            cur = t.part_watermarks
+            if any(int(v) > int(cur.get(str(p), -1)) for p, v in m.items()):
+                t.advance_watermarks(
+                    {str(k): int(v) for k, v in m.items()},
+                    f"cfm-{self.feed_id}-{batch_id:010d}-{name}-wm",
+                )
+
         if self.mq_dir is not None:
             self._emit_mq(mq_tables, batch_id, resolved, pre_versions)
 
