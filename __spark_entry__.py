@@ -748,6 +748,58 @@ def q_codec_open_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_open_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZED batch framing round trip (cdc/sink/codec/json.go:394-399): the
+    MQ wire form — events split greedily into messages of ≤ max-batch-size
+    events and ≤ max-message-bytes bytes per dispatch partition. Caps here
+    (4 events / 1200 bytes) are chosen so BOTH split rules fire on this
+    feed; the decode unframes every message independently, so the round
+    trip proves no event is lost or reordered across message boundaries."""
+    from ticdc_spark.functions.codec import (
+        decode_open_protocol_batched,
+        encode_open_protocol_sized,
+    )
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    enc = encode_open_protocol_sized(
+        feed, ["event_type", "value"], group_col="part",
+        max_batch_size=4, max_message_bytes=1200,
+    )
+    dec = decode_open_protocol_batched(
+        enc,
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    return dec.select(
+        "commit_ts", "seq", "table", "op", "doc_id", "event_type",
+        F.round("value", 6).alias("val"),
+    )
+
+
+def q_codec_sized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The message-split SHAPE itself, hash-checked: with the byte cap at
+    its 64 MiB default (unreachable on this feed) the reference's greedy
+    rule degenerates to fixed max-batch-size chunks in (commit_ts, seq)
+    order — msg_idx = (row_number-1) div 16, exactly expressible in SQL.
+    The byte-cap branch is covered by `codec_open_sized` (round trip with
+    caps that fire) and an exact pytest against the pure-python json.go
+    reference split."""
+    from ticdc_spark.functions.codec import encode_open_protocol_sized
+
+    feed = changelog(spark, sf_dir).withColumn("table", F.lit("events"))
+    enc = encode_open_protocol_sized(feed, ["event_type", "value"], group_col="part")
+    return enc.select(
+        F.col("part").cast("long").alias("part"),
+        F.col("msg_idx").cast("long").alias("msg_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.length("key_bytes").cast("long").alias("key_len"),
+    )
+
+
 def q_codec_canal_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canal PROTOBUF codec round trip (cdc/sink/codec/canal.go:113-276 +
     proto/EntryProtocol.proto): Entry{Header, ROWDATA, RowChange} in proto3
@@ -2479,6 +2531,28 @@ SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
        CASE WHEN op != 'D' THEN round(value, 6) END AS val
 FROM feed
 """,
+        "codec_open_sized": f"""
+WITH feed AS ({FEED_SQL})
+SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
+       CASE WHEN op != 'D' THEN event_type END AS event_type,
+       CASE WHEN op != 'D' THEN round(value, 6) END AS val
+FROM feed
+""",
+        "codec_sized_stats": f"""
+WITH feed AS ({FEED_SQL}),
+k AS (
+  SELECT part,
+         row_number() OVER (PARTITION BY part ORDER BY commit_ts, seq) - 1 AS rn,
+         length('{{"commit_ts":' || commit_ts || ',"seq":' || seq ||
+                ',"table":"events","op":"' || op ||
+                '","doc_id":"' || doc_id || '"}}') AS klen
+  FROM feed
+)
+SELECT part, rn // 16 AS msg_idx, count(*) AS n_events,
+       8 + sum(8 + klen) AS key_len
+FROM k
+GROUP BY 1, 2
+""",
         "codec_canal_entry": f"""
 WITH feed AS ({FEED_SQL})
 SELECT commit_ts, seq, 'events' AS "table", op, doc_id,
@@ -3018,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_meta": q_multimodal_meta,
+        "codec_open_sized": q_codec_open_sized,
+        "codec_sized_stats": q_codec_sized_stats,
         "text_vocab_topk": q_text_vocab_topk,
         "cdc_final_state": q_cdc_final_state,
         "cdc_lww_window": q_cdc_lww_window,

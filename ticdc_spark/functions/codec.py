@@ -466,6 +466,108 @@ def decode_open_protocol_batched(
     return decode_open_protocol(pairs, payload_schema)
 
 
+# ---------------------------------------------------------------------------
+# SIZED batch framing — the reference never ships one unbounded message per
+# partition: JSONEventBatchEncoder starts a NEW MQ message whenever the
+# current one holds max-batch-size events (default 16) or appending the next
+# event would push it past max-message-bytes (default 64 MiB), Kafka's
+# message ceiling (cdc/sink/codec/json.go:38-41 defaults, 394-399 split
+# rule, 414-418 oversized-single-event warning). The one-frame-per-group
+# encoder above is the cdclog/oracle form; THIS is the MQ wire form.
+# ---------------------------------------------------------------------------
+
+DEFAULT_MAX_MESSAGE_BYTES = 64 * 1024 * 1024  # json.go:39
+DEFAULT_MAX_BATCH_SIZE = 16  # json.go:41
+
+
+def split_open_protocol_sized(
+    keys: list[str],
+    values: list[str | None],
+    max_batch_size: int = DEFAULT_MAX_BATCH_SIZE,
+    max_message_bytes: int = DEFAULT_MAX_MESSAGE_BYTES,
+) -> list[tuple[int, int]]:
+    """The reference's greedy message split (json.go:394-399), verbatim:
+    walking events in order, open a new message when the current one already
+    holds max_batch_size events OR appending (8B keyLen + key + 8B valueLen
+    + value) would exceed max_message_bytes. A single event larger than the
+    byte cap still ships alone (json.go:414-418 warns, never drops).
+    Returns [start, end) event-index ranges, one per message."""
+    msgs: list[list[int]] = []  # [start_idx, length_bytes, n_events]
+    for i, (k, v) in enumerate(zip(keys, values)):
+        add = (
+            len(k.encode("utf-8"))
+            + (0 if v is None else len(v.encode("utf-8")))
+            + 16
+        )
+        if (
+            not msgs
+            or msgs[-1][2] >= max_batch_size
+            or msgs[-1][1] + add > max_message_bytes
+        ):
+            msgs.append([i, 8, 0])  # 8B version head (json.go:398-399)
+        msgs[-1][1] += add
+        msgs[-1][2] += 1
+    return [(s, s + n) for s, _, n in msgs]
+
+
+def encode_open_protocol_sized(
+    df: DataFrame,
+    payload_cols: list[str],
+    group_col: str = "partition",
+    max_batch_size: int = DEFAULT_MAX_BATCH_SIZE,
+    max_message_bytes: int = DEFAULT_MAX_MESSAGE_BYTES,
+) -> DataFrame:
+    """(events + group_col) → size-bounded framed messages: each dispatch
+    group's events (ordered by the total order (commit_ts, seq)) are split
+    by the reference's greedy rule into messages of ≤ max_batch_size events
+    and ≤ max_message_bytes bytes, framed exactly like
+    :func:`pack_open_protocol_batch`.
+
+    Output: (group_col, msg_idx, n_events, key_bytes, value_bytes) — one row
+    per MQ message; msg_idx is the message's send order within its
+    partition (Kafka append order = encoder Build() order, mq.go flush).
+
+    Spark shape: ONE groupBy(group_col) + applyInPandas. A group is one MQ
+    partition's slice of one micro-batch — bounded by trigger sizing, not
+    by corpus size, exactly the buffer the reference's per-partition
+    encoder holds in memory; partition count scales with the sink topic."""
+    import pandas as pd
+
+    grp_type = df.schema[group_col].dataType.simpleString()
+    key = F.to_json(F.struct(*[F.col(c) for c in KEY_FIELDS]))
+    val = F.when(
+        F.col("op") != "D", F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    )
+    rows = df.select(
+        F.col(group_col).alias("_grp"),
+        F.col("commit_ts").alias("_cts"),
+        F.col("seq").alias("_seq"),
+        key.alias("_k"),
+        val.alias("_v"),
+    )
+    out_schema = (
+        f"{group_col} {grp_type}, msg_idx int, n_events int, "
+        "key_bytes binary, value_bytes binary"
+    )
+
+    def _split(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_cts", "_seq"], kind="mergesort")
+        ks = pdf["_k"].tolist()
+        vs = [None if pd.isna(v) else v for v in pdf["_v"]]
+        out = []
+        for idx, (s, e) in enumerate(
+            split_open_protocol_sized(ks, vs, max_batch_size, max_message_bytes)
+        ):
+            kb, vb = pack_open_protocol_batch(ks[s:e], vs[s:e])
+            out.append((pdf["_grp"].iloc[0], idx, e - s, kb, vb))
+        return pd.DataFrame(
+            out,
+            columns=[group_col, "msg_idx", "n_events", "key_bytes", "value_bytes"],
+        )
+
+    return rows.groupBy("_grp").applyInPandas(_split, out_schema)
+
+
 def pack_open_protocol_mixed(keys: list[str], values: list[str | None]) -> bytes:
     """MixedBuild layout (json.go:370-398, used by the cdclog file sink):
     ONE byte stream = [8B BE version][8B BE keyLen][key][8B BE valLen][val]
