@@ -251,6 +251,167 @@ class CdclogSink:
         return path
 
 
+def read_cdclog_meta(root: str) -> dict[str, int]:
+    """log.meta → {table name: table id} (inverts the `{"names": {id:
+    "`db`.`tbl`"}}` layout the sink writes, utils.go:220-251)."""
+    with open(os.path.join(root, "log.meta")) as f:
+        meta = json.load(f)
+    out = {}
+    for tid, qualified in meta.get("names", {}).items():
+        name = qualified.rsplit(".", 1)[-1].strip("`")
+        out[name] = int(tid)
+    return out
+
+
+def read_cdclog_ddls(
+    root: str, table: str | None = None, upto_ts: int | None = None
+) -> list[tuple[int, str, str, dict]]:
+    """Parse ddls/ddl.* (one DDL message per file, reverse-ts filenames so
+    the NEWEST sorts first — utils.go:249-251) → [(ts, table, ddl_type,
+    spec)] in ASCENDING ts order. Driver-side: DDLs are rare, O(#ddls)
+    tiny files — the same metadata-fold budget as the manifest reads."""
+    ddl_dir = os.path.join(root, "ddls")
+    out = []
+    if not os.path.isdir(ddl_dir):
+        return out
+    for fn in os.listdir(ddl_dir):
+        if not fn.startswith("ddl."):
+            continue
+        with open(os.path.join(ddl_dir, fn), "rb") as f:
+            msgs = unpack_open_protocol_mixed(f.read())
+        for k, v in msgs:
+            key = json.loads(k)
+            val = json.loads(v) if v else {}
+            ts = int(key["ts"])
+            if upto_ts is not None and ts > upto_ts:
+                continue
+            if table is not None and key.get("table") != table:
+                continue
+            out.append((ts, key.get("table"), val["ddl_type"], val.get("spec", {})))
+    out.sort(key=lambda r: r[0])
+    return out
+
+
+_WIPE_DDL = ("truncate_table", "drop_partition", "truncate_partition")
+
+
+def restore_cdclog(
+    spark: SparkSession,
+    root: str,
+    dest_root: str,
+    table: str,
+    base_fields: list[dict],
+    n_buckets: int = 8,
+    upto_ts: int | None = None,
+    key_col: str = "doc_id",
+    collapse: str = "bucket_window",
+):
+    """BR-style disaster recovery: rebuild a lake table FROM the archived
+    cdclog — the whole reason the reference ships this sink (cdclog is
+    consumed by BR's restore, cdc/sink/cdclog/s3.go doc; file layout
+    utils.go:220-251). Returns the restored LakeTable.
+
+    base_fields: the table's schema at the START of the log (a restore
+    always begins from a backup whose meta carries the base schema); the
+    archived ddls/ stream replays forward from it through a SchemaRegistry,
+    and every event decodes at the schema current at CRTs-1 (the mounter's
+    snapshot rule), regardless of which schema version wrote its file.
+
+    upto_ts: point-in-time restore — apply only events/DDLs at or below it.
+
+    Plan shape: ONE binaryFile scan of the table's cdclog files →
+    Arrow-batched unframe → per-version vectorized from_json (mount_raw) →
+    LWW-collapsed idempotent epoch merges, split ONLY at data-wiping DDL
+    barriers (truncate/partition-drop — field DDLs need no barrier because
+    every event is projected to the final schema by stable field id).
+    Nothing driver-side but the O(#ddls + #files) metadata."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..engine.replay import replay_epoch
+    from ..lake.table import LakeTable
+    from ..operators.mounter import mount_raw
+    from .registry import SchemaRegistry
+
+    tid = read_cdclog_meta(root)[table]
+    ddls = read_cdclog_ddls(root, table=table, upto_ts=upto_ts)
+    registry = SchemaRegistry(base_fields)
+    for ts, _tbl, ddl_type, spec in ddls:
+        registry.add_ddl(ts, ddl_type, spec, on_unsupported="skip")
+
+    def _unpack(content):
+        out = []
+        for data in content:
+            out.append([list(p) for p in unpack_open_protocol_mixed(data)])
+        return pd.Series(out)
+
+    unpacker = pandas_udf(_unpack, "array<array<string>>")
+    files = spark.read.format("binaryFile").load(
+        os.path.join(root, f"t_{tid}", "cdclog.*")
+    )
+    pairs = files.select(
+        F.explode(unpacker(F.col("content"))).alias("_p")
+    ).select(F.col("_p")[0].alias("key_json"), F.col("_p")[1].alias("value_json"))
+    key_schema = T.StructType(
+        [
+            T.StructField("commit_ts", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField(key_col, T.StringType()),
+        ]
+    )
+    ev = pairs.withColumn("_k", F.from_json("key_json", key_schema)).select(
+        "_k.*", F.col("value_json").alias("payload")
+    )
+    if upto_ts is not None:
+        ev = ev.filter(F.col("commit_ts") <= upto_ts)
+    # schema_version = #DDLs strictly below commit_ts (snapshot at CRTs-1)
+    sv = F.lit(0)
+    for ts in registry.ddl_ts:
+        sv = sv + F.when(F.lit(ts) < F.col("commit_ts"), 1).otherwise(0)
+    raw = ev.select(
+        "commit_ts", "seq", "table", "op", key_col,
+        F.lit(0).alias("part"),
+        sv.cast("int").alias("schema_version"),
+        "payload",
+    )
+    final_version = len(registry.versions) - 1
+    mounted = mount_raw(
+        raw, registry, final_version,
+        versions_present=list(range(final_version + 1)),
+    )
+
+    dest = LakeTable.create(
+        spark, dest_root,
+        fields=[dict(f) for f in registry.fields(final_version)],
+        n_buckets=n_buckets, key_col=key_col,
+    )
+    wipes = [
+        (ts, kind, spec)
+        for ts, kind, spec in zip(
+            registry.ddl_ts, registry.ddl_kinds, registry.ddl_specs
+        )
+        if kind in _WIPE_DDL
+    ]
+    lo = None
+    for k, (ts, kind, spec) in enumerate(wipes):
+        seg = mounted.filter(F.col("commit_ts") <= ts)
+        if lo is not None:
+            seg = seg.filter(F.col("commit_ts") > lo)
+        # same-ts-pre-DDL rule: DML at commit_ts == barrier applies FIRST,
+        # then the wipe takes it out (delete_where stamps seq=2^62)
+        replay_epoch(dest, seg, f"restore:{k}", collapse=collapse)
+        if kind == "truncate_table":
+            dest.truncate(f"restore:ddl:{k}")
+        else:
+            dest.delete_where(spec["where"], ts, f"restore:ddl:{k}")
+        lo = ts
+    tail = mounted if lo is None else mounted.filter(F.col("commit_ts") > lo)
+    replay_epoch(dest, tail, "restore:final", collapse=collapse)
+    return dest
+
+
 def read_cdclog(
     spark: SparkSession, root: str, payload_schema: T.StructType
 ) -> DataFrame:
