@@ -138,3 +138,14 @@ def test_parse_sink_uri():
         parse_sink_uri("kafka://b:9092/topic")  # no mq_base
     with pytest.raises(ValueError):
         parse_sink_uri("pulsar://x/y")
+
+
+def test_parse_sink_uri_message_sizing():
+    kw, _ = parse_sink_uri(
+        "kafka://broker/topic?protocol=default&max-message-bytes=1048576"
+        "&max-batch-size=8",
+        mq_base="/tmp/mq",
+    )
+    assert kw["mq_framing"] == "sized"
+    assert kw["mq_max_message_bytes"] == 1048576
+    assert kw["mq_max_batch_size"] == 8

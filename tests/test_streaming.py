@@ -787,3 +787,70 @@ def test_mq_partition_delivery_order(spark, workspace, tmp_path):
             n_parts += 1
             n_msgs += len(order)
     assert n_parts >= 8 and n_msgs >= 5000  # base events + tie-pair clones
+
+
+def test_mq_sized_framing_pipeline(spark, workspace, tmp_path):
+    """mq_framing='sized': the batch-framed kafka wire form flows END-TO-END
+    — every emitted MQ message holds ≤ max-batch-size events and ≤
+    max-message-bytes bytes (json.go:38-41, 394-418), msg_idx preserves the
+    per-partition send order, and the consumer's downstream state equals
+    the primary sink's."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.streaming.consumer import MQConsumer
+
+    spec = BinlogSpec(n_events=8_000, n_keys=800, seed=68, p_delete=0.15, p_insert=0.55)
+    write_binlog(spec, workspace["binlog"], files_per_part=3)
+    mq = str(tmp_path / "mq")
+    t1 = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    cf = ChangeFeed(
+        t1, workspace["binlog"], workspace["ckpt"], max_files_per_trigger=2,
+        mq_dir=mq, mq_partitions=8, mq_framing="sized",
+        mq_max_batch_size=16, mq_max_message_bytes=16 * 1024,
+    )
+    cf.run_available()
+
+    # wire-form invariants on the raw message files
+    msgs = spark.read.option("basePath", os.path.join(mq, sorted(os.listdir(mq))[0])).parquet(
+        os.path.join(mq, sorted(os.listdir(mq))[0], "partition=*")
+    )
+    agg = msgs.agg(
+        F.max("n_events"), F.max(F.length("key_bytes") + F.length("value_bytes")),
+        F.count("*"), F.sum("n_events"),
+    ).collect()[0]
+    assert agg[0] <= 16 and agg[1] <= 16 * 1024
+    assert agg[2] < agg[3]  # genuinely batched: fewer messages than events
+    # msg_idx dense from 0 per partition
+    per = msgs.groupBy("partition").agg(
+        F.min("msg_idx"), F.max("msg_idx"), F.count("*")
+    ).collect()
+    assert all(r[1] == 0 and r[2] == r[3] - 1 for r in per)
+
+    t2 = LakeTable.create(spark, str(tmp_path / "downstream"), n_buckets=4)
+    consumer = MQConsumer(spark, mq, t2, framing="sized")
+    stats = consumer.run_once()
+    assert stats and all(s["committed"] for s in stats)
+    a = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in t1.read().collect()}
+    b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in t2.read().collect()}
+    assert a == b and len(a) > 0
+    assert consumer.run_once() == []  # idempotent re-consume
+
+
+def test_mq_sized_framing_rejects_incompatible_options(spark, workspace):
+    from ticdc_spark.streaming.consumer import MQConsumer
+
+    t = LakeTable.create(spark, workspace["tbl"], n_buckets=4)
+    with pytest.raises(ValueError, match="sized"):
+        ChangeFeed(
+            t, workspace["binlog"], workspace["ckpt"],
+            mq_dir="/tmp/x", mq_framing="sized", mq_protocol="maxwell",
+        )
+    with pytest.raises(ValueError, match="sized"):
+        ChangeFeed(
+            t, workspace["binlog"], workspace["ckpt"],
+            mq_dir="/tmp/x", mq_framing="sized", mq_old_value=True,
+        )
+    with pytest.raises(ValueError, match="framing"):
+        MQConsumer(t.spark, "/tmp/x", t, framing="nope")
+    with pytest.raises(ValueError, match="open-protocol"):
+        MQConsumer(t.spark, "/tmp/x", t, protocol="maxwell", framing="sized")

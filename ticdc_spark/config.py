@@ -219,4 +219,12 @@ def parse_sink_uri(uri: str, mq_base: str | None = None) -> tuple[dict, list[str
         kw["mq_partitions"] = int(q["partition-num"])
     if q.get("enable-old-value") in ("true", "1"):
         kw["mq_old_value"] = True
+    # kafka message sizing (mq.go:278-320 params; json.go:38-41 defaults) —
+    # setting either opts into the batch-framed wire form
+    if "max-message-bytes" in q:
+        kw["mq_max_message_bytes"] = int(q["max-message-bytes"])
+        kw["mq_framing"] = "sized"
+    if "max-batch-size" in q:
+        kw["mq_max_batch_size"] = int(q["max-batch-size"])
+        kw["mq_framing"] = "sized"
     return kw, notes

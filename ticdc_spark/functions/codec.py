@@ -443,11 +443,9 @@ def encode_open_protocol_batched(
     ).select(group_col, "_p.*")
 
 
-def decode_open_protocol_batched(
-    df: DataFrame, payload_schema: T.StructType
-) -> DataFrame:
-    """(key_bytes, value_bytes) frames → typed change rows (explode the
-    frame JVM-side after an Arrow-batched unframe)."""
+def unframe_messages(df: DataFrame) -> DataFrame:
+    """(key_bytes, value_bytes) framed messages → exploded per-event
+    (key_json, value_json) pairs (json.go:742-792 decoder), Arrow-batched."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -458,12 +456,19 @@ def decode_open_protocol_batched(
         return pd.Series(out)
 
     unpacker = pandas_udf(_unpack, "array<array<string>>")
-    pairs = df.select(
+    return df.select(
         F.explode(unpacker(F.col("key_bytes"), F.col("value_bytes"))).alias("_p")
     ).select(
         F.col("_p")[0].alias("key_json"), F.col("_p")[1].alias("value_json")
     )
-    return decode_open_protocol(pairs, payload_schema)
+
+
+def decode_open_protocol_batched(
+    df: DataFrame, payload_schema: T.StructType
+) -> DataFrame:
+    """(key_bytes, value_bytes) frames → typed change rows (explode the
+    frame JVM-side after an Arrow-batched unframe)."""
+    return decode_open_protocol(unframe_messages(df), payload_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -510,17 +515,19 @@ def split_open_protocol_sized(
     return [(s, s + n) for s, _, n in msgs]
 
 
-def encode_open_protocol_sized(
+def frame_sized_messages(
     df: DataFrame,
-    payload_cols: list[str],
     group_col: str = "partition",
+    key_col: str = "key_json",
+    val_col: str = "value_json",
+    order_cols: tuple[str, str] = ("commit_ts", "seq"),
     max_batch_size: int = DEFAULT_MAX_BATCH_SIZE,
     max_message_bytes: int = DEFAULT_MAX_MESSAGE_BYTES,
 ) -> DataFrame:
-    """(events + group_col) → size-bounded framed messages: each dispatch
-    group's events (ordered by the total order (commit_ts, seq)) are split
-    by the reference's greedy rule into messages of ≤ max_batch_size events
-    and ≤ max_message_bytes bytes, framed exactly like
+    """Pre-encoded (key, value) JSON rows → size-bounded framed messages:
+    each dispatch group's rows (ordered by order_cols — a total order) are
+    split by the reference's greedy rule into messages of ≤ max_batch_size
+    events and ≤ max_message_bytes bytes, framed exactly like
     :func:`pack_open_protocol_batch`.
 
     Output: (group_col, msg_idx, n_events, key_bytes, value_bytes) — one row
@@ -534,16 +541,13 @@ def encode_open_protocol_sized(
     import pandas as pd
 
     grp_type = df.schema[group_col].dataType.simpleString()
-    key = F.to_json(F.struct(*[F.col(c) for c in KEY_FIELDS]))
-    val = F.when(
-        F.col("op") != "D", F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
-    )
+    o1, o2 = order_cols
     rows = df.select(
         F.col(group_col).alias("_grp"),
-        F.col("commit_ts").alias("_cts"),
-        F.col("seq").alias("_seq"),
-        key.alias("_k"),
-        val.alias("_v"),
+        F.col(o1).alias("_o1"),
+        F.col(o2).alias("_o2"),
+        F.col(key_col).alias("_k"),
+        F.col(val_col).alias("_v"),
     )
     out_schema = (
         f"{group_col} {grp_type}, msg_idx int, n_events int, "
@@ -551,7 +555,7 @@ def encode_open_protocol_sized(
     )
 
     def _split(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_cts", "_seq"], kind="mergesort")
+        pdf = pdf.sort_values(["_o1", "_o2"], kind="mergesort")
         ks = pdf["_k"].tolist()
         vs = [None if pd.isna(v) else v for v in pdf["_v"]]
         out = []
@@ -566,6 +570,33 @@ def encode_open_protocol_sized(
         )
 
     return rows.groupBy("_grp").applyInPandas(_split, out_schema)
+
+
+def encode_open_protocol_sized(
+    df: DataFrame,
+    payload_cols: list[str],
+    group_col: str = "partition",
+    max_batch_size: int = DEFAULT_MAX_BATCH_SIZE,
+    max_message_bytes: int = DEFAULT_MAX_MESSAGE_BYTES,
+) -> DataFrame:
+    """(events + group_col) → size-bounded framed messages (see
+    :func:`frame_sized_messages` for the split/plan contract): encodes the
+    open-protocol key/value JSON first, then frames."""
+    key = F.to_json(F.struct(*[F.col(c) for c in KEY_FIELDS]))
+    val = F.when(
+        F.col("op") != "D", F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    )
+    rows = df.select(
+        F.col(group_col),
+        F.col("commit_ts"),
+        F.col("seq"),
+        key.alias("key_json"),
+        val.alias("value_json"),
+    )
+    return frame_sized_messages(
+        rows, group_col,
+        max_batch_size=max_batch_size, max_message_bytes=max_message_bytes,
+    )
 
 
 def pack_open_protocol_mixed(keys: list[str], values: list[str | None]) -> bytes:

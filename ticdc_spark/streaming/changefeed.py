@@ -203,6 +203,9 @@ class ChangeFeed:
         mq_dispatch_rule: str = "index-value",
         mq_protocol: str = "open",
         mq_old_value: bool = False,
+        mq_framing: str = "row",
+        mq_max_batch_size: int = 16,
+        mq_max_message_bytes: int = 64 * 1024 * 1024,
         expire_keep_last: int | None = None,
         cyclic: dict | None = None,
         target_ts: int | None = None,
@@ -306,6 +309,22 @@ class ChangeFeed:
                 "mq_old_value supports protocols: open, maxwell, canal-json"
             )
         self.mq_old_value = mq_old_value
+        # MQ message framing: "row" = one message per event (the unframed
+        # logical view); "sized" = the reference's ACTUAL kafka wire form —
+        # open-protocol batch messages split greedily at max-batch-size
+        # events / max-message-bytes bytes (json.go:38-41, 394-418). The
+        # batch layout is open-protocol v1 specific; old_value rides extra
+        # columns the frame has no slot for.
+        if mq_framing not in ("row", "sized"):
+            raise ValueError(f"unknown mq_framing {mq_framing!r}")
+        if mq_framing == "sized" and (mq_protocol != "open" or mq_old_value):
+            raise ValueError(
+                "mq_framing='sized' requires mq_protocol='open' without "
+                "old value (the v1 batch frame carries only key/value)"
+            )
+        self.mq_framing = mq_framing
+        self.mq_max_batch_size = mq_max_batch_size
+        self.mq_max_message_bytes = mq_max_message_bytes
         # GC cadence (owner safepoint advance, cdc/owner.go:752-795): when
         # set, each batch expires snapshots beyond the last N — bounds
         # metadata + orphan data growth on a long-running feed. Off by
@@ -1060,19 +1079,36 @@ class ChangeFeed:
             avro_registry=self._avro_registry, old_value=self.mq_old_value,
         )
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
-        # sortWithinPartitions: per-partition delivery order = commit order
-        # (the reference's Kafka contract) — a local sort after the shuffle,
-        # no extra exchange; parquet preserves row order for the consumer
-        # "partition" leads the sort so the dynamic-partition writer's
-        # required ordering is already satisfied — it would otherwise inject
-        # its own (non-stable) sort and scramble the ts order back out
         from .dispatch import identity_repartition
 
-        identity_repartition(out, self.mq_partitions).sortWithinPartitions(
-            "partition", "_ots", "_oseq"
-        ).drop("_ots", "_oseq").write.mode(
-            "overwrite"
-        ).partitionBy("partition").parquet(batch_dir)
+        if self.mq_framing == "sized":
+            # the reference's kafka wire form: frame per-partition event
+            # runs into size-bounded batch messages; msg_idx is the send
+            # order (the framer's groupBy IS the partition shuffle — no
+            # second exchange)
+            from ..functions.codec import frame_sized_messages
+
+            framed = frame_sized_messages(
+                out, "partition", order_cols=("_ots", "_oseq"),
+                max_batch_size=self.mq_max_batch_size,
+                max_message_bytes=self.mq_max_message_bytes,
+            )
+            framed.sortWithinPartitions("partition", "msg_idx").write.mode(
+                "overwrite"
+            ).partitionBy("partition").parquet(batch_dir)
+        else:
+            # sortWithinPartitions: per-partition delivery order = commit
+            # order (the reference's Kafka contract) — a local sort after
+            # the shuffle, no extra exchange; parquet preserves row order
+            # for the consumer. "partition" leads the sort so the dynamic-
+            # partition writer's required ordering is already satisfied —
+            # it would otherwise inject its own (non-stable) sort and
+            # scramble the ts order back out
+            identity_repartition(out, self.mq_partitions).sortWithinPartitions(
+                "partition", "_ots", "_oseq"
+            ).drop("_ots", "_oseq").write.mode(
+                "overwrite"
+            ).partitionBy("partition").parquet(batch_dir)
         # resolved-ts broadcast: one tiny driver-side file covering every
         # partition (consumers take min over partitions, main.go:531-544)
         import pyarrow as pa

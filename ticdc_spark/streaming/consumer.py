@@ -25,13 +25,25 @@ from ..operators.lww import lww_latest_semijoin
 
 
 class MQConsumer:
-    def __init__(self, spark, mq_dir: str, table: LakeTable, protocol: str = "open"):
+    def __init__(
+        self,
+        spark,
+        mq_dir: str,
+        table: LakeTable,
+        protocol: str = "open",
+        framing: str = "row",
+    ):
         if protocol not in ("open", "canal-json", "maxwell", "avro", "canal-pb"):
             raise ValueError(f"unknown protocol {protocol!r}")
+        if framing not in ("row", "sized"):
+            raise ValueError(f"unknown framing {framing!r}")
+        if framing == "sized" and protocol != "open":
+            raise ValueError("framing='sized' is open-protocol v1 specific")
         self.spark = spark
         self.mq_dir = mq_dir
         self.table = table
         self.protocol = protocol
+        self.framing = framing
 
     def _payload_schema(self) -> T.StructType:
         key = self.table.key_col
@@ -121,6 +133,12 @@ class MQConsumer:
             msgs = self.spark.read.option("basePath", bdir).parquet(
                 os.path.join(bdir, "partition=*")
             )
+            if self.framing == "sized":
+                # batch-framed wire form: unframe each message back to the
+                # per-event (key_json, value_json) view, then decode as usual
+                from ..functions.codec import unframe_messages
+
+                msgs = unframe_messages(msgs)
             dec = self._decode(msgs).filter(F.col("commit_ts") <= F.lit(frontier))
             key = self.table.key_col
             payload = [
