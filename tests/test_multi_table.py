@@ -876,3 +876,60 @@ def test_summaries_expose_per_table_positions(spark, tmp_path):
     # final positions: both tables fully drained
     last = summaries[-1]["tables_resolved"]
     assert all(v is not None and v > 0 for v in last.values())
+
+
+def test_multi_table_mq_sized_framing(spark, tmp_path):
+    """Sized framing on the SHARED-topic layout: one partition's frames
+    interleave both tables' events; the consumer unframes once, routes by
+    the key_json table field, and both downstream tables match upstream.
+    Every message obeys the caps; a mid-stream DDL still flows."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.streaming.consumer import MultiMQConsumer
+
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000, ordered=True)
+    lo = pc.min(ev_a.column("commit_ts")).as_py()
+    hi = pc.max(ev_a.column("commit_ts")).as_py()
+    ddl_rows = [
+        {"commit_ts": (lo + hi) // 2, "ddl_type": "add_column", "table": "ta",
+         "spec": '{"name":"lang","type":"string"}'},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    mq = str(tmp_path / "mq")
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, ddl_rows=ddl_rows,
+        mq_dir=mq, mq_partitions=4,
+        mq_framing="sized", mq_max_batch_size=8,
+        mq_max_message_bytes=8 * 1024,
+    )
+    cf.run_available()
+
+    batch_dirs = sorted(
+        os.path.join(mq, d) for d in os.listdir(mq) if d.startswith("batch-")
+    )
+    msgs = spark.read.option("basePath", batch_dirs[0]).parquet(
+        batch_dirs[0] + "/partition=*"
+    )
+    agg = msgs.agg(
+        F.max("n_events"),
+        F.max(F.length("key_bytes") + F.length("value_bytes")),
+        F.count("*"), F.sum("n_events"),
+    ).collect()[0]
+    assert agg[0] <= 8 and agg[1] <= 8 * 1024 and agg[2] < agg[3]
+
+    da = LakeTable.create(spark, str(tmp_path / "da"), n_buckets=4)
+    db = LakeTable.create(spark, str(tmp_path / "db"), n_buckets=4)
+    consumer = MultiMQConsumer(spark, mq, {"ta": da, "tb": db}, framing="sized")
+    assert consumer.run_once()
+    for up, down in ((ta, da), (tb, db)):
+        cols = [f["name"] for f in up.current_fields]
+        a = {r["doc_id"]: tuple(
+            tuple(v) if isinstance(v, list) else v for v in [r[c] for c in cols])
+            for r in up.read().collect()}
+        b = {r["doc_id"]: tuple(
+            tuple(v) if isinstance(v, list) else v for v in [r[c] for c in cols])
+            for r in down.read().collect()}
+        assert a == b and len(a) > 0
+    assert consumer.run_once() == []

@@ -185,7 +185,12 @@ class MultiMQConsumer:
     per table independently."""
 
     def __init__(
-        self, spark, mq_dir: str, tables: dict[str, "LakeTable"], protocol: str = "open"
+        self,
+        spark,
+        mq_dir: str,
+        tables: dict[str, "LakeTable"],
+        protocol: str = "open",
+        framing: str = "row",
     ):
         from .protocols import check_protocol
 
@@ -193,6 +198,11 @@ class MultiMQConsumer:
         self.mq_dir = mq_dir
         self.tables = dict(tables)
         self.protocol = check_protocol(protocol)
+        if framing not in ("row", "sized"):
+            raise ValueError(f"unknown framing {framing!r}")
+        if framing == "sized" and protocol != "open":
+            raise ValueError("framing='sized' is open-protocol v1 specific")
+        self.framing = framing
 
     def _payload_schema(self, table: LakeTable) -> T.StructType:
         key = table.key_col
@@ -257,6 +267,14 @@ class MultiMQConsumer:
             msgs = self.spark.read.option("basePath", bdir).parquet(
                 os.path.join(bdir, "partition=*")
             )
+            if self.framing == "sized":
+                # a topic partition's frames interleave EVERY table's events
+                # (the reference's multi-table-per-topic layout); unframe
+                # once, then the per-table key_json routing below is
+                # unchanged
+                from ..functions.codec import unframe_messages
+
+                msgs = unframe_messages(msgs)
             for tname, table in self.tables.items():
                 tt = truncs.get(tname, [])
                 epoch_id = (

@@ -46,6 +46,9 @@ class MultiTableChangeFeed:
         mq_dispatch_rules: list[tuple[str, str]] | None = None,
         mq_protocol: str = "open",
         mq_old_value: bool = False,
+        mq_framing: str = "row",
+        mq_max_batch_size: int = 16,
+        mq_max_message_bytes: int = 64 * 1024 * 1024,
         admin=None,
         feed_name: str | None = None,
         post_batch=None,
@@ -125,6 +128,18 @@ class MultiTableChangeFeed:
                 "mq_old_value supports protocols: open, maxwell, canal-json"
             )
         self.mq_old_value = mq_old_value
+        # batch-framed wire form (see ChangeFeed): one partition's frames
+        # interleave every table's events; consumers unframe then route
+        if mq_framing not in ("row", "sized"):
+            raise ValueError(f"unknown mq_framing {mq_framing!r}")
+        if mq_framing == "sized" and (mq_protocol != "open" or mq_old_value):
+            raise ValueError(
+                "mq_framing='sized' requires mq_protocol='open' without "
+                "old value (the v1 batch frame carries only key/value)"
+            )
+        self.mq_framing = mq_framing
+        self.mq_max_batch_size = mq_max_batch_size
+        self.mq_max_message_bytes = mq_max_message_bytes
         self._avro_registry = None
         # admin lifecycle gate — same contract as ChangeFeed (one feed id
         # covers the whole multi-table feed, like a single changefeed
@@ -968,15 +983,30 @@ class MultiTableChangeFeed:
         for o in outs[1:]:
             out = out.unionByName(o)
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
-        # per-partition commit order — see ChangeFeed._emit_mq
         from .dispatch import identity_repartition
 
-        out = identity_repartition(out, self.mq_partitions)
-        out.sortWithinPartitions(
-            "partition", "_ots", "_oseq"
-        ).drop("_ots", "_oseq").write.mode(
-            "overwrite"
-        ).partitionBy("partition").parquet(batch_dir)
+        if self.mq_framing == "sized":
+            # batch-framed wire form — see ChangeFeed._emit_mq; tables
+            # interleave within a partition's frames in (commit_ts, seq)
+            # order, exactly the shared-topic layout
+            from ..functions.codec import frame_sized_messages
+
+            framed = frame_sized_messages(
+                out, "partition", order_cols=("_ots", "_oseq"),
+                max_batch_size=self.mq_max_batch_size,
+                max_message_bytes=self.mq_max_message_bytes,
+            )
+            framed.sortWithinPartitions("partition", "msg_idx").write.mode(
+                "overwrite"
+            ).partitionBy("partition").parquet(batch_dir)
+        else:
+            # per-partition commit order — see ChangeFeed._emit_mq
+            out = identity_repartition(out, self.mq_partitions)
+            out.sortWithinPartitions(
+                "partition", "_ots", "_oseq"
+            ).drop("_ots", "_oseq").write.mode(
+                "overwrite"
+            ).partitionBy("partition").parquet(batch_dir)
         res = pa.table(
             {
                 "partition": pa.array(list(range(self.mq_partitions)), pa.int32()),
