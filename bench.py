@@ -497,6 +497,53 @@ def bench_stream_mq(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_stream_mq_sized(spark, work_root: str, n_events: int) -> dict:
+    """`cdc_stream_mq` with the batch-framed wire form (mq_framing='sized',
+    reference defaults 16 events / 64 MiB per message): prices the
+    applyInPandas framer against the per-row parquet write it replaces —
+    at Kafka scale the framed form is what actually ships (~16x fewer
+    messages)."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+
+    binlog_dir = os.path.join(work_root, f"binlog_c_{n_events}")
+    n_files = len(g.glob(os.path.join(binlog_dir, "chunk-*", "*.parquet")))
+    tbl_dir = os.path.join(work_root, "mqs_tbl")
+    ckpt = os.path.join(work_root, "mqs_ckpt")
+    mq_dir = os.path.join(work_root, "mqs_mq")
+    for d in (tbl_dir, ckpt, mq_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    table = LakeTable.create(spark, tbl_dir, n_buckets=64)
+    cf = ChangeFeed(
+        table,
+        os.path.join(binlog_dir, "chunk-*"),
+        checkpoint_dir=ckpt,
+        mode="typed",
+        max_files_per_trigger=max(1, n_files // 4),
+        mq_dir=mq_dir,
+        mq_partitions=32,
+        mq_protocol="open",
+        mq_framing="sized",
+    )
+    t0 = time.time()
+    summaries = cf.run_available()
+    dt = time.time() - t0
+    msgs = spark.read.parquet(os.path.join(mq_dir, "batch-*", "partition=*"))
+    agg = msgs.agg(F.count("*"), F.sum("n_events")).collect()[0]
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(summaries),
+        "final_rows": table.read().count(),
+        "mq_messages": int(agg[0]),
+        "framed_events": int(agg[1]),
+    }
+
+
 def bench_stream_old_value(spark, work_root: str, n_events: int) -> dict:
     """Streaming replay with the MQ sink in enable-old-value mode: every
     emitted message carries its pre-change image (in-batch via the LWW-
@@ -693,6 +740,7 @@ def main() -> None:
     replay_big = None
     oldval = None
     mq = None
+    mq_sized = None
     incded = None
     keyless = None
     multi = None
@@ -708,6 +756,8 @@ def main() -> None:
         qtimes["cdc_stream_raw"] = raw["sec"]
         mq = bench_stream_mq(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_mq"] = mq["sec"]
+        mq_sized = bench_stream_mq_sized(spark, work_root, N_EVENTS)
+        qtimes["cdc_stream_mq_sized"] = mq_sized["sec"]
         oldval = bench_stream_old_value(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_old_value"] = oldval["sec"]
         incded = bench_incremental_dedup(spark, work_root, SF_DIR)
@@ -745,6 +795,7 @@ def main() -> None:
         "replay_skew": skew,
         "stream_raw": raw,
         "stream_mq": mq,
+        "stream_mq_sized": mq_sized,
         "stream_old_value": oldval,
         "replay_big": replay_big,
         "incremental_dedup": incded,

@@ -82,6 +82,21 @@ def main() -> int:
 
     sub.add_parser("list", help="list all feeds")
 
+    sp = sub.add_parser(
+        "unsafe-reset",
+        help="delete ALL feed metadata (cdc cli unsafe reset analog; the "
+        "GC floor lives in the lake tables' syncpoints, so nothing else "
+        "to truncate)",
+    )
+    sp.add_argument(
+        "--no-confirm", action="store_true",
+        help="skip the Y/N prompt (cmd/client_unsafe.go confirmMetaDelete)",
+    )
+
+    sub.add_parser(
+        "unsafe-show-metadata", help="dump every stored registry entry"
+    )
+
     args = p.parse_args()
 
     from ticdc_spark.streaming.admin import FeedLifecycleError, FeedRegistry
@@ -162,6 +177,21 @@ def main() -> int:
             if out is None:
                 print(f"changefeed {args.feed!r} not found", file=sys.stderr)
                 return 1
+        elif args.cmd == "unsafe-reset":
+            if not args.no_confirm:
+                # cmd/client_unsafe.go confirmMetaDelete
+                print(
+                    "Confirm that you know what this command will do and "
+                    "use it at your own risk [Y/N]"
+                )
+                if input().strip().lower() != "y":
+                    print("abort meta command", file=sys.stderr)
+                    return 1
+            out = reg.reset()
+        elif args.cmd == "unsafe-show-metadata":
+            out = [
+                {"key": k, "value": v} for k, v in reg.dump_metadata()
+            ]
         else:
             out = reg.list()
     except FeedLifecycleError as e:

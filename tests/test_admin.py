@@ -422,3 +422,53 @@ def test_cli_stats_snapshot(spark, ws):
     assert out["resolved_ts"] == out["checkpoint_ts"]  # checkpoint kept up
     assert out["sink_gap"] == 0
     assert out["batches"] >= 2
+
+
+def test_unsafe_reset_and_show_metadata(tmp_path):
+    """cmd/client_unsafe.go analogs: show-metadata dumps every stored
+    entry; reset deletes ALL feed metadata regardless of state."""
+    from ticdc_spark.streaming.admin import FeedRegistry
+
+    reg = FeedRegistry(str(tmp_path / "admin"))
+    reg.create("f1")
+    reg.create("f2")
+    reg.pause("f2")
+    dump = reg.dump_metadata()
+    assert [v["feed"] for _, v in dump] == ["f1", "f2"]
+    assert all(k.endswith(".json") for k, _ in dump)
+    out = reg.reset()
+    assert out == {"deleted": ["f1", "f2"]}
+    assert reg.list() == [] and reg.dump_metadata() == []
+    # ids are free again after a reset
+    reg.create("f1")
+    assert reg.query("f1")["state"] == "normal"
+
+
+def test_unsafe_cli_roundtrip(tmp_path):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    admin = str(tmp_path / "admin")
+    from ticdc_spark.streaming.admin import FeedRegistry
+
+    FeedRegistry(admin).create("feed1")
+    ctl = os.path.join(os.path.dirname(os.path.dirname(__file__)), "jobs", "changefeed_ctl.py")
+    show = subprocess.run(
+        [_sys.executable, ctl, "--admin-dir", admin, "unsafe-show-metadata"],
+        capture_output=True, text=True,
+    )
+    assert show.returncode == 0
+    assert _json.loads(show.stdout)[0]["value"]["feed"] == "feed1"
+    # without --no-confirm, a non-Y answer aborts
+    ab = subprocess.run(
+        [_sys.executable, ctl, "--admin-dir", admin, "unsafe-reset"],
+        capture_output=True, text=True, input="n\n",
+    )
+    assert ab.returncode == 1 and "abort" in ab.stderr
+    rs = subprocess.run(
+        [_sys.executable, ctl, "--admin-dir", admin, "unsafe-reset", "--no-confirm"],
+        capture_output=True, text=True,
+    )
+    assert rs.returncode == 0
+    assert _json.loads(rs.stdout) == {"deleted": ["feed1"]}

@@ -309,3 +309,30 @@ class FeedRegistry:
                 with open(os.path.join(self.root, fn)) as f:
                     out.append(json.load(f))
         return out
+
+    def dump_metadata(self) -> list[tuple[str, dict[str, Any]]]:
+        """`cdc cli unsafe show-metadata` analog (cmd/client_unsafe.go:77-95
+        GetAllCDCInfo): every stored (key, value) pair — here the registry
+        file path stands in for the etcd key."""
+        out = []
+        for fn in sorted(os.listdir(self.root)):
+            if fn.endswith(".json"):
+                path = os.path.join(self.root, fn)
+                with open(path) as f:
+                    out.append((path, json.load(f)))
+        return out
+
+    def reset(self) -> dict[str, Any]:
+        """`cdc cli unsafe reset` analog (cmd/client_unsafe.go:38-75
+        ClearAllCDCInfo): delete EVERY feed's registry entry regardless of
+        state — running feeds lose their admin gating and run unmanaged
+        from their next batch. The reference additionally zeroes the PD
+        service GC safepoint; our GC floor derives from the lake tables'
+        retained syncpoints (table_gc_safepoint), so there is no separate
+        service-side safepoint object to delete."""
+        deleted = []
+        for fn in sorted(os.listdir(self.root)):
+            if fn.endswith(".json"):
+                os.remove(os.path.join(self.root, fn))
+                deleted.append(fn[: -len(".json")])
+        return {"deleted": deleted}
