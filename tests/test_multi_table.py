@@ -933,3 +933,85 @@ def test_multi_table_mq_sized_framing(spark, tmp_path):
             for r in down.read().collect()}
         assert a == b and len(a) > 0
     assert consumer.run_once() == []
+
+
+def test_rename_table_mid_stream(spark, tmp_path):
+    """In-stream RENAME TABLE (ActionRenameTable = dropTable + createTable,
+    schema_storage.go:566-577): events arrive under 'ta' before the rename
+    ts and under 'tc' after it; the feed routes both to the same LakeTable,
+    a post-rename column DDL addressed to the NEW name continues the same
+    schema chain, and the final state equals replaying the un-renamed
+    stream directly."""
+    import pyarrow as pa
+
+    stage = str(tmp_path / "stage")
+    write_binlog(
+        BinlogSpec(n_events=6_000, n_keys=600, seed=53, table="ta",
+                   p_delete=0.15, p_insert=0.55),
+        stage, files_per_part=3,
+    )
+    ev = pq.read_table(stage)
+    lo = pc.min(ev.column("commit_ts")).as_py()
+    hi = pc.max(ev.column("commit_ts")).as_py()
+    rename_ts = (lo + hi) // 2
+    ddl2_ts = rename_ts + (hi - rename_ts) // 2
+
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    for i, f in enumerate(sorted(glob.glob(stage + "/*.parquet"))):
+        t = pq.read_table(f)
+        names = pa.array([
+            "tc" if ts > rename_ts else "ta"
+            for ts in t.column("commit_ts").to_pylist()
+        ])
+        idx = t.schema.get_field_index("table")
+        pq.write_table(
+            t.set_column(idx, "table", names),
+            os.path.join(binlog, f"part-{i}.parquet"),
+        )
+
+    ddl_rows = [
+        {"commit_ts": rename_ts, "ddl_type": "rename_table", "table": "ta",
+         "spec": '{"to": "tc"}'},
+        # the post-rename chain continues under the NEW name
+        {"commit_ts": ddl2_ts, "ddl_type": "add_column", "table": "tc",
+         "spec": '{"name":"lang","type":"string"}'},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"ta": ta}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, ddl_rows=ddl_rows,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert resolved > rename_ts  # the rename actually materialized
+    assert cf.tables["tc"] is ta  # same LakeTable under the new handle
+    assert cf.registries["tc"] is cf.registries["ta"]  # one schema chain
+    assert ta.schema_version == 1  # the tc-addressed DDL applied
+
+    # final state ≡ replaying the un-renamed stream directly
+    expected = apply_binlog(ev, upto_ts=resolved)
+    got = _lake_arrow(ta)
+    # drop the DDL-added lang column (NULL everywhere) before the diff
+    got = got.drop_columns(["lang"]) if "lang" in got.column_names else got
+    problems = diff_tables(expected, got)
+    assert not problems, problems[:3]
+
+
+def test_rename_table_rejects_conflicts(spark, tmp_path):
+    import pytest
+
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    with pytest.raises(ValueError, match="already names"):
+        MultiTableChangeFeed(
+            {"ta": ta, "tb": tb}, str(tmp_path / "b"), str(tmp_path / "c"),
+            ddl_rows=[{"commit_ts": 10, "ddl_type": "rename_table",
+                       "table": "ta", "spec": '{"to": "tb"}'}],
+        )
+    with pytest.raises(ValueError, match="not a feed table"):
+        MultiTableChangeFeed(
+            {"ta": ta}, str(tmp_path / "b"), str(tmp_path / "c2"),
+            ddl_rows=[{"commit_ts": 10, "ddl_type": "rename_table",
+                       "table": "nope", "spec": '{"to": "tz"}'}],
+        )

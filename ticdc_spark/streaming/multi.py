@@ -71,9 +71,18 @@ class MultiTableChangeFeed:
         `table_root` once the feed's frontier passes its finished-ts, with
         its add-boundary at that ts; drop_table stops the table at its ts
         (data RETAINED — TiDB drop is deferred GC, which is exactly what
-        makes RECOVER TABLE possible); recover_table resumes it. All three
-        are pure functions of the batch's resolved frontier, so crash
+        makes RECOVER TABLE possible); recover_table resumes it. All are
+        pure functions of the batch's resolved frontier, so crash
         replays re-derive the identical table set.
+
+        rename_table (spec: {"to": "<new name>"}; ActionRenameTable =
+        dropTable + createTable, schema_storage.go:566-577): the upstream
+        table continues under a new name — the old name's window closes at
+        the rename ts, the new name's opens there, both resolve to the SAME
+        LakeTable and one column-DDL chain, and span watermarks stay
+        continuous across the rename (a pre-rename straggler arriving after
+        post-rename events advanced its span counts late, exactly like the
+        reference where the old table id's puller ended at the rename).
 
         mode="typed": one physical stream schema = union of every table's
         schema versions; supports add/drop DDLs (a single physical column
@@ -182,13 +191,45 @@ class MultiTableChangeFeed:
                 (int(r["commit_ts"]), r["ddl_type"], spec)
             )
         self.lifecycle.sort(key=lambda x: x[0])
+        # rename_table (ActionRenameTable, schema_storage.go:566-577 =
+        # dropTable + createTable): the upstream table CONTINUES under a new
+        # name — the old name's window closes at the rename ts, the new
+        # name's opens there, and BOTH names resolve to the same LakeTable
+        # and the same column-DDL chain (one SchemaRegistry object). Span
+        # watermarks live in the shared manifest, so per-(table, part)
+        # ordering is continuous across the rename.
+        self.rename_links: dict[str, tuple[int, str]] = {}  # new -> (ts, old)
+        for ts, kind, name, spec in self.lifecycle:
+            if kind != "rename_table":
+                continue
+            new = spec["to"]
+            if (
+                new in self.tables
+                or new in self.create_specs
+                or new in self.rename_links
+            ):
+                raise ValueError(
+                    f"rename_table target {new!r} already names a feed table"
+                )
+            root = name
+            while root in self.rename_links:
+                root = self.rename_links[root][1]
+            if root not in self.tables and root not in self.create_specs:
+                raise ValueError(
+                    f"rename_table source {name!r} is not a feed table"
+                )
+            self.rename_links[new] = (ts, name)
+            # column DDLs addressed to the NEW name continue the old chain
+            moved = [d for d in by_table.pop(new, []) if d[0] > ts]
+            if moved:
+                by_table.setdefault(root, []).extend(moved)
         # per-table ACTIVE WINDOWS ((lo exclusive, hi inclusive], hi=None =
         # open): a table's applied event set is the union of its windows —
         # a pure function of the DDL config, so it cannot depend on how
         # micro-batches happen to align with the barriers (events above the
         # resolved frontier are withheld by the release filter anyway)
         self.lifecycle_windows: dict[str, list[list[int | None]]] = {}
-        for ts, kind, name, _spec in self.lifecycle:
+        for ts, kind, name, spec in self.lifecycle:
             wins = self.lifecycle_windows.setdefault(name, [])
             if kind == "create_table":
                 wins.append([ts, None])
@@ -199,6 +240,15 @@ class MultiTableChangeFeed:
                     wins[-1][1] = ts
             elif kind == "recover_table":
                 wins.append([ts, None])
+            elif kind == "rename_table":
+                # close the old name, open the new one at the same barrier
+                if not wins:
+                    wins.append([None, None])
+                if wins[-1][1] is None:
+                    wins[-1][1] = ts
+                self.lifecycle_windows.setdefault(spec["to"], []).append(
+                    [ts, None]
+                )
         for name, tbl in self.tables.items():
             base = [dict(f) for f in tbl._manifest["schemas"]["0"]]
             self.registries[name] = SchemaRegistry(
@@ -220,6 +270,11 @@ class MultiTableChangeFeed:
                     key=lambda x: x[0],
                 ),
             )
+        # renamed names alias their source's registry (ONE chain object) —
+        # rename_links iterates in lifecycle ts order, so chained renames
+        # resolve left to right
+        for new, (_ts, old) in self.rename_links.items():
+            self.registries[new] = self.registries[old]
         if self.mq_old_value and any(
             k in r.ddl_kinds
             for r in self.registries.values()
@@ -289,6 +344,13 @@ class MultiTableChangeFeed:
                     self.dropped[name] = ts
             elif kind == "recover_table":
                 self.dropped.pop(name, None)
+            elif kind == "rename_table":
+                new = spec["to"]
+                if new not in self.tables and name in self.tables:
+                    # same LakeTable under the new handle; the old name stays
+                    # registered for its closed window's (possibly still
+                    # releasing) pre-rename events
+                    self.tables[new] = self.tables[name]
 
     # ---------------- micro-batch ----------------
     def _read_pending(self, batch_id: int) -> DataFrame | None:
@@ -327,10 +389,14 @@ class MultiTableChangeFeed:
         ]
         payload: dict[str, str] = {}
         for name, reg in self.registries.items():
+            # a renamed handle shares its source's table/spec
+            src = name
+            while src not in self.tables and src in self.rename_links:
+                src = self.rename_links[src][1]
             key = (
-                self.tables[name].key_col
-                if name in self.tables
-                else self.create_specs[name].get("key", "doc_id")
+                self.tables[src].key_col
+                if src in self.tables
+                else self.create_specs[src].get("key", "doc_id")
             )
             # union over EVERY version, not just the final one: a pre-barrier
             # slice still reads columns a later DDL drops

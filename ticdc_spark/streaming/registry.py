@@ -35,10 +35,11 @@ SUPPORTED_DDL = (
 # Feed-level lifecycle DDL: these change the TABLE SET, not a table's
 # columns (reference applies them in the schema snapshot,
 # cdc/entry/schema_storage.go:539-624 ActionCreateTable / ActionDropTable /
-# ActionRecoverTable; stressed by tests/multi_source/main.go:74-131). They
-# are routed to MultiTableChangeFeed's lifecycle handling, never into a
-# per-table SchemaRegistry.
-LIFECYCLE_DDL = ("create_table", "drop_table", "recover_table")
+# ActionRecoverTable; ActionRenameTable at 566-577 = dropTable(old id) +
+# createTable(new info); stressed by tests/multi_source/main.go:74-131).
+# They are routed to MultiTableChangeFeed's lifecycle handling, never into
+# a per-table SchemaRegistry.
+LIFECYCLE_DDL = ("create_table", "drop_table", "recover_table", "rename_table")
 
 
 def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[dict]:
