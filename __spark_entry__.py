@@ -1278,6 +1278,19 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(pack_stats(d, seq_len=512))
 
 
+def q_tokens_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document SFT packing (pipeline.pack.pack_bins): blocked
+    first-fit-decreasing into 512-token bins — no document straddles a bin
+    (vs tokens_pack's concatenative cut). block_size=128 so the sf0.01
+    corpus exercises multiple independent blocks."""
+    from ticdc_spark.pipeline.pack import pack_bins
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(bpe_tokens_col("text")).cast("long").alias("n_tok")
+    )
+    return pack_bins(d, seq_len=512, block_size=128)
+
+
 def q_tokens_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed sequences THEMSELVES (pipeline.pack.pack_sequences):
     tokenize, hash token strings to a 50k-id space, concat in doc_id order,
@@ -2755,6 +2768,11 @@ SELECT seq_id, count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tokens,
        cast(min(start_off) as bigint) AS first_off
 FROM x GROUP BY seq_id
 """,
+        "tokens_pack_bins": pk.pack_bins_sql(
+            f"len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT",
+            seq_len=512,
+            block_size=128,
+        ),
         "tokens_pack_sequences": f"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(text, '{BPE_RE}') AS toks
@@ -3054,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_split": q_corpus_split,
         "tokens_pack_sequences": q_tokens_pack_sequences,
+        "tokens_pack_bins": q_tokens_pack_bins,
         "corpus_shards": q_corpus_shards,
         "tokens_pack": q_tokens_pack,
         "curate_strict": q_curate_strict,

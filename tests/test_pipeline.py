@@ -938,3 +938,46 @@ def test_dsir_weight_favors_target_lookalikes(spark):
     out = dsir_select(docs, n_select=5, target_source="tgt").collect()
     assert {r.doc_id for r in out} == {100, 101, 102, 103, 104}
     assert all(r.logw > 0 for r in out)
+
+
+def test_pack_bins_is_blocked_ffd(spark):
+    """pack_bins reproduces exact blocked first-fit-decreasing: no bin over
+    capacity (except single-oversize-doc bins), assignment equal to the
+    pure-python fold, deterministic under cache clearing."""
+    from ticdc_spark.pipeline.pack import pack_bins, pack_bins_stats
+
+    rows = [(i, 17 + (i * 37) % 90) for i in range(200)]
+    rows += [(900, 512), (901, 700)]  # exact-fit and oversize docs
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    L, B = 128, 16
+    out = pack_bins(d, seq_len=L, block_size=B)
+    got = {r["doc_id"]: (r["n_tok"], r["rank"], r["bin_id"])
+           for r in out.collect()}
+
+    # pure-python reference: rank by (n_tok desc, id), FFD per rank-block
+    order = sorted(rows, key=lambda x: (-x[1], x[0]))
+    expect = {}
+    for s in range(0, len(order), B):
+        blk = s // B
+        fills: list[int] = []
+        for j, (did, n) in enumerate(order[s:s + B]):
+            idx = next((i for i, f in enumerate(fills) if f + n <= L), None)
+            if idx is None:
+                fills.append(n)
+                idx = len(fills) - 1
+            else:
+                fills[idx] += n
+            expect[did] = (n, s + j + 1, blk * B + idx)
+    assert got == expect
+
+    # capacity invariant: a bin over L holds exactly one (oversize) doc
+    st = {r["bin_id"]: (r["n_docs"], r["fill"])
+          for r in pack_bins_stats(d, seq_len=L, block_size=B).collect()}
+    for _bid, (nd, fill) in st.items():
+        assert fill <= L or nd == 1
+
+    # determinism: recompute after cache eviction -> identical assignment
+    spark.catalog.clearCache()
+    got2 = {r["doc_id"]: (r["n_tok"], r["rank"], r["bin_id"])
+            for r in pack_bins(d, seq_len=L, block_size=B).collect()}
+    assert got2 == got

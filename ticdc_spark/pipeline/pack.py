@@ -418,6 +418,145 @@ def write_shards(
     return manifest
 
 
+def pack_bins(
+    docs: DataFrame,
+    seq_len: int,
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    block_size: int = 512,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Whole-document (SFT-style) packing: every document lands ENTIRELY in
+    one fixed-capacity bin of seq_len tokens — no boundary-spanning, the
+    layout instruction-tuning loaders want (vs pack_offsets' concatenative
+    cut-every-L layout where documents straddle sequences).
+
+    Algorithm: blocked first-fit-decreasing. Docs get a deterministic global
+    rank by (n_tok DESC, id) via the range-partitioned prefix sum (rank_by —
+    no single-partition window), blocks of `block_size` consecutive ranks
+    are packed independently with exact FFD inside an applyInPandas task.
+    Oversize docs (n_tok > seq_len) fit no bin and open their own.
+
+    Scale shape: blocks are independent → embarrassingly parallel; FFD cost
+    is O(block_size²) per task, constant in corpus size → linear overall.
+    Blocking costs a little fill quality vs global FFD (a block can't reach
+    across its boundary for a complementary doc) but FFD sorts decreasing,
+    so same-block docs are near-equal length — the classic streaming-FFD
+    approximation. Determinism: rank is a pure function of (n_tok, id), so
+    block membership, slot order, and the greedy fold never depend on
+    partition layout — re-running is bit-identical (replay contract, same
+    as pack_offsets).
+
+    Output: (id_col, n_tok, rank, bin_id) — bin_id globally unique
+    (block * block_size + local bin index).
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas payload)
+
+    L, B = int(seq_len), int(block_size)
+    base = docs.select(id_col, n_tok_col).withColumn(
+        "_negtok", -F.col(n_tok_col).cast("long")
+    )
+    ranked = rank_by(base, ["_negtok", id_col], range_partitions)
+    blocked = ranked.select(
+        F.col(id_col),
+        F.col(n_tok_col).cast("long").alias("n_tok"),
+        F.col("_rank").alias("rank"),
+        ((F.col("_rank") - 1) / B).cast("long").alias("_block"),
+    )
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+        ]
+    )
+
+    def _ffd(pdf):
+        pdf = pdf.sort_values("rank")
+        block = int(pdf["_block"].iloc[0])
+        fills: list[int] = []
+        out = []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            idx = next((i for i, f in enumerate(fills) if f + n <= L), None)
+            if idx is None:
+                fills.append(n)
+                idx = len(fills) - 1
+            else:
+                fills[idx] += n
+            out.append(block * B + idx)
+        res = pdf[[id_field.name, "n_tok", "rank"]].copy()
+        res["bin_id"] = out
+        return res
+
+    return blocked.groupBy("_block").applyInPandas(_ffd, schema=out_schema)
+
+
+def pack_bins_stats(docs: DataFrame, seq_len: int, **kw) -> DataFrame:
+    """Per-bin fill stats for pack_bins: docs per bin, tokens, waste
+    (capacity left; negative only for a single-oversize-doc bin)."""
+    asg = pack_bins(docs, seq_len, **kw)
+    return asg.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("fill"),
+        (F.lit(int(seq_len)) - F.sum("n_tok")).alias("waste"),
+    )
+
+
+def pack_bins_sql(
+    n_tok_sql: str,
+    seq_len: int,
+    block_size: int = 512,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for pack_bins: the same blocked FFD as a recursive CTE
+    — one state row per (block, step) carrying the open-bin fill list;
+    list_position finds the first bin that fits, list slicing applies the
+    fill. Recursion depth = block_size (per-block fold steps run for all
+    blocks in parallel per iteration)."""
+    L, B = int(seq_len), int(block_size)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {id_col}, {n_tok_sql} AS n_tok FROM {table}
+),
+r AS (
+  SELECT {id_col}, n_tok,
+         row_number() OVER (ORDER BY n_tok DESC, {id_col})::BIGINT AS rank
+  FROM d
+),
+b AS (
+  SELECT {id_col}, n_tok, rank,
+         ((rank - 1) // {B})::BIGINT AS block_id,
+         ((rank - 1) % {B})::BIGINT AS slot
+  FROM r
+),
+ffd AS (
+  SELECT block_id, 1::BIGINT AS step, {id_col}, n_tok, rank,
+         1::BIGINT AS bin_local, [n_tok] AS fills
+  FROM b WHERE slot = 0
+  UNION ALL
+  SELECT block_id, step + 1, {id_col}, n_tok, rank,
+         CASE WHEN p > 0 THEN p ELSE len(fills) + 1 END::BIGINT AS bin_local,
+         CASE WHEN p > 0
+              THEN fills[1:p-1] || [fills[p] + n_tok]
+                   || fills[p+1:len(fills)]
+              ELSE list_append(fills, n_tok) END AS fills
+  FROM (
+    SELECT ffd.block_id, ffd.step, ffd.fills, bb.{id_col}, bb.n_tok, bb.rank,
+           coalesce(list_position(
+             list_transform(ffd.fills, x -> x + bb.n_tok <= {L}), true),
+             0) AS p
+    FROM ffd JOIN b bb ON bb.block_id = ffd.block_id AND bb.slot = ffd.step
+  )
+)
+SELECT {id_col}, n_tok, rank, block_id * {B} + bin_local - 1 AS bin_id
+FROM ffd
+"""
+
+
 def rank_by(
     df: DataFrame, order_cols: list[str], range_partitions: int = 32
 ) -> DataFrame:
