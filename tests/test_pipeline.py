@@ -981,3 +981,71 @@ def test_pack_bins_is_blocked_ffd(spark):
     got2 = {r["doc_id"]: (r["n_tok"], r["rank"], r["bin_id"])
             for r in pack_bins(d, seq_len=L, block_size=B).collect()}
     assert got2 == got
+
+
+def test_pq_codebooks_encode_and_adc(emb, spark):
+    """PQ: codebooks replay per-subspace Lloyd exactly (python reference),
+    encode is the rounded argmin, ADC ranks by the additive table."""
+    import math
+
+    from ticdc_spark.functions.hashing import h60
+    from ticdc_spark.pipeline.pq import pq_encode, pq_search, pq_train
+
+    m, k, iters, dim = 4, 8, 2, 64
+    d_sub = dim // m
+    books = pq_train(emb, m=m, k=k, iters=iters, dim=dim)
+
+    rows = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        h60(F.col("vec_id").cast("string")).alias("h"),
+    ).collect()
+    def unit(v):
+        n = math.sqrt(math.fsum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = {r["vec_id"]: unit(list(r["v"])) for r in rows}
+
+    # python reference for the Lloyd loop
+    seeds = [vecs[r["vec_id"]] for r in sorted(rows, key=lambda r: (r["h"], r["vec_id"]))[:k]]
+    ref = {s: [(c, [round(x, 6) for x in v[s * d_sub:(s + 1) * d_sub]])
+               for c, v in enumerate(seeds)] for s in range(m)}
+
+    def d2(a, b):
+        return round(math.fsum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    for _ in range(iters):
+        asg = {}
+        for vid, v in vecs.items():
+            for s in range(m):
+                sv = v[s * d_sub:(s + 1) * d_sub]
+                best = min(ref[s], key=lambda ce: (d2(sv, ce[1]), ce[0]))
+                asg.setdefault((s, best[0]), []).append(sv)
+        ref = {s: [] for s in range(m)}
+        for (s, c), members in sorted(asg.items()):
+            cent = [round(sum(col) / len(col), 6)
+                    for col in zip(*members)]
+            ref[s].append((c, cent))
+    assert books == ref
+
+    # encode = rounded argmin against those books, for every vector
+    enc = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(emb, books).collect()}
+    for vid, v in vecs.items():
+        for s in range(m):
+            sv = v[s * d_sub:(s + 1) * d_sub]
+            want = min(books[s], key=lambda ce: (d2(sv, ce[1]), ce[0]))[0]
+            assert enc[vid][s] == want, (vid, s)
+
+    # ADC search returns k_top ranked rows per query, self excluded,
+    # dist equal to the table sum
+    out = pq_search(emb, emb.filter(F.col("vec_id") < 3), k_top=4,
+                    m=m, k=k, iters=iters, dim=dim).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        qv = vecs[r["query_id"]]
+        want = round(math.fsum(
+            d2(qv[s * d_sub:(s + 1) * d_sub],
+               dict(books[s])[enc[r["neighbor_id"]][s]])
+            for s in range(m)), 6)
+        assert abs(r["adc_dist"] - want) < 1e-6
