@@ -1575,6 +1575,22 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(pq_search(emb, queries, k_top=5, m=16, k=32, iters=2, dim=64))
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC composition (pipeline/pq.ivfpq_topk): coarse-cell multi-probe
+    pruning over the PQ code table, ADC ranking — both ANN scale layers in
+    one plan."""
+    from ticdc_spark.pipeline.pq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _longify(
+        ivfpq_topk(
+            emb, queries, k_top=5, cell_bits=4, n_probe_hamming=1,
+            m=16, k=32, iters=2, dim=64,
+        )
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1986,6 +2002,72 @@ scored AS (SELECT query_id, neighbor_id, {_cos_sql("cemb", "qemb")} AS cos_sim F
 ranked AS (SELECT *, row_number() OVER (
   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivfpq_sql(
+    cell_bits: int,
+    dim: int,
+    k_top: int,
+    n_probe_hamming: int = 1,
+    m: int = 16,
+    k: int = 32,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of pipeline.pq.ivfpq_topk: the _ivf_sql cell/probe CTEs
+    composed with the _pq_ctes codebook chain — candidates pruned by probed
+    cell, ranked by the same per-subspace ADC sum."""
+    from ticdc_spark.pipeline.pq import _pq_ctes
+
+    ctes, enc = _pq_ctes(m, k, iters, dim)
+    terms = []
+    for p in range(cell_bits):
+        plane = _hyperplane_literal(p, dim)
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) > 0 "
+            f"THEN 1::BIGINT ELSE 0 END << {p})"
+        )
+    cell = " + ".join(terms)
+    flips = [0]
+    if n_probe_hamming >= 1:
+        flips += [1 << i for i in range(cell_bits)]
+    if n_probe_hamming >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(cell_bits)
+            for j in range(i + 1, cell_bits)
+        ]
+    flips_sql = ", ".join(f"({f})" for f in flips)
+    dist = (
+        "round(list_sum(list_transform(list_zip(q.sv, c.cent), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
+    )
+    return f"""
+WITH {ctes},
+cellc AS (SELECT vec_id, {cell} AS cell FROM embeddings),
+qp AS (SELECT vec_id AS query_id, cell AS qcell FROM cellc WHERE vec_id < 10),
+probe AS (SELECT query_id, xor(qcell, f.flip) AS cell
+          FROM qp, (VALUES {flips_sql}) f(flip)),
+qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < 10),
+parts AS (
+  SELECT pr.query_id, p.vec_id AS neighbor_id, {dist} AS dp
+  FROM {enc} p
+  JOIN cellc cl ON cl.vec_id = p.vec_id
+  JOIN probe pr ON pr.cell = cl.cell AND p.vec_id != pr.query_id
+  JOIN qsub q ON q.query_id = pr.query_id AND q.s = p.s
+  JOIN cents_{iters} c ON c.s = p.s AND c.code = p.code
+),
+adc AS (
+  SELECT query_id, neighbor_id, round(sum(dp), 6) AS adc_dist
+  FROM parts GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC)::BIGINT
+           AS rank
+  FROM adc
+) WHERE rank <= {k_top}
 """
 
 
@@ -3007,6 +3089,9 @@ FROM documents
         "curate_strict": _curate_strict_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         "ann_pq_topk": _pq.pq_search_sql(k_top=5, m=16, k=32, iters=2, dim=64),
+        "ann_ivfpq_topk": _ivfpq_sql(
+            cell_bits=4, dim=64, k_top=5, n_probe_hamming=1, m=16, k=32, iters=2
+        ),
         "ann_topk": _ann_brute_sql(k=5),
         "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5, n_tables=3),
         "ann_ivf_topk": _ivf_sql(cell_bits=4, dim=64, k=5, n_probe_hamming=1),
@@ -3110,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_incremental": q_asof_incremental,
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "ann_topk": q_ann_topk,

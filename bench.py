@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "curate_dsir",
     "tokens_pack",
+    "tokens_pack_bins",
     "corpus_shuffle",
     "cdc_training_order",
     "events_sessionize",

@@ -1049,3 +1049,54 @@ def test_pq_codebooks_encode_and_adc(emb, spark):
                dict(books[s])[enc[r["neighbor_id"]][s]])
             for s in range(m)), 6)
         assert abs(r["adc_dist"] - want) < 1e-6
+
+
+def test_ivfpq_is_probe_pruned_adc(emb, spark):
+    """IVFADC = ADC ranking restricted to multi-probed cells: python
+    recomposition from the collected cells + codes matches exactly."""
+    import math
+
+    from ticdc_spark.pipeline.pq import ivfpq_topk, pq_encode, pq_train
+    from ticdc_spark.pipeline.similarity import cell_signature
+
+    m, k, iters, dim, bits = 4, 8, 1, 64, 3
+    d_sub = dim // m
+    books = pq_train(emb, m=m, k=k, iters=iters, dim=dim)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(emb, books).collect()}
+    cells = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id", cell_signature("embedding", bits, dim).alias("cell")
+    ).collect()}
+    qv = {r["vec_id"]: list(r["v"]) for r in emb.filter(F.col("vec_id") < 3)
+          .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+          .collect()}
+
+    def unit(v):
+        n = math.sqrt(math.fsum(x * x for x in v))
+        return [x / n for x in v]
+
+    expect = {}
+    for q, v in qv.items():
+        u = unit(v)
+        probes = {cells[q]} | {cells[q] ^ (1 << i) for i in range(bits)}
+        dtab = [{c: round(sum((u[s * d_sub + i] - cent[i]) ** 2
+                              for i in range(d_sub)), 6)
+                 for c, cent in books[s]} for s in range(m)]
+        scored = sorted(
+            (round(math.fsum(dtab[s][codes[n][s]] for s in range(m)), 6), n)
+            for n, cl in cells.items() if cl in probes and n != q
+        )
+        expect[q] = [(n, d, r + 1) for r, (d, n) in enumerate(scored[:4])]
+
+    out = ivfpq_topk(emb, emb.filter(F.col("vec_id") < 3), k_top=4,
+                     cell_bits=bits, n_probe_hamming=1,
+                     m=m, k=k, iters=iters, dim=dim).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["adc_dist"], r["rank"]))
+    for q in expect:
+        assert [(n, r) for n, _, r in got.get(q, [])] == \
+               [(n, r) for n, _, r in expect[q]], q
+        for (gn, gd, _), (_, ed, _) in zip(got[q], expect[q]):
+            assert abs(gd - ed) < 1e-6
