@@ -1707,6 +1707,40 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(ivf.topk(queries, k=5, n_probe_hamming=1))
 
 
+def q_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC index maintained FROM THE CHANGE STREAM: frozen books
+    trained once on the corpus (deterministic, = the oracle's CTE chain),
+    embeddings arrive as two insert epochs through IncrementalPQ (the
+    sidecar stores cells + m-byte codes, never floats), then the same ADC
+    probe as ann_ivfpq_topk — probe-for-probe identical to the batch
+    IVFADC, so the oracle is the same SQL."""
+    import shutil
+    import tempfile
+
+    from ticdc_spark.pipeline.incremental import IncrementalPQ
+    from ticdc_spark.pipeline.pq import pq_train
+
+    root = tempfile.mkdtemp(prefix="ticdc_spark_q_incpq_")
+    shutil.rmtree(root, ignore_errors=True)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    books = pq_train(emb, m=16, k=32, iters=2, dim=64)
+    ipq = IncrementalPQ(
+        spark, root, books=books, cell_bits=4, m=16, k=32, iters=2, dim=64
+    )
+    part = F.pmod(F.xxhash64("vec_id"), F.lit(2))
+    for e in range(2):
+        chunk = emb.filter(part == e).select(
+            "vec_id",
+            F.lit("I").alias("op"),
+            F.lit(e + 1).cast("long").alias("commit_ts"),
+            F.col("vec_id").alias("seq"),
+            "embedding",
+        )
+        ipq.process_epoch(chunk, f"ep{e}")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _longify(ipq.topk(queries, k_top=5, n_probe_hamming=1))
+
+
 def q_asof_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The as-of enrichment view maintained FROM THE CHANGE STREAMS:
     clicks (facts) and purchase versions (dims) arrive interleaved across
@@ -3092,6 +3126,11 @@ FROM documents
         "ann_ivfpq_topk": _ivfpq_sql(
             cell_bits=4, dim=64, k_top=5, n_probe_hamming=1, m=16, k=32, iters=2
         ),
+        # the CDC-maintained IVFADC equals the batch IVFADC probe-for-probe
+        # (frozen books; pipeline/incremental.IncrementalPQ invariant)
+        "ann_pq_incremental": _ivfpq_sql(
+            cell_bits=4, dim=64, k_top=5, n_probe_hamming=1, m=16, k=32, iters=2
+        ),
         "ann_topk": _ann_brute_sql(k=5),
         "ann_lsh_topk": _ann_lsh_sql(n_bits=6, dim=64, k=5, n_tables=3),
         "ann_ivf_topk": _ivf_sql(cell_bits=4, dim=64, k=5, n_probe_hamming=1),
@@ -3196,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_pq_incremental": q_ann_pq_incremental,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "ann_topk": q_ann_topk,

@@ -1018,3 +1018,92 @@ def test_asof_view_randomized_epochs_hypothesis(spark, tmp_path):
         _assert_view_equals_batch(v)
 
     run()
+
+
+# ---------------- IncrementalPQ ----------------
+
+
+def _pq_batch(emb, queries, books):
+    from ticdc_spark.pipeline.pq import ivfpq_topk
+
+    return {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+        for r in ivfpq_topk(
+            emb, queries, k_top=5, cell_bits=4, n_probe_hamming=1,
+            m=4, k=8, iters=1, dim=64, books=books,
+        ).collect()
+    }
+
+
+def _pq_live(ipq, queries):
+    return {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+        for r in ipq.topk(queries, k_top=5, n_probe_hamming=1).collect()
+    }
+
+
+def test_pq_incremental_equals_batch_and_reopens(spark, emb):
+    """Frozen-codebook invariant: after split epochs the probe equals the
+    batch IVFADC over the same books; a reopened index loads the books
+    from disk and answers identically."""
+    from ticdc_spark.pipeline.incremental import IncrementalPQ
+    from ticdc_spark.pipeline.pq import pq_train
+
+    root = os.path.join(ROOT, "pq")
+    shutil.rmtree(root, ignore_errors=True)
+    books = pq_train(emb, m=4, k=8, iters=1, dim=64)
+    ipq = IncrementalPQ(spark, root, books=books, cell_bits=4,
+                        m=4, k=8, iters=1, dim=64)
+    part = F.pmod(F.xxhash64("vec_id"), F.lit(2))
+    ipq.process_epoch(_vec_changes(emb.filter(part == 0), 1), "e0")
+    ipq.process_epoch(_vec_changes(emb.filter(part == 1), 2), "e1")
+    queries = emb.filter(F.col("vec_id") < 10)
+    want = _pq_batch(emb, queries, books)
+    assert _pq_live(ipq, queries) == want
+
+    reopened = IncrementalPQ(spark, root, cell_bits=4, m=4, k=8, iters=1, dim=64)
+    assert reopened.books == books
+    assert _pq_live(reopened, queries) == want
+
+
+def test_pq_incremental_move_delete_redelivery(spark, emb):
+    """Negation flips every hyperplane sign (cell move) AND lands in other
+    code cells; deletes vanish from every probe; epoch redelivery is
+    absorbed."""
+    from ticdc_spark.pipeline.incremental import IncrementalPQ
+    from ticdc_spark.pipeline.pq import pq_train
+
+    root = os.path.join(ROOT, "pq_move")
+    shutil.rmtree(root, ignore_errors=True)
+    books = pq_train(emb, m=4, k=8, iters=1, dim=64)
+    ipq = IncrementalPQ(spark, root, books=books, cell_bits=4,
+                        m=4, k=8, iters=1, dim=64)
+    ipq.process_epoch(_vec_changes(emb, 1), "e0")
+    moved_id, killed_id = 42, 43
+    neg = emb.filter(F.col("vec_id") == moved_id).select(
+        "vec_id",
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("commit_ts"),
+        F.lit(1).cast("long").alias("seq"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    kill = emb.filter(F.col("vec_id") == killed_id).select(
+        "vec_id",
+        F.lit("D").alias("op"),
+        F.lit(2).cast("long").alias("commit_ts"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    batch = neg.unionByName(kill).localCheckpoint(eager=True)
+    ipq.process_epoch(batch, "e1")
+    ipq.process_epoch(batch, "e1")  # redelivery: absorbed
+    final = emb.filter(~F.col("vec_id").isin([moved_id, killed_id])).unionByName(
+        emb.filter(F.col("vec_id") == moved_id).select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    assert _pq_live(ipq, queries) == _pq_batch(final, queries, books)
+    # the store really holds codes, not floats
+    assert "codes" in ipq.vecs.read().columns
+    assert "embedding" not in ipq.vecs.read().columns

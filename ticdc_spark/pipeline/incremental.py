@@ -656,6 +656,211 @@ class IncrementalIVF:
         )
 
 
+class IncrementalPQ:
+    """CDC-maintained IVFADC index (pipeline/pq) over an embedding change
+    stream — the compressed sibling of IncrementalIVF: the sidecar stores
+    (vec_id, cell, codes array<int>), never the float vectors, so the
+    live index stays ~32x smaller than the corpus at any scale.
+
+    Codebooks are trained ONCE (from the first epoch's vectors unless
+    passed in) and FROZEN — the standard PQ deployment shape: retraining
+    would silently invalidate every stored code, so freshness comes from
+    re-ENCODING changed vectors (map-only) against the fixed books, never
+    from moving centroids. Books persist to <root>/books.json (atomic
+    tmp+replace, same commit discipline as every metadata write) so a
+    reopened index encodes identically.
+
+    Same cell-move contract as IncrementalIVF: an update writes a
+    tombstone into the OLD cell's bucket plus the insert in the new one;
+    merge_epoch(assume_deduped=True) keeps the pair. topk() equals
+    pq.ivfpq_topk(current corpus, books=frozen) — tested under inserts,
+    negation cell-moves, deletes, and epoch redelivery.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        books: dict[int, list[tuple[int, list[float]]]] | None = None,
+        cell_bits: int = 4,
+        m: int = 16,
+        k: int = 32,
+        iters: int = 2,
+        dim: int = 64,
+        n_buckets: int = 8,
+        cell_buckets: int = 16,
+        id_type: str = "bigint",
+    ):
+        import json
+
+        self.spark = spark
+        self.root = root
+        self.cell_bits = cell_bits
+        self.m, self.k, self.iters, self.dim = m, k, iters, dim
+        self._id_type = id_type
+        self._books_path = os.path.join(root, "books.json")
+        if books is None and os.path.exists(self._books_path):
+            with open(self._books_path) as f:
+                raw = json.load(f)
+            books = {
+                int(s): [(int(c), list(cent)) for c, cent in pairs]
+                for s, pairs in raw.items()
+            }
+        self.books = books
+        self.cells = self._open_or_create(
+            os.path.join(root, "cells"),
+            [
+                {"id": 1, "name": "vec_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "cell", "type": "bigint"},
+            ],
+            n_buckets=n_buckets,
+            key_col="vec_id",
+        )
+        self.vecs = self._open_or_create(
+            os.path.join(root, "vecs"),
+            [
+                {"id": 1, "name": "vec_id", "type": id_type, "nullable": False},
+                {"id": 2, "name": "cell", "type": "bigint"},
+                {"id": 3, "name": "codes", "type": "array<int>"},
+            ],
+            n_buckets=cell_buckets,
+            key_col="vec_id",
+            bucket_col="cell",
+        )
+        if self.books is not None and not os.path.exists(self._books_path):
+            self._save_books()
+
+    _open_or_create = IncrementalLSHDeduper._open_or_create
+
+    def _save_books(self) -> None:
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._books_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {str(s): [[c, cent] for c, cent in pairs]
+                 for s, pairs in self.books.items()},
+                f,
+            )
+        os.replace(tmp, self._books_path)
+
+    def process_epoch(self, changes: DataFrame, epoch_id: str) -> dict:
+        """changes: (vec_id, op, commit_ts, seq, embedding). First epoch
+        trains the books from its own vectors if none were given."""
+        from .pq import _codes_expr, pq_train
+        from .similarity import cell_signature
+
+        b = collapse_lww_batch(changes, "vec_id").localCheckpoint(eager=True)
+        if self.books is None:
+            self.books = pq_train(
+                b.filter(F.col("op") != OP_DELETE),
+                m=self.m, k=self.k, iters=self.iters, dim=self.dim,
+                id_col="vec_id", vec_col="embedding",
+            )
+            self._save_books()
+        stamped = b.select("vec_id", "commit_ts", "seq")
+        puts = b.filter(F.col("op") != OP_DELETE).select(
+            "vec_id",
+            cell_signature("embedding", self.cell_bits, self.dim).alias("cell"),
+            _codes_expr(self.books, "embedding").alias("codes"),
+            "commit_ts",
+            "seq",
+        )
+        old = _rows_for_ids(self.cells, b.select("vec_id"), "vec_id")
+        vec_tombs = old.join(stamped, "vec_id").select(
+            "vec_id",
+            "cell",
+            F.lit(None).cast("array<int>").alias("codes"),
+            F.lit(OP_DELETE).alias("op"),
+            "commit_ts",
+            "seq",
+        )
+        vec_puts = puts.select(
+            "vec_id", "cell", "codes",
+            F.lit(OP_INSERT).alias("op"), "commit_ts", "seq",
+        )
+        self.vecs.merge_epoch(
+            vec_tombs.unionByName(vec_puts), f"{epoch_id}-vecs",
+            assume_deduped=True,
+        )
+        cell_changes = puts.select(
+            "vec_id", "cell", F.lit(OP_INSERT).alias("op"), "commit_ts", "seq"
+        ).unionByName(
+            b.filter(F.col("op") == OP_DELETE).select(
+                "vec_id",
+                F.lit(None).cast("bigint").alias("cell"),
+                F.lit(OP_DELETE).alias("op"),
+                "commit_ts",
+                "seq",
+            )
+        )
+        self.cells.merge_epoch(
+            cell_changes, f"{epoch_id}-cells", assume_deduped=True
+        )
+        return {"epoch": epoch_id}
+
+    def maintain(self, max_deltas: int = 8, keep_versions: int = 4) -> dict:
+        return _maintain_tables([self.cells, self.vecs], max_deltas, keep_versions)
+
+    def topk(
+        self, queries: DataFrame, k_top: int = 5, n_probe_hamming: int = 1,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ADC probe: read ONLY the code buckets the probe cells hash to,
+        rank by the broadcast distance tables. Output contract matches
+        pq.ivfpq_topk."""
+        from pyspark.sql import Window
+
+        from .pq import _adc_expr, _query_tabs
+        from .similarity import cell_signature, probe_cells
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                probe_cells(
+                    cell_signature(vec_col, self.cell_bits, self.dim),
+                    self.cell_bits,
+                    n_probe_hamming,
+                )
+            ).alias("cell"),
+        )
+        bks = sorted(
+            int(r["b"])
+            for r in q.select(self.vecs._bucket_expr("cell").alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not bks:
+            return self.spark.createDataFrame(
+                [],
+                f"query_id {self._id_type}, neighbor_id {self._id_type}, "
+                "adc_dist double, rank int",
+            )
+        tabs = _query_tabs(queries, self.books, self.dim, id_col, vec_col)
+        store = (
+            self.vecs.read_raw(buckets=bks)
+            .filter(~F.col(SYS_DELETED))
+            .select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
+        )
+        cand = (
+            store.join(F.broadcast(q), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(tabs, "query_id")
+        )
+        scored = cand.select(
+            "query_id", "neighbor_id", _adc_expr().alias("adc_dist")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_top)
+            .select("query_id", "neighbor_id", "adc_dist", "rank")
+        )
+
+
 class IncrementalDecontaminator:
     """CDC-maintained benchmark-contamination index.
 

@@ -307,6 +307,7 @@ def ivfpq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: dict[int, list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): both pruning layers composed —
     coarse hyperplane cells cut WHICH code rows a query touches
@@ -325,9 +326,10 @@ def ivfpq_topk(
     """
     from .similarity import cell_signature, probe_cells
 
-    books = pq_train(
-        emb, m=m, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
-    )
+    if books is None:
+        books = pq_train(
+            emb, m=m, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+        )
     # ONE map-only pass builds the index rows: (id, cell, codes)
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
