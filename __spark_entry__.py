@@ -1514,6 +1514,15 @@ def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sample (pipeline/decontam.stratified_topn): the 25
+    smallest-seeded-hash docs per (lang, source) cell — threshold-prefiltered
+    so the corpus never shuffles, exact window on the survivors."""
+    from ticdc_spark.pipeline.decontam import stratified_topn
+
+    return _longify(stratified_topn(_docs(spark, sf_dir), n=25, seed=7))
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample (hash-threshold, no rand()): per-source
     totals vs sampled counts — the reproducible-subset op every training-data
@@ -3082,6 +3091,7 @@ SELECT source, count(*) AS n_total,
 FROM d GROUP BY source
 """,
         "corpus_mix": dc.mix_sample_sql(),
+        "corpus_stratified": dc.stratified_topn_sql(n=25, seed=7),
         "corpus_length_quantiles": """
 SELECT source, count(*) AS n_docs,
        round(quantile_cont(n_chars, 0.25), 6) AS p25,
@@ -3227,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_incremental": q_decontam_incremental,
         "tokens_oov_rate": q_tokens_oov_rate,
         "corpus_mix": q_corpus_mix,
+        "corpus_stratified": q_corpus_stratified,
         "corpus_profile": q_corpus_profile,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "curate_dsir": q_curate_dsir,

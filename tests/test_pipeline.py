@@ -1100,3 +1100,36 @@ def test_ivfpq_is_probe_pruned_adc(emb, spark):
                [(n, r) for n, _, r in expect[q]], q
         for (gn, gd, _), (_, ed, _) in zip(got[q], expect[q]):
             assert abs(gd - ed) < 1e-6
+
+
+def test_stratified_topn_exact_and_retry_safe(docs, spark):
+    """The threshold prefilter never changes the result: with safety=1 the
+    Chernoff-tail retry path is likely exercised, and the output still
+    equals the exact per-stratum window (python recomputation)."""
+    from ticdc_spark.functions.hashing import h60
+    from ticdc_spark.pipeline.decontam import stratified_topn
+
+    n = 7
+    rows = docs.select(
+        "doc_id", "lang", "source",
+        h60(F.concat_ws("\x1f", F.lit("3"), F.col("doc_id").cast("string"))).alias("h"),
+    ).collect()
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault((r["lang"], r["source"]), []).append(
+            (r["h"], r["doc_id"]))
+    expect = set()
+    for (lang, src), members in by_stratum.items():
+        for rank, (_, did) in enumerate(sorted(members)[:n], start=1):
+            expect.add((did, lang, src, rank))
+
+    for safety in (1, 4):
+        got = {
+            (r["doc_id"], r["lang"], r["source"], r["rank"])
+            for r in stratified_topn(docs, n=n, seed=3, safety=safety).collect()
+        }
+        assert got == expect, f"safety={safety}"
+
+    # quota above stratum size: every doc kept, ranks dense
+    big = stratified_topn(docs.limit(30), n=10_000, seed=3).collect()
+    assert len(big) == 30

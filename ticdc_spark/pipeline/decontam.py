@@ -140,6 +140,106 @@ def mix_sample(
     )
 
 
+def stratified_topn(
+    docs: DataFrame,
+    n: int,
+    strata: tuple[str, ...] = ("lang", "source"),
+    key_col: str = "doc_id",
+    seed: int = 0,
+    safety: int = 4,
+) -> DataFrame:
+    """Exact per-stratum quota sample: the n docs with the smallest seeded
+    hash inside every stratum — deterministic balanced subsets per
+    (lang, source, ...) cell, the stratified-eval/ablation op (re-running
+    with another seed redraws; same seed is bit-identical).
+
+    Scale shape: NOT one window over the corpus — a 10^9-row stratum would
+    be a single straggler task. The seeded h60 is uniform, so a stratum's
+    n-th smallest hash concentrates near (n/N_s)·2^60:
+      1. per-stratum counts (one map-side-combined agg, O(strata) rows)
+      2. map-only prefilter against broadcast per-stratum thresholds
+         safety·(n/N_s)·2^60 — the corpus never shuffles, survivors are
+         ~safety·n per stratum
+      3. exact row_number window over the tiny survivor set
+    The prefilter is verified, not trusted: if any stratum kept fewer than
+    min(n, N_s) rows (Chernoff-tail event), its threshold doubles and the
+    pass repeats — the final window is exact top-n regardless.
+
+    Output: (key_col, *strata, rank) with rank in 1..n per stratum.
+    """
+    skey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in strata])
+    h = h60(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), F.col(key_col).cast("string")
+        )
+    )
+    base = docs.select(
+        key_col, *strata, skey.alias("_sk"), h.alias("_h")
+    )
+    counts = {
+        r["_sk"]: int(r["c"])
+        for r in base.groupBy("_sk").agg(F.count("*").alias("c")).collect()
+    }
+    full = 1 << 60
+    factor = {sk: safety for sk in counts}
+    while True:
+        thr = {
+            sk: full if counts[sk] <= n else min(
+                full, (factor[sk] * n * full) // counts[sk] + 1
+            )
+            for sk in counts
+        }
+        thr_col = F.lit(full)
+        for sk, t in thr.items():
+            if t < full:
+                thr_col = F.when(F.col("_sk") == sk, F.lit(t)).otherwise(thr_col)
+        surv = base.filter(F.col("_h") < thr_col).localCheckpoint(eager=True)
+        got = {
+            r["_sk"]: int(r["c"])
+            for r in surv.groupBy("_sk").agg(F.count("*").alias("c")).collect()
+        }
+        short = [
+            sk for sk in counts
+            if got.get(sk, 0) < min(n, counts[sk])
+        ]
+        if not short:
+            break
+        for sk in short:
+            factor[sk] *= 2
+    w = Window.partitionBy("_sk").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        surv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(key_col, *strata, "rank")
+    )
+
+
+def stratified_topn_sql(
+    n: int,
+    strata: tuple[str, ...] = ("lang", "source"),
+    seed: int = 0,
+    table: str = "documents",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: the plain window form (the prefilter never changes
+    the result, only where the work happens)."""
+    from ..functions.hashing import h60_sql
+
+    h = h60_sql(f"concat_ws(chr(31), '{seed}', cast({key_col} AS varchar))")
+    cols = ", ".join(strata)
+    return f"""
+WITH h AS (
+  SELECT {key_col}, {cols}, {h} AS hh FROM {table}
+)
+SELECT {key_col}, {cols}, rank FROM (
+  SELECT {key_col}, {cols},
+         row_number() OVER (PARTITION BY {cols}
+                            ORDER BY hh ASC, {key_col} ASC)::BIGINT AS rank
+  FROM h
+) WHERE rank <= {n}
+"""
+
+
 def mix_sample_sql(denom: int = 1_000_000) -> str:
     """DuckDB oracle for mix_sample(alpha=0.5) — sqrt/division/floor only,
     all IEEE-correctly-rounded, so thresholds match Spark bit-for-bit."""
