@@ -1292,6 +1292,33 @@ def q_tokens_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins(d, seq_len=512, block_size=128)
 
 
+def q_tokens_pack_bins_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SFT bins THEMSELVES (pipeline.pack.pack_bins_sequences): blocked
+    FFD assignment, then whole documents concatenated in rank order inside
+    each bin — token ids hashed to a 50k space, full per-bin token order
+    hash-checked via the CSV serialization."""
+    from ticdc_spark.functions.hashing import h60
+    from ticdc_spark.pipeline.pack import pack_bins_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            bpe_tokens_col("text"), lambda t: h60(t) % 50_000
+        ).alias("tok_ids"),
+    )
+    bins = pack_bins_sequences(
+        d, seq_len=512, tokens_col="tok_ids", block_size=128
+    )
+    return bins.select(
+        "bin_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_fill").cast("long").alias("n_fill"),
+        F.array_join(
+            F.transform(F.col("tokens"), lambda t: t.cast("string")), ","
+        ).alias("tokens_csv"),
+    )
+
+
 def q_tokens_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed sequences THEMSELVES (pipeline.pack.pack_sequences):
     tokenize, hash token strings to a 50k-id space, concat in doc_id order,
@@ -2912,6 +2939,28 @@ FROM x GROUP BY seq_id
             seq_len=512,
             block_size=128,
         ),
+        "tokens_pack_bins_sequences": (
+            lambda ctes_final: f"""
+WITH RECURSIVE {ctes_final[0]}
+SELECT a.bin_id,
+       count(*)::BIGINT AS n_docs,
+       sum(a.n_tok)::BIGINT AS n_fill,
+       array_to_string(flatten(list(d.tok_ids ORDER BY a.rank)), ',')
+         AS tokens_csv
+FROM {ctes_final[1]} a JOIN d USING (doc_id)
+GROUP BY a.bin_id
+"""
+        )(
+            pk._pack_bins_ctes(
+                f"len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT",
+                seq_len=512,
+                block_size=128,
+                extra_d_cols=(
+                    f", list_transform(regexp_extract_all(text, '{BPE_RE}'), "
+                    f"t -> {h60_sql('t')} % 50000) AS tok_ids"
+                ),
+            )
+        ),
         "tokens_pack_sequences": f"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(text, '{BPE_RE}') AS toks
@@ -3222,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "tokens_pack_sequences": q_tokens_pack_sequences,
         "tokens_pack_bins": q_tokens_pack_bins,
+        "tokens_pack_bins_sequences": q_tokens_pack_bins_sequences,
         "corpus_shards": q_corpus_shards,
         "tokens_pack": q_tokens_pack,
         "curate_strict": q_curate_strict,

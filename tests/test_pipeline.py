@@ -1133,3 +1133,27 @@ def test_stratified_topn_exact_and_retry_safe(docs, spark):
     # quota above stratum size: every doc kept, ranks dense
     big = stratified_topn(docs.limit(30), n=10_000, seed=3).collect()
     assert len(big) == 30
+
+
+def test_pack_bins_sequences_keeps_docs_whole(spark):
+    """Every document's token run appears contiguously inside exactly one
+    bin, in rank order; per-bin fill and doc counts agree with pack_bins."""
+    from ticdc_spark.pipeline.pack import pack_bins, pack_bins_sequences
+
+    rows = [(i, [i * 100 + j for j in range((i * 13) % 9 + 1)])
+            for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    L, B = 16, 8
+    asg = {r["doc_id"]: (r["rank"], r["bin_id"]) for r in pack_bins(
+        d.selectExpr("doc_id", "cast(size(tokens) as long) as n_tok"),
+        seq_len=L, block_size=B).collect()}
+    out = {r["bin_id"]: (r["n_docs"], r["n_fill"], list(r["tokens"]))
+           for r in pack_bins_sequences(d, seq_len=L, block_size=B).collect()}
+    toks = dict(rows)
+    by_bin = {}
+    for did, (rank, bid) in sorted(asg.items(), key=lambda x: x[1][0]):
+        by_bin.setdefault(bid, []).extend(toks[did])
+    for bid, (nd, nf, seq) in out.items():
+        assert seq == by_bin[bid]
+        assert nf == len(seq)
+    assert set(out) == set(by_bin)

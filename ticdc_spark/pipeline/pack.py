@@ -517,10 +517,29 @@ def pack_bins_sql(
     list_position finds the first bin that fits, list slicing applies the
     fill. Recursion depth = block_size (per-block fold steps run for all
     blocks in parallel per iteration)."""
-    L, B = int(seq_len), int(block_size)
+    ctes, final = _pack_bins_ctes(
+        n_tok_sql, seq_len, block_size, table=table, id_col=id_col
+    )
     return f"""
-WITH RECURSIVE d AS (
-  SELECT {id_col}, {n_tok_sql} AS n_tok FROM {table}
+WITH RECURSIVE {ctes}
+SELECT {id_col}, n_tok, rank, bin_id FROM {final}
+"""
+
+
+def _pack_bins_ctes(
+    n_tok_sql: str,
+    seq_len: int,
+    block_size: int = 512,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    extra_d_cols: str = "",
+) -> tuple[str, str]:
+    """The blocked-FFD CTE chain; final CTE `asg` has
+    ({id_col}, n_tok, rank, bin_id). extra_d_cols rides along in `d`
+    (e.g. the token array for sequence assembly)."""
+    L, B = int(seq_len), int(block_size)
+    ctes = f"""d AS (
+  SELECT {id_col}, {n_tok_sql} AS n_tok{extra_d_cols} FROM {table}
 ),
 r AS (
   SELECT {id_col}, n_tok,
@@ -551,10 +570,56 @@ ffd AS (
              0) AS p
     FROM ffd JOIN b bb ON bb.block_id = ffd.block_id AND bb.slot = ffd.step
   )
-)
-SELECT {id_col}, n_tok, rank, block_id * {B} + bin_local - 1 AS bin_id
-FROM ffd
-"""
+),
+asg AS (
+  SELECT {id_col}, n_tok, rank, block_id * {B} + bin_local - 1 AS bin_id
+  FROM ffd
+)"""
+    return ctes, "asg"
+
+
+def pack_bins_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    block_size: int = 512,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Materialize the SFT training bins themselves: each output row is one
+    bin's assembled token array — documents concatenated WHOLE in rank
+    order inside their pack_bins bin, the artifact an instruction-tuning
+    loader reads (each doc intact; per-bin fill <= seq_len except a
+    single-oversize-doc bin).
+
+    Plan shape: the pack_bins assignment, one broadcast-sized join back to
+    the token arrays, then ONE shuffle keyed by bin_id with native
+    array_sort(collect_list(struct(rank, tokens)))->flatten assembly — no
+    posexplode needed (docs never straddle bins), every group <= seq_len
+    tokens by construction.
+
+    Output: (bin_id, n_docs, n_fill, tokens).
+    """
+    base = docs.select(id_col, tokens_col).withColumn(
+        "_n", F.size(F.col(tokens_col)).cast("long")
+    )
+    asg = pack_bins(
+        base, seq_len, n_tok_col="_n", id_col=id_col,
+        block_size=block_size, range_partitions=range_partitions,
+    )
+    joined = asg.join(docs.select(id_col, tokens_col), id_col)
+    return joined.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_fill"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rank", F.col(tokens_col)))
+                ),
+                lambda s: s[tokens_col],
+            )
+        ).alias("tokens"),
+    )
 
 
 def rank_by(
