@@ -1107,3 +1107,61 @@ def test_pq_incremental_move_delete_redelivery(spark, emb):
     # the store really holds codes, not floats
     assert "codes" in ipq.vecs.read().columns
     assert "embedding" not in ipq.vecs.read().columns
+
+
+def test_derived_feed_drives_pq_with_truncate(spark, emb):
+    """DerivedIndexFeed maintains the compressed IVFADC index too: inserts
+    through the changelog, a source TRUNCATE wipes the derived rows but
+    KEEPS the frozen books (post-truncate codes stay comparable), and the
+    re-indexed probe equals the batch IVFADC over the post-truncate set."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.incremental import DerivedIndexFeed, IncrementalPQ
+    from ticdc_spark.pipeline.pq import pq_train
+
+    root = os.path.join(ROOT, "pq_feed")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        fields=[
+            {"id": 1, "name": "vec_id", "type": "bigint", "nullable": False},
+            {"id": 2, "name": "embedding", "type": "array<float>"},
+        ],
+        n_buckets=4,
+        key_col="vec_id",
+    )
+    books = pq_train(emb, m=4, k=8, iters=1, dim=64)
+    ipq = IncrementalPQ(spark, os.path.join(root, "pq"), books=books,
+                        cell_bits=4, m=4, k=8, iters=1, dim=64)
+    feed = DerivedIndexFeed(
+        tbl, ipq,
+        transform=lambda df: df.select("vec_id", "op", "commit_ts", "seq", "embedding"),
+    )
+    part = F.pmod(F.xxhash64("vec_id"), F.lit(2))
+    for e, cts in ((0, 1), (1, 2)):
+        ch = emb.filter(part == e).select(
+            "vec_id",
+            F.lit("I").alias("op"),
+            F.lit(cts).cast("long").alias("commit_ts"),
+            F.col("vec_id").alias("seq"),
+            "embedding",
+        )
+        tbl.merge_epoch(ch, f"e{e}")
+        feed.sync()
+    queries = emb.filter(F.col("vec_id") < 10)
+    assert _pq_live(ipq, queries) == _pq_batch(emb, queries, books)
+
+    # truncate, then re-index a subset: derived state rebuilt, books kept
+    keep = emb.filter(part == 0)
+    tbl.truncate("trunc1")
+    tbl.merge_epoch(
+        keep.select(
+            "vec_id", F.lit("I").alias("op"),
+            F.lit(3).cast("long").alias("commit_ts"),
+            F.col("vec_id").alias("seq"), "embedding",
+        ),
+        "e2",
+    )
+    feed.sync()
+    assert ipq.books == books
+    assert _pq_live(ipq, queries) == _pq_batch(keep, queries, books)

@@ -803,6 +803,23 @@ class IncrementalPQ:
     def maintain(self, max_deltas: int = 8, keep_versions: int = 4) -> dict:
         return _maintain_tables([self.cells, self.vecs], max_deltas, keep_versions)
 
+    def reset(self) -> None:
+        """Wipe the derived rows (source truncate via DerivedIndexFeed) but
+        KEEP the frozen books: codes of the re-indexed rows stay comparable
+        to anything encoded before; retraining is an explicit operator
+        decision, never an implicit side effect of a truncate."""
+        import shutil
+
+        books = self.books
+        for sub in ("cells", "vecs"):
+            shutil.rmtree(os.path.join(self.root, sub), ignore_errors=True)
+        self.__init__(
+            self.spark, self.root, books=books, cell_bits=self.cell_bits,
+            m=self.m, k=self.k, iters=self.iters, dim=self.dim,
+            n_buckets=self.cells.n_buckets, cell_buckets=self.vecs.n_buckets,
+            id_type=self._id_type,
+        )
+
     def topk(
         self, queries: DataFrame, k_top: int = 5, n_probe_hamming: int = 1,
         id_col: str = "vec_id", vec_col: str = "embedding",
