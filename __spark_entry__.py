@@ -45,6 +45,8 @@ from ticdc_spark.functions.text import (
     repetition_columns,
     repetition_sql,
     tokens_col,
+    bigram_nll_columns,
+    bigram_nll_sql,
     unigram_nll_buckets,
     unigram_nll_buckets_sql,
     unigram_nll_columns,
@@ -1057,6 +1059,13 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: per-doc mean NLL under the corpus
     unigram distribution (add-one smoothed). Two linear shuffles."""
     return _longify(unigram_nll_columns(_docs(spark, sf_dir)))
+
+
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer bigram LM quality score — the next rung toward
+    CCNet's KenLM perplexity above the unigram proxy. Per-doc lag window
+    (doc-bounded) + linear count-table joins."""
+    return _longify(bigram_nll_columns(_docs(spark, sf_dir)))
 
 
 def q_text_nll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2892,6 +2901,7 @@ FROM t
         "text_fingerprint": fingerprint_sql(),
         "text_repetition": repetition_sql(),
         "text_unigram_nll": unigram_nll_sql(),
+        "text_bigram_nll": bigram_nll_sql(),
         "text_nll_buckets": unigram_nll_buckets_sql(),
         "text_pii": pii_sql(),
         "curate_corpus": _curate_sql(),
@@ -3262,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remaining proven queries close the dict. See CORRECTNESS_r0{1,2}.json.
     return {
         # -- never driver-checked / changed this round --
+        "text_bigram_nll": q_text_bigram_nll,
         "cdc_training_order": q_cdc_training_order,
         "cdc_partition_drop": q_cdc_partition_drop,
         "cdc_syncpoint_read": q_cdc_syncpoint_read,

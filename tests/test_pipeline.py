@@ -1157,3 +1157,29 @@ def test_pack_bins_sequences_keeps_docs_whole(spark):
         assert seq == by_bin[bid]
         assert nf == len(seq)
     assert set(out) == set(by_bin)
+
+
+def test_bigram_nll_exact_and_context_sensitivity(spark):
+    from ticdc_spark.functions.text import bigram_nll_columns
+
+    # corpus: "a b" always adjacent in doc 1; doc 2 uses the same unigrams
+    # in an unseen-context order only it contains -> lower-probability
+    # bigrams -> higher nll than doc 1 despite identical unigram profile
+    rows = [
+        (1, "a b a b"),
+        (2, "b b a a"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_nll_columns(docs, lam=0.7).collect()}
+    assert got[1]["n_tok"] == 4 and got[2]["n_tok"] == 4
+    assert got[1]["nll"] < got[2]["nll"]
+
+    # exact value: N=8, V=2, cnt(a)=cnt(b)=4 -> p_uni = 5/10 for both.
+    # doc1 bigrams: (a,b) cnt=2, (b,a) cnt=2 over prev cnt=4 -> p_bi=.5 each
+    import math
+
+    p_uni = 0.5
+    first = -math.log(p_uni)
+    inner = -math.log(0.7 * 0.5 + 0.3 * p_uni)
+    want1 = round((first + 3 * inner) / 4, 6)
+    assert abs(got[1]["nll"] - want1) < 1e-6

@@ -402,3 +402,104 @@ SELECT doc_id, n_tok, nll, nll_rank,
             ELSE 'middle' END AS bucket
 FROM r
 """
+
+
+def bigram_nll_columns(
+    df: DataFrame, text_col: str = "text", lam: float = 0.7
+) -> DataFrame:
+    """Jelinek-Mercer bigram LM quality score — one step closer to CCNet's
+    KenLM 5-gram perplexity (Wenzek et al. 2020) than the unigram proxy:
+    per-doc mean negative log-likelihood under
+
+        p(tok | prev) = lam * cnt(prev,tok)/cnt(prev)
+                        + (1-lam) * (cnt(tok)+1)/(N+V)
+
+    with the add-one unigram as the doc's first-token model (no prev).
+    Counts come from the corpus itself (self-scoring, same as the unigram
+    path), so every observed bigram has cnt >= 1 and the MLE term is
+    well-defined; interpolation keeps mass on the unigram backoff exactly
+    as JM smoothing prescribes.
+
+    Output: (doc_id, n_tok, nll) with nll rounded to 6 places.
+
+    Scale shape: one posexplode, a per-doc lag window (partitioned by
+    doc_id — doc-bounded, fully parallel), bigram + unigram count tables
+    via map-side-combined groupBys, then joins back on tok / (prev, tok) —
+    all linear hash shuffles on high-cardinality keys; the (N, V) totals
+    are a broadcast 1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("tok").over(w))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = uni.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("v_total")
+    )
+    big = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    prev_cnt = uni.select(
+        F.col("tok").alias("prev"), F.col("cnt").alias("pcnt")
+    )
+    scored = (
+        pairs.join(uni, "tok")
+        .join(big, ["prev", "tok"], "left")
+        .join(prev_cnt, "prev", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = (F.col("cnt") + F.lit(1)).cast("double") / (
+        F.col("n_total") + F.col("v_total")
+    ).cast("double")
+    p_bi = F.col("bcnt").cast("double") / F.col("pcnt").cast("double")
+    p = F.when(
+        F.col("prev").isNull(), p_uni
+    ).otherwise(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    return (
+        scored.select("doc_id", (-F.log(p)).alias("tok_nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.avg("tok_nll"), 6).alias("nll"),
+        )
+    )
+
+
+def bigram_nll_sql(lam: float = 0.7) -> str:
+    toks = TOKENS_SQL.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({toks}) AS tok,
+         generate_subscripts({toks}, 1) AS pos
+  FROM documents
+), p AS (
+  SELECT doc_id, pos, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM t
+), c AS (
+  SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS n_total, count(*) AS v_total FROM c
+), b AS (
+  SELECT prev, tok, count(*) AS bcnt FROM p WHERE prev IS NOT NULL
+  GROUP BY prev, tok
+)
+SELECT p.doc_id, count(*) AS n_tok,
+       round(avg(-ln(CASE WHEN p.prev IS NULL
+         THEN (c.cnt + 1) * 1.0 / (tot.n_total + tot.v_total)
+         ELSE {float(lam)} * b.bcnt * 1.0 / pc.cnt
+              + {1.0 - float(lam)} * (c.cnt + 1) * 1.0
+                / (tot.n_total + tot.v_total)
+       END)), 6) AS nll
+FROM p
+JOIN c USING (tok)
+LEFT JOIN b ON b.prev = p.prev AND b.tok = p.tok
+LEFT JOIN c pc ON pc.tok = p.prev
+CROSS JOIN tot
+GROUP BY p.doc_id
+"""

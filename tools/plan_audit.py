@@ -56,6 +56,7 @@ AUDIT = [
     "tokens_dup_spans",
     "dedup_span_trim",
     "text_unigram_nll",
+    "text_bigram_nll",
     "text_nll_buckets",
     "text_pii",
     "text_repetition",
