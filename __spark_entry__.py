@@ -47,6 +47,8 @@ from ticdc_spark.functions.text import (
     tokens_col,
     bigram_nll_columns,
     bigram_nll_sql,
+    tokens_entropy_columns,
+    tokens_entropy_sql,
     unigram_nll_buckets,
     unigram_nll_buckets_sql,
     unigram_nll_columns,
@@ -1059,6 +1061,24 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: per-doc mean NLL under the corpus
     unigram distribution (add-one smoothed). Two linear shuffles."""
     return _longify(unigram_nll_columns(_docs(spark, sf_dir)))
+
+
+def q_tokens_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional profile of PRE-TOKENIZED sequences (the input_hint
+    payload): distinct ratio, Shannon entropy, top-token share — the
+    loader-side degenerate-repetition gate. Tokens derived per doc as
+    h60(word) mod 32768 (reproducible in the oracle). Two linear
+    map-side-combined shuffles."""
+    from ticdc_spark.functions.hashing import h60
+    from ticdc_spark.functions.text import tokens_col
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            tokens_col("text"), lambda w: (h60(w) % 32768).cast("int")
+        ).alias("tokens"),
+    )
+    return _longify(tokens_entropy_columns(docs))
 
 
 def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2902,6 +2922,13 @@ FROM t
         "text_repetition": repetition_sql(),
         "text_unigram_nll": unigram_nll_sql(),
         "text_bigram_nll": bigram_nll_sql(),
+        "tokens_entropy": tokens_entropy_sql(
+            "list_transform("
+            + TOKENS_SQL.format(t="text")
+            + ", w -> cast("
+            + h60_sql("w")
+            + " % 32768 AS int))"
+        ),
         "text_nll_buckets": unigram_nll_buckets_sql(),
         "text_pii": pii_sql(),
         "curate_corpus": _curate_sql(),
@@ -3273,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked / changed this round --
         "text_bigram_nll": q_text_bigram_nll,
+        "tokens_entropy": q_tokens_entropy,
         "cdc_training_order": q_cdc_training_order,
         "cdc_partition_drop": q_cdc_partition_drop,
         "cdc_syncpoint_read": q_cdc_syncpoint_read,

@@ -1183,3 +1183,23 @@ def test_bigram_nll_exact_and_context_sensitivity(spark):
     inner = -math.log(0.7 * 0.5 + 0.3 * p_uni)
     want1 = round((first + 3 * inner) / 4, 6)
     assert abs(got[1]["nll"] - want1) < 1e-6
+
+
+def test_tokens_entropy_degenerate_and_uniform(spark):
+    import math
+
+    from ticdc_spark.functions.text import tokens_entropy_columns
+
+    rows = [
+        (1, [7, 7, 7, 7]),          # degenerate: entropy 0, top_frac 1
+        (2, [1, 2, 3, 4]),          # uniform: entropy ln(4), distinct 1.0
+        (3, [5, 5, 6, 6, 6, 6]),    # 2/6 + 4/6 mix
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    got = {r["doc_id"]: r for r in tokens_entropy_columns(docs).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["top_frac"] == 1.0
+    assert abs(got[2]["entropy"] - round(math.log(4), 6)) < 1e-6
+    assert got[2]["distinct_ratio"] == 1.0 and got[2]["top_frac"] == 0.25
+    want3 = round(-(2 / 6) * math.log(2 / 6) - (4 / 6) * math.log(4 / 6), 6)
+    assert abs(got[3]["entropy"] - want3) < 1e-6
+    assert got[3]["n_distinct"] == 2 and abs(got[3]["top_frac"] - round(4 / 6, 6)) < 1e-6

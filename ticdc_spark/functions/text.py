@@ -503,3 +503,72 @@ LEFT JOIN c pc ON pc.tok = p.prev
 CROSS JOIN tot
 GROUP BY p.doc_id
 """
+
+
+def tokens_entropy_columns(
+    df: DataFrame, tokens_col_name: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document distributional profile of a PRE-TOKENIZED sequence —
+    the loader-side quality gate over the input_hint payload (doc_id,
+    tokens array<int>), no raw text needed: distinct-token ratio, Shannon
+    entropy of the doc's own token histogram (nats), and the highest
+    single-token frequency share (a degenerate-repetition detector — a
+    doc that is one token over and over has entropy 0 and top_frac 1).
+
+    Output: (doc_id, n_tok, n_distinct, distinct_ratio, entropy, top_frac),
+    ratios rounded to 6.
+
+    Scale shape: explode → ONE (doc_id, tok) map-side-combined count →
+    ONE doc_id agg. Both shuffles carry (id, tok/cnt) pairs; per-doc
+    histograms never materialize as arrays.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.col(tokens_col_name)).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt")
+    p = F.col("cnt").cast("double")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.alias("n_tok"),
+            F.count("*").alias("n_distinct"),
+            F.sum(p * F.log(p)).alias("_sum_clogc"),
+            F.max("cnt").alias("_max_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_tok"), 6).alias(
+                "distinct_ratio"
+            ),
+            # H = ln(n) - (1/n) * sum(c * ln c): one pass, no per-token join
+            F.round(
+                F.log(F.col("n_tok").cast("double"))
+                - F.col("_sum_clogc") / F.col("n_tok"),
+                6,
+            ).alias("entropy"),
+            F.round(F.col("_max_cnt") / F.col("n_tok"), 6).alias("top_frac"),
+        )
+    )
+
+
+def tokens_entropy_sql(tokens_sql: str, table: str = "documents") -> str:
+    """DuckDB oracle over the same derived token arrays; `tokens_sql` is a
+    SQL expression producing the array<int> per row of `table`."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({tokens_sql}) AS tok FROM {table}
+), c AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       sum(cnt) AS n_tok,
+       count(*) AS n_distinct,
+       round(count(*) * 1.0 / sum(cnt), 6) AS distinct_ratio,
+       round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy,
+       round(max(cnt) * 1.0 / sum(cnt), 6) AS top_frac
+FROM c GROUP BY doc_id
+"""

@@ -57,6 +57,7 @@ AUDIT = [
     "dedup_span_trim",
     "text_unigram_nll",
     "text_bigram_nll",
+    "tokens_entropy",
     "text_nll_buckets",
     "text_pii",
     "text_repetition",
