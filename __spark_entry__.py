@@ -1162,6 +1162,34 @@ def q_tokens_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.tokens_dup_spans(seqs, w=8, min_count=2))
 
 
+def q_tokens_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over PRE-TOKENIZED sequences: training
+    docs = the same derived token arrays as tokens_dup_spans; eval set =
+    7 fixed class sequences sampled at a +2 token offset, so every
+    training doc of an eval class shares token-ID 8-grams (hit counts
+    vary with doc length — the hash check sees real values, not a flag).
+    Eval grams broadcast; the corpus streams through one explode+join."""
+    from ticdc_spark.pipeline.decontam import decontaminate_tokens
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ln = F.col("event_id") % 40 + 10
+    toks = F.transform(
+        F.sequence(F.lit(0).cast("long"), ln - 1),
+        lambda i: ((F.col("event_id") % 50) * 31 + i * 7) % 997,
+    )
+    train = ev.select(F.col("event_id").alias("doc_id"), toks.alias("tokens"))
+    etoks = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(19).cast("long")),
+        lambda i: (F.col("id") * 31 + (i + 2) * 7) % 997,
+    )
+    eval_docs = spark.range(7).select(
+        F.col("id").alias("doc_id"), etoks.alias("tokens")
+    )
+    return _longify(decontaminate_tokens(train, eval_docs, n=8))
+
+
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.minhash_signatures(_docs(spark, sf_dir), n=3))
 
@@ -3032,6 +3060,21 @@ FROM documents GROUP BY 1
             w=5, min_count=2, frac_threshold=0.2
         ),
         "dedup_span_trim": dd.dup_span_trim_oracle_sql(w=5, min_count=2),
+        "tokens_decontaminate": dc.decontaminate_tokens_oracle_sql(
+            train_cte=(
+                "SELECT event_id AS doc_id,\n"
+                "       list_transform(range(0, cast(event_id % 40 + 10 AS int)),\n"
+                "                      i -> ((event_id % 50) * 31 + i * 7) % 997) AS toks\n"
+                "FROM events"
+            ),
+            eval_cte=(
+                "SELECT r.range AS doc_id,\n"
+                "       list_transform(range(0, 20),\n"
+                "                      i -> (r.range * 31 + (i + 2) * 7) % 997) AS toks\n"
+                "FROM range(7) r"
+            ),
+            n=8,
+        ),
         "tokens_dup_spans": dd.dup_spans_oracle_sql(
             w=8,
             min_count=2,
@@ -3301,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked / changed this round --
         "text_bigram_nll": q_text_bigram_nll,
         "tokens_entropy": q_tokens_entropy,
+        "tokens_decontaminate": q_tokens_decontaminate,
         "cdc_training_order": q_cdc_training_order,
         "cdc_partition_drop": q_cdc_partition_drop,
         "cdc_syncpoint_read": q_cdc_syncpoint_read,

@@ -1203,3 +1203,27 @@ def test_tokens_entropy_degenerate_and_uniform(spark):
     want3 = round(-(2 / 6) * math.log(2 / 6) - (4 / 6) * math.log(4 / 6), 6)
     assert abs(got[3]["entropy"] - want3) < 1e-6
     assert got[3]["n_distinct"] == 2 and abs(got[3]["top_frac"] - round(4 / 6, 6)) < 1e-6
+
+
+def test_decontaminate_tokens_flags_shared_id_grams(spark):
+    from ticdc_spark.pipeline.decontam import decontaminate_tokens
+
+    train = spark.createDataFrame(
+        [
+            (1, list(range(100, 120))),   # contains eval span 104..115
+            (2, list(range(500, 520))),   # disjoint ids
+            (3, [1, 2, 3]),               # shorter than n -> no grams
+        ],
+        ["doc_id", "tokens"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(0, list(range(104, 116)))], ["doc_id", "tokens"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_tokens(train, eval_docs, n=8).collect()
+    }
+    # eval has 12 tokens -> 5 distinct 8-grams, all inside doc 1's range
+    assert got[1]["contaminated"] == 1 and got[1]["n_hit_grams"] == 5
+    assert got[2]["contaminated"] == 0 and got[2]["n_hit_grams"] == 0
+    assert got[3]["contaminated"] == 0

@@ -498,3 +498,84 @@ FROM w
 ORDER BY score DESC, doc_id
 LIMIT {n_select}
 """
+
+
+def decontaminate_tokens(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    tokens_col_name: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination over PRE-TOKENIZED sequences (the
+    input_hint payload): flag training docs sharing ANY token-ID n-gram
+    with the eval set — the form labs actually run against tokenized
+    training shards, where retokenizing raw text is off the table.
+    Grams are space-joined token-id strings, so the rule is exact on ids
+    (no text normalization ambiguity). Returns one row per training doc:
+    (doc_id, n_hit_grams, contaminated).
+
+    Scale shape: identical to the text form — eval grams are the SMALL
+    side (distinct, broadcast); the training corpus streams through one
+    explode + hash join + per-doc count, never shuffling the token
+    payload itself.
+    """
+    from ..functions.text import word_ngrams
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.transform(
+            F.col(tokens_col_name), lambda x: x.cast("string")
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(toks, n)).alias("gram"),
+        ).distinct()
+
+    eval_grams = grams(eval_docs).select("gram").distinct()
+    hits = (
+        grams(docs)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_tokens_oracle_sql(
+    train_cte: str, eval_cte: str, n: int = 8
+) -> str:
+    """DuckDB oracle: `train_cte`/`eval_cte` each yield (doc_id, toks
+    array<int>) / (toks array<int>); grams via 1-based list slicing."""
+    g = (
+        f"list_transform(range(0, len(toks) - {n} + 1), "
+        f"s -> array_to_string(toks[s+1:s+{n}], ' '))"
+    )
+    return f"""
+WITH tr AS ({train_cte}),
+ev AS ({eval_cte}),
+tg AS (
+  SELECT DISTINCT doc_id, unnest({g}) AS gram FROM tr WHERE len(toks) >= {n}
+),
+eg AS (
+  SELECT DISTINCT unnest({g}) AS gram FROM ev WHERE len(toks) >= {n}
+),
+h AS (
+  SELECT tg.doc_id, count(*) AS n_hit_grams
+  FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id
+)
+SELECT tr.doc_id,
+       coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+       CASE WHEN coalesce(h.n_hit_grams, 0) > 0 THEN 1 ELSE 0 END
+         AS contaminated
+FROM tr LEFT JOIN h USING (doc_id)
+"""

@@ -58,6 +58,7 @@ AUDIT = [
     "text_unigram_nll",
     "text_bigram_nll",
     "tokens_entropy",
+    "tokens_decontaminate",
     "text_nll_buckets",
     "text_pii",
     "text_repetition",
