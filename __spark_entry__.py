@@ -3382,6 +3382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_incremental": q_ann_pq_incremental,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "codec_open_sized": q_codec_open_sized,
+        "codec_sized_stats": q_codec_sized_stats,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3397,8 +3399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_meta": q_multimodal_meta,
-        "codec_open_sized": q_codec_open_sized,
-        "codec_sized_stats": q_codec_sized_stats,
         "text_vocab_topk": q_text_vocab_topk,
         "cdc_final_state": q_cdc_final_state,
         "cdc_lww_window": q_cdc_lww_window,

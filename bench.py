@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "tokens_dup_spans",
     "dedup_span_trim",
     "text_unigram_nll",
+    "text_bigram_nll",
+    "tokens_entropy",
+    "tokens_decontaminate",
     "dedup_embedding",
     "embed_kmeans",
     "semdedup",
