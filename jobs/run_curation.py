@@ -11,11 +11,15 @@ Stages (all pure DataFrame plans from ticdc_spark.pipeline / functions):
   1. curate: quality + langid + exact-dedup survivor + near-dup (MinHash
      LSH) flags — curate_strict additionally requires passing quality and
      English (pipeline/curate.py)
-  2. decontaminate (optional, --eval-docs): drop docs sharing any 8-gram
+  2. entropy gate (optional, --min-entropy / --max-top-frac): drop
+     degenerate-repetition docs by per-doc token-histogram entropy and
+     top-token share (functions/text.tokens_entropy_columns over h60
+     word ids — the loader-side gate, no external tokenizer)
+  3. decontaminate (optional, --eval-docs): drop docs sharing any 8-gram
      with the eval set (pipeline/decontam.py)
-  3. DSIR selection (optional, --dsir-keep N): keep the N kept docs whose
+  4. DSIR selection (optional, --dsir-keep N): keep the N kept docs whose
      hashed-n-gram profile best matches --target-source (Xie et al. 2023)
-  4. shard export: deterministic global shuffle (seeded rank) +
+  5. shard export: deterministic global shuffle (seeded rank) +
      contiguous-balanced shards with a _shard_manifest.json
      (pipeline/pack.write_shards)
 
@@ -38,6 +42,10 @@ def main() -> int:
     p.add_argument("--docs", required=True, help="documents parquet (doc_id, text, source)")
     p.add_argument("--out", required=True, help="shard output dir")
     p.add_argument("--eval-docs", default=None, help="eval/benchmark parquet for decontamination")
+    p.add_argument("--min-entropy", type=float, default=None,
+                   help="drop docs below this token-histogram entropy (nats)")
+    p.add_argument("--max-top-frac", type=float, default=None,
+                   help="drop docs whose most frequent token exceeds this share")
     p.add_argument("--target-source", default=None, help="DSIR target stratum")
     p.add_argument("--dsir-keep", type=int, default=None, help="DSIR selection size")
     p.add_argument("--shards", type=int, default=16)
@@ -67,6 +75,25 @@ def main() -> int:
     curated = (curate_strict if args.strict else curate)(docs)
     kept = docs.join(curated.select("doc_id"), "doc_id")
     counts["after_curate"] = kept.count()
+
+    if args.min_entropy is not None or args.max_top_frac is not None:
+        from ticdc_spark.functions.hashing import h60
+        from ticdc_spark.functions.text import tokens_col, tokens_entropy_columns
+
+        toks = kept.select(
+            "doc_id",
+            F.transform(
+                tokens_col("text"), lambda w: (h60(w) % 32768).cast("int")
+            ).alias("tokens"),
+        )
+        prof = tokens_entropy_columns(toks)
+        cond = F.lit(True)
+        if args.min_entropy is not None:
+            cond = cond & (F.col("entropy") >= args.min_entropy)
+        if args.max_top_frac is not None:
+            cond = cond & (F.col("top_frac") <= args.max_top_frac)
+        kept = kept.join(prof.filter(cond).select("doc_id"), "doc_id")
+        counts["after_entropy_gate"] = kept.count()
 
     if args.eval_docs:
         ev = spark.read.parquet(args.eval_docs)
