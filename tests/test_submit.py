@@ -155,3 +155,40 @@ def test_spark_submit_pyfiles_curation(tmp_path):
     manifest = json.load(open(os.path.join(out, "_shard_manifest.json")))
     assert sum(manifest["shards"].values()) == 20
     assert max(manifest["shards"].values()) - min(manifest["shards"].values()) <= 1
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_curation_entropy_gate(tmp_path):
+    """--min-entropy/--max-top-frac drop degenerate docs between curate
+    and shard export; the gate count lands in the summary."""
+    zip_path = build_pyfiles_zip(str(tmp_path / "dist" / "ticdc_spark.zip"))
+    job = str(tmp_path / "jobs" / "run_curation.py")
+    os.makedirs(os.path.dirname(job))
+    shutil.copy(os.path.join(REPO, "jobs", "run_curation.py"), job)
+    out = str(tmp_path / "shards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env.pop("SPARK_GRAFT_CPUS", None)
+    env["SPARK_GRAFT_SHUFFLE"] = "8"
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=2g",
+        "--py-files", zip_path,
+        job,
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--min-entropy", "0.5",
+        "--max-top-frac", "0.5",
+        "--shards", "4",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    c = summary["counts"]
+    assert "after_entropy_gate" in c
+    assert 0 < c["after_entropy_gate"] <= c["after_curate"]
+    assert c["exported"] == c["after_entropy_gate"]
