@@ -1015,3 +1015,49 @@ def test_rename_table_rejects_conflicts(spark, tmp_path):
             ddl_rows=[{"commit_ts": 10, "ddl_type": "rename_table",
                        "table": "nope", "spec": '{"to": "tz"}'}],
         )
+
+
+def test_drop_schema_stops_every_table_under_it(spark, tmp_path):
+    """Database-level DDL (schema_storage.go:561-565 ActionDropSchema):
+    drop_schema 'db1' stops EVERY feed table named db1.* at its barrier —
+    expanded internally to per-table drop_table rows — while other
+    schemas' tables replicate to the end. create_schema rows are
+    metadata-only and absorbed."""
+    stage_a = str(tmp_path / "stage_a")
+    stage_b = str(tmp_path / "stage_b")
+    write_binlog(BinlogSpec(n_events=4000, n_keys=400, seed=61, table="db1.ta", p_delete=0.15, p_insert=0.55), stage_a, files_per_part=3)
+    write_binlog(BinlogSpec(n_events=4000, n_keys=400, seed=62, table="db2.tb", p_delete=0.1, p_insert=0.6), stage_b, files_per_part=3)
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    for tag, stage in (("a", stage_a), ("b", stage_b)):
+        for f in glob.glob(stage + "/*.parquet"):
+            os.link(f, os.path.join(binlog, f"{tag}-{os.path.basename(f)}"))
+    ev_a = pq.read_table(stage_a)
+    ev_b = pq.read_table(stage_b)
+
+    lo = pc.min(ev_a.column("commit_ts")).as_py()
+    hi = pc.max(ev_a.column("commit_ts")).as_py()
+    drop_ts = lo + (hi - lo) // 2
+    ddl_rows = [
+        {"commit_ts": lo - 5, "ddl_type": "create_schema", "table": "db1",
+         "spec": {}},
+        {"commit_ts": drop_ts, "ddl_type": "drop_schema", "table": "db1",
+         "spec": {}},
+    ]
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    cf = MultiTableChangeFeed(
+        {"db1.ta": ta, "db2.tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, ddl_rows=ddl_rows,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert resolved > drop_ts
+
+    # db1.ta froze at the schema-drop barrier
+    assert cf.dropped.get("db1.ta") == drop_ts
+    expected_a = apply_binlog(ev_a, upto_ts=drop_ts)
+    assert not diff_tables(expected_a, _lake_arrow(ta))
+    # db2.tb replicated to the end
+    expected_b = apply_binlog(ev_b, upto_ts=resolved)
+    assert not diff_tables(expected_b, _lake_arrow(tb))

@@ -161,7 +161,7 @@ class MultiTableChangeFeed:
         # lifecycle DDLs are split out first (they change the TABLE SET)
         import json as _json
 
-        from .registry import LIFECYCLE_DDL, SchemaRegistry
+        from .registry import LIFECYCLE_DDL, SCHEMA_DDL, SchemaRegistry
 
         self.table_root = table_root or os.path.join(
             checkpoint_dir, "created_tables"
@@ -172,8 +172,52 @@ class MultiTableChangeFeed:
         self.create_specs: dict[str, dict] = {}
         self.dropped: dict[str, int] = {}
         self.registries: dict[str, SchemaRegistry] = {}
-        by_table: dict[str, list] = {}
+        # database-level DDL (ActionDropSchema, schema_storage.go:561-565):
+        # dropping a database stops EVERY feed table named "<schema>.<t>"
+        # at the same barrier — expanded here into per-table drop_table
+        # entries so windows/apply/replay all see ordinary lifecycle rows.
+        # create_schema / modify_schema are metadata-only (tables arrive
+        # via create_table) and are absorbed.
+        _rows: list = []
+        _drop_schemas: list[tuple[int, str]] = []
         for r in ddl_rows or []:
+            if r["ddl_type"] in SCHEMA_DDL:
+                if r["ddl_type"] == "drop_schema":
+                    _drop_schemas.append((int(r["commit_ts"]), r["table"]))
+                continue
+            _rows.append(r)
+        if _drop_schemas:
+            # earliest ts each name can carry data (None = configured table)
+            avail: dict[str, int | None] = {n: None for n in self.tables}
+            for r in _rows:
+                sp = (
+                    r["spec"]
+                    if isinstance(r["spec"], dict)
+                    else _json.loads(r["spec"])
+                )
+                if r["ddl_type"] == "create_table":
+                    ts0 = int(r["commit_ts"])
+                    cur = avail.get(r["table"])
+                    if cur is None and r["table"] not in avail:
+                        avail[r["table"]] = ts0
+                    elif cur is not None:
+                        avail[r["table"]] = min(cur, ts0)
+                elif r["ddl_type"] == "rename_table":
+                    avail.setdefault(sp["to"], int(r["commit_ts"]))
+            for ts0, schema in _drop_schemas:
+                pfx = schema + "."
+                for name, since in sorted(avail.items()):
+                    if name.startswith(pfx) and (since is None or since <= ts0):
+                        _rows.append(
+                            {
+                                "table": name,
+                                "ddl_type": "drop_table",
+                                "commit_ts": ts0,
+                                "spec": {},
+                            }
+                        )
+        by_table: dict[str, list] = {}
+        for r in _rows:
             spec = r["spec"] if isinstance(r["spec"], dict) else _json.loads(r["spec"])
             if r["ddl_type"] in LIFECYCLE_DDL:
                 self.lifecycle.append(

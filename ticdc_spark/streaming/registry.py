@@ -41,6 +41,14 @@ SUPPORTED_DDL = (
 # a per-table SchemaRegistry.
 LIFECYCLE_DDL = ("create_table", "drop_table", "recover_table", "rename_table")
 
+# Database-level DDL (schema_storage.go:550-565 ActionCreateSchema /
+# ActionDropSchema, 556 ActionModifySchemaCharsetAndCollate). Table names
+# here use the reference's "<schema>.<table>" form; drop_schema stops every
+# feed table under the schema at its barrier (the reference removes the
+# whole database's tables from the snapshot), while create/modify schema
+# are metadata-only — replicated tables always arrive via create_table.
+SCHEMA_DDL = ("create_schema", "drop_schema", "modify_schema")
+
 
 def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[dict]:
     out = [dict(f) for f in fields]
