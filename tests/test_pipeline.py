@@ -1227,3 +1227,58 @@ def test_decontaminate_tokens_flags_shared_id_grams(spark):
     assert got[1]["contaminated"] == 1 and got[1]["n_hit_grams"] == 5
     assert got[2]["contaminated"] == 0 and got[2]["n_hit_grams"] == 0
     assert got[3]["contaminated"] == 0
+
+
+def test_tokens_ops_property_vs_pure_python(spark):
+    """Property check: tokens_entropy_columns and decontaminate_tokens
+    match a pure-python reference on random small corpora (the same
+    engine-vs-transcription strategy the LWW/codec suites use)."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from ticdc_spark.functions.text import tokens_entropy_columns
+    from ticdc_spark.pipeline.decontam import decontaminate_tokens
+
+    tok = st.integers(0, 9)  # tiny alphabet -> real n-gram collisions
+    corpus = st.lists(
+        st.lists(tok, min_size=1, max_size=20), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(train=corpus, ev=st.lists(st.lists(tok, min_size=1, max_size=12),
+                                     min_size=1, max_size=3))
+    def check(train, ev):
+        n = 4
+        tdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(train)], ["doc_id", "tokens"]
+        )
+        # entropy vs Counter
+        got = {r["doc_id"]: r for r in tokens_entropy_columns(tdf).collect()}
+        for i, t in enumerate(train):
+            c = Counter(t)
+            nn = len(t)
+            want_h = round(-sum(v / nn * math.log(v / nn) for v in c.values()), 6)
+            assert got[i]["n_tok"] == nn and got[i]["n_distinct"] == len(c)
+            assert abs(got[i]["entropy"] - want_h) < 1e-6, (t, got[i])
+            assert abs(got[i]["top_frac"] - round(max(c.values()) / nn, 6)) < 1e-6
+
+        # decontamination vs set arithmetic
+        edf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ev)], ["doc_id", "tokens"]
+        )
+        grams = lambda t: {  # noqa: E731
+            tuple(t[s:s + n]) for s in range(len(t) - n + 1)
+        }
+        eg = set().union(*[grams(t) for t in ev])
+        dec = {
+            r["doc_id"]: r
+            for r in decontaminate_tokens(tdf, edf, n=n).collect()
+        }
+        for i, t in enumerate(train):
+            hit = grams(t) & eg
+            assert dec[i]["n_hit_grams"] == len(hit), (t, dec[i])
+            assert dec[i]["contaminated"] == (1 if hit else 0)
+
+    check()
