@@ -2444,11 +2444,111 @@ WHERE d.doc_id IS NULL {anti_where}
 """
 
 
+def q_cdc_bucket_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication consistency verification, sync-diff-inspector style (the
+    tool the reference's own integration tests gate on — tests/simple/
+    run.sh checksum diff): per-dispatch-bucket (count, XOR-of-row-hash,
+    bounded sum) signatures over the replicated final state, bucketed by
+    the same index-value hash the sink dispatches on
+    (cdc/sink/dispatcher/index_value.go:33-53). Upstream and downstream
+    each compute this with ONE map-side-combined scan; mismatched buckets
+    localize divergence. See ticdc_spark.lake.verify for the two-sided
+    diff; this query is the signature itself on the LWW final state."""
+    from ticdc_spark.lake.verify import state_checksum
+
+    feed = changelog(spark, sf_dir)
+    final = lww_latest_agg(feed, ["doc_id"]).filter(F.col("op") != "D")
+    return state_checksum(
+        final,
+        "doc_id",
+        [
+            F.col("doc_id"),
+            F.col("commit_ts").cast("string"),
+            F.col("seq").cast("string"),
+            F.col("event_type"),
+            _cents(F.col("value")).cast("string"),
+        ],
+        n_buckets=16,
+    )
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: per source, keep documents in a deterministic
+    uniform order (h60 of doc_id — an unbiased sample order) while the
+    running token total stays within 30% of the source's total tokens — the
+    data-mixing primitive for "take B tokens from each source".
+
+    Scale shape: the running sum is a per-source window — parallelism =
+    #sources, each source's docs one partition. For a handful of giant
+    sources, swap the window for the range-partitioned prefix-sum machinery
+    (pipeline.pack._global_cumsum ordered by (source, _h)) — numbers
+    identical; this registered form keeps the oracle-equivalent plan
+    simple."""
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(bpe_tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("source")
+    out = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.sum(F.col("n_tok").cast("long")).over(w).alias("cum_tok"),
+        F.sum(F.col("n_tok").cast("long")).over(tot).alias("_tot"),
+    )
+    # integer-exact threshold: 10*cum <= 3*total (no float boundary)
+    return out.filter(F.col("cum_tok") * 10 <= F.col("_tot") * 3).drop("_tot")
+
+
 def oracle_sql() -> dict[str, str]:
     toks = TOKENS_SQL.format(t="text")
     n_parts = N_PARTS
     frontier_sql = f"(SELECT min(m) FROM (SELECT max(commit_ts) AS m FROM ({FEED_SQL}) GROUP BY part))"
+    _row_sig = h60_sql(
+        "concat_ws('|', doc_id, cast(commit_ts AS varchar), "
+        "cast(seq AS varchar), event_type, "
+        "cast(cast(round(value * 100) AS bigint) AS varchar))"
+    )
     out = {
+        "cdc_bucket_checksum": LWW_SQL
+        + f""",
+final AS (
+  SELECT doc_id, commit_ts, seq, event_type, value
+  FROM ranked WHERE rn = 1 AND op != 'D'
+),
+sig AS (
+  SELECT {bucket_sql("doc_id", 16)} AS bucket, {_row_sig} AS h FROM final
+)
+SELECT bucket, count(*) AS cnt, bit_xor(h) AS xor_sig,
+       cast(sum(h % 1073741824) AS bigint) AS sum_sig
+FROM sig GROUP BY 1
+""",
+        "corpus_token_budget": f"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT AS n_tok,
+         {h60_sql("cast(doc_id AS varchar)")} AS h
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         cast(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS bigint) AS cum_tok,
+         cast(sum(n_tok) OVER (PARTITION BY source) AS bigint) AS tot
+  FROM d
+)
+SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok * 10 <= tot * 3
+""",
         "cdc_lww_window": _LWW_ORACLE,
         "cdc_lww_agg": _LWW_ORACLE,
         "cdc_lww_salted": _LWW_ORACLE,
@@ -3342,6 +3442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remaining proven queries close the dict. See CORRECTNESS_r0{1,2}.json.
     return {
         # -- never driver-checked / changed this round --
+        "cdc_bucket_checksum": q_cdc_bucket_checksum,
+        "corpus_token_budget": q_corpus_token_budget,
         "text_bigram_nll": q_text_bigram_nll,
         "tokens_entropy": q_tokens_entropy,
         "tokens_decontaminate": q_tokens_decontaminate,

@@ -1,0 +1,233 @@
+"""Owner-side table scheduling: two-phase move-table between captures,
+rebalance planning, skewness — cdc/changefeed.go:505-590 handleMoveTableJobs
+and pkg/scheduler/{table_number,workload}.go analogs."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from ticdc_spark.lake.table import LakeTable
+from ticdc_spark.oracle import apply_binlog, diff_tables
+from ticdc_spark.streaming.multi import MultiTableChangeFeed
+from ticdc_spark.streaming.scheduler import (
+    TableScheduler,
+    distribute_tables,
+    rebalance_plan,
+    skewness,
+)
+from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+
+# ---------------------------------------------------------------------------
+# pure planning logic (no Spark)
+
+
+def test_skewness_matches_reference_formula():
+    # workload.go:70-93: std/mean over per-capture workload sums
+    assert skewness({}) == 0.0
+    assert skewness({"c1": {"t1": 1.0}, "c2": {"t2": 1.0}}) == 0.0
+    # c1=3, c2=1: mean 2, std 1 → 0.5
+    w = {"c1": {"a": 1.0, "b": 1.0, "c": 1.0}, "c2": {"d": 1.0}}
+    assert abs(skewness(w) - 0.5) < 1e-12
+
+
+def test_distribute_tables_fills_idle_captures_first():
+    w = {"c1": {"a": 1.0, "b": 1.0}, "c2": {}, "c3": {"c": 1.0}}
+    got = distribute_tables(w, ["t1", "t2", "t3", "t4"])
+    # c2 (load 0) gets the first, then c3 (1), then c2/c3 round out; c1
+    # (load 2) only after others reach it — deterministic tie-break by id
+    counts = {cid: len(ts) for cid, ts in got.items()}
+    assert sum(counts.values()) == 4
+    assert counts.get("c2", 0) >= counts.get("c1", 0)
+    # every orphan placed exactly once
+    placed = [t for ts in got.values() for t in ts]
+    assert sorted(placed) == ["t1", "t2", "t3", "t4"]
+
+
+def test_rebalance_plan_caps_over_limit_captures():
+    # table_number.go:46-84: limit = total/num + 1 = 6/3+1 = 3 → c1 (4
+    # tables) sheds exactly 1, landing on an idle capture
+    w = {
+        "c1": {t: 1.0 for t in ("a", "b", "c", "d")},
+        "c2": {"e": 1.0, "f": 1.0},
+        "c3": {},
+    }
+    moves = rebalance_plan(w)
+    assert len(moves) == 2  # c1 sheds down to <3: 4→2 ... see below
+    after = {cid: dict(ts) for cid, ts in w.items()}
+    for t, s, d in moves:
+        assert after[s].pop(t) == 1.0
+        after[d][t] = 1.0
+    assert skewness(after) <= skewness(w)
+    # no self-moves
+    assert all(s != d for _, s, d in moves)
+
+
+def test_rebalance_plan_noop_when_even():
+    w = {"c1": {"a": 1.0}, "c2": {"b": 1.0}}
+    assert rebalance_plan(w) == []
+
+
+# ---------------------------------------------------------------------------
+# end-to-end move between live captures
+
+
+def _mk_binlogs(tmp_path, n=4_000):
+    """Three homogeneous token tables' events staged per table; the binlog
+    dir receives files in WAVES (first half, then the rest) so moves happen
+    with data still arriving."""
+    stages, events = {}, {}
+    for i, t in enumerate(("ta", "tb", "tc")):
+        stage = str(tmp_path / f"stage_{t}")
+        # ts-aligned file ranges: a later wave never delivers an event below
+        # an earlier wave's released frontier (the puller's per-span no-late
+        # contract — real TiKV never emits below its resolved-ts)
+        write_binlog(
+            BinlogSpec(
+                n_events=n, n_keys=n // 10, seed=61 + i, table=t,
+                p_delete=0.12, p_insert=0.58, out_of_order=False,
+            ),
+            stage,
+            files_per_part=4,
+            align_ts=True,
+        )
+        stages[t] = sorted(glob.glob(stage + "/*.parquet"))
+        events[t] = pq.read_table(stage)
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    waves = []
+    for half in (0, 1):
+        wave = []
+        for t, files in stages.items():
+            cut = len(files) // 2
+            wave += [(t, f) for f in (files[:cut] if half == 0 else files[cut:])]
+        waves.append(wave)
+    return binlog, waves, events
+
+
+def _link_wave(binlog, wave):
+    for t, f in wave:
+        os.link(f, os.path.join(binlog, f"{t}-{os.path.basename(f)}"))
+
+
+def test_move_table_two_phase_exactly_once(spark, tmp_path):
+    """ta,tb on capture c1; tc on c2. After wave 1, tb moves c1→c2 at the
+    resolved boundary; wave 2 lands post-move. Every table's final lake
+    state matches the sequential oracle — no lost events at the handoff
+    (the target's own pending tail covers above-boundary events from
+    already-consumed files) and no double-apply (the add-boundary filter)."""
+    binlog, waves, ev = _mk_binlogs(tmp_path)
+    tables = {
+        t: LakeTable.create(spark, str(tmp_path / t), n_buckets=4)
+        for t in ("ta", "tb", "tc")
+    }
+    c1 = MultiTableChangeFeed(
+        {"ta": tables["ta"], "tb": tables["tb"]},
+        binlog, str(tmp_path / "ck1"), max_files_per_trigger=5,
+    )
+    c2 = MultiTableChangeFeed(
+        {"tc": tables["tc"]},
+        binlog, str(tmp_path / "ck2"), max_files_per_trigger=5,
+    )
+    sched = TableScheduler(
+        {"c1": c1, "c2": c2}, str(tmp_path / "sched.json")
+    )
+    _link_wave(binlog, waves[0])
+    sched.tick()
+    job = sched.move_table("tb", "c1", "c2")
+    assert job["status"] == "none"
+    sched.tick()  # drains nothing new; executes both phases at the frontier
+    assert job["status"] == "finished"
+    boundary = job["boundary"]
+    assert boundary is not None and boundary > 0
+    assert "tb" in c2.tables and c1.stop_ts.get("tb") == boundary
+    # load accounting follows the move
+    assert sched.workloads() == {"c1": {"ta": 1.0}, "c2": {"tc": 1.0, "tb": 1.0}}
+
+    _link_wave(binlog, waves[1])
+    s = sched.tick()
+    owner = {"ta": "c1", "tb": "c2", "tc": "c2"}
+    for t in ("ta", "tb", "tc"):
+        expected = apply_binlog(
+            ev[t], upto_ts=s[owner[t]][-1]["resolved_ts"]
+        )
+        got = _lake_arrow(LakeTable(spark, str(tmp_path / t)))
+        assert not diff_tables(expected, got), t
+    # the boundary actually bit: tb had post-boundary events
+    assert pc.max(ev["tb"].column("commit_ts")).as_py() > boundary
+
+
+def _lake_arrow(table):
+    pdf = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.string()),
+            "tokens": pa.array(
+                [list(t) for t in pdf["tokens"]], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array(pdf["n_tok"], pa.int32()),
+            "source": pa.array(pdf["source"], pa.string()),
+        }
+    )
+
+
+def test_move_table_resume_from_state_file(spark, tmp_path):
+    """A scheduler restarted over fresh captures re-applies persisted jobs:
+    a finished move survives (stop on source, table live on target), like
+    the owner re-deriving task statuses from etcd."""
+    binlog, waves, ev = _mk_binlogs(tmp_path, n=2_000)
+    for t in ("ta", "tb", "tc"):
+        LakeTable.create(spark, str(tmp_path / t), n_buckets=4)
+    mk = lambda: (  # noqa: E731 — fresh feed objects, same checkpoints
+        MultiTableChangeFeed(
+            {"ta": LakeTable(spark, str(tmp_path / "ta")),
+             "tb": LakeTable(spark, str(tmp_path / "tb"))},
+            binlog, str(tmp_path / "ck1"), max_files_per_trigger=5,
+        ),
+        MultiTableChangeFeed(
+            {"tc": LakeTable(spark, str(tmp_path / "tc"))},
+            binlog, str(tmp_path / "ck2"), max_files_per_trigger=5,
+        ),
+    )
+    c1, c2 = mk()
+    state = str(tmp_path / "sched.json")
+    sched = TableScheduler({"c1": c1, "c2": c2}, state)
+    _link_wave(binlog, waves[0])
+    sched.tick()
+    sched.move_table("tb", "c1", "c2")
+    sched.tick()
+
+    # "crash": rebuild everything from disk
+    c1b, c2b = mk()
+    sched2 = TableScheduler({"c1": c1b, "c2": c2b}, state)
+    assert "tb" in c2b.tables
+    assert "tb" in c1b.stop_ts
+    assert c2b.boundaries["tb"] == sched2.jobs[0]["boundary"]
+
+    _link_wave(binlog, waves[1])
+    s = sched2.tick()
+    expected = apply_binlog(ev["tb"], upto_ts=s["c2"][-1]["resolved_ts"])
+    got = _lake_arrow(LakeTable(spark, str(tmp_path / "tb")))
+    assert not diff_tables(expected, got)
+
+
+def test_move_table_rejects_bad_source_and_double_assignment(spark, tmp_path):
+    binlog, waves, _ = _mk_binlogs(tmp_path, n=1_000)
+    c1 = MultiTableChangeFeed(
+        {"ta": LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)},
+        binlog, str(tmp_path / "ck1"),
+    )
+    c2 = MultiTableChangeFeed(
+        {"tc": LakeTable.create(spark, str(tmp_path / "tc"), n_buckets=4)},
+        binlog, str(tmp_path / "ck2"),
+    )
+    sched = TableScheduler({"c1": c1, "c2": c2}, str(tmp_path / "s.json"))
+    with pytest.raises(ValueError, match="not live"):
+        sched.move_table("tb", "c1", "c2")
+    with pytest.raises(ValueError, match="already on"):
+        c2.add_table("ta", LakeTable(spark, str(tmp_path / "ta")), 0)
+        sched.move_table("ta", "c1", "c2")

@@ -846,6 +846,33 @@ class LakeTable:
         self._finalize_commit(epoch_id, {}, 0, [], watermarks, replace=False)
         return True
 
+    def clamp_watermarks(self, cap: int, epoch_id: str) -> bool:
+        """Cap every span position at `cap` — the ONE sanctioned exception
+        to watermark monotonicity, used at a table handoff between captures
+        (move-table): positions above the move boundary were observations of
+        the OLD capture's pipeline, which ended at the boundary; the new
+        capture's puller starts scanning at StartTs = boundary
+        (cdc/changefeed.go:546-552 — replicaInfo.StartTs = resolved ts) and
+        must build its own view above it. Metadata-only, idempotent by
+        epoch_id; retirement checkpoints are untouched."""
+        if epoch_id in self.committed_epochs:
+            return False
+        wm = self._manifest.get("part_watermarks", {})
+        capped = {
+            k: int(cap) for k, v in wm.items() if int(v) > int(cap)
+        }
+        if not capped:
+            return False
+        m = json.loads(json.dumps(self._manifest))
+        m.pop("commit_kind", None)
+        m["parent"] = m["version"]
+        m["version"] += 1
+        m["epoch_id"] = epoch_id
+        m["committed_epochs"].append(epoch_id)
+        m["part_watermarks"].update({k: int(cap) for k in capped})
+        self._commit_manifest(m)
+        return True
+
     @property
     def syncpoints(self) -> list[dict]:
         """Ordered (epoch_id, primary_ts, version) consistency mappings."""

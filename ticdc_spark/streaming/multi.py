@@ -649,6 +649,23 @@ class MultiTableChangeFeed:
             )
             .collect()
         )
+        # a multi-capture deployment (TableScheduler) streams EVERY table's
+        # events through every capture; only tables this feed knows — its
+        # own, plus lifecycle/rename handles — may influence its span maps
+        # and release frontier (folding an unassigned table's positions in
+        # would advance the frontier past what this capture replicates —
+        # and regress it when the maps re-seed from the lake). Unassigned
+        # rows still ride the pending tail (written from the UNFILTERED
+        # stream below), which is exactly what makes a later move-table
+        # handoff exact.
+        part_stats_all = part_stats
+        _known = (
+            set(self.tables)
+            | set(self.registries)
+            | set(self.create_specs)
+            | set(self.rename_links)
+        )
+        part_stats = [r for r in part_stats_all if r["table"] in _known]
         n_sv = sum(int(r["sv_viol"]) for r in part_stats)
         if n_sv:
             raise RuntimeError(
@@ -666,9 +683,14 @@ class MultiTableChangeFeed:
                     "universe cannot split/merge"
                 )
             topo_rows = sorted(
-                events.filter(_is_topo)
-                .select("table", "commit_ts", "seq", "op", "part", "doc_id")
-                .collect(),
+                (
+                    r
+                    for r in events.filter(_is_topo)
+                    .select("table", "commit_ts", "seq", "op", "part", "doc_id")
+                    .collect()
+                    if r["table"] in _known  # another capture's tables'
+                    # topology is not this feed's business
+                ),
                 key=lambda r: (int(r["commit_ts"]), int(r["seq"])),
             )
         # spans retiring in THIS batch (legal same-batch data + the crash-
@@ -966,6 +988,15 @@ class MultiTableChangeFeed:
             if per_table.get(name) or retired_new.get(name):
                 continue
             m = stored.get(name) or {}
+            if name in self.stop_ts:
+                # a stopped (removed / moved-away) table's pipeline ended at
+                # stop_ts: this capture must not persist observations above
+                # it — after a move, positions above the boundary belong to
+                # the TARGET capture's pipeline (changefeed.go:546-552), and
+                # polluting the shared map would drag the target's frontier
+                # ahead of what it actually streamed
+                cap = int(self.stop_ts[name])
+                m = {p: min(int(v), cap) for p, v in m.items()}
             cur = t.part_watermarks
             if any(int(v) > int(cur.get(str(p), -1)) for p, v in m.items()):
                 t.advance_watermarks(
@@ -976,9 +1007,11 @@ class MultiTableChangeFeed:
         if self.mq_dir is not None:
             self._emit_mq(mq_tables, batch_id, resolved, pre_versions)
 
+        # tail presence over the UNFILTERED stats: an unassigned table's
+        # above-frontier rows must keep riding pending/ (move-table handoff)
         had_tail = any(
             r["max_ts"] is not None and int(r["max_ts"]) > resolved
-            for r in part_stats
+            for r in part_stats_all
         )
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
         if had_tail:
