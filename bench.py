@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "corpus_profile",
     "corpus_length_quantiles",
     "q5_region_orders",
+    "cdc_bucket_checksum",
+    "corpus_token_budget",
 ]
 
 

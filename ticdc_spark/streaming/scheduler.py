@@ -148,6 +148,24 @@ class TableScheduler:
         # a restarted scheduler gets freshly-constructed captures that no
         # longer carry past moves in their config
         for job in self.jobs:
+            if job.get("kind") == "adopt":
+                dst = self.captures.get(job["to"])
+                if dst is None:
+                    continue  # the adopter died too — a later adopt covers it
+                if job["status"] == ST_DELETED:
+                    # crashed mid-adoption: catch-up epoch + clamp + add are
+                    # all idempotent — just finish the job
+                    self._finish_adopt(job, dst)
+                elif (
+                    job["status"] == ST_FINISHED
+                    and job["table"] not in dst.tables
+                ):
+                    dst.add_table(
+                        job["table"],
+                        LakeTable(dst.spark, job["root"]),
+                        boundary_ts=job["boundary"],
+                    )
+                continue
             if job["status"] in (ST_DELETED, ST_FINISHED):
                 src = self.captures.get(job["from"])
                 if src is not None and job["table"] in src.tables:
@@ -234,6 +252,121 @@ class TableScheduler:
             self.move_table(t, s, d)
             for t, s, d in rebalance_plan(self.workloads())
         ]
+
+    # -- capture failure (balanceOrphanTables analog) ------------------------
+    def adopt_orphans(self, dead_id: str) -> list[dict]:
+        """A capture died: drop it and redistribute its live tables to the
+        least-loaded surviving captures (balanceOrphanTables,
+        cdc/changefeed.go:306-400, via DistributeTables). Each orphan
+        re-enters at its own DURABLE frontier (min over the table's
+        persisted span positions — everything at or below it is committed);
+        the gap up to the target's stream position is served by a one-shot
+        CATCH-UP SCAN of the binlog directory — the reference's target
+        puller opening a fresh TiKV scan at StartTs = checkpoint, which our
+        file source cannot do through the stream (consumed files are never
+        re-read) but a batch read does exactly. The catch-up epoch id is a
+        pure function of (table, range), so a crash mid-adoption replays to
+        the same state; the table then joins the target at the target's
+        frontier.
+
+        Typed-mode only: a raw-mode catch-up would need the mounter's
+        per-version decode on the batch path. Tables with a DDL barrier
+        inside the catch-up range are refused (the barrier's epoch split
+        belongs to the stream, not a flat scan)."""
+        dead = self.captures.pop(dead_id)
+        orphans = sorted(t for t in dead.tables if t not in dead.stop_ts)
+        if not self.captures:
+            self.captures[dead_id] = dead
+            raise ValueError("no surviving captures to adopt into")
+        if dead.mode != "typed":
+            self.captures[dead_id] = dead
+            raise ValueError("adopt_orphans supports typed-mode feeds only")
+        placed = distribute_tables(self.workloads(), orphans)
+        # the dead capture's last RELEASE frontier — min over parts of max
+        # over its live tables' durable span positions (the same union fold
+        # its batches computed). It committed slices up to this ts, so the
+        # catch-up must cover at least that far or the intermediate state
+        # sits above the declared boundary (the reference clamps orphan
+        # StartTs to the changefeed checkpoint the same way,
+        # changefeed.go:569-571).
+        u: dict[int, int] = {}
+        for name, t in dead.tables.items():
+            if name in dead.stop_ts:
+                continue
+            for p, v in t.part_watermarks.items():
+                u[int(p)] = max(u.get(int(p), -1), int(v))
+        dead_frontier = min(u.values()) if u else -1
+        jobs = []
+        for dst_id, tables in sorted(placed.items()):
+            dst = self.captures[dst_id]
+            for t in tables:
+                root = dead.tables[t].root
+                lake = LakeTable(dst.spark, root)
+                wm = {int(k): int(v) for k, v in lake.part_watermarks.items()}
+                boundary = min(wm.values()) if wm else -1
+                target_res = self._resolved(dst)
+                catchup_to = max(
+                    boundary,
+                    dead_frontier,
+                    int(target_res) if target_res is not None else -1,
+                )
+                reg = dead.registries.get(t)
+                if reg is not None and any(
+                    boundary < ts <= catchup_to for ts in reg.ddl_ts
+                ):
+                    raise ValueError(
+                        f"table {t!r} has a DDL barrier inside the catch-up "
+                        f"range ({boundary}, {catchup_to}] — replay it "
+                        "through a feed instead"
+                    )
+                job = {
+                    "kind": "adopt",
+                    "table": t,
+                    "from": dead_id,
+                    "to": dst_id,
+                    "boundary": int(boundary),
+                    "catchup_to": int(catchup_to),
+                    "root": root,
+                    "status": ST_DELETED,  # source is gone by definition
+                }
+                self.jobs.append(job)
+                self._save()
+                self._finish_adopt(job, dst)
+                jobs.append(job)
+        return jobs
+
+    def _finish_adopt(self, job: dict, dst) -> None:
+        from ..engine.replay import replay_epoch
+        from pyspark.sql import functions as F
+
+        lake = LakeTable(dst.spark, job["root"])
+        boundary, upto = job["boundary"], job["catchup_to"]
+        if upto > boundary:
+            # only ARRIVED events exist on disk; events in (boundary, upto]
+            # still upstream arrive later through the target's stream —
+            # which is why the table rejoins at `boundary` (not `upto`) and
+            # its span map stays exactly as the dead capture left it: the
+            # per-part positions are that pipeline's true seen-maxima, and
+            # the per-span late rule (threshold = min(span max, released))
+            # already admits both the catch-up overlap re-delivered from
+            # the target's pending tail (LWW re-merge is absorbing) and
+            # future arrivals above each span's max.
+            ev = (
+                dst.spark.read.schema(dst._stream_schema())
+                .parquet(dst.binlog_dir)
+                .filter(
+                    (F.col("table") == F.lit(job["table"]))
+                    & F.col("op").isin(["I", "U", "D"])
+                    & (F.col("commit_ts") > F.lit(boundary))
+                    & (F.col("commit_ts") <= F.lit(upto))
+                )
+            )
+            replay_epoch(
+                lake, ev, f"adopt-{job['table']}-{boundary}-{upto}"
+            )
+        dst.add_table(job["table"], lake, boundary_ts=boundary)
+        job["status"] = ST_FINISHED
+        self._save()
 
     # -- lockstep driver ----------------------------------------------------
     def tick(self) -> dict[str, list[dict]]:

@@ -26,6 +26,8 @@ SF_DIR = "/root/testdata/sf0.001"
 AUDIT = [
     "q1_pricing",
     "q5_region_orders",
+    "cdc_bucket_checksum",
+    "corpus_token_budget",
     "cdc_lww_agg",
     "cdc_lww_semijoin",
     "cdc_lww_composite",
