@@ -84,6 +84,62 @@ def test_checksum_insensitive_to_row_order_and_sensitive_to_values(spark):
     )  # b's bucket only
 
 
+def test_incremental_checksum_tracks_epochs(spark, tmp_path):
+    """Maintained signature == full recompute after every epoch (the xor
+    algebra: old image out, new image in; intermediate versions cancel)."""
+    import pyarrow.parquet as pq
+
+    from ticdc_spark.lake.verify import IncrementalChecksum
+
+    spec = BinlogSpec(n_events=4_000, n_keys=300, seed=91)
+    tbl = generate_binlog(spec)
+    n = len(tbl)
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cs = IncrementalChecksum(t, n_buckets=16)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        sl = tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
+        pq.write_table(sl, str(tmp_path / f"e{i}.parquet"))
+        ev = spark.read.parquet(str(tmp_path / f"e{i}.parquet"))
+        replay_epoch(t, ev, f"e{i}")
+        r = cs.sync()
+        assert r["synced"] and r["mode"] in ("incremental", "empty")
+        assert cs.verify() == [], f"epoch {i}"
+    # re-sync of a covered range is a no-op (crash-replay safety)
+    assert cs.sync() == {"synced": False, "version": cs.state["version"]}
+    # a fresh object over the persisted state agrees
+    cs2 = IncrementalChecksum(t, n_buckets=16)
+    assert cs2.snapshot() == cs.snapshot()
+
+
+def test_incremental_checksum_full_fallback_on_rewrite(spark, tmp_path):
+    """A truncate (rewrite commit, invisible to the changelog) forces one
+    full recompute; incremental maintenance resumes after."""
+    import pyarrow.parquet as pq
+
+    from ticdc_spark.lake.verify import IncrementalChecksum
+
+    spec = BinlogSpec(n_events=2_000, n_keys=200, seed=92)
+    tbl = generate_binlog(spec)
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    pq.write_table(tbl, str(tmp_path / "e.parquet"))
+    replay_epoch(t, spark.read.parquet(str(tmp_path / "e.parquet")), "e0")
+    cs = IncrementalChecksum(t, n_buckets=16)
+    assert cs.sync()["synced"]
+    assert cs.verify() == []
+    t.truncate(epoch_id="wipe")
+    r = cs.sync()
+    assert r["mode"] == "full"
+    assert cs.snapshot() == {}  # empty table → empty signature
+    assert cs.verify() == []
+    # post-wipe epochs go back to incremental
+    pq.write_table(tbl.slice(0, 500), str(tmp_path / "e2.parquet"))
+    replay_epoch(t, spark.read.parquet(str(tmp_path / "e2.parquet")), "e2")
+    r = cs.sync()
+    assert r["mode"] == "incremental"
+    assert cs.verify() == []
+
+
 def test_duplicate_pair_caught_by_count_not_xor(spark):
     """XOR alone is blind to a doubled row pair; cnt/sum are the guards."""
     df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")

@@ -470,6 +470,21 @@ class LakeTable:
             .select(*[f["name"] for f in self.current_fields])
         )
 
+    def lookup_version(self, keys: list[str], version: int) -> DataFrame:
+        """Version-pinned point lookup (time-travel `lookup`): the pruning
+        and collapse run against the manifest of `version` — how a
+        changelog consumer reads a changed key's PRE-epoch image without
+        scanning the old snapshot (lake.verify.IncrementalChecksum). The
+        file list is resolved eagerly, so the returned frame stays valid
+        after the manifest swap ends."""
+        saved = self._manifest
+        try:
+            with open(os.path.join(self._mdir, f"v{version:08d}.json")) as f:
+                self._manifest = json.load(f)
+            return self.lookup(keys)
+        finally:
+            self._manifest = saved
+
     def _lookup_entries(self, keys: list[str], buckets: list[int]) -> list[dict]:
         """File skipping for point lookups: within the keyed buckets, keep
         only files whose [min_key, max_key] range could contain a requested
