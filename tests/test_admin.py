@@ -472,3 +472,125 @@ def test_unsafe_cli_roundtrip(tmp_path):
     )
     assert rs.returncode == 0
     assert _json.loads(rs.stdout) == {"deleted": ["feed1"]}
+
+
+# ---------------------------------------------------------------------------
+# Error history + owner retry loop (model/changefeed.go:211-234
+# CheckErrorHistory, owner.go:527-660 loadChangeFeeds failure branches,
+# model/changefeed_test.go TestCheckErrorHistory)
+# ---------------------------------------------------------------------------
+
+
+def test_check_error_history_gc_and_threshold(tmp_path):
+    """Transcription of model/changefeed_test.go TestCheckErrorHistory:
+    records older than the GC interval are pruned (need_save), and
+    can_init flips false only when the trailing 2-minute window holds
+    >= threshold errors."""
+    from ticdc_spark.streaming.admin import (
+        ERROR_HISTORY_CHECK_INTERVAL_MS,
+        ERROR_HISTORY_GC_INTERVAL_MS,
+        ERROR_HISTORY_THRESHOLD,
+        FeedRegistry,
+    )
+
+    reg = FeedRegistry(str(tmp_path / "adm"))
+    reg.create("f")
+    now = 1_000_000_000_000
+    # 5 stale errors beyond the GC interval
+    for i in range(5):
+        reg.record_error("f", "old", now_ms=now - ERROR_HISTORY_GC_INTERVAL_MS - 1000 - i)
+    # threshold-1 fresh errors inside the check window
+    for i in range(ERROR_HISTORY_THRESHOLD - 1):
+        reg.record_error("f", "fresh", now_ms=now - 1000 - i)
+    need_save, can_init = reg.check_error_history("f", now_ms=now)
+    assert need_save  # stale records pruned + persisted
+    assert can_init  # threshold-1 < threshold
+    assert len(reg.query("f")["error_his"]) == ERROR_HISTORY_THRESHOLD - 1
+    # one more fresh error reaches the threshold -> rate limited
+    reg.record_error("f", "fresh", now_ms=now)
+    need_save, can_init = reg.check_error_history("f", now_ms=now + 1)
+    assert not need_save and not can_init
+    # ... and the limit clears once the errors age past the check window
+    later = now + ERROR_HISTORY_CHECK_INTERVAL_MS + 1000
+    need_save, can_init = reg.check_error_history("f", now_ms=later)
+    assert can_init
+    # state stayed normal throughout: transient errors retry, never fail
+    assert reg.state("f") == STATE_NORMAL
+
+
+def test_record_error_fast_fail_marks_failed(tmp_path):
+    reg = FeedRegistry(str(tmp_path / "adm"))
+    reg.create("f")
+    reg.record_error("f", "start-ts before GC", fast_fail=True, now_ms=123)
+    info = reg.query("f")
+    assert info["state"] == STATE_FAILED
+    assert info["error_his"] == [123]
+    # resume clears the error and re-enables the feed (owner.go:1100-1104)
+    reg.resume("f")
+    assert reg.state("f") == STATE_NORMAL
+    assert reg.query("f")["error"] is None
+
+
+def test_supervisor_retries_rate_limits_and_fast_fails(tmp_path):
+    """FeedSupervisor = owner.go loadChangeFeeds: transient errors retry,
+    5 errors in 2 minutes rate-limit, FastFailError fails the feed, failed
+    feeds are skipped (log-once) until resumed."""
+    from ticdc_spark.streaming.admin import (
+        ERROR_HISTORY_CHECK_INTERVAL_MS,
+        FastFailError,
+        FeedRegistry,
+        FeedSupervisor,
+    )
+
+    reg = FeedRegistry(str(tmp_path / "adm"))
+    reg.create("flaky")
+    reg.create("doomed")
+    reg.create("steady")
+    sup = FeedSupervisor(reg)
+    calls = {"flaky": 0, "doomed": 0, "steady": 0}
+
+    def flaky():
+        calls["flaky"] += 1
+        raise RuntimeError("transient sink hiccup")
+
+    def doomed():
+        calls["doomed"] += 1
+        raise FastFailError("ErrStartTsBeforeGC")
+
+    def steady():
+        calls["steady"] += 1
+
+    runners = {"flaky": flaky, "doomed": doomed, "steady": steady}
+    t0 = 2_000_000_000_000
+    out = sup.tick(runners, now_ms=t0)
+    assert out == {
+        "flaky": "error-retry",
+        "doomed": "error-failed",
+        "steady": "ran",
+    }
+    assert reg.state("flaky") == STATE_NORMAL  # will retry
+    assert reg.state("doomed") == STATE_FAILED
+
+    # ticks 2..5: flaky keeps erroring and RETRYING; doomed is skipped and
+    # its runner never invoked again (failInitFeeds log-once)
+    for i in range(1, 5):
+        out = sup.tick(runners, now_ms=t0 + i * 1000)
+        assert out["doomed"] == f"skipped:{STATE_FAILED}"
+        assert out["flaky"] == "error-retry"
+    assert calls["doomed"] == 1
+    assert calls["flaky"] == 5
+    # the 5th error reached the threshold: now rate-limited, runner not called
+    out = sup.tick(runners, now_ms=t0 + 6000)
+    assert out["flaky"] == "rate-limited" and calls["flaky"] == 5
+
+    # after the 2-minute window passes, flaky is retried again
+    out = sup.tick(runners, now_ms=t0 + ERROR_HISTORY_CHECK_INTERVAL_MS + 7000)
+    assert out["flaky"] == "error-retry" and calls["flaky"] == 6
+
+    # resume the failed feed -> supervisor clears its log-once entry and runs
+    reg.resume("doomed")
+    ok = lambda: calls.__setitem__("doomed", calls["doomed"] + 1)  # noqa: E731
+    out = sup.tick({"doomed": ok}, now_ms=t0 + ERROR_HISTORY_CHECK_INTERVAL_MS + 8000)
+    assert out == {"doomed": "ran"} and "doomed" not in sup.fail_init_feeds
+    assert calls["doomed"] == 2
+    assert calls["steady"] >= 6  # healthy feed ran every full tick

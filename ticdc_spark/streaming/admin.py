@@ -58,11 +58,26 @@ ADMIN_FINISH = "finish changefeed"
 
 STATUS_TTL_S = 24 * 3600  # owner.go:1070 SetChangeFeedStatusTTL(…, 24*3600)
 
+# Error-history window constants (model/changefeed.go:54-64): error records
+# older than the GC interval are pruned from the info; a feed whose errors
+# within the CHECK interval reach the threshold is rate-limited — the owner
+# stops re-initializing it until the window clears.
+ERROR_HISTORY_GC_INTERVAL_MS = 10 * 60 * 1000
+ERROR_HISTORY_CHECK_INTERVAL_MS = 2 * 60 * 1000
+ERROR_HISTORY_THRESHOLD = 5
+
 
 class FeedLifecycleError(RuntimeError):
     """An admin operation that the reference refuses (e.g. resume of a
     removed feed, create of a live duplicate, start-ts below the GC
     safepoint)."""
+
+
+class FastFailError(FeedLifecycleError):
+    """An error that is meaningless to retry (pkg/filter/errors.go
+    ChangefeedFastFailError — the reference's only member is
+    ErrStartTsBeforeGC): the supervisor marks the feed ``failed``
+    immediately instead of retrying with backoff."""
 
 
 def table_gc_safepoint(table) -> int | None:
@@ -148,7 +163,9 @@ class FeedRegistry:
                 if sp is not None:
                     floor = sp if floor is None else max(floor, sp)
             if floor is not None and start_ts < floor:
-                raise FeedLifecycleError(
+                # the one ChangefeedFastFailError member — retrying cannot
+                # help, so supervisors fail the feed outright
+                raise FastFailError(
                     f"start-ts {start_ts} is earlier than the GC safepoint "
                     f"{floor}: the required history has been expired "
                     "(ErrStartTsBeforeGC, pkg/util/gc_service.go:39-41)"
@@ -275,6 +292,56 @@ class FeedRegistry:
         self._store(feed, info)
         return info
 
+    def record_error(
+        self,
+        feed: str,
+        error: str,
+        fast_fail: bool = False,
+        now_ms: int | None = None,
+    ) -> dict[str, Any]:
+        """A feed-run error, the owner's loadChangeFeeds failure branch
+        (owner.go:617-645): the error and an ms timestamp land on the info;
+        a FAST-FAIL error (ChangefeedFastFailError — retrying is
+        meaningless) flips state → ``failed`` immediately; any other error
+        leaves the state alone so the next owner tick retries, subject to
+        the ``check_error_history`` rate limit."""
+        info = self._require(feed)
+        if info["state"] in (STATE_REMOVED, STATE_FINISHED):
+            return info
+        info["error"] = error
+        info["error_his"].append(
+            int(time.time() * 1000) if now_ms is None else int(now_ms)
+        )
+        if fast_fail:
+            info["state"] = STATE_FAILED  # owner.go:625-633
+        self._store(feed, info)
+        return info
+
+    def check_error_history(
+        self, feed: str, now_ms: int | None = None
+    ) -> tuple[bool, bool]:
+        """model/changefeed.go:211-234 ``CheckErrorHistory``:
+
+        returns ``(need_save, can_init)`` — error records older than the
+        10-minute GC interval are pruned (``need_save`` = any were; the
+        pruned info is persisted here, the analog of the owner's
+        LeaseGuardSaveChangeFeedInfo on needSave, owner.go:561-567), and
+        ``can_init`` is False while the errors inside the trailing 2-minute
+        window have reached the threshold (5) — the owner then skips
+        re-initializing the feed until the window clears."""
+        info = self._require(feed)
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        his = [int(t) for t in info.get("error_his", [])]
+        kept = [t for t in his if now - t < ERROR_HISTORY_GC_INTERVAL_MS]
+        need_save = len(kept) < len(his)
+        if need_save:
+            info["error_his"] = kept
+            self._store(feed, info)
+        recent = sum(
+            1 for t in kept if now - t < ERROR_HISTORY_CHECK_INTERVAL_MS
+        )
+        return need_save, recent < ERROR_HISTORY_THRESHOLD
+
     def update_checkpoint(self, feed: str, checkpoint_ts: int) -> None:
         """Status write (checkpoint-ts advance) — monotone, like the owner's
         flushChangeFeedInfos."""
@@ -336,3 +403,74 @@ class FeedRegistry:
                 os.remove(os.path.join(self.root, fn))
                 deleted.append(fn[: -len(".json")])
         return {"deleted": deleted}
+
+
+class FeedSupervisor:
+    """The owner's per-tick feed-maintenance loop (owner.go:527-660
+    ``loadChangeFeeds``) over a :class:`FeedRegistry`: every tick it decides,
+    per feed, whether to (re-)run the feed's batch or hold off.
+
+      * ``failed`` feeds are skipped permanently until an operator resumes
+        them; the skip is logged ONCE per failure episode via the
+        ``fail_init_feeds`` set (owner.go:549-560), and leaving ``failed``
+        clears the entry ("changefeed recovered from failure").
+      * other non-``normal`` states (stopped/removed/finished) are skipped.
+      * ``check_error_history`` gates re-initialization: ≥5 errors in the
+        trailing 2 minutes → the tick reports ``rate-limited`` and the run
+        is deferred (owner.go:569-575).
+      * a run that raises is recorded with :meth:`FeedRegistry.record_error`;
+        a :class:`FastFailError` (ErrStartTsBeforeGC analog) flips the feed
+        to ``failed``; anything else leaves it ``normal`` for the next tick's
+        retry (owner.go:617-645).
+
+    ``now_ms`` is injectable everywhere so the window arithmetic is
+    deterministic under test — the reference pins time the same way in
+    model/changefeed_test.go TestCheckErrorHistory.
+    """
+
+    def __init__(self, registry: FeedRegistry):
+        self.registry = registry
+        self.fail_init_feeds: set[str] = set()  # owner.go Owner.failInitFeeds
+
+    def tick(
+        self,
+        runners: dict[str, Any],
+        now_ms: int | None = None,
+    ) -> dict[str, str]:
+        """Run one owner tick over ``{feed_id: zero-arg callable}``. Returns
+        the per-feed outcome: ``ran`` | ``skipped:<state>`` |
+        ``rate-limited`` | ``error-retry`` | ``error-failed``."""
+        out: dict[str, str] = {}
+        for feed, run in runners.items():
+            st = self.registry.state(feed)
+            if st == STATE_FAILED:
+                if feed not in self.fail_init_feeds:
+                    self.fail_init_feeds.add(feed)  # log-once semantics
+                out[feed] = f"skipped:{STATE_FAILED}"
+                continue
+            if feed in self.fail_init_feeds:
+                # "changefeed recovered from failure" (owner.go:557-560)
+                self.fail_init_feeds.discard(feed)
+            if st in (STATE_STOPPED, STATE_REMOVED, STATE_FINISHED):
+                out[feed] = f"skipped:{st}"
+                continue
+            if self.registry.query(feed) is not None:
+                _, can_init = self.registry.check_error_history(feed, now_ms)
+                if not can_init:
+                    out[feed] = "rate-limited"
+                    continue
+            try:
+                run()
+            except FastFailError as e:
+                self.registry.record_error(
+                    feed, str(e), fast_fail=True, now_ms=now_ms
+                )
+                out[feed] = "error-failed"
+            except Exception as e:  # transient: retry next tick
+                self.registry.record_error(
+                    feed, str(e), fast_fail=False, now_ms=now_ms
+                )
+                out[feed] = "error-retry"
+            else:
+                out[feed] = "ran"
+        return out
