@@ -47,6 +47,11 @@ from ticdc_spark.functions.text import (
     tokens_col,
     bigram_nll_columns,
     bigram_nll_sql,
+)
+from ticdc_spark.pipeline.classifier import (
+    nb_score_sql as _nb_score_sql,
+)
+from ticdc_spark.functions.text import (
     tokens_entropy_columns,
     tokens_entropy_sql,
     unigram_nll_buckets,
@@ -1086,6 +1091,16 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet's KenLM perplexity above the unigram proxy. Per-doc lag window
     (doc-bounded) + linear count-table joins."""
     return _longify(bigram_nll_columns(_docs(spark, sf_dir)))
+
+
+def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-quality classifier (CCNet/LLaMA 'wiki vs web' filter shape):
+    exact-count multinomial Naive Bayes over h60-hashed unigrams, trained
+    and scored in one plan. One bounded groupBy(h) shuffle to train
+    (model <= 2^18 rows, broadcast), one doc_id shuffle to score."""
+    from ticdc_spark.pipeline.classifier import nb_score
+
+    return _longify(nb_score(_docs(spark, sf_dir), ("src0", "src1", "src2")))
 
 
 def q_text_nll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3050,6 +3065,7 @@ FROM t
         "text_repetition": repetition_sql(),
         "text_unigram_nll": unigram_nll_sql(),
         "text_bigram_nll": bigram_nll_sql(),
+        "text_nb_quality": _nb_score_sql(("src0", "src1", "src2")),
         "tokens_entropy": tokens_entropy_sql(
             "list_transform("
             + TOKENS_SQL.format(t="text")
@@ -3442,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remaining proven queries close the dict. See CORRECTNESS_r0{1,2}.json.
     return {
         # -- never driver-checked / changed this round --
+        "text_nb_quality": q_text_nb_quality,
         "cdc_bucket_checksum": q_cdc_bucket_checksum,
         "corpus_token_budget": q_corpus_token_budget,
         "text_bigram_nll": q_text_bigram_nll,

@@ -1282,3 +1282,58 @@ def test_tokens_ops_property_vs_pure_python(spark):
             assert dec[i]["contaminated"] == (1 if hit else 0)
 
     check()
+
+
+def test_nb_classifier_matches_pure_python(spark):
+    """nb_score == a hand-rolled multinomial NB with identical hashing and
+    smoothing, on a corpus where the classes have genuinely different
+    vocabularies (so predictions are non-trivial)."""
+    import hashlib
+    import math
+
+    from ticdc_spark.pipeline.classifier import nb_score
+
+    rows = [
+        ("d0", "alpha beta gamma alpha", "good"),
+        ("d1", "beta gamma alpha beta beta", "good"),
+        ("d2", "zork quux blarg zork", "bad"),
+        ("d3", "quux blarg blarg zork quux", "bad"),
+        ("d4", "alpha zork beta quux", "bad"),
+        ("d5", "gamma alpha alpha", "good"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    n_hash, alpha = 64, 0.5
+    got = {
+        r["doc_id"]: (r["n_terms"], r["nb_llr_mean"], r["nb_pred"])
+        for r in nb_score(docs, ("good",), n_hash=n_hash, alpha=alpha).collect()
+    }
+
+    def h(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % n_hash
+
+    cp, cn, np_, nn = {}, {}, 0, 0
+    for _, text, src in rows:
+        if src == "good":
+            np_ += 1
+        else:
+            nn += 1
+        for w in text.lower().split():
+            d = cp if src == "good" else cn
+            d[h(w)] = d.get(h(w), 0) + 1
+    tp, tn = sum(cp.values()), sum(cn.values())
+    prior = math.log(np_) - math.log(nn)
+    for doc_id, text, _ in rows:
+        toks = [h(w) for w in text.lower().split()]
+        s = sum(
+            math.log((cp.get(t, 0) + alpha) / (tp + alpha * n_hash))
+            - math.log((cn.get(t, 0) + alpha) / (tn + alpha * n_hash))
+            for t in toks
+        )
+        n_terms, llr_mean, pred = got[doc_id]
+        assert n_terms == len(toks)
+        assert abs(llr_mean - round(s / len(toks), 6)) < 1e-9, doc_id
+        assert pred == int(prior + s > 0), doc_id
+    # the classifier actually separates the two vocabularies
+    assert got["d0"][2] == 1 and got["d2"][2] == 0
+    # the mixed-vocab doc gets a score strictly between the class extremes
+    assert got["d0"][1] > got["d4"][1] > got["d2"][1]
