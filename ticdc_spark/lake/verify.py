@@ -104,6 +104,81 @@ def tokens_canonical_cols() -> list[Column]:
     ]
 
 
+def range_is_append_only(table, v0: int, v1: int) -> bool:
+    """True iff every commit in (v0, v1] only ADDED files — i.e. the range
+    is fully described by the changelog. Truncate / modify-column /
+    rebucket / compaction rewrite files invisibly to the changelog, so an
+    incremental consumer must fall back to a full recompute across them."""
+    prev = table._load_version_manifest(v0)
+    for v in range(v0 + 1, v1 + 1):
+        cur = table._load_version_manifest(v)
+        if cur.get("commit_kind") == "truncate":
+            return False
+        for b, old in prev.get("buckets", {}).items():
+            new_paths = {e["path"] for e in cur.get("buckets", {}).get(b, [])}
+            if not all(e["path"] in new_paths for e in old):
+                return False  # rewrite (compact/modify/rebucket/wipe)
+        prev = cur
+    return True
+
+
+def change_images(table, v0: int, v1: int, max_lookup_keys: int = 100_000):
+    """The (old image, new image) pair for every key changed in the version
+    range (v0, v1] — the primitive every changelog-maintained derived state
+    shares (checksums, classifiers, secondary indexes):
+
+      * ``old``    — the keys' live rows AT v0 (version-pinned, bucket +
+        file-stat pruned point reads, so read volume ∝ change volume);
+        schema (key, op, commit_ts, seq, *payload), op ``D`` for rows that
+        were tombstones at v0.
+      * ``merged`` — the keys' live rows AT v1: the LWW merge of the old
+        images with the range's change rows (epochs are ARRIVAL slices, so
+        a range winner can still lose to a pre-range straggler — the merge
+        reproduces the table's own conditional collapse). Same schema.
+      * ``n_changed`` — distinct changed keys (0 → both frames empty).
+
+    Callers subtract what ``old`` contributed and add what ``merged``
+    contributes; intermediate versions cancel algebraically. The range must
+    be append-only (see :func:`range_is_append_only`)."""
+    from ..model import SYS_COMMIT_TS, SYS_DELETED, SYS_SEQ
+    from ..operators.lww import lww_latest_agg
+
+    t = table
+    key = t.key_col
+    ch = t.read_changes(v0, v1)
+    last = lww_latest_agg(ch, [key])
+    n_changed = last.count()
+    payload = [f["name"] for f in t.current_fields if f["name"] != key]
+    cols = [key, "op", "commit_ts", "seq", *payload]
+    if n_changed == 0:
+        empty = last.select(*cols).limit(0)
+        return empty, empty, 0
+    if n_changed <= max_lookup_keys:
+        # bucket-pruned raw read at v0, restricted to the changed keys —
+        # read volume ∝ change volume
+        keys = [r[0] for r in last.select(key).collect()]
+        buckets = sorted(
+            int(r[0])
+            for r in last.select(t._bucket_expr(key)).distinct().collect()
+        )
+        old_raw = t.read_version_raw(v0, buckets).filter(
+            F.col(key).isin(keys)
+        )
+    else:  # too many keys for a literal list: bucket-unpruned semi-join
+        old_raw = t.read_version_raw(v0).join(
+            last.select(key).distinct(), key, "left_semi"
+        )
+    old = old_raw.select(
+        F.col(key),
+        F.when(F.col(SYS_DELETED), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col(SYS_COMMIT_TS).alias("commit_ts"),
+        F.col(SYS_SEQ).alias("seq"),
+        *[F.col(c) for c in payload],
+    )
+    merged = lww_latest_agg(old.unionByName(last.select(*cols)), [key])
+    return old, merged, int(n_changed)
+
+
 class IncrementalChecksum:
     """CDC-maintained table signature — state_checksum's incremental
     sibling: the per-bucket (cnt, xor_sig, sum_sig) map is maintained from
@@ -177,17 +252,7 @@ class IncrementalChecksum:
                 del self.state["buckets"][b]
 
     def _range_is_append_only(self, v0: int, v1: int) -> bool:
-        prev = self.table._load_version_manifest(v0)
-        for v in range(v0 + 1, v1 + 1):
-            cur = self.table._load_version_manifest(v)
-            if cur.get("commit_kind") == "truncate":
-                return False
-            for b, old in prev.get("buckets", {}).items():
-                new_paths = {e["path"] for e in cur.get("buckets", {}).get(b, [])}
-                if not all(e["path"] in new_paths for e in old):
-                    return False  # rewrite (compact/modify/rebucket/wipe)
-            prev = cur
-        return True
+        return range_is_append_only(self.table, v0, v1)
 
     def _recompute(self, version: int) -> None:
         full = state_checksum(
@@ -219,48 +284,11 @@ class IncrementalChecksum:
             self.state["version"] = v1
             self._save()
             return {"synced": True, "version": v1, "mode": "full"}
-        key = t.key_col
-        ch = t.read_changes(v0, v1)
-        from ..model import SYS_COMMIT_TS, SYS_DELETED, SYS_SEQ
-        from ..operators.lww import lww_latest_agg
-
-        # the range's change winners per key — NOT yet the new image: epochs
-        # are ARRIVAL slices, not ts ranges, so an epoch's winner can LOSE
-        # the conditional merge to the pre-range image (an out-of-order
-        # straggler). The true new image is the LWW merge of the old image
-        # (tombstones included, with their stored commit_ts/seq) and the
-        # change rows — the same max the table's own collapse computes.
-        last = lww_latest_agg(ch, [key])
-        n_changed = last.count()
+        old, merged, n_changed = change_images(t, v0, v1, max_lookup_keys)
         if n_changed == 0:
             self.state["version"] = v1
             self._save()
             return {"synced": True, "version": v1, "mode": "empty"}
-        payload = [f["name"] for f in t.current_fields if f["name"] != key]
-        cols = [key, "op", "commit_ts", "seq", *payload]
-        if n_changed <= max_lookup_keys:
-            # bucket-pruned raw read at v0, restricted to the changed keys —
-            # read volume ∝ change volume
-            keys = [r[0] for r in last.select(key).collect()]
-            buckets = sorted(
-                int(r[0])
-                for r in last.select(t._bucket_expr(key)).distinct().collect()
-            )
-            old_raw = t.read_version_raw(v0, buckets).filter(
-                F.col(key).isin(keys)
-            )
-        else:  # too many keys for a literal list: bucket-unpruned semi-join
-            old_raw = t.read_version_raw(v0).join(
-                last.select(key).distinct(), key, "left_semi"
-            )
-        old = old_raw.select(
-            F.col(key),
-            F.when(F.col(SYS_DELETED), F.lit("D")).otherwise(F.lit("U")).alias("op"),
-            F.col(SYS_COMMIT_TS).alias("commit_ts"),
-            F.col(SYS_SEQ).alias("seq"),
-            *[F.col(c) for c in payload],
-        )
-        merged = lww_latest_agg(old.unionByName(last.select(*cols)), [key])
         minus = self._bucket_deltas(old.filter(F.col("op") != "D"))
         plus = self._bucket_deltas(merged.filter(F.col("op") != "D"))
         self._apply(minus, -1)
