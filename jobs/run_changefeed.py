@@ -128,6 +128,14 @@ def main() -> int:
         help="feed id in the admin registry (default: basename of --checkpoint)",
     )
     p.add_argument(
+        "--supervised", type=int, default=0, metavar="MAX_ATTEMPTS",
+        help="run the feed under the owner retry loop (FeedSupervisor): "
+        "a failed run records an error in the admin registry and retries "
+        "up to MAX_ATTEMPTS times (checkpoint resume makes the retry "
+        "idempotent); fast-fail errors mark the feed failed and stop. "
+        "Requires --admin-dir and --available-now",
+    )
+    p.add_argument(
         "--keyless", action="store_true",
         help="force-replicate feed into a KEYLESS (no handle index) table: "
         "the multiset lake table keyed by the full row value "
@@ -182,6 +190,34 @@ def main() -> int:
                 start_ts=args.start_ts,
                 target_ts=args.target_ts,
             )
+
+    if args.supervised and (admin is None or not args.available_now):
+        p.error("--supervised requires --admin-dir and --available-now")
+
+    def supervised_run(run_fn):
+        """Owner retry loop around one available-now run: each attempt is a
+        supervisor tick; transient errors retry (the streaming checkpoint +
+        idempotent epoch merges make re-running safe), fast-fail errors or
+        the error-history rate limit stop the job (owner.go:527-660)."""
+        from ticdc_spark.streaming.admin import FeedSupervisor
+
+        sup = FeedSupervisor(admin)
+        box: dict = {}
+
+        def run():
+            box["summaries"] = run_fn()
+
+        outcome = "never-ran"
+        for attempt in range(1, args.supervised + 1):
+            outcome = sup.tick({feed_name: run})[feed_name]
+            if outcome != "error-retry":
+                break
+            print(
+                f"supervised: attempt {attempt} failed "
+                f"({admin.query(feed_name)['error']}); retrying",
+                file=sys.stderr,
+            )
+        return outcome, attempt, box.get("summaries")
 
     # config file + sink-uri provide defaults; explicit CLI flags override
     cfg_kw: dict = {}
@@ -256,6 +292,14 @@ def main() -> int:
             **mq_kwargs(),
         )
         if args.available_now:
+            if args.supervised:
+                outcome, attempts, summaries = supervised_run(cf.run_available)
+                print(json.dumps({
+                    "outcome": outcome, "attempts": attempts,
+                    "state": admin.state(feed_name),
+                    "batches": len(summaries) if summaries else 0,
+                }))
+                return 0 if outcome == "ran" else 1
             summaries = cf.run_available()
             print(json.dumps({"batches": len(summaries), "summaries": summaries[-3:]}))
             return 0
@@ -391,6 +435,14 @@ def main() -> int:
         **mq_kwargs(),
     )
     if args.available_now:
+        if args.supervised:
+            outcome, attempts, summaries = supervised_run(cf.run_available)
+            print(json.dumps({
+                "outcome": outcome, "attempts": attempts,
+                "state": admin.state(feed_name),
+                "batches": len(summaries) if summaries else 0,
+            }))
+            return 0 if outcome == "ran" else 1
         summaries = cf.run_available()
         out = {"batches": len(summaries), "summaries": summaries[-3:]}
         if args.derived_dedup:

@@ -192,3 +192,61 @@ def test_spark_submit_curation_entropy_gate(tmp_path):
     assert "after_entropy_gate" in c
     assert 0 < c["after_entropy_gate"] <= c["after_curate"]
     assert c["exported"] == c["after_entropy_gate"]
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_supervised_changefeed(spark, tmp_path):
+    """--supervised: happy path replicates under the owner retry loop and
+    converges to oracle state; a pre-failed feed is skipped with exit 1
+    (failInitFeeds semantics through the CLI)."""
+    from ticdc_spark.streaming.admin import FeedRegistry
+
+    spec = BinlogSpec(n_events=6_000, n_keys=600, seed=47, p_delete=0.1)
+    binlog = write_binlog(spec, str(tmp_path / "binlog"), files_per_part=2)
+    zip_path = build_pyfiles_zip(str(tmp_path / "dist" / "ticdc_spark.zip"))
+    job = str(tmp_path / "jobs" / "run_changefeed.py")
+    os.makedirs(os.path.dirname(job))
+    shutil.copy(os.path.join(REPO, "jobs", "run_changefeed.py"), job)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env.pop("SPARK_GRAFT_CPUS", None)
+    env["SPARK_GRAFT_SHUFFLE"] = "8"
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=2g",
+        "--py-files", zip_path,
+        job,
+        "--binlog", binlog,
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--available-now",
+        "--buckets", "4",
+        "--admin-dir", str(tmp_path / "adm"),
+        "--feed-name", "sup-feed",
+        "--supervised", "3",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out == {"outcome": "ran", "attempts": 1, "state": "normal",
+                   "batches": out["batches"]} and out["batches"] >= 1
+
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    events = open_binlog(spark, binlog)
+    expected = apply_binlog(pq.read_table(binlog), upto_ts=resolved_frontier(events))
+    assert not diff_tables(expected, _lake_arrow(t))
+
+    # fail the feed; the supervised run now refuses to process
+    FeedRegistry(str(tmp_path / "adm")).record_error(
+        "sup-feed", "boom", fast_fail=True
+    )
+    proc = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 1, proc.stdout[-1000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["outcome"] == "skipped:failed" and out["batches"] == 0
