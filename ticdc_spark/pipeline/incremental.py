@@ -748,7 +748,7 @@ class IncrementalPQ:
     def process_epoch(self, changes: DataFrame, epoch_id: str) -> dict:
         """changes: (vec_id, op, commit_ts, seq, embedding). First epoch
         trains the books from its own vectors if none were given."""
-        from .pq import _codes_expr, pq_train
+        from .pq import pq_encode_staged, pq_train
         from .similarity import cell_signature
 
         b = collapse_lww_batch(changes, "vec_id").localCheckpoint(eager=True)
@@ -760,13 +760,23 @@ class IncrementalPQ:
             )
             self._save_books()
         stamped = b.select("vec_id", "commit_ts", "seq")
-        puts = b.filter(F.col("op") != OP_DELETE).select(
-            "vec_id",
-            cell_signature("embedding", self.cell_bits, self.dim).alias("cell"),
-            _codes_expr(self.books, "embedding").alias("codes"),
-            "commit_ts",
-            "seq",
-        )
+        # Encode ONCE and pin: the m*k argmin plan is big (janino compiles
+        # it in seconds) and feeds BOTH merges below — without the eager
+        # checkpoint each merge action re-optimizes + recompiles it.
+        # Change-bound materialization: only this epoch's rows, m ints each.
+        puts = pq_encode_staged(
+            b.filter(F.col("op") != OP_DELETE).select(
+                "vec_id",
+                "embedding",
+                cell_signature("embedding", self.cell_bits, self.dim).alias(
+                    "cell"
+                ),
+                "commit_ts",
+                "seq",
+            ),
+            self.books,
+            "embedding",
+        ).drop("embedding").localCheckpoint(eager=True)
         old = _rows_for_ids(self.cells, b.select("vec_id"), "vec_id")
         vec_tombs = old.join(stamped, "vec_id").select(
             "vec_id",

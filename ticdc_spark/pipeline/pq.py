@@ -176,30 +176,85 @@ def pq_encode(
     """(id, codes array<int>) — map-only argmin against literal centroids;
     ties to the smallest surviving code (array_position = first minimum in
     ascending-code order). Whole-stage codegen, zero shuffles."""
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
-        _codes_expr(books, vec_col).alias("codes"),
-    )
+    return pq_encode_staged(
+        emb.select(F.col(id_col).alias("vec_id"), vec_col), books, vec_col
+    ).drop(vec_col)
 
 
-def _codes_expr(books, vec_col: str):
-    """The m-code array as ONE codegen expression (argmin over literal
-    centroids; ties to the smallest surviving code via array_position =
-    first minimum in ascending-code order)."""
+def _lit_d(x: float) -> str:
+    """Double SQL literal with exact round-trip (repr is shortest exact)."""
+    return f"{float(x)!r}D"
+
+
+def pq_encode_staged(
+    df: DataFrame,
+    books: dict[int, list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """df + a `codes array<int>` column: argmin against literal centroids,
+    ties to the smallest surviving code (array_position = first minimum in
+    ascending-code order). Same math/fold order as the DuckDB oracle CTEs.
+
+    Built from SQL strings (F.expr), not Column ops — an m*k codebook is
+    m*k*d_sub literal terms and the py4j Column path costs ~40 ms per node
+    in driver round-trips (~20 s at m=16,k=32). Staged through four
+    projections (unit-norm -> subvectors -> distance arrays -> codes) so
+    each shared subtree appears ONCE in the plan instead of m*k times:
+    CollapseProject keeps multi-referenced non-trivial aliases staged, and
+    janino gets m small codegen units instead of one giant method. Map-only,
+    zero shuffles, whole-stage codegen throughout."""
     m = len(books)
     d_sub = len(books[0][0][1])
-    vec_d = _unit(F.col(vec_col).cast("array<double>"))
+    for c in df.columns:
+        if c.startswith("_pq_"):
+            raise ValueError(f"pq_encode_staged: reserved column name {c!r}")
+    cols = [F.col(c) for c in df.columns]
+    vec_d = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    u_sql = (
+        f"transform({vec_d}, x -> x / sqrt("
+        f"aggregate({vec_d}, 0.0D, (acc, y) -> acc + y * y)))"
+    )
+    sved = df.withColumn("_pq_u", F.expr(u_sql)).select(
+        *cols,
+        *[
+            F.expr(f"slice(_pq_u, {s * d_sub + 1}, {d_sub})").alias(f"_pq_sv{s}")
+            for s in range(m)
+        ],
+    )
 
-    def code_expr(s: int):
-        sv = _subvec(vec_d, s, d_sub)
-        dists = F.array(
-            *[_dist2(sv, F.array(*[F.lit(x) for x in cent])) for _, cent in books[s]]
+    def dist_sql(s: int, cent: list[float]) -> str:
+        lits = ", ".join(_lit_d(x) for x in cent)
+        return (
+            f"round(aggregate(zip_with(_pq_sv{s}, array({lits}), "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x), 6)"
         )
-        codes_lit = F.array(*[F.lit(c) for c, _ in books[s]])
-        idx = F.array_position(dists, F.array_min(dists))
-        return F.element_at(codes_lit, idx.cast("int"))
 
-    return F.array(*[code_expr(s) for s in range(m)])
+    dists = sved.select(
+        *cols,
+        *[
+            F.expr(
+                "array("
+                + ", ".join(dist_sql(s, cent) for _, cent in books[s])
+                + ")"
+            ).alias(f"_pq_d{s}")
+            for s in range(m)
+        ],
+    )
+
+    def code_sql(s: int) -> str:
+        codes_lit = ", ".join(str(c) for c, _ in books[s])
+        return (
+            f"element_at(array({codes_lit}), "
+            f"CAST(array_position(_pq_d{s}, array_min(_pq_d{s})) AS INT))"
+        )
+
+    return dists.select(
+        *cols,
+        F.expr(
+            "array(" + ", ".join(code_sql(s) for s in range(m)) + ")"
+        ).alias(code_col),
+    )
 
 
 def _query_tabs(
@@ -331,11 +386,15 @@ def ivfpq_topk(
             emb, m=m, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
         )
     # ONE map-only pass builds the index rows: (id, cell, codes)
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
-        cell_signature(vec_col, cell_bits, dim).alias("cell"),
-        _codes_expr(books, vec_col).alias("codes"),
-    )
+    corpus = pq_encode_staged(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col),
+            cell_signature(vec_col, cell_bits, dim).alias("cell"),
+        ),
+        books,
+        vec_col,
+    ).drop(vec_col)
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
