@@ -380,3 +380,149 @@ def test_drop_partition_ddl_mid_stream(spark, tmp_path):
         for r in t2.read().collect()
     }
     assert down == got
+
+
+# ---------------- ADD COLUMN ... DEFAULT (initial-default rule) ----------------
+# TiDB fills existing rows instantly on ADD COLUMN DEFAULT x (no rewrite) and
+# TiCDC's downstream DDL carries the default, so pre-DDL rows read x
+# downstream. Lake analog: Iceberg initial-default — projected at read for
+# files written before the column existed; post-DDL events carry the column.
+
+
+def test_add_column_default_lake(spark, tmp_path):
+    from ticdc_spark.engine.replay import replay_epoch
+    from ticdc_spark.model import BINLOG_SCHEMA
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ev = spark.createDataFrame(
+        [
+            (10, 1, "t", "I", "a", [1, 2], 2, "web", 0, 0),
+            (11, 2, "t", "I", "b", [3], 1, "book", 0, 0),
+        ],
+        schema=BINLOG_SCHEMA,
+    )
+    replay_epoch(t, ev, "e1")
+    v_pre = t.version
+    t.update_schema(
+        "add_column", {"name": "lang", "type": "string", "default": "und"}, "ddl1"
+    )
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    # pre-DDL rows read the default, not NULL
+    assert rows["a"]["lang"] == "und" and rows["b"]["lang"] == "und"
+    # time travel before the DDL has no such column
+    assert "lang" not in t.read_version(v_pre).columns
+    # post-DDL write carries its own value and wins over the default
+    ev2 = spark.createDataFrame(
+        [(20, 3, "t", "U", "a", [9], 1, "web", "en", 0, 0)],
+        schema="commit_ts long, seq long, table string, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string, lang string, part int, "
+        "schema_version int",
+    )
+    replay_epoch(t, ev2, "e2")
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert rows["a"]["lang"] == "en" and rows["b"]["lang"] == "und"
+    # a column added WITHOUT a default still projects NULL
+    t.update_schema("add_column", {"name": "note", "type": "string"}, "ddl2")
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert rows["a"]["note"] is None and rows["b"]["note"] is None
+    # lookup path projects the default too (bucket-pruned read)
+    lk = {r["doc_id"]: r for r in t.lookup(["b"]).collect()}
+    assert lk["b"]["lang"] == "und"
+
+
+def test_add_column_default_mounter_projection(spark):
+    from ticdc_spark.operators.mounter import project_fields
+
+    from_fields = [{"id": 2, "name": "x", "type": "int"}]
+    to_fields = [
+        {"id": 2, "name": "x", "type": "int"},
+        {"id": 3, "name": "lang", "type": "string", "initial_default": "und"},
+        {"id": 4, "name": "note", "type": "string"},
+    ]
+    df = spark.createDataFrame([(7,)], "x int")
+    row = project_fields(df, from_fields, to_fields, keep=[]).collect()[0]
+    assert row["lang"] == "und" and row["note"] is None and row["x"] == 7
+
+
+def test_add_column_default_mid_stream_matches_oracle(spark, tmp_path):
+    """Feed end-to-end: a default-bearing ADD COLUMN mid-stream; final state
+    must match the sequential raw oracle, and rows whose LWW winner predates
+    the DDL must read the default (proving the scenario exercises it)."""
+    spec = BinlogSpec(
+        n_events=6_000, n_keys=800, seed=43, p_delete=0.1, p_insert=0.6
+    )
+    typed = generate_binlog(spec)
+    import pyarrow.compute as pc
+
+    lo = pc.min(typed.column("commit_ts")).as_py()
+    hi = pc.max(typed.column("commit_ts")).as_py()
+    ddls = [
+        (
+            (lo + hi) // 2,
+            "add_column",
+            {"name": "lang", "type": "string", "default": "und"},
+        )
+    ]
+    raw = binlog_to_raw(typed, ddls)
+    write_raw_binlog(raw, str(tmp_path / "binlog"), n_files=4)
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+    cf = ChangeFeed(
+        t,
+        str(tmp_path / "binlog"),
+        str(tmp_path / "ckpt"),
+        mode="raw",
+        ddl_rows=[
+            {"commit_ts": ts, "ddl_type": typ, "spec": __import__("json").dumps(s)}
+            for ts, typ, s in ddls
+        ],
+        max_files_per_trigger=2,
+    )
+    summaries = cf.run_available()
+    resolved = summaries[-1]["resolved_ts"]
+    assert t.schema_version == 1
+
+    expected = apply_binlog_raw(raw, BASE, ddls, upto_ts=resolved)
+    got = t.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    got_pa = pa.table(
+        {
+            "doc_id": pa.array(got["doc_id"], pa.string()),
+            "tokens": pa.array(
+                [None if v is None else list(v) for v in got["tokens"]],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array(got["n_tok"], pa.int32()),
+            "source": pa.array(got["source"], pa.string()),
+            "lang": pa.array(got["lang"], pa.string()),
+        }
+    )
+    problems = diff_tables(expected, got_pa)
+    assert not problems, problems[:3]
+    # at least one surviving key's winner predates the DDL -> default visible
+    langs = set(got["lang"])
+    assert "und" in langs and len(langs) > 1
+
+
+def test_add_column_default_keyless(spark, tmp_path):
+    from ticdc_spark.lake.keyless import KeylessTable
+
+    kt = KeylessTable.create(
+        spark,
+        str(tmp_path / "kt"),
+        value_fields=[
+            {"id": 1, "name": "a", "type": "int"},
+            {"id": 2, "name": "b", "type": "string"},
+        ],
+        n_buckets=4,
+    )
+    ch = spark.createDataFrame(
+        [("I", 1, 1, 5, "x"), ("I", 1, 2, 5, "x"), ("I", 1, 3, 6, "y")],
+        "op string, commit_ts long, seq long, a int, b string",
+    )
+    kt.apply_epoch(ch, "e1")
+    kt.evolve(
+        "add_column", {"name": "c", "type": "string", "default": "dflt"}, "ddl1"
+    )
+    rows = {(r["a"], r["b"], r["c"]): r["mult"] for r in kt.read().collect()}
+    # the default is PART of the rewritten tuple identity
+    assert rows == {(5, "x", "dflt"): 2, (6, "y", "dflt"): 1}

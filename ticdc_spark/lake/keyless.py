@@ -275,7 +275,12 @@ class KeylessTable:
         live = self.read()  # collapsed; asserts no negative totals
         if ddl_type == "add_column":
             new_vcols = old_vcols + [spec["name"]]
-            live = live.withColumn(spec["name"], F.lit(None).cast(spec["type"]))
+            # ADD COLUMN ... DEFAULT x materializes x into the rewritten
+            # tuples (identity-changing DDL has no read-time projection to
+            # defer to — the value IS part of the row identity hash)
+            live = live.withColumn(
+                spec["name"], F.lit(spec.get("default")).cast(spec["type"])
+            )
             # mult field id must stay LAST in the field list? No: field ids
             # are stable; order in the manifest is display-only. But the
             # evolved field list appends the new column after mult — value

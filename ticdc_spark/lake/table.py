@@ -225,7 +225,13 @@ class LakeTable:
                 f["id"] for sch in self._manifest["schemas"].values() for f in sch
             ]
             next_id = max([*all_ids, self._manifest.get("last_field_id", 0)]) + 1
-            fields.append({"id": next_id, "name": spec["name"], "type": spec["type"]})
+            nf = {"id": next_id, "name": spec["name"], "type": spec["type"]}
+            if spec.get("default") is not None:
+                # initial-default (Iceberg rule): fills rows written BEFORE
+                # the column existed, at read time (_read_files); post-DDL
+                # writes carry the column. ADD COLUMN ... DEFAULT x parity.
+                nf["initial_default"] = spec["default"]
+            fields.append(nf)
         elif ddl_type == "widen_column":
             for f in fields:
                 if f["name"] == spec["name"]:
@@ -378,7 +384,12 @@ class LakeTable:
             for f in cur:
                 o = old_by_id.get(f["id"])
                 if o is None:
-                    sel.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                    # field didn't exist when this file was written: project
+                    # its initial-default (ADD COLUMN ... DEFAULT x), NULL
+                    # when the column was added without one
+                    sel.append(
+                        F.lit(f.get("initial_default")).cast(f["type"]).alias(f["name"])
+                    )
                 else:
                     sel.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
             sel += [F.col(c.name) for c in _SYS_FIELDS]

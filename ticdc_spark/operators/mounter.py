@@ -27,7 +27,13 @@ def project_fields(df: DataFrame, from_fields: list[dict], to_fields: list[dict]
     for f in to_fields:
         o = by_id.get(f["id"])
         if o is None:
-            sel.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            # column didn't exist at the row's schema version: initial
+            # default (ADD COLUMN ... DEFAULT x) or NULL — same rule as
+            # LakeTable._read_files, so mount-time and read-time projection
+            # of a pre-DDL row agree
+            sel.append(
+                F.lit(f.get("initial_default")).cast(f["type"]).alias(f["name"])
+            )
         else:
             sel.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
     return df.select(*sel)

@@ -92,7 +92,13 @@ def apply_binlog_raw(
             for f in reg.fields(v)
             if f["name"] != "doc_id"
         }
-        state[k] = {f["name"]: by_id.get(f["id"]) for f in final_fields}
+        state[k] = {
+            # id absent at the event's version = column didn't exist yet ->
+            # initial default (ADD COLUMN ... DEFAULT x); present-but-NULL
+            # stays NULL (same rule as mounter.project_fields)
+            f["name"]: by_id[f["id"]] if f["id"] in by_id else f.get("initial_default")
+            for f in final_fields
+        }
     keys = sorted(state)
 
     def _pa_type(t: str):

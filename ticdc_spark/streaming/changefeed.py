@@ -104,7 +104,12 @@ def advance_lake_schema(table: LakeTable, fields_next: list[dict], epoch_id: str
     for f in fields_next:
         c = cur.get(f["id"])
         if c is None:
-            ops.append(("add_column", {"name": f["name"], "type": f["type"]}))
+            spec = {"name": f["name"], "type": f["type"]}
+            if f.get("initial_default") is not None:
+                # carry ADD COLUMN ... DEFAULT through to the lake so its
+                # read-time projection of pre-DDL files matches the mounter
+                spec["default"] = f["initial_default"]
+            ops.append(("add_column", spec))
         elif c["name"] != f["name"]:
             ops.append(("rename_column", {"from": c["name"], "to": f["name"]}))
         elif c["type"] != f["type"]:

@@ -53,7 +53,16 @@ SCHEMA_DDL = ("create_schema", "drop_schema", "modify_schema")
 def apply_ddl_to_fields(fields: list[dict], ddl_type: str, spec: dict) -> list[dict]:
     out = [dict(f) for f in fields]
     if ddl_type == "add_column":
-        out.append({"id": max(f["id"] for f in out) + 1, "name": spec["name"], "type": spec["type"]})
+        nf = {"id": max(f["id"] for f in out) + 1, "name": spec["name"], "type": spec["type"]}
+        if spec.get("default") is not None:
+            # ADD COLUMN ... DEFAULT x: TiDB fills existing rows instantly
+            # (no rewrite) and TiCDC's downstream DDL carries the default, so
+            # pre-DDL rows read x downstream. Iceberg's initial-default rule:
+            # the default applies ONLY to rows written before the column
+            # existed (projected at read); post-DDL events always carry the
+            # column explicitly (TiDB emits full row images).
+            nf["initial_default"] = spec["default"]
+        out.append(nf)
     elif ddl_type in ("widen_column", "modify_column"):
         # widen = declared-lossless direction (metadata-only downstream);
         # modify = arbitrary type change (schema_storage.go:539-624
