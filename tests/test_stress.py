@@ -51,7 +51,13 @@ def _random_ddl_chain(rng: random.Random, ts_points: list[int]) -> list[tuple[in
         op = rng.choice(choices)
         if op == "add":
             n_added += 1
-            ddl = ("add_column", {"name": f"extra{n_added}", "type": "string"})
+            spec: dict = {"name": f"extra{n_added}", "type": "string"}
+            if rng.random() < 0.5:
+                # half the adds carry ADD COLUMN ... DEFAULT: the initial-
+                # default must survive later rename/widen of the column and
+                # interleave correctly with drops (oracle mirrors it)
+                spec["default"] = f"dflt{n_added}"
+            ddl = ("add_column", spec)
         elif op == "widen":
             f = rng.choice([f for f in nonkey if f["type"] == "int"])
             ddl = ("widen_column", {"name": f["name"], "to": "bigint"})
