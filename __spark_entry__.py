@@ -1138,6 +1138,21 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(dd.chunk_dedup(_docs(spark, sf_dir)))
 
 
+def q_dedup_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate REMOVAL (the transform companion to
+    dedup_chunks' scoring): corpus-frequent chunks stripped from each doc,
+    survivors reassembled in order. One chunk-hash groupBy + one equi-join +
+    one per-doc fold — linear, no self-join."""
+    return _longify(dd.boilerplate_strip(_docs(spark, sf_dir)))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup with the RefinedWeb keep-the-longest survivor rule:
+    LSH -> connected components -> per-cluster window ranked by
+    (n_words desc, doc_id asc)."""
+    return _longify(dd.dedup_keep_best(_docs(spark, sf_dir), n=3, threshold=0.7))
+
+
 def q_dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span flagging (fixed-window exact form of suffix-array
     dedup, Lee et al. 2022): per-doc fraction of w-token windows whose exact
@@ -1984,6 +1999,40 @@ jac AS (
   JOIN sizes sb ON sb.doc_id = doc_b
 )
 """
+
+
+def _cluster_comp_prefix_sql() -> str:
+    """Shared oracle prefix for dedup_clusters / dedup_keep_best: shingle →
+    minhash → LSH candidates → verified pairs → transitive closure, ending
+    with comp(doc_id, cluster_id) and csize(cluster_id, cluster_size) CTEs
+    in scope (plus t(doc_id, toks) from the shingle prefix)."""
+    return (
+        "WITH RECURSIVE "
+        + _dedup_shingle_sql()
+        + ", "
+        + _minhash_sig_from_sh()
+        + ", "
+        + _lsh_band_sql()
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+p AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard >= 0.7
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)"""
+    )
 
 
 def _minhash_sig_from_sh(n_perms: int = 16) -> str:
@@ -3237,34 +3286,22 @@ JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 WHERE j.jaccard >= 0.7""",
         # transitive closure via a recursive CTE reproduces what the Spark
         # side computes with alternating large-star/small-star rounds
-        "dedup_clusters": "WITH RECURSIVE "
-        + _dedup_shingle_sql()
-        + ", "
-        + _minhash_sig_from_sh()
-        + ", "
-        + _lsh_band_sql()
-        + """,
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a
-  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-),
-p AS (
-  SELECT c.doc_a, c.doc_b FROM cand c
-  JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-  WHERE j.jaccard >= 0.7
-),
-edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
-reach(u, v) AS (
-  SELECT u, v FROM edges
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-),
-comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
-csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        "dedup_clusters": _cluster_comp_prefix_sql()
+        + """
 SELECT comp.doc_id, comp.cluster_id, csize.cluster_size,
        (CASE WHEN comp.doc_id = comp.cluster_id THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM comp JOIN csize USING (cluster_id)""",
+        # same component closure, survivor = most words (ties: min doc_id)
+        "dedup_keep_best": _cluster_comp_prefix_sql()
+        + """,
+nw AS (SELECT doc_id, len(toks) AS n_words FROM t)
+SELECT comp.doc_id, comp.cluster_id, csize.cluster_size, nw.n_words,
+       (CASE WHEN row_number() OVER (
+            PARTITION BY comp.cluster_id
+            ORDER BY nw.n_words DESC, comp.doc_id ASC) = 1
+        THEN 1 ELSE 0 END)::BIGINT AS keep_best
+FROM comp JOIN csize USING (cluster_id) JOIN nw USING (doc_id)""",
+        "dedup_boilerplate_strip": dd.boilerplate_strip_sql(),
         "dedup_simhash": "WITH "
         + _simhash_sql()
         + """
@@ -3478,6 +3515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_pack": q_tokens_pack,
         "curate_strict": q_curate_strict,
         "dedup_chunks": q_dedup_chunks,
+        "dedup_boilerplate_strip": q_dedup_boilerplate_strip,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_dup_spans": q_dedup_dup_spans,
         "dedup_span_trim": q_dedup_span_trim,
         "tokens_dup_spans": q_tokens_dup_spans,

@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_boilerplate_strip",
     "dedup_simhash",
     "dedup_dup_spans",
     "tokens_dup_spans",

@@ -561,6 +561,79 @@ def test_chunk_dedup_flags_shared_boilerplate(spark):
     assert rows[1]["keep"] == 0
 
 
+def test_boilerplate_strip_removes_shared_chunks(spark):
+    """The transform companion to chunk_dedup: the shared 10-word chunk is
+    removed from both carriers, unique chunks survive in original order,
+    an all-boilerplate doc collapses to the empty string."""
+    from ticdc_spark.pipeline.dedup import boilerplate_strip
+
+    boiler = "one two three four five six seven eight nine ten"
+    tail1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tail2 = "red orange yellow green blue indigo violet black white gray"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + tail1),
+            (2, boiler + " " + tail2),
+            (3, boiler),  # nothing but boilerplate
+            (4, "lone words nobody else repeats anywhere in this tiny corpus x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_strip(df, chunk_words=10).collect()}
+    assert rows[1]["clean_text"] == tail1 and rows[1]["n_kept"] == 1
+    assert rows[2]["clean_text"] == tail2 and rows[2]["n_chunks"] == 2
+    assert rows[3]["clean_text"] == "" and rows[3]["n_kept"] == 0
+    assert rows[4]["n_kept"] == rows[4]["n_chunks"] == 2
+    assert rows[4]["clean_text"] == df.collect()[3]["text"]
+
+
+def test_boilerplate_strip_preserves_chunk_order(spark):
+    """Kept chunks reassemble in document order even when boilerplate sits
+    between them (collect_list order is non-deterministic; array_sort on the
+    chunk index is what restores it)."""
+    from ticdc_spark.pipeline.dedup import boilerplate_strip
+
+    b = " ".join(f"b{i}" for i in range(10))
+    c1 = " ".join(f"u{i}" for i in range(10))
+    c2 = " ".join(f"v{i}" for i in range(10))
+    c3 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, " ".join([c1, b, c2, b, c3])), (2, b)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_strip(df, chunk_words=10).collect()}
+    assert rows[1]["clean_text"] == f"{c1} {c2} {c3}"
+    assert rows[1]["n_chunks"] == 5 and rows[1]["n_kept"] == 3
+
+
+def test_dedup_keep_best_survivor_is_longest(docs):
+    """Exactly one keep_best per cluster; the survivor has the cluster's max
+    word count (min doc_id on ties), and cluster membership matches
+    dedup_clusters exactly."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.pipeline.dedup import dedup_clusters, dedup_keep_best
+    from ticdc_spark.functions.text import tokens_col
+
+    out = dedup_keep_best(docs, n=3, threshold=0.7).collect()
+    assert len(out) > 0
+    nw = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tokens_col("text")).alias("n")).collect()
+    }
+    by_cluster = {}
+    for r in out:
+        assert r["n_words"] == nw[r["doc_id"]]
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        keeps = [r for r in rows if r["keep_best"] == 1]
+        assert len(keeps) == 1
+        best = min(rows, key=lambda r: (-r["n_words"], r["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"]
+    base = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, n=3, threshold=0.7).collect()}
+    assert {r["doc_id"]: r["cluster_id"] for r in out} == base
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     from ticdc_spark.functions.text import pii_columns, pii_scrub_col
 

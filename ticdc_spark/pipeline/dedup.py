@@ -449,6 +449,44 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Cluster dedup with a QUALITY survivor rule: instead of keeping the
+    first-seen (minimum doc_id) member of each near-dup cluster, keep the
+    member with the most words — the RefinedWeb/FineWeb "keep the longest
+    representative" convention — ties broken by min doc_id so the choice is
+    deterministic. One row per clustered doc:
+    (doc_id, cluster_id, cluster_size, n_words, keep_best).
+
+    Scale shape: reuses dedup_clusters (LSH → connected components — nothing
+    all-pairs), joins the O(duplicates) cluster assignment back to a 2-column
+    projection of the corpus for word counts, and ranks inside clusters with
+    a window partitioned by cluster_id (cluster sizes are bounded by the
+    near-dup neighborhood, so no straggler partitions)."""
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(
+        docs, n=n, threshold=threshold, text_col=text_col, **lsh_kwargs
+    ).drop("keep")
+    nw = docs.select("doc_id", F.size(tokens_col(text_col)).alias("n_words"))
+    j = clusters.join(nw, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "n_words",
+        (F.row_number().over(w) == 1).cast("int").alias("keep_best"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # chunk-level (paragraph-hash) dedup — CCNet / RefinedWeb style
 
@@ -544,6 +582,115 @@ SELECT c.doc_id,
                   <= {keep_frac} THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM c JOIN dfreq USING (chunk_md5)
 GROUP BY c.doc_id
+"""
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    df_threshold: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The TRANSFORM companion to chunk_dedup: chunk_dedup only *scores*
+    documents by their boilerplate mass; this rewrites each document with the
+    corpus-frequent chunks REMOVED (the C4 "discard any line seen more than
+    once in the corpus" rule, at chunk granularity for newline-free text).
+    A chunk survives iff its global document frequency < df_threshold; the
+    survivors are reassembled in original order. Output per doc (docs with at
+    least one chunk): (doc_id, n_chunks, n_kept, kept_frac, clean_text) —
+    clean_text == '' when every chunk was boilerplate.
+
+    Scale shape: identical to chunk_dedup — one explode O(tokens/chunk_words),
+    one groupBy on the 32-hex chunk hash (map-side combine collapses hot
+    boilerplate), one equi-join back, then ONE per-doc fold that both counts
+    and reassembles (array_sort(collect_list(struct(i, chunk))) keyed by the
+    in-doc chunk index; collect_list drops the NULLed boilerplate entries, so
+    the carried state is only the kept chunks). Nothing quadratic; the
+    reassembly group is bounded by document length."""
+    toks = tokens_col(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunk_structs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.concat_ws(" ", F.slice(toks, i * chunk_words + 1, chunk_words)).alias(
+                    "chunk"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,chunk:string>>"))
+    ex = docs.select(
+        "doc_id", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "c.i", "c.chunk", F.md5("c.chunk").alias("chunk_md5"))
+    dfreq = (
+        ex.select("doc_id", "chunk_md5")
+        .distinct()
+        .groupBy("chunk_md5")
+        .agg(F.count("*").alias("chunk_df"))
+    )
+    kept = F.col("chunk_df") < df_threshold
+    per_doc = (
+        ex.join(dfreq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("i", "chunk")))
+                    ),
+                    lambda x: x["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_chunks"), 6).alias("kept_frac"),
+        "clean_text",
+    )
+
+
+def boilerplate_strip_sql(chunk_words: int = 10, df_threshold: int = 2) -> str:
+    """DuckDB oracle for boilerplate_strip (same chunking, same df rule,
+    order-preserving reassembly via string_agg ORDER BY chunk index)."""
+    from ..functions.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(t="text")
+    w = chunk_words
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), c AS (
+  SELECT doc_id, i,
+         array_to_string(toks[(i - 1) * {w} + 1:i * {w}], ' ') AS chunk
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, cast(ceil(len(toks) / {w}.0) AS bigint))) AS i
+    FROM t WHERE len(toks) > 0
+  )
+), dfreq AS (
+  SELECT chunk_md5, count(*) AS chunk_df
+  FROM (SELECT DISTINCT doc_id, md5(chunk) AS chunk_md5 FROM c)
+  GROUP BY chunk_md5
+), j AS (
+  SELECT c.doc_id, c.i, c.chunk,
+         (dfreq.chunk_df < {df_threshold}) AS kept
+  FROM c JOIN dfreq ON dfreq.chunk_md5 = md5(c.chunk)
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS kept_frac,
+       coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY i), '') AS clean_text
+FROM j
+GROUP BY doc_id
 """
 
 
