@@ -65,6 +65,7 @@ from ticdc_spark.pipeline import decontam as dc
 from ticdc_spark.pipeline import dedup as dd
 from ticdc_spark.pipeline import pack as pk
 from ticdc_spark.pipeline import pq as _pq
+from ticdc_spark.pipeline.pca import pca_oracle_sql as _pca_oracle_sql
 from ticdc_spark.pipeline import multimodal as mm
 from ticdc_spark.pipeline import similarity as sim
 
@@ -1280,6 +1281,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             _emb(spark, sf_dir), threshold=0.4, n_bits=4, n_tables=6, dim=64
         )
     )
+
+
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component projection of the embedding table
+    (pipeline/pca.pca_project): distributed mean + upper-triangle covariance
+    folds, driver-side power iteration with deflation on the collected d×d
+    matrix (O(d²) metadata), map-only literal-array projection."""
+    from ticdc_spark.pipeline.pca import pca_project
+
+    return _longify(pca_project(_emb(spark, sf_dir), k=2, iters=3))
 
 
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3313,6 +3324,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         "dedup_embedding": _dedup_embedding_lsh_sql(
             n_bits=4, n_tables=6, threshold=0.4
         ),
+        "embed_pca": _pca_oracle_sql(k=2, iters=3, d=64),
         "embed_kmeans": _kmeans_sql(k=8, iters=2),
         "semdedup": _semdedup_sql(k=8, iters=2, threshold=0.4),
         "decontam_fuzzy": _decontam_fuzzy_sql(n=3, threshold=0.5),
@@ -3522,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_dup_spans": q_tokens_dup_spans,
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "embed_pca": q_embed_pca,
         "embed_kmeans": q_embed_kmeans,
         "semdedup": q_semdedup,
         "decontam_fuzzy": q_decontam_fuzzy,

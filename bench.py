@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "tokens_entropy",
     "tokens_decontaminate",
     "dedup_embedding",
+    "embed_pca",
     "embed_kmeans",
     "semdedup",
     "decontam_fuzzy",

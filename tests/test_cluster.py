@@ -136,3 +136,74 @@ def test_decontaminate_fuzzy_catches_what_exact_misses(spark):
     fuzzy = decontaminate_fuzzy(train, ev, n=3, bands=8, threshold=0.5).collect()[0]
     assert exact["contaminated"] == 0
     assert fuzzy["contaminated"] == 1
+
+
+def _py_pca(vecs, k=2, iters=3):
+    """Pure-python replay of pipeline/pca: round-6 mean, covariance,
+    iterates, eigenvalue, deflation, scores."""
+    d = len(vecs[0])
+    n = len(vecs)
+    mean = [round(sum(v[i] for v in vecs) / n, 6) for i in range(d)]
+    xc = [[v[i] - mean[i] for i in range(d)] for v in vecs]
+    C = [
+        [round(sum(r[i] * r[j] for r in xc) / float(n), 6) for j in range(d)]
+        for i in range(d)
+    ]
+    v0 = [round(1.0 / math.sqrt(d), 6)] * d
+    comps = []
+    for _ in range(k):
+        v = v0
+        for _ in range(iters):
+            w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+            nrm = math.sqrt(sum(x * x for x in w))
+            v = [round(x / nrm, 6) for x in w]
+        comps.append(v)
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        lam = round(sum(v[i] * w[i] for i in range(d)), 6)
+        C = [[round(C[i][j] - lam * v[i] * v[j], 6) for j in range(d)] for i in range(d)]
+    return mean, comps, xc
+
+
+def test_pca_project_matches_pure_python(spark):
+    """pca_project replays the documented round-6 algorithm exactly, and the
+    top component captures more variance than the second."""
+    import random
+
+    from ticdc_spark.pipeline.pca import pca_project
+
+    rng = random.Random(7)
+    d = 8
+    # anisotropic cloud: dim 0 dominates, dim 1 second
+    vecs = [
+        [rng.gauss(0, 5), rng.gauss(0, 2)] + [rng.gauss(0, 0.3) for _ in range(d - 2)]
+        for _ in range(120)
+    ]
+    mean, comps, xc = _py_pca(vecs, k=2, iters=3)
+    want = {
+        i: (
+            round(sum(x * c for x, c in zip(row, comps[0])), 6),
+            round(sum(x * c for x, c in zip(row, comps[1])), 6),
+        )
+        for i, row in enumerate(xc)
+    }
+    out = {r["vec_id"]: (r["pc_1"], r["pc_2"]) for r in pca_project(_emb(spark, vecs), k=2, iters=3).collect()}
+    # float32 storage of the input is the only divergence source; compare
+    # against the same float32-truncated vectors
+    vecs32 = [[float(__import__("struct").unpack("f", __import__("struct").pack("f", x))[0]) for x in v] for v in vecs]
+    mean, comps, xc = _py_pca(vecs32, k=2, iters=3)
+    want = {
+        i: (
+            round(sum(x * c for x, c in zip(row, comps[0])), 6),
+            round(sum(x * c for x, c in zip(row, comps[1])), 6),
+        )
+        for i, row in enumerate(xc)
+    }
+    assert out == want
+    # components are round-6 unit vectors; pc1 variance dominates
+    for c in comps:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-4
+    var1 = sum(p[0] ** 2 for p in out.values())
+    var2 = sum(p[1] ** 2 for p in out.values())
+    assert var1 > var2 > 0
+    # the dominant direction is (close to) axis 0
+    assert abs(comps[0][0]) > 0.9
