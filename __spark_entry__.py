@@ -193,6 +193,49 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_shards_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training shards maintained FROM THE CHANGE STREAM
+    (pipeline/shards.IncrementalShards): the events changelog lands in a
+    lake table across two epochs; after each epoch the shard directory
+    refreshes incrementally (only shards whose lake buckets changed are
+    rewritten — bucket-pruned reads, dynamic-partition-overwrite writes).
+    The union of the shard files must equal the LWW final state, so the
+    oracle is the same SQL as cdc_final_state — the equality IS the check
+    (same contract as ann_pq_incremental)."""
+    import shutil
+    import tempfile
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.shards import IncrementalShards
+
+    root = tempfile.mkdtemp(prefix="ticdc_spark_q_ishards_")
+    shutil.rmtree(root, ignore_errors=True)
+    feed = changelog(spark, sf_dir).select(
+        "doc_id", "op", "commit_ts", "seq", "event_type", "value"
+    )
+    cut = feed.approxQuantile("commit_ts", [0.5], 0.0)[0]
+    t = LakeTable.create(
+        spark,
+        root + "/tbl",
+        fields=[
+            {"id": 1, "name": "doc_id", "type": "string", "nullable": False},
+            {"id": 2, "name": "event_type", "type": "string"},
+            {"id": 3, "name": "value", "type": "double"},
+        ],
+        n_buckets=16,
+    )
+    sh = IncrementalShards(t, root + "/shards", n_shards=8, seed=3)
+    t.merge_epoch(feed.filter(F.col("commit_ts") <= cut), "e1")
+    sh.refresh()
+    t.merge_epoch(feed.filter(F.col("commit_ts") > cut), "e2")
+    sh.refresh()
+    return _longify(
+        sh.read().select(
+            "doc_id", "event_type", F.round("value", 6).alias("val")
+        )
+    )
+
+
 def q_cdc_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """drop_partition semantics as one declarative plan (schema_storage.go:
     586-624 ActionDropTablePartition; engine path = LakeTable.delete_where):
@@ -2631,6 +2674,11 @@ SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok * 10 <= tot * 3
         "cdc_final_state": LWW_SQL
         + "SELECT doc_id, commit_ts, seq, event_type, round(value, 6) AS val "
         "FROM ranked WHERE rn = 1 AND op != 'D'",
+        # shard-file union ≡ live LWW state (payload columns only — the
+        # shard export carries no system columns)
+        "cdc_shards_incremental": LWW_SQL
+        + "SELECT doc_id, event_type, round(value, 6) AS val "
+        "FROM ranked WHERE rn = 1 AND op != 'D'",
         "cdc_partition_drop": f"""
 WITH feed0 AS ({FEED_SQL}),
 feed AS (
@@ -3516,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_training_order": q_cdc_training_order,
         "cdc_partition_drop": q_cdc_partition_drop,
         "cdc_syncpoint_read": q_cdc_syncpoint_read,
+        "cdc_shards_incremental": q_cdc_shards_incremental,
         "events_asof_enrich": q_events_asof_enrich,
         "events_asof_salted": q_events_asof_salted,
         "corpus_shuffle": q_corpus_shuffle,

@@ -1,0 +1,173 @@
+"""IncrementalShards — changelog-maintained training-shard export.
+
+Invariant under every scenario: the shard directory equals a from-scratch
+export of the table's live state at the synced version (pipeline/shards
+docstring), with only the dirtied shards rewritten along the way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ticdc_spark.lake.table import LakeTable
+from ticdc_spark.pipeline.shards import MANIFEST, IncrementalShards
+
+FIELDS = [
+    {"id": 1, "name": "doc_id", "type": "string", "nullable": False},
+    {"id": 2, "name": "v", "type": "long"},
+]
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, op string, commit_ts long, seq long, v long"
+    )
+
+
+def _mk(spark, tmp_path, n_buckets=16, n_shards=8, n0=40):
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), fields=FIELDS, n_buckets=n_buckets)
+    t.merge_epoch(
+        _events(spark, [(f"d{i}", "I", 10, i, i * 100) for i in range(n0)]), "e0"
+    )
+    sh = IncrementalShards(t, str(tmp_path / "out"), n_shards=n_shards, seed=7)
+    sh.refresh()
+    return t, sh
+
+
+def _content(sh):
+    return sorted(
+        (r["doc_id"], r["v"], r["shard_id"]) for r in sh.read().collect()
+    )
+
+
+def _fresh_export(t, tmp_path, name, n_shards=8):
+    sh2 = IncrementalShards(t, str(tmp_path / name), n_shards=n_shards, seed=7)
+    sh2.refresh()
+    return _content(sh2)
+
+
+def test_incremental_refresh_equals_fresh_export(spark, tmp_path):
+    t, sh = _mk(spark, tmp_path)
+    # epoch 2: update 3 docs, delete 1, insert 2
+    t.merge_epoch(
+        _events(
+            spark,
+            [
+                ("d1", "U", 20, 1, 111),
+                ("d2", "U", 20, 2, 222),
+                ("d3", "U", 20, 3, 333),
+                ("d4", "D", 20, 4, None),
+                ("x1", "I", 20, 5, 1),
+                ("x2", "I", 20, 6, 2),
+            ],
+        ),
+        "e1",
+    )
+    r = sh.refresh()
+    assert not r["full"]
+    # 6 changed keys over 8 shards: strictly fewer shards rewritten than exist
+    assert 0 < r["shards_written"] < 8
+    assert _content(sh) == _fresh_export(t, tmp_path, "fresh")
+    assert sh.verify()
+    docs = {c[0] for c in _content(sh)}
+    assert "d4" not in docs and {"x1", "x2"} <= docs
+
+
+def test_untouched_shard_files_not_rewritten(spark, tmp_path):
+    """Dynamic partition overwrite: a refresh that dirties one shard leaves
+    every other shard's files untouched on disk (mtime + inode stable)."""
+    t, sh = _mk(spark, tmp_path)
+
+    def file_ids():
+        out = {}
+        for d in os.listdir(sh.out_dir):
+            if not d.startswith("shard_id="):
+                continue
+            for f in os.listdir(os.path.join(sh.out_dir, d)):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(sh.out_dir, d, f))
+                    out[(d, f)] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    before = file_ids()
+    t.merge_epoch(_events(spark, [("d1", "U", 30, 1, 999)]), "e1")
+    r = sh.refresh()
+    assert r["shards_written"] == 1
+    after = file_ids()
+    changed = {k for k in before if before[k] != after.get(k)}
+    gone = {k for k in before if k not in after}
+    new = {k for k in after if k not in before}
+    dirty_dirs = {k[0] for k in (changed | gone | new)}
+    assert len(dirty_dirs) == 1  # exactly one shard directory touched
+    assert sh.verify()
+
+
+def test_noop_and_idempotent_refresh(spark, tmp_path):
+    t, sh = _mk(spark, tmp_path)
+    assert sh.refresh()["shards_written"] == 0
+    before = _content(sh)
+    assert sh.refresh()["shards_written"] == 0
+    assert _content(sh) == before
+
+
+def test_crash_replay_rewrites_same_shards(spark, tmp_path):
+    """A crash between the shard write and the manifest save leaves the
+    manifest at v0; re-running the refresh redoes the same deterministic
+    write and converges."""
+    t, sh = _mk(spark, tmp_path)
+    t.merge_epoch(_events(spark, [("d5", "U", 30, 1, 555)]), "e1")
+    sh.refresh()
+    want = _content(sh)
+    # simulate the crash: rewind the manifest to the pre-refresh version
+    p = os.path.join(sh.out_dir, MANIFEST)
+    m = json.load(open(p))
+    m["synced_version"] -= 1
+    json.dump(m, open(p, "w"))
+    sh2 = IncrementalShards(t, sh.out_dir, n_shards=8, seed=7)
+    r = sh2.refresh()
+    assert r["shards_written"] >= 1
+    assert _content(sh2) == want
+    assert sh2.verify()
+
+
+def test_non_append_range_falls_back_to_full_export(spark, tmp_path):
+    t, sh = _mk(spark, tmp_path)
+    t.truncate("tr1")
+    t.merge_epoch(
+        _events(spark, [("n1", "I", 40, 1, 1), ("n2", "I", 40, 2, 2)]), "e1"
+    )
+    r = sh.refresh()
+    assert r["full"]
+    assert {c[0] for c in _content(sh)} == {"n1", "n2"}
+    assert sh.verify()
+
+
+def test_reopen_from_disk_and_param_guardrails(spark, tmp_path):
+    t, sh = _mk(spark, tmp_path)
+    v = sh.synced_version
+    sh2 = IncrementalShards(t, sh.out_dir, n_shards=8, seed=7)
+    assert sh2.synced_version == v
+    with pytest.raises(ValueError, match="disagrees"):
+        IncrementalShards(t, sh.out_dir, n_shards=8, seed=8)
+    with pytest.raises(ValueError, match="divide"):
+        IncrementalShards(t, str(tmp_path / "o2"), n_shards=5)
+
+
+def test_shard_order_is_stable_pseudo_shuffle(spark, tmp_path):
+    """Within a shard, rows sit in h60(seed ∥ doc_id) order, and an update
+    elsewhere does not reorder an untouched shard."""
+    from ticdc_spark.functions.hashing import h60
+
+    t, sh = _mk(spark, tmp_path, n0=60)
+    rows = sh.read_shard(0).collect()
+    got = [r["doc_id"] for r in rows]
+    keyed = spark.createDataFrame([(d,) for d in got], "doc_id string").select(
+        "doc_id",
+        h60(F.concat_ws("\x1f", F.lit("7"), F.col("doc_id"))).alias("sk"),
+    )
+    want = [r["doc_id"] for r in keyed.orderBy("sk", "doc_id").collect()]
+    assert got == want
