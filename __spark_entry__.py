@@ -51,6 +51,7 @@ from ticdc_spark.functions.text import (
 from ticdc_spark.pipeline.classifier import (
     nb_score_sql as _nb_score_sql,
 )
+from ticdc_spark.functions.text import gopher_rules_sql as _gopher_sql
 from ticdc_spark.functions.text import (
     tokens_entropy_columns,
     tokens_entropy_sql,
@@ -233,6 +234,87 @@ def q_cdc_shards_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.read().select(
             "doc_id", "event_type", F.round("value", 6).alias("val")
         )
+    )
+
+
+def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic — the exact heavy hitters that drive the salting /
+    AQE-skew decisions (the reference splits hot REGIONS at the TiKV layer;
+    downstream, lww_collapse_salted handles hot KEYS): top-20 keys by event
+    count with their dispatch bucket and share of total traffic. One
+    key-shuffle count (map-side combined), localCheckpointed so the total
+    fold and the top-k read one materialization; the top-k itself is
+    TakeOrderedAndProject — per-partition top-k, the driver merges k rows,
+    never a global sort. Ties broken by doc_id for determinism."""
+    from ticdc_spark.functions.hashing import bucket
+
+    feed = changelog(spark, sf_dir)
+    counts = (
+        feed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("op") == "D").cast("long")).alias("n_deletes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n_events")).collect()[0][0]
+    return (
+        counts.orderBy(F.desc("n_events"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            bucket("doc_id", 16).alias("bucket"),
+            "n_events",
+            "n_deletes",
+            F.round(F.col("n_events") / F.lit(float(total)), 6).alias(
+                "traffic_share"
+            ),
+        )
+    )
+
+
+def q_corpus_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics maintained FROM THE CHANGE STREAM
+    (pipeline/profile.IncrementalProfile): the token-count changelog lands
+    in a lake table across two epochs; after each, the per-source profile
+    (docs, token sum, token second moment) refreshes from the changed keys'
+    old/new images only. The maintained profile must equal a groupBy of the
+    LWW final state, so the oracle is that SQL — the equality IS the check
+    (same contract as cdc_shards_incremental)."""
+    import shutil
+    import tempfile
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.profile import IncrementalProfile
+
+    root = tempfile.mkdtemp(prefix="ticdc_spark_q_iprofile_")
+    shutil.rmtree(root, ignore_errors=True)
+    feed = changelog(spark, sf_dir).select(
+        "doc_id",
+        "op",
+        "commit_ts",
+        "seq",
+        F.col("event_type").alias("source"),
+        (F.col("seq") % 8 + 1).cast("long").alias("n_tok"),
+    )
+    cut = feed.approxQuantile("commit_ts", [0.5], 0.0)[0]
+    t = LakeTable.create(
+        spark,
+        root + "/tbl",
+        fields=[
+            {"id": 1, "name": "doc_id", "type": "string", "nullable": False},
+            {"id": 2, "name": "source", "type": "string"},
+            {"id": 3, "name": "n_tok", "type": "long"},
+        ],
+        n_buckets=16,
+    )
+    prof = IncrementalProfile(t, "source", ("n_tok",))
+    t.merge_epoch(feed.filter(F.col("commit_ts") <= cut), "e1")
+    prof.sync()
+    t.merge_epoch(feed.filter(F.col("commit_ts") > cut), "e2")
+    prof.sync()
+    return prof.profile().select(
+        F.col("grp").alias("source"), "n_docs", "n_tok_sum", "n_tok_sq"
     )
 
 
@@ -1092,6 +1174,16 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(quality_columns(_docs(spark, sf_dir)))
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document-filter rule table (Rae et al. 2021
+    table A1) — every rule a native per-row expression, `gopher_keep` the
+    conjunction a pre-training curation pass filters on. Map-only: no
+    shuffle, no UDF (functions/text.gopher_rules_columns)."""
+    from ticdc_spark.functions.text import gopher_rules_columns
+
+    return _longify(gopher_rules_columns(_docs(spark, sf_dir)))
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2679,6 +2771,30 @@ SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok * 10 <= tot * 3
         "cdc_shards_incremental": LWW_SQL
         + "SELECT doc_id, event_type, round(value, 6) AS val "
         "FROM ranked WHERE rn = 1 AND op != 'D'",
+        # maintained profile ≡ groupBy of the live LWW state (n_tok derived
+        # from the winning event's seq, as in cdc_tokens_final_state)
+        "corpus_profile_incremental": LWW_SQL
+        + """
+SELECT event_type AS source,
+       count(*) AS n_docs,
+       sum(seq % 8 + 1) AS n_tok_sum,
+       sum((seq % 8 + 1) * (seq % 8 + 1)) AS n_tok_sq
+FROM ranked WHERE rn = 1 AND op != 'D'
+GROUP BY event_type
+""",
+        "cdc_hot_keys": f"""
+WITH feed AS ({FEED_SQL}),
+c AS (
+  SELECT doc_id, count(*) AS n_events,
+         sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+  FROM feed GROUP BY doc_id
+), t AS (SELECT sum(n_events) AS tot FROM c)
+SELECT doc_id, {bucket_sql('doc_id', 16)} AS bucket, n_events, n_deletes,
+       round(n_events * 1.0 / tot, 6) AS traffic_share
+FROM c, t
+ORDER BY n_events DESC, doc_id
+LIMIT 20
+""",
         "cdc_partition_drop": f"""
 WITH feed0 AS ({FEED_SQL}),
 feed AS (
@@ -3174,6 +3290,7 @@ FROM t
         "text_unigram_nll": unigram_nll_sql(),
         "text_bigram_nll": bigram_nll_sql(),
         "text_nb_quality": _nb_score_sql(("src0", "src1", "src2")),
+        "text_gopher_rules": _gopher_sql(),
         "tokens_entropy": tokens_entropy_sql(
             "list_transform("
             + TOKENS_SQL.format(t="text")
@@ -3555,6 +3672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remaining proven queries close the dict. See CORRECTNESS_r0{1,2}.json.
     return {
         # -- never driver-checked / changed this round --
+        "text_gopher_rules": q_text_gopher_rules,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "corpus_profile_incremental": q_corpus_profile_incremental,
         "text_nb_quality": q_text_nb_quality,
         "cdc_bucket_checksum": q_cdc_bucket_checksum,
         "corpus_token_budget": q_corpus_token_budget,
@@ -3566,14 +3686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_syncpoint_read": q_cdc_syncpoint_read,
         "cdc_shards_incremental": q_cdc_shards_incremental,
         "events_asof_enrich": q_events_asof_enrich,
-        "events_asof_salted": q_events_asof_salted,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_split": q_corpus_split,
         "tokens_pack_sequences": q_tokens_pack_sequences,
         "tokens_pack_bins": q_tokens_pack_bins,
         "tokens_pack_bins_sequences": q_tokens_pack_bins_sequences,
         "corpus_shards": q_corpus_shards,
-        "tokens_pack": q_tokens_pack,
         "curate_strict": q_curate_strict,
         "dedup_chunks": q_dedup_chunks,
         "dedup_boilerplate_strip": q_dedup_boilerplate_strip,
@@ -3604,6 +3722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "codec_open_sized": q_codec_open_sized,
         "codec_sized_stats": q_codec_sized_stats,
+        # -- already driver-green in a prior round (sentinels first) --
+        "events_asof_salted": q_events_asof_salted,
+        "tokens_pack": q_tokens_pack,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,

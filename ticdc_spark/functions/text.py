@@ -572,3 +572,115 @@ SELECT doc_id,
        round(max(cnt) * 1.0 / sum(cnt), 6) AS top_frac
 FROM c GROUP BY doc_id
 """
+
+
+# Gopher document-level quality rules (Rae et al. 2021, "Scaling Language
+# Models", table A1) — the MassiveText pre-training filter. Each rule is a
+# per-row boolean over native column expressions (no shuffle, no UDF);
+# `gopher_keep` is their conjunction. Thresholds are the published ones,
+# except the word-count floor (50 → 10) so the small synthetic corpus
+# exercises both branches of every rule.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher rule table: word count bounds, mean word length in [3, 10],
+    symbol-to-word ratios (# and ...), bullet-started / ellipsis-ended line
+    fractions, alphabetic-word fraction >= 0.8, >= 2 required stop words.
+    Divisions guard empty docs with greatest(n, 1) (mirrored in the oracle).
+    """
+    t = F.col(text_col)
+    toks = tokens_col(text_col)
+    lines = F.split(t, "\n")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    dw = F.greatest(n_words, F.lit(1))
+    dl = F.greatest(n_lines, F.lit(1))
+    mean_wl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / dw
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellip = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    bullet = F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]")))
+    ell_end = F.size(F.filter(lines, lambda x: F.trim(x).endswith("...")))
+    alpha_w = F.size(F.filter(toks, lambda x: x.rlike(r"[a-z]")))
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_req = F.size(F.filter(req, lambda w: F.array_contains(toks, w)))
+    rules = {
+        "r_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "r_symbol_ratio": (n_hash / dw <= 0.1) & (n_ellip / dw <= 0.1),
+        "r_bullet_lines": bullet / dl <= 0.9,
+        "r_ellipsis_lines": ell_end / dl <= 0.3,
+        "r_alpha_words": alpha_w / dw >= 0.8,
+        "r_stop_words": n_req >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words_g"),
+        F.round(mean_wl, 6).alias("mean_wl_g"),
+        F.round(alpha_w / dw, 6).alias("alpha_word_frac"),
+        F.round(n_req.cast("double"), 6).alias("n_required_sw"),
+        *[c.cast("int").alias(name) for name, c in rules.items()],
+        keep.cast("int").alias("gopher_keep"),
+    )
+
+
+def gopher_rules_sql() -> str:
+    """DuckDB oracle for gopher_rules_columns — same tokenization
+    (TOKENS_SQL), same chr(10) line split, same guards and rounding."""
+    toks = TOKENS_SQL.format(t="text")
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS toks, string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) AS dw,
+         greatest(len(lines), 1) AS dl,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0
+           / greatest(len(toks), 1) AS mean_wl,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ellip,
+         len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+           AS bullet,
+         len(list_filter(lines, x -> ends_with(trim(x), '...'))) AS ell_end,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_w,
+         len(list_filter([{req}], w -> list_contains(toks, w))) AS n_req
+  FROM t
+), r AS (
+  SELECT doc_id, n_words, mean_wl, alpha_w, dw, dl, n_req,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+           AS r_word_count,
+         (mean_wl >= 3 AND mean_wl <= 10) AS r_mean_word_len,
+         (n_hash * 1.0 / dw <= 0.1 AND n_ellip / dw <= 0.1) AS r_symbol_ratio,
+         (bullet * 1.0 / dl <= 0.9) AS r_bullet_lines,
+         (ell_end * 1.0 / dl <= 0.3) AS r_ellipsis_lines,
+         (alpha_w * 1.0 / dw >= 0.8) AS r_alpha_words,
+         (n_req >= 2) AS r_stop_words
+  FROM m
+)
+SELECT doc_id, n_words::BIGINT AS n_words_g,
+       round(mean_wl, 6) AS mean_wl_g,
+       round(alpha_w * 1.0 / dw, 6) AS alpha_word_frac,
+       round(n_req * 1.0, 6) AS n_required_sw,
+       r_word_count::INT AS r_word_count,
+       r_mean_word_len::INT AS r_mean_word_len,
+       r_symbol_ratio::INT AS r_symbol_ratio,
+       r_bullet_lines::INT AS r_bullet_lines,
+       r_ellipsis_lines::INT AS r_ellipsis_lines,
+       r_alpha_words::INT AS r_alpha_words,
+       r_stop_words::INT AS r_stop_words,
+       (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+        AND r_ellipsis_lines AND r_alpha_words AND r_stop_words)::INT
+         AS gopher_keep
+FROM r
+"""
