@@ -670,6 +670,65 @@ def bench_incremental_dedup(spark, work_root: str, sf_dir: str) -> dict:
 
 
 
+def bench_incremental_shards(spark, work_root: str, n_keys: int = 400_000) -> dict:
+    """The CDC-maintained shard export, measured: build a corpus-sized lake
+    table once, export all shards once (the corpus-bound baseline), then
+    absorb a TRICKLE epoch (8 changed keys — the steady-state CDC shape)
+    through IncrementalShards.refresh(), which rewrites only the dirtied
+    shards from bucket-pruned reads. Refresh cost is change-bound (≈
+    dirtied_shards/n_shards of the export); the full export is corpus-bound
+    no matter how small the change."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.pipeline.shards import IncrementalShards
+
+    root = os.path.join(work_root, "incshards")
+    shutil.rmtree(root, ignore_errors=True)
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "string", "nullable": False},
+        {"id": 2, "name": "n_tok", "type": "long"},
+        {"id": 3, "name": "source", "type": "string"},
+    ]
+    t = LakeTable.create(
+        spark, os.path.join(root, "tbl"), fields=fields, n_buckets=256
+    )
+    base = spark.range(n_keys).select(
+        F.concat(F.lit("k"), F.col("id")).alias("doc_id"),
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("commit_ts"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 512).cast("long").alias("n_tok"),
+        F.concat(F.lit("s"), F.col("id") % 8).alias("source"),
+    )
+    t.merge_epoch(base, "base")
+    sh = IncrementalShards(t, os.path.join(root, "shards"), n_shards=64, seed=9)
+    t0 = time.time()
+    sh.refresh()  # first refresh = the full export (corpus-bound baseline)
+    full_sec = round(time.time() - t0, 3)
+    upd = spark.range(8).select(
+        F.concat(F.lit("k"), F.col("id") * 1000).alias("doc_id"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("commit_ts"),
+        F.col("id").alias("seq"),
+        F.lit(999).cast("long").alias("n_tok"),
+        F.lit("s0").alias("source"),
+    )
+    t.merge_epoch(upd, "trickle")
+    t0 = time.time()
+    r = sh.refresh()
+    inc_sec = round(time.time() - t0, 3)
+    return {
+        "corpus_keys": n_keys,
+        "update_keys": 8,
+        "shards_rewritten": r["shards_written"],
+        "n_shards": 64,
+        "full_export_sec": full_sec,
+        "incremental_refresh_sec": inc_sec,
+        "speedup": round(full_sec / inc_sec, 2) if inc_sec else None,
+    }
+
+
 def bench_replay_keyless(spark, work_root: str, n_rows: int) -> dict:
     """Force-replicate keyless replay: per-value-tuple multiplicity deltas
     folded into the multiset table (lake/keyless.py) — the whereSlice
@@ -751,6 +810,7 @@ def main() -> None:
     mq = None
     mq_sized = None
     incded = None
+    incsh = None
     keyless = None
     multi = None
     split = None
@@ -771,6 +831,8 @@ def main() -> None:
         qtimes["cdc_stream_old_value"] = oldval["sec"]
         incded = bench_incremental_dedup(spark, work_root, SF_DIR)
         qtimes["dedup_incremental_update"] = incded["incremental_epoch_sec"]
+        incsh = bench_incremental_shards(spark, work_root)
+        qtimes["shards_incremental_refresh"] = incsh["incremental_refresh_sec"]
         keyless = bench_replay_keyless(spark, work_root, N_EVENTS // 2)
         qtimes["cdc_replay_keyless"] = keyless["sec"]
         multi = bench_stream_multi(spark, work_root, N_EVENTS // 2)
@@ -808,6 +870,7 @@ def main() -> None:
         "stream_old_value": oldval,
         "replay_big": replay_big,
         "incremental_dedup": incded,
+        "incremental_shards": incsh,
         "replay_keyless": keyless,
         "stream_multi": multi,
         "stream_split": split,
