@@ -1172,6 +1172,73 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): the sequential-pattern
+    operator sessionize/tumbling don't cover — stage k counts only if it
+    happens STRICTLY AFTER stage k-1. ONE user-keyed shuffle: per-user
+    sorted event array, then a native F.aggregate fold over it (struct
+    accumulator, whole-stage codegen — no window chain, no UDF, no
+    per-stage join cascade). The DuckDB oracle is the equivalent
+    min-ts-after-min-ts join chain — two formulations, one semantics.
+    At 100 TB the fold shape wins: stage count doesn't multiply shuffles,
+    and a user's history is one array in one task."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_type"))
+        ).alias("evs")
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+    acc = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda a, e: F.struct(
+            F.coalesce(
+                a["t1"], F.when(e["event_type"] == "signup", e["ts_us"])
+            ).alias("t1"),
+            F.coalesce(
+                a["t2"],
+                F.when(
+                    (e["event_type"] == "click")
+                    & a["t1"].isNotNull()
+                    & (e["ts_us"] > a["t1"]),
+                    e["ts_us"],
+                ),
+            ).alias("t2"),
+            F.coalesce(
+                a["t3"],
+                F.when(
+                    (e["event_type"] == "purchase")
+                    & a["t2"].isNotNull()
+                    & (e["ts_us"] > a["t2"]),
+                    e["ts_us"],
+                ),
+            ).alias("t3"),
+        ),
+    )
+    out = per_user.select("user_id", acc.alias("f")).select(
+        "user_id",
+        F.col("f.t1").alias("t_signup"),
+        F.col("f.t2").alias("t_click"),
+        F.col("f.t3").alias("t_purchase"),
+        F.when(F.col("f.t3").isNotNull(), 3)
+        .when(F.col("f.t2").isNotNull(), 2)
+        .when(F.col("f.t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reached_stage"),
+    )
+    return out
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(quality_columns(_docs(spark, sf_dir)))
 
@@ -3233,6 +3300,38 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
+        # funnel: min-ts-after-min-ts join chain — a different formulation
+        # than the Spark fold, same semantics (strictly-after at each stage)
+        "events_funnel": """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+s AS (
+  SELECT user_id, min(ts_us) AS t1 FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT ev.user_id, min(ev.ts_us) AS t2
+  FROM ev JOIN s ON ev.user_id = s.user_id
+  WHERE ev.event_type = 'click' AND ev.ts_us > s.t1
+  GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, min(ev.ts_us) AS t3
+  FROM ev JOIN c ON ev.user_id = c.user_id
+  WHERE ev.event_type = 'purchase' AND ev.ts_us > c.t2
+  GROUP BY ev.user_id
+),
+u AS (SELECT DISTINCT user_id FROM ev)
+SELECT u.user_id, s.t1 AS t_signup, c.t2 AS t_click, p.t3 AS t_purchase,
+       (CASE WHEN p.t3 IS NOT NULL THEN 3
+             WHEN c.t2 IS NOT NULL THEN 2
+             WHEN s.t1 IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS reached_stage
+FROM u LEFT JOIN s USING (user_id)
+       LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+""",
         "events_sessionize": """
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
@@ -3673,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked / changed this round --
         "text_gopher_rules": q_text_gopher_rules,
+        "events_funnel": q_events_funnel,
         "cdc_hot_keys": q_cdc_hot_keys,
         "corpus_profile_incremental": q_corpus_profile_incremental,
         "text_nb_quality": q_text_nb_quality,
@@ -3685,7 +3785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partition_drop": q_cdc_partition_drop,
         "cdc_syncpoint_read": q_cdc_syncpoint_read,
         "cdc_shards_incremental": q_cdc_shards_incremental,
-        "events_asof_enrich": q_events_asof_enrich,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_split": q_corpus_split,
         "tokens_pack_sequences": q_tokens_pack_sequences,
@@ -3723,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_open_sized": q_codec_open_sized,
         "codec_sized_stats": q_codec_sized_stats,
         # -- already driver-green in a prior round (sentinels first) --
+        "events_asof_enrich": q_events_asof_enrich,
         "events_asof_salted": q_events_asof_salted,
         "tokens_pack": q_tokens_pack,
         "ann_topk": q_ann_topk,
