@@ -1239,6 +1239,28 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, then
+    the distinct-user count at each later week offset — the engagement
+    matrix behind every growth dashboard. Two key-shuffles total (per-user
+    min fold, then (cohort, offset) distinct-count); cohort assignment
+    rides the same user-keyed exchange as the min fold. Weeks are
+    epoch-day/7 buckets (timezone-free, deterministic)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(7 * 86400 * 1_000_000)
+        ).alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(quality_columns(_docs(spark, sf_dir)))
 
@@ -3300,6 +3322,21 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
+        "events_retention": """
+WITH ev AS (
+  SELECT user_id,
+         floor(epoch_us(ts) / (7::BIGINT * 86400 * 1000000)) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+)
+SELECT f.cohort_week::BIGINT AS cohort_week,
+       (ev.week - f.cohort_week)::BIGINT AS week_offset,
+       count(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
         # funnel: min-ts-after-min-ts join chain — a different formulation
         # than the Spark fold, same semantics (strictly-after at each stage)
         "events_funnel": """
@@ -3773,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked / changed this round --
         "text_gopher_rules": q_text_gopher_rules,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "cdc_hot_keys": q_cdc_hot_keys,
         "corpus_profile_incremental": q_corpus_profile_incremental,
         "text_nb_quality": q_text_nb_quality,

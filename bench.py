@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "q5_region_orders",
     "cdc_bucket_checksum",
     "corpus_token_budget",
+    "text_gopher_rules",
+    "events_funnel",
+    "cdc_hot_keys",
 ]
 
 
