@@ -206,3 +206,30 @@ def test_shards_and_profile_stay_fresh_under_streaming_feed(spark, tmp_path):
     # incremental path actually exercised: batch 2 rewrote < all shards OR
     # all (hash spread) — but it must NOT have fallen back to full export
     assert sh.manifest()["synced_version"] == t.version
+
+
+def test_shard_emptied_by_deletes_is_removed(spark, tmp_path):
+    """A dirty shard whose LAST rows are deleted must lose its directory —
+    dynamic partition overwrite alone would leave the stale files behind."""
+    t, sh = _mk(spark, tmp_path, n_buckets=4, n_shards=4, n0=12)
+    # find which shard doc d0 lives in, then delete EVERY doc in that shard
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in t.read()
+        .select("doc_id", (t._bucket_expr(t.key_col) / 1).cast("int").alias("s"))
+        .collect()
+    }
+    target = shard_of["d0"]  # n_buckets == n_shards → shard id == bucket id
+    victims = [d for d, s in shard_of.items() if s == target]
+    assert victims
+    t.merge_epoch(
+        _events(spark, [(d, "D", 20, i, None) for i, d in enumerate(victims)]),
+        "kill",
+    )
+    r = sh.refresh()
+    assert r["shards_written"] >= 1
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "out"), f"shard_id={target}")
+    )
+    assert sh.manifest()["shards"][str(target)] == 0
+    assert sh.verify(), "shard union must equal live state after emptying"

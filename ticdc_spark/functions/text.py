@@ -646,7 +646,7 @@ WITH t AS (
          len(toks) AS n_words,
          greatest(len(toks), 1) AS dw,
          greatest(len(lines), 1) AS dl,
-         list_sum(list_transform(toks, x -> length(x))) * 1.0
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0
            / greatest(len(toks), 1) AS mean_wl,
          length(text) - length(replace(text, '#', '')) AS n_hash,
          (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ellip,

@@ -149,6 +149,19 @@ class IncrementalShards:
             int(r["shard_id"]): int(r["n"])
             for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
         }
+        if shard_ids is not None:
+            # dynamic overwrite only replaces partitions PRESENT in the new
+            # data — a dirty shard whose last rows were deleted writes no
+            # rows, so its stale directory must be removed explicitly
+            # (O(emptied shards) driver fs ops)
+            import shutil as _shutil
+
+            for s in shard_ids:
+                if counts.get(int(s), 0) == 0:
+                    _shutil.rmtree(
+                        os.path.join(self.out_dir, f"shard_id={int(s)}"),
+                        ignore_errors=True,
+                    )
         return counts
 
     def export_full(self) -> dict:
