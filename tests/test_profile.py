@@ -152,3 +152,40 @@ def test_gopher_rules_branches(spark):
     assert r[7]["r_alpha_words"] == 0
     assert r[8]["r_stop_words"] == 0
     assert all(r[i]["gopher_keep"] == 0 for i in range(2, 9))
+
+
+def test_randomized_epochs_shards_and_profile_invariant(spark, tmp_path):
+    """Property soak: N seeded random epochs of mixed insert/update/delete
+    (incl. group moves and out-of-order commit timestamps); after EVERY
+    epoch both derived states equal their from-scratch recomputation."""
+    import random
+
+    from ticdc_spark.pipeline.shards import IncrementalShards
+
+    rng = random.Random(1234)
+    t = LakeTable.create(spark, str(tmp_path / "t"), fields=FIELDS, n_buckets=8)
+    p = IncrementalProfile(t, "source", ("n_tok",))
+    sh = IncrementalShards(t, str(tmp_path / "sh"), n_shards=4, seed=1)
+    universe = [f"d{i}" for i in range(60)]
+    alive: set[str] = set()
+    seq = 0
+    for epoch in range(6):
+        rows = []
+        for _ in range(rng.randint(5, 20)):
+            seq += 1
+            d = rng.choice(universe)
+            # out-of-order commit timestamps across epochs
+            ts = rng.randint(1, 1000)
+            if d in alive and rng.random() < 0.3:
+                rows.append((d, None, None, "D", ts, seq))
+            else:
+                rows.append(
+                    (d, f"s{rng.randint(0, 3)}", rng.randint(1, 99), "U", ts, seq)
+                )
+        _ep(t, rows, f"e{epoch}")
+        alive = {r["doc_id"] for r in t.read().select("doc_id").collect()}
+        assert p.sync()["synced"]
+        assert p.verify() == [], f"profile diverged at epoch {epoch}"
+        sh.refresh()
+        assert sh.verify(), f"shards diverged at epoch {epoch}"
+    assert _got(p) == _want(t)
