@@ -318,6 +318,60 @@ def q_corpus_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two syncpoints — "what churned between
+    checkpoints T1 and T2", the report a training pipeline reads before
+    deciding whether downstream artifacts (shards, indexes, profiles) need
+    refreshing. Per key, BOTH snapshot winners come out of ONE key-shuffle:
+    the ≤T1 winner is a CONDITIONAL max_by (null-masked rank — max ignores
+    nulls, so the fold is the prefix LWW), the ≤T2 winner the plain one;
+    classification (added/removed/changed/unchanged) and the per-source
+    rollup follow map-side. One shuffle for two snapshots, vs the naive
+    two-fold + full-outer-join plan. T1 = integer midpoint of the ts range
+    (one metadata min/max fold), T2 = end of stream."""
+    from ticdc_spark.operators.lww import rank_struct
+
+    feed = changelog(spark, sf_dir)
+    row = feed.agg(
+        F.min("commit_ts").alias("lo"), F.max("commit_ts").alias("hi")
+    ).collect()[0]
+    t1 = (int(row["lo"]) + int(row["hi"])) // 2
+    pay = F.struct(
+        F.col("op"), F.col("event_type"), F.round("value", 6).alias("val")
+    )
+    rk = rank_struct(feed)
+    cond = F.col("commit_ts") <= F.lit(t1)
+    per_key = feed.groupBy("doc_id").agg(
+        F.max_by(F.when(cond, pay), F.when(cond, rk)).alias("w1"),
+        F.max_by(pay, rk).alias("w2"),
+    )
+    in1 = F.col("w1").isNotNull() & (F.col("w1.op") != "D")
+    in2 = F.col("w2").isNotNull() & (F.col("w2.op") != "D")
+    changed = (
+        (F.col("w1.event_type") != F.col("w2.event_type"))
+        | (F.col("w1.val") != F.col("w2.val"))
+        | (F.col("w1.val").isNull() != F.col("w2.val").isNull())
+    )
+    status = (
+        F.when(~in1 & in2, F.lit("added"))
+        .when(in1 & ~in2, F.lit("removed"))
+        .when(in1 & in2 & changed, F.lit("changed"))
+        .when(in1 & in2, F.lit("unchanged"))
+    )
+    return (
+        per_key.select(
+            F.coalesce(
+                F.when(in2, F.col("w2.event_type")),
+                F.when(in1, F.col("w1.event_type")),
+            ).alias("source"),
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())  # never-visible keys drop out
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_cdc_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """drop_partition semantics as one declarative plan (schema_storage.go:
     586-624 ActionDropTablePartition; engine path = LakeTable.delete_where):
@@ -2871,6 +2925,44 @@ SELECT event_type AS source,
 FROM ranked WHERE rn = 1 AND op != 'D'
 GROUP BY event_type
 """,
+        # snapshot diff: prefix-LWW vs full-LWW winners per key; w1's key
+        # set ⊆ w2's (same feed, prefix filter) so LEFT JOIN from w2 covers
+        "cdc_snapshot_diff": f"""
+WITH feed AS ({FEED_SQL}),
+b AS (SELECT (min(commit_ts) + max(commit_ts)) // 2 AS t1 FROM feed),
+r2 AS (
+  SELECT doc_id, op, event_type, round(value, 6) AS val,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM feed
+),
+w2 AS (SELECT doc_id, op AS op2, event_type AS et2, val AS v2 FROM r2 WHERE rn = 1),
+r1 AS (
+  SELECT doc_id, op, event_type, round(value, 6) AS val,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY commit_ts DESC, seq DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM feed, b WHERE commit_ts <= b.t1
+),
+w1 AS (SELECT doc_id, op AS op1, event_type AS et1, val AS v1 FROM r1 WHERE rn = 1),
+j AS (
+  SELECT w2.*, w1.op1, w1.et1, w1.v1,
+         (op1 IS NOT NULL AND op1 != 'D') AS in1,
+         (op2 IS NOT NULL AND op2 != 'D') AS in2,
+         (et1 != et2 OR v1 != v2 OR ((v1 IS NULL) != (v2 IS NULL))) AS chg
+  FROM w2 LEFT JOIN w1 USING (doc_id)
+),
+c AS (
+  SELECT CASE WHEN in2 THEN et2 WHEN in1 THEN et1 END AS source,
+         CASE WHEN NOT in1 AND in2 THEN 'added'
+              WHEN in1 AND NOT in2 THEN 'removed'
+              WHEN in1 AND in2 AND coalesce(chg, FALSE) THEN 'changed'
+              WHEN in1 AND in2 THEN 'unchanged' END AS status
+  FROM j
+)
+SELECT source, status, count(*) AS n_docs
+FROM c WHERE status IS NOT NULL
+GROUP BY source, status
+""",
         "cdc_hot_keys": f"""
 WITH feed AS ({FEED_SQL}),
 c AS (
@@ -3812,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "cdc_hot_keys": q_cdc_hot_keys,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "corpus_profile_incremental": q_corpus_profile_incremental,
         "text_nb_quality": q_text_nb_quality,
         "cdc_bucket_checksum": q_cdc_bucket_checksum,
@@ -3856,9 +3949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_pq_incremental": q_ann_pq_incremental,
         "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
         "codec_open_sized": q_codec_open_sized,
         "codec_sized_stats": q_codec_sized_stats,
+        # -- just past the window: family sentinel stays inside it --
+        "bpe_encode": q_bpe_encode,
         # -- already driver-green in a prior round (sentinels first) --
         "events_asof_enrich": q_events_asof_enrich,
         "events_asof_salted": q_events_asof_salted,
