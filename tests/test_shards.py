@@ -233,3 +233,30 @@ def test_shard_emptied_by_deletes_is_removed(spark, tmp_path):
     )
     assert sh.manifest()["shards"][str(target)] == 0
     assert sh.verify(), "shard union must equal live state after emptying"
+
+
+def test_schema_ddl_forces_full_reexport(spark, tmp_path):
+    """add_column is metadata-only (append-only by manifest rules), but the
+    exported shard parquet is read back PLAIN — a mixed-schema directory
+    would result if refresh only rewrote the dirty shards. The schema
+    signature in the shard manifest forces ONE full re-export instead, and
+    every shard file carries the new column afterwards."""
+    t, sh = _mk(spark, tmp_path, n_buckets=8, n_shards=4, n0=24)
+    t.update_schema("add_column", {"id": 3, "name": "extra", "type": "long"},
+                    epoch_id="ddl1")
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("d0", "U", 30, 1, 111, 7)],
+            "doc_id string, op string, commit_ts long, seq long, v long, extra long",
+        ),
+        "e1",
+    )
+    r = sh.refresh()
+    assert r["full"], "schema change must force a full re-export"
+    got = sh.read()
+    assert "extra" in got.columns
+    # EVERY shard directory reads back with the new schema
+    for s in range(sh.n_shards):
+        if sh.manifest()["shards"][str(s)]:
+            assert "extra" in sh.read_shard(s).columns, s
+    assert sh.verify()

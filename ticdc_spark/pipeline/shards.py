@@ -164,6 +164,18 @@ class IncrementalShards:
                     )
         return counts
 
+    def _schema_sig(self) -> list:
+        """The exported schema, as written into shard files. Shard parquet is
+        read back PLAIN (no field-id projection), so a metadata-only schema
+        DDL (add/rename/widen column — append-only by manifest rules) would
+        leave clean shards on the OLD schema while dirty shards rewrite with
+        the new one — a mixed-schema directory. The manifest records the
+        schema signature; refresh() full-exports on any change."""
+        return [
+            [f["id"], f["name"], f.get("type")]
+            for f in self.table.current_fields
+        ]
+
     def export_full(self) -> dict:
         """Initial (or fallback) export of every shard from the table's
         current live state."""
@@ -177,6 +189,7 @@ class IncrementalShards:
             "seed": self.seed,
             "k": self.k,
             "synced_version": v,
+            "schema": self._schema_sig(),
             "shards": shards,
         }
         self._save()
@@ -193,6 +206,9 @@ class IncrementalShards:
         if v1 < v0:
             raise ValueError(f"table at v{v1} is older than shard export v{v0}")
         if not range_is_append_only(self.table, v0, v1):
+            return self.export_full()
+        if self._m.get("schema") != self._schema_sig():
+            # metadata-only schema DDL in the range (see _schema_sig)
             return self.export_full()
         ch = self.table.read_changes(v0, v1)
         dirty = sorted(
