@@ -144,6 +144,20 @@ def main() -> int:
         "(model.KEYLESS_BINLOG_SCHEMA). Plain single-table feeds only",
     )
     p.add_argument(
+        "--derived-shards", default=None, metavar="DIR[:N]",
+        help="maintain a training-shard export from the changelog "
+        "(pipeline/shards.IncrementalShards): refreshed after each batch, "
+        "only dirtied shards rewritten. N = shard count (default 4, must "
+        "divide --buckets). Single-table feeds only",
+    )
+    p.add_argument(
+        "--derived-profile", default=None, metavar="GROUP[:STAT1,STAT2]",
+        help="maintain per-GROUP corpus stats (n_docs / Σstat / Σstat²) "
+        "from the changelog (pipeline/profile.IncrementalProfile), synced "
+        "after each batch; state lives under the table root. Single-table "
+        "feeds only",
+    )
+    p.add_argument(
         "--cyclic", default=None,
         help="cyclic replication: 'replica_id:filter_ids:source_marks:own_marks' "
         "e.g. '1:2,3:/marks/src:/marks/own' (filter_ids comma-separated)",
@@ -259,6 +273,8 @@ def main() -> int:
         return out
 
     if args.tables:
+        if args.derived_shards or args.derived_profile:
+            p.error("--derived-shards/--derived-profile are single-table options")
         tables = {}
         for part in args.tables.split(","):
             name, _, root = part.partition("=")
@@ -308,7 +324,8 @@ def main() -> int:
         return 0
 
     if args.keyless:
-        if args.ddl or args.derived_dedup or args.derived_decontam or args.cyclic:
+        if (args.ddl or args.derived_dedup or args.derived_decontam
+                or args.derived_shards or args.derived_profile or args.cyclic):
             p.error(
                 "--keyless supports a single-table feed with an optional "
                 "MQ sink (no DDL/derived-index/cyclic options)"
@@ -403,6 +420,34 @@ def main() -> int:
             )
         post_batch = lambda summary: [f.sync() for f in derived_feeds]  # noqa: E731
 
+    shards_obj = None
+    profile_obj = None
+    if args.derived_shards or args.derived_profile:
+        extra_sync = []
+        if args.derived_shards:
+            from ticdc_spark.pipeline.shards import IncrementalShards
+
+            sdir, _, n = args.derived_shards.partition(":")
+            shards_obj = IncrementalShards(
+                table, sdir, n_shards=int(n or 4)
+            )
+            extra_sync.append(shards_obj.refresh)
+        if args.derived_profile:
+            from ticdc_spark.pipeline.profile import IncrementalProfile
+
+            grp, _, stats = args.derived_profile.partition(":")
+            profile_obj = IncrementalProfile(
+                table, grp, tuple(s for s in stats.split(",") if s)
+            )
+            extra_sync.append(profile_obj.sync)
+        prev_derived = post_batch
+
+        def post_batch(summary, _prev=prev_derived):  # noqa: F811
+            if _prev is not None:
+                _prev(summary)
+            for g in extra_sync:
+                g()
+
     if args.metrics_dir:
         from ticdc_spark.streaming.metrics import MetricsExporter
 
@@ -454,6 +499,12 @@ def main() -> int:
             out["decontam_contaminated"] = rep.filter(
                 F.col("contaminated") == 1
             ).count()
+        if shards_obj is not None:
+            out["shards_synced_version"] = shards_obj.synced_version
+            out["shards"] = shards_obj.manifest()["shards"]
+        if profile_obj is not None:
+            out["profile_version"] = profile_obj.meta["version"]
+            out["profile_groups"] = profile_obj.profile().count()
         print(json.dumps(out))
         return 0
     q = cf.start(processing_time=args.trigger)

@@ -250,3 +250,55 @@ def test_spark_submit_supervised_changefeed(spark, tmp_path):
     assert proc.returncode == 1, proc.stdout[-1000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["outcome"] == "skipped:failed" and out["batches"] == 0
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_derived_shards_and_profile(spark, tmp_path):
+    """One spark-submit command tails the binlog AND keeps the trainer
+    shard export + corpus profile fresh (--derived-shards/--derived-profile
+    post-batch hooks). Shard union must equal the replicated live state."""
+    from ticdc_spark.pipeline.profile import IncrementalProfile
+    from ticdc_spark.pipeline.shards import IncrementalShards
+
+    spec = BinlogSpec(n_events=6_000, n_keys=600, seed=47, p_delete=0.1)
+    binlog = write_binlog(spec, str(tmp_path / "binlog"), files_per_part=2)
+    zip_path = build_pyfiles_zip(str(tmp_path / "dist" / "ticdc_spark.zip"))
+    job = str(tmp_path / "jobs" / "run_changefeed.py")
+    os.makedirs(os.path.dirname(job))
+    shutil.copy(os.path.join(REPO, "jobs", "run_changefeed.py"), job)
+    table_root = str(tmp_path / "tbl")
+    shards_dir = str(tmp_path / "shards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env.pop("SPARK_GRAFT_CPUS", None)
+    env["SPARK_GRAFT_SHUFFLE"] = "8"
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=2g",
+        "--py-files", zip_path,
+        job,
+        "--binlog", binlog,
+        "--table", table_root,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--available-now",
+        "--buckets", "8",
+        "--derived-shards", shards_dir + ":4",
+        "--derived-profile", "source:n_tok",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["shards_synced_version"] >= 1
+    assert out["profile_groups"] >= 1
+
+    t = LakeTable(spark, table_root)
+    sh = IncrementalShards(t, shards_dir, n_shards=4)
+    assert sh.synced_version == t.version
+    assert sh.verify(), "shard union != live state after submitted feed"
+    prof = IncrementalProfile(t, "source", ("n_tok",))
+    assert prof.meta["version"] == t.version
+    assert prof.verify() == []
