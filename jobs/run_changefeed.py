@@ -427,10 +427,11 @@ def main() -> int:
         if args.derived_shards:
             from ticdc_spark.pipeline.shards import IncrementalShards
 
-            sdir, _, n = args.derived_shards.partition(":")
-            shards_obj = IncrementalShards(
-                table, sdir, n_shards=int(n or 4)
-            )
+            sdir, _, n = args.derived_shards.rpartition(":")
+            if not sdir or not n.isdigit():
+                # no :N suffix (or the colon belongs to a URI scheme)
+                sdir, n = args.derived_shards, "4"
+            shards_obj = IncrementalShards(table, sdir, n_shards=int(n))
             extra_sync.append(shards_obj.refresh)
         if args.derived_profile:
             from ticdc_spark.pipeline.profile import IncrementalProfile
@@ -501,7 +502,7 @@ def main() -> int:
             ).count()
         if shards_obj is not None:
             out["shards_synced_version"] = shards_obj.synced_version
-            out["shards"] = shards_obj.manifest()["shards"]
+            out["shards"] = shards_obj.manifest().get("shards", {})
         if profile_obj is not None:
             out["profile_version"] = profile_obj.meta["version"]
             out["profile_groups"] = profile_obj.profile().count()

@@ -189,3 +189,47 @@ def test_randomized_epochs_shards_and_profile_invariant(spark, tmp_path):
         sh.refresh()
         assert sh.verify(), f"shards diverged at epoch {epoch}"
     assert _got(p) == _want(t)
+
+
+def test_profile_double_stat_column_not_truncated(spark, tmp_path):
+    """Fractional stat columns sum as double — a long cast would silently
+    zero 0.7 contributions while verify() still passed."""
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "string", "nullable": False},
+        {"id": 2, "name": "source", "type": "string"},
+        {"id": 3, "name": "score", "type": "double"},
+    ]
+    t = LakeTable.create(spark, str(tmp_path / "t"), fields=fields, n_buckets=4)
+    p = IncrementalProfile(t, "source", ("score",))
+    df = spark.createDataFrame(
+        [("a", "s", 0.7, "U", 10, 1), ("b", "s", 0.6, "U", 10, 2)],
+        "doc_id string, source string, score double, op string, "
+        "commit_ts long, seq long",
+    )
+    t.merge_epoch(df, "e0")
+    p.sync()
+    row = {r["grp"]: r for r in p.profile().collect()}["s"]
+    assert abs(row["score_sum"] - 1.3) < 1e-9
+    assert abs(row["score_sq"] - (0.49 + 0.36)) < 1e-9
+    assert p.verify() == []
+
+
+def test_profile_keeps_single_snapshot_dir(spark, tmp_path):
+    """Superseded snapshots are GC'd — a long-running feed must not leak one
+    parquet dir per table version."""
+    import os
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), fields=FIELDS, n_buckets=4)
+    p = IncrementalProfile(t, "source", ("n_tok",))
+    for i in range(4):
+        _ep(t, [(f"d{i}", "web", i + 1, "U", 10 + i, i)], f"e{i}")
+        p.sync()
+    snaps = os.listdir(os.path.join(str(tmp_path / "t"), "_profile", "snap"))
+    assert len(snaps) == 1, snaps
+    assert p.verify() == []
+
+
+def test_profile_rejects_non_numeric_stat(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), fields=FIELDS, n_buckets=4)
+    with pytest.raises(ValueError, match="non-numeric"):
+        IncrementalProfile(t, "source", ("source",))

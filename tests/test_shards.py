@@ -260,3 +260,29 @@ def test_schema_ddl_forces_full_reexport(spark, tmp_path):
         if sh.manifest()["shards"][str(s)]:
             assert "extra" in sh.read_shard(s).columns, s
     assert sh.verify()
+
+
+def test_empty_export_and_truncate_path(spark, tmp_path):
+    """Full export of an EMPTY table (post-truncate) must read back as an
+    empty frame and verify clean — not die on schema inference."""
+    t, sh = _mk(spark, tmp_path, n_buckets=4, n_shards=4, n0=8)
+    t.truncate(epoch_id="wipe")
+    r = sh.refresh()
+    assert r["full"]
+    assert sh.read().count() == 0
+    assert sh.verify()
+    # and the export comes back to life on new data
+    t.merge_epoch(_events(spark, [("z1", "I", 50, 1, 7)]), "e9")
+    sh.refresh()
+    assert sh.read().count() == 1
+    assert sh.verify()
+
+
+def test_non_key_bucketed_table_rejected(spark, tmp_path):
+    """Shard membership hashes the key; bucket pruning follows bucket_col —
+    a non-key-bucketed table must be refused, not silently corrupted."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), fields=FIELDS, n_buckets=4, bucket_col="v"
+    )
+    with pytest.raises(ValueError, match="key-bucketed"):
+        IncrementalShards(t, str(tmp_path / "out"), n_shards=4)

@@ -58,10 +58,23 @@ class IncrementalProfile:
         self.spark = table.spark
         self.group_col = group_col
         self.stat_cols = tuple(stat_cols)
-        field_names = {f["name"] for f in table.current_fields}
-        missing = ({group_col, *stat_cols}) - field_names
+        types = {f["name"]: str(f.get("type", "")) for f in table.current_fields}
+        missing = ({group_col, *stat_cols}) - set(types)
         if missing:
             raise ValueError(f"columns not in table schema: {sorted(missing)}")
+        # per-column sum type: fractional stats sum as double (a long cast
+        # would silently truncate 0.7 → 0), integral stats stay exact longs
+        self._sum_type: dict[str, str] = {}
+        for c in self.stat_cols:
+            t = types[c].lower()
+            if any(x in t for x in ("double", "float", "decimal")):
+                self._sum_type[c] = "double"
+            elif any(x in t for x in ("long", "bigint", "int", "short", "byte")):
+                self._sum_type[c] = "long"
+            else:
+                raise ValueError(
+                    f"stat column {c!r} has non-numeric type {types[c]!r}"
+                )
         self.root = os.path.join(table.root, "_profile")
         os.makedirs(os.path.join(self.root, "snap"), exist_ok=True)
         self._meta_path = os.path.join(self.root, "meta.json")
@@ -82,17 +95,18 @@ class IncrementalProfile:
         'counts out' side of the update)."""
         aggs = [(F.count("*") * sign).alias("n_docs")]
         for c in self.stat_cols:
-            col = F.col(c).cast("long")
+            col = F.col(c).cast(self._sum_type[c])
             aggs.append((F.sum(col) * sign).alias(f"{c}_sum"))
             aggs.append((F.sum(col * col) * sign).alias(f"{c}_sq"))
         return df.groupBy(F.col(self.group_col).alias("grp")).agg(*aggs)
 
     def _snap_df(self) -> DataFrame:
         if self.meta["snap"] is None:
-            schema = "grp string, " + ", ".join(
-                f"{n} long" for n in self._stat_names()
-            )
-            return self.spark.createDataFrame([], schema)
+            cols = ["grp string", "n_docs long"]
+            for c in self.stat_cols:
+                t = self._sum_type[c]
+                cols += [f"{c}_sum {t}", f"{c}_sq {t}"]
+            return self.spark.createDataFrame([], ", ".join(cols))
         return self.spark.read.parquet(
             os.path.join(self.root, "snap", self.meta["snap"])
         )
@@ -103,7 +117,20 @@ class IncrementalProfile:
         snap.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.root, "snap", name)
         )
+        prev = self.meta["snap"]
         self.meta["snap"] = name
+        self._save_meta(version)
+        if prev is not None and prev != name:
+            # one live snapshot: drop the superseded one AFTER the meta
+            # replace (a crash in between leaves an orphan dir, never a
+            # dangling pointer)
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.root, "snap", prev), ignore_errors=True
+            )
+
+    def _save_meta(self, version: int) -> None:
         self.meta["version"] = version
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -129,7 +156,8 @@ class IncrementalProfile:
             return {"synced": True, "version": v1, "mode": "full"}
         old, merged, n_changed = change_images(t, v0, v1, max_lookup_keys)
         if n_changed == 0:
-            self._write_snap(self._snap_df(), v1)
+            # metadata-only range: bump the version pointer, keep the snap
+            self._save_meta(v1)
             return {"synced": True, "version": v1, "mode": "empty"}
         minus = self._stats_frame(self._live(old), sign=-1)
         plus = self._stats_frame(self._live(merged), sign=1)

@@ -74,6 +74,15 @@ class IncrementalShards:
                 f"n_shards={n_shards} must divide the table's "
                 f"n_buckets={table.n_buckets} (shard = contiguous bucket group)"
             )
+        if table.bucket_col != table.key_col:
+            # shard membership hashes the KEY; bucket pruning follows the
+            # table's bucket function — on a non-key-bucketed table the two
+            # diverge and a refresh would silently lose rows (same guard as
+            # LakeTable.merge_epoch's prearranged path)
+            raise ValueError(
+                "IncrementalShards needs a key-bucketed table "
+                f"(bucket_col={table.bucket_col!r} != key_col={table.key_col!r})"
+            )
         self.table = table
         self.spark: SparkSession = table.spark
         self.out_dir = out_dir
@@ -139,29 +148,38 @@ class IncrementalShards:
             .write.mode("overwrite")
         )
         if shard_ids is not None:
-            # incremental: replace only the dirtied shard_id=… directories
+            # incremental: pre-delete EVERY dirty shard dir, then let dynamic
+            # overwrite write the survivors. Dynamic mode alone only replaces
+            # partitions PRESENT in the new data — a dirty shard whose last
+            # rows were deleted would keep its stale files. A crash in the
+            # delete→write window is safe: the manifest hasn't advanced, so
+            # recovery re-runs the same deterministic refresh.
+            import shutil as _shutil
+
+            for s in shard_ids:
+                _shutil.rmtree(
+                    os.path.join(self.out_dir, f"shard_id={int(s)}"),
+                    ignore_errors=True,
+                )
             writer = writer.option("partitionOverwriteMode", "dynamic")
         # full export: STATIC overwrite — shards absent from the new state
         # (e.g. after a truncate) must disappear, which dynamic mode would
         # leave behind
         writer.partitionBy("shard_id").parquet(self.out_dir)
+        # count WHAT WAS WRITTEN (footer-metadata count over the new files),
+        # not a recompute of `out` — the bucket read + LWW collapse runs once
+        # per refresh, and the files are the ground truth anyway
+        counted = self.read()
+        if shard_ids is not None:
+            counted = counted.filter(
+                F.col("shard_id").isin([int(s) for s in shard_ids])
+            )
         counts = {
             int(r["shard_id"]): int(r["n"])
-            for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+            for r in counted.groupBy("shard_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
-        if shard_ids is not None:
-            # dynamic overwrite only replaces partitions PRESENT in the new
-            # data — a dirty shard whose last rows were deleted writes no
-            # rows, so its stale directory must be removed explicitly
-            # (O(emptied shards) driver fs ops)
-            import shutil as _shutil
-
-            for s in shard_ids:
-                if counts.get(int(s), 0) == 0:
-                    _shutil.rmtree(
-                        os.path.join(self.out_dir, f"shard_id={int(s)}"),
-                        ignore_errors=True,
-                    )
         return counts
 
     def _schema_sig(self) -> list:
@@ -229,14 +247,30 @@ class IncrementalShards:
         return {"full": False, "version": v1, "shards_written": len(dirty)}
 
     # -- reads -------------------------------------------------------------
+    def _read_schema(self):
+        """Explicit read schema (payload + shard_id): schema inference over
+        an EMPTY export (e.g. full export of a truncated table) would fail
+        with 'unable to infer schema'; with the schema declared, zero files
+        read back as an empty frame — which is exactly the certified state."""
+        from pyspark.sql import types as T
+
+        from ..lake.table import _fields_to_struct
+
+        base = _fields_to_struct(self.table.current_fields)
+        return T.StructType(
+            list(base.fields) + [T.StructField("shard_id", T.IntegerType())]
+        )
+
     def read(self) -> DataFrame:
         """All shards (shard_id recovered from the directory layout)."""
-        return self.spark.read.parquet(self.out_dir)
+        return self.spark.read.schema(self._read_schema()).parquet(
+            self.out_dir
+        )
 
     def read_shard(self, shard_id: int) -> DataFrame:
-        return self.spark.read.parquet(
+        return self.spark.read.schema(self._read_schema()).parquet(
             os.path.join(self.out_dir, f"shard_id={int(shard_id)}")
-        )
+        ).drop("shard_id")
 
     def manifest(self) -> dict:
         return dict(self._m) if self._m else {}

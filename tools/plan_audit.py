@@ -72,6 +72,11 @@ AUDIT = [
     "cdc_syncpoint_read",
     "corpus_split",
     "tokens_pack_sequences",
+    "text_gopher_rules",
+    "events_funnel",
+    "events_retention",
+    "cdc_hot_keys",
+    "cdc_snapshot_diff",
 ]
 
 
