@@ -148,14 +148,15 @@ def main() -> int:
         help="maintain a training-shard export from the changelog "
         "(pipeline/shards.IncrementalShards): refreshed after each batch, "
         "only dirtied shards rewritten. N = shard count (default 4, must "
-        "divide --buckets). Single-table feeds only",
+        "divide --buckets). Multi-table feeds export per table under "
+        "DIR/<table>/ (configured tables only)",
     )
     p.add_argument(
         "--derived-profile", default=None, metavar="GROUP[:STAT1,STAT2]",
         help="maintain per-GROUP corpus stats (n_docs / Σstat / Σstat²) "
         "from the changelog (pipeline/profile.IncrementalProfile), synced "
-        "after each batch; state lives under the table root. Single-table "
-        "feeds only",
+        "after each batch; state lives under each table root (multi-table "
+        "feeds profile every configured table)",
     )
     p.add_argument(
         "--cyclic", default=None,
@@ -273,8 +274,6 @@ def main() -> int:
         return out
 
     if args.tables:
-        if args.derived_shards or args.derived_profile:
-            p.error("--derived-shards/--derived-profile are single-table options")
         tables = {}
         for part in args.tables.split(","):
             name, _, root = part.partition("=")
@@ -294,6 +293,38 @@ def main() -> int:
             rules = [
                 tuple(x.split("=", 1)) for x in args.mq_dispatch.split(",")
             ]
+        # per-table derived artifacts (configured tables only; tables that
+        # join in-stream via create_table DDL are not covered — add them to
+        # --tables and resume to pick them up)
+        multi_shards = {}
+        multi_profiles = {}
+        multi_post = None
+        if args.derived_shards or args.derived_profile:
+            if args.derived_shards:
+                from ticdc_spark.pipeline.shards import IncrementalShards
+
+                sdir, _, n = args.derived_shards.rpartition(":")
+                if not sdir or not n.isdigit():
+                    sdir, n = args.derived_shards, "4"
+                for name, tbl in tables.items():
+                    multi_shards[name] = IncrementalShards(
+                        tbl, os.path.join(sdir, name), n_shards=int(n)
+                    )
+            if args.derived_profile:
+                from ticdc_spark.pipeline.profile import IncrementalProfile
+
+                grp, _, stats = args.derived_profile.partition(":")
+                for name, tbl in tables.items():
+                    multi_profiles[name] = IncrementalProfile(
+                        tbl, grp, tuple(x for x in stats.split(",") if x)
+                    )
+
+            def multi_post(summary):
+                for sh in multi_shards.values():
+                    sh.refresh()
+                for pr in multi_profiles.values():
+                    pr.sync()
+
         cf = MultiTableChangeFeed(
             tables,
             args.binlog,
@@ -305,6 +336,7 @@ def main() -> int:
             mq_dispatch_rules=rules,
             admin=admin,
             feed_name=feed_name,
+            post_batch=multi_post,
             **mq_kwargs(),
         )
         if args.available_now:
@@ -317,7 +349,16 @@ def main() -> int:
                 }))
                 return 0 if outcome == "ran" else 1
             summaries = cf.run_available()
-            print(json.dumps({"batches": len(summaries), "summaries": summaries[-3:]}))
+            out = {"batches": len(summaries), "summaries": summaries[-3:]}
+            if multi_shards:
+                out["shards_synced_versions"] = {
+                    n: sh.synced_version for n, sh in multi_shards.items()
+                }
+            if multi_profiles:
+                out["profile_versions"] = {
+                    n: pr.meta["version"] for n, pr in multi_profiles.items()
+                }
+            print(json.dumps(out))
             return 0
         q = cf.start(processing_time=args.trigger)
         q.awaitTermination()

@@ -1061,3 +1061,43 @@ def test_drop_schema_stops_every_table_under_it(spark, tmp_path):
     # db2.tb replicated to the end
     expected_b = apply_binlog(ev_b, upto_ts=resolved)
     assert not diff_tables(expected_b, _lake_arrow(tb))
+
+
+def test_multi_feed_with_per_table_derived_shards_and_profile(spark, tmp_path):
+    """Per-table derived artifacts under a multi-table feed (the CLI's
+    --derived-shards/--derived-profile multi path): each table's shard
+    export and profile stay equal to that table's live state after every
+    batch, with the other table's traffic interleaved in the same stream."""
+    from ticdc_spark.pipeline.profile import IncrementalProfile
+    from ticdc_spark.pipeline.shards import IncrementalShards
+
+    binlog, ev_a, ev_b = _mk_two_table_binlog(tmp_path, n=4_000)
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=4)
+    tables = {"ta": ta, "tb": tb}
+    shards = {
+        n: IncrementalShards(t, str(tmp_path / "sh" / n), n_shards=2)
+        for n, t in tables.items()
+    }
+    profiles = {
+        n: IncrementalProfile(t, "source", ("n_tok",))
+        for n, t in tables.items()
+    }
+
+    def post(summary):
+        for sh in shards.values():
+            sh.refresh()
+        for pr in profiles.values():
+            pr.sync()
+
+    cf = MultiTableChangeFeed(
+        tables, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, post_batch=post,
+    )
+    summaries = cf.run_available()
+    assert len(summaries) >= 2
+    for n, t in tables.items():
+        assert shards[n].synced_version == t.version, n
+        assert shards[n].verify(), n
+        assert profiles[n].meta["version"] == t.version, n
+        assert profiles[n].verify() == [], n
