@@ -63,8 +63,11 @@ def test_two_tables_replicate_independently(spark, tmp_path):
         expected = apply_binlog(ev, upto_ts=resolved)
         problems = diff_tables(expected, _lake_arrow(tbl))
         assert not problems, problems[:3]
-    # every batch committed both tables
-    assert all(all(s["tables"].values()) for s in summaries)
+    # both tables committed over the run; a batch where a table has nothing
+    # releasable SKIPS its merge (per-table provably-empty check) rather
+    # than committing an empty epoch
+    committed = {n for s in summaries for n, ok in s["tables"].items() if ok}
+    assert committed == {"ta", "tb"}
 
 
 def test_add_table_at_boundary_and_stop(spark, tmp_path):
@@ -1101,3 +1104,70 @@ def test_multi_feed_with_per_table_derived_shards_and_profile(spark, tmp_path):
         assert shards[n].verify(), n
         assert profiles[n].meta["version"] == t.version, n
         assert profiles[n].verify() == [], n
+
+
+def _mini_binlog_file(path, rows):
+    """rows: (commit_ts, seq, table, op, doc_id, n_tok, part)."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "commit_ts": pa.array([r[0] for r in rows], pa.int64()),
+            "seq": pa.array([r[1] for r in rows], pa.int64()),
+            "table": pa.array([r[2] for r in rows], pa.string()),
+            "op": pa.array([r[3] for r in rows], pa.string()),
+            "doc_id": pa.array([r[4] for r in rows], pa.string()),
+            "tokens": pa.array(
+                [list(range(r[5])) for r in rows], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([r[5] for r in rows], pa.int32()),
+            "source": pa.array(["s" for _ in rows], pa.string()),
+            "part": pa.array([r[6] for r in rows], pa.int32()),
+            "schema_version": pa.array([0 for _ in rows], pa.int32()),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def test_cross_table_tail_collision_keeps_both_rows(spark, tmp_path):
+    """Two tables' events colliding on (commit_ts, seq, op, doc_id) must BOTH
+    survive the pending tail — the dedup key includes `table` (regression:
+    the single-table key collapsed them and one table lost its event)."""
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    # batch 1: identical (ts=100, seq=1, U, doc_1) for ta AND tb on part 0;
+    # part 1 unseen -> frontier held at -1, both rows ride the tail
+    _mini_binlog_file(
+        os.path.join(binlog, "f0.parquet"),
+        [
+            (100, 1, "ta", "U", "doc_1", 3, 0),
+            (100, 1, "tb", "U", "doc_1", 5, 0),
+        ],
+    )
+    ta = LakeTable.create(spark, str(tmp_path / "ta"), n_buckets=2)
+    tb = LakeTable.create(spark, str(tmp_path / "tb"), n_buckets=2)
+    cf = MultiTableChangeFeed(
+        {"ta": ta, "tb": tb}, binlog, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, n_parts=2,
+    )
+    cf.run_available()
+    assert ta.read().count() == 0 and tb.read().count() == 0  # all tail
+    # batch 2: part 1 reports on both tables -> frontier releases ts<=100
+    _mini_binlog_file(
+        os.path.join(binlog, "f1.parquet"),
+        [
+            (150, 2, "ta", "U", "doc_x", 1, 1),
+            (150, 2, "tb", "U", "doc_x", 1, 1),
+        ],
+    )
+    cf2 = MultiTableChangeFeed(
+        {"ta": LakeTable(spark, str(tmp_path / "ta")),
+         "tb": LakeTable(spark, str(tmp_path / "tb"))},
+        binlog, str(tmp_path / "ckpt"), max_files_per_trigger=1, n_parts=2,
+    )
+    cf2.run_available()
+    # frontier = min(part0=100, part1=150) = 100 -> the ts<=100 tail released
+    a = {r["doc_id"]: r["n_tok"] for r in LakeTable(spark, str(tmp_path / "ta")).read().collect()}
+    b = {r["doc_id"]: r["n_tok"] for r in LakeTable(spark, str(tmp_path / "tb")).read().collect()}
+    assert a.get("doc_1") == 3, a  # ta's colliding event survived
+    assert b.get("doc_1") == 5, b  # tb's colliding event survived

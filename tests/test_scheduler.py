@@ -330,3 +330,85 @@ def test_move_table_rejects_bad_source_and_double_assignment(spark, tmp_path):
     with pytest.raises(ValueError, match="already on"):
         c2.add_table("ta", LakeTable(spark, str(tmp_path / "ta")), 0)
         sched.move_table("ta", "c1", "c2")
+
+
+def test_pending_move_job_dropped_when_capture_dies(spark, tmp_path):
+    """A persisted ST_NONE move whose source capture is removed by
+    adopt_orphans must be DROPPED (reference: handleMoveTableJobs skips
+    jobs with missing captures), not wedge every future tick on KeyError."""
+    binlog, waves, ev = _mk_binlogs(tmp_path, n=2_000)
+    tables = {
+        t: LakeTable.create(spark, str(tmp_path / t), n_buckets=4)
+        for t in ("ta", "tb", "tc")
+    }
+    c1 = MultiTableChangeFeed(
+        {"ta": tables["ta"], "tb": tables["tb"]},
+        binlog, str(tmp_path / "ck1"), max_files_per_trigger=8,
+    )
+    c2 = MultiTableChangeFeed(
+        {"tc": tables["tc"]},
+        binlog, str(tmp_path / "ck2"), max_files_per_trigger=8,
+    )
+    sched = TableScheduler({"c1": c1, "c2": c2}, str(tmp_path / "s.json"))
+    _link_wave(binlog, waves[0])
+    sched.tick()
+    job = sched.move_table("tb", "c1", "c2")
+    # c1 dies before the job runs; its tables (incl. tb) are adopted
+    sched.adopt_orphans("c1")
+    assert "tb" in c2.tables
+    s = sched.tick()  # must not raise; the stale job is dropped
+    assert job["status"] == "finished" and job.get("note")
+    assert set(s) == {"c2"}
+
+
+def test_tick_resumes_crashed_adopt_with_catchup(spark, tmp_path):
+    """An adopt job left ST_DELETED (crash between job persist and
+    _finish_adopt) must be resumed by tick() through the SAME catch-up path
+    — driving it as a plain add would silently skip the
+    (boundary, catchup_to] replay (regression)."""
+    binlog, waves, ev = _mk_binlogs(tmp_path, n=2_000)
+    tables = {
+        t: LakeTable.create(spark, str(tmp_path / t), n_buckets=4)
+        for t in ("ta", "tb", "tc")
+    }
+    c1 = MultiTableChangeFeed(
+        {"ta": tables["ta"], "tb": tables["tb"]},
+        binlog, str(tmp_path / "ck1"), max_files_per_trigger=8,
+    )
+    c2 = MultiTableChangeFeed(
+        {"tc": tables["tc"]},
+        binlog, str(tmp_path / "ck2"), max_files_per_trigger=8,
+    )
+    sched = TableScheduler({"c1": c1, "c2": c2}, str(tmp_path / "s.json"))
+    _link_wave(binlog, waves[0])
+    sched.tick()
+    # plan the adoption (to get honest boundary/catchup numbers), then undo
+    # its effects to simulate the crash-before-_finish_adopt state
+    sched2 = TableScheduler(
+        {"c1": MultiTableChangeFeed(
+            {"ta": LakeTable(spark, str(tmp_path / "ta")),
+             "tb": LakeTable(spark, str(tmp_path / "tb"))},
+            binlog, str(tmp_path / "ck1"), max_files_per_trigger=8),
+         "c2": c2},
+        str(tmp_path / "s.json"),
+    )
+    jobs = sched2.adopt_orphans("c1")
+    lagged = [j for j in jobs if j["catchup_to"] > j["boundary"]]
+    assert lagged, "setup: need an orphan with a real catch-up range"
+    j = lagged[0]
+    # simulate the crash: wipe the catch-up's effect (fresh table from the
+    # pre-adopt state is impossible here, so instead re-mark the job
+    # ST_DELETED and verify tick() re-runs _finish_adopt idempotently —
+    # the epoch id is a pure function of (table, range))
+    j["status"] = "deleted"
+    sched2._save()
+    s = sched2.tick()  # must route through _finish_adopt, not a plain add
+    assert j["status"] == "finished"
+    arrived = pa.concat_tables(
+        [pq.read_table(f) for t_, f in waves[0] if t_ == j["table"]]
+    )
+    exp = apply_binlog(arrived, upto_ts=max(
+        j["catchup_to"], s["c2"][-1]["resolved_ts"] if s["c2"] else -1
+    ))
+    got = _lake_arrow(LakeTable(spark, str(tmp_path / j["table"])))
+    assert not diff_tables(exp, got), "resumed adopt diverged"

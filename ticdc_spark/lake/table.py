@@ -63,6 +63,13 @@ def _schema_to_json(fields: list[dict]) -> list[dict]:
     return fields
 
 
+def _parse_type_normalized(type_str: str) -> str:
+    """Canonical simpleString form of a type declaration — 'long' and
+    'bigint' are the same Spark type; schema-compatibility comparisons must
+    not distinguish aliases."""
+    return T._parse_datatype_string(type_str).simpleString()
+
+
 def _fields_to_struct(fields: list[dict], with_sys: bool = False) -> T.StructType:
     cols = [
         T.StructField(f["name"], T._parse_datatype_string(f["type"]), f.get("nullable", True))

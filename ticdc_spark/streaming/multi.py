@@ -343,8 +343,12 @@ class MultiTableChangeFeed:
 
         self.tables[name] = table
         self.boundaries[name] = boundary_ts
+        # seed from the CURRENT schema, not the base version: a moved or
+        # adopted table may have evolved (add_column …) before arriving —
+        # seeding schemas["0"] would leave the feed's union stream schema
+        # and the merge projection missing the later columns
         self.registries.setdefault(
-            name, SchemaRegistry([dict(f) for f in table._manifest["schemas"]["0"]])
+            name, SchemaRegistry([dict(f) for f in table.current_fields])
         )
 
     def remove_table(self, name: str, stop_at_ts: int) -> None:
@@ -558,6 +562,12 @@ class MultiTableChangeFeed:
                 int(k): v for k, v in t.retired_positions.items()
             }
             m = {int(k): int(v) for k, v in t.part_watermarks.items()}
+            if name in self.stop_ts:
+                # maps persisted before the stop may carry above-stop
+                # positions — clamp on load so every view agrees (see the
+                # fold-time cap below)
+                cap_ = int(self.stop_ts[name])
+                m = {k: min(v, cap_) for k, v in m.items()}
             # the declared span universe is PER TABLE: a table's unseen
             # parts pin ITS OWN resolved at -1 until they report (frontier-
             # initialized-with-all-spans, cdc/puller/frontier) — gating its
@@ -740,7 +750,16 @@ class MultiTableChangeFeed:
             ):
                 continue  # stale heartbeat racing a committed retirement
             m = stored.setdefault(name, {})
-            m[p] = max(m.get(p, -1), int(r["max_ts"]))
+            v = int(r["max_ts"])
+            if name in self.stop_ts:
+                # a stopped (moved-away) table's span map must never carry
+                # post-stop positions (they belong to the target capture's
+                # pipeline, changefeed.go:546-552). Capping at FOLD time —
+                # not just at persist — keeps the in-memory union frontier
+                # identical to what a restart reloads, so the reported
+                # resolved can never regress across batches
+                v = min(v, int(self.stop_ts[name]))
+            m[p] = max(m.get(p, -1), v)
         # apply span topology per table (ordered; end-of-batch effect) —
         # same rules as the single-table feed: split children resubscribe
         # at the parent's checkpoint, a merge seeds at min(parent positions),
@@ -804,6 +823,19 @@ class MultiTableChangeFeed:
             watermarks = {
                 str(k): v for k, v in stored.get(name, {}).items()
             }
+            if name in self.stop_ts:
+                # stopped (moved-away) table: this capture's pipeline ended
+                # at stop_ts — positions above it belong to the TARGET
+                # capture (changefeed.go:546-552). The heartbeat branch
+                # already clamps; the merge path must too, or an empty
+                # merge persists post-move observations into the shared
+                # span map and drags the target's frontier ahead of what
+                # it actually streamed
+                cap = int(self.stop_ts[name])
+                watermarks = {
+                    p: (v if isinstance(v, dict) else min(int(v), cap))
+                    for p, v in watermarks.items()
+                }
             for p, pos in retired_new.get(name, {}).items():
                 # sentinel: _finalize_commit drops the span from this
                 # table's persisted universe, recording its final checkpoint
@@ -866,12 +898,15 @@ class MultiTableChangeFeed:
                 mq_tables[name] = (sl, barriers, reg)
 
             # skip provably-empty leading slices (barriers from prior
-            # batches) — data-derived, so identical on replay
+            # batches) — data-derived, so identical on replay. THIS table's
+            # min only: the global fold would defeat the skip for every
+            # idle table whenever any one table has releasable events (N
+            # empty merge jobs + N manifest versions per batch)
             lo_evt = min(
                 (
                     int(r["min_ts"])
                     for r in part_stats
-                    if r["min_ts"] is not None
+                    if r["min_ts"] is not None and r["table"] == name
                 ),
                 default=None,
             )
@@ -1016,8 +1051,11 @@ class MultiTableChangeFeed:
         out = os.path.join(self.pending_dir, f"batch-{batch_id:010d}")
         if had_tail:
             # dropDuplicates: see ChangeFeed._write_tail — a crash-replayed
-            # batch would otherwise double its tail rows (pending ∪ input)
-            tail.dropDuplicates(["commit_ts", "seq", "op", "doc_id"]).repartition(
+            # batch would otherwise double its tail rows (pending ∪ input).
+            # The key includes `table`: two tables' per-source (ts, seq)
+            # counters overlap, so the single-table key would collapse
+            # distinct events that collide across tables
+            tail.dropDuplicates(["table", "commit_ts", "seq", "op", "doc_id"]).repartition(
                 4
             ).write.mode("overwrite").parquet(out)
         else:

@@ -215,8 +215,10 @@ class TableScheduler:
             # the target's typed stream schema must already cover the moved
             # table's payload columns (see module docstring); raw mode needs
             # no check
+            from ..lake.table import _parse_type_normalized
+
             src_cols = {
-                (f["name"], f["type"])
+                (f["name"], _parse_type_normalized(f["type"]))
                 for ver in src.registries[table].versions
                 for f in ver
             }
@@ -296,7 +298,10 @@ class TableScheduler:
             for p, v in t.part_watermarks.items():
                 u[int(p)] = max(u.get(int(p), -1), int(v))
         dead_frontier = min(u.values()) if u else -1
-        jobs = []
+        # pass 1 — PLAN AND VALIDATE every orphan before mutating anything:
+        # a mid-loop refusal after some adopts committed would leave the
+        # remaining orphans tracked nowhere (capture popped, no job record)
+        planned = []
         for dst_id, tables in sorted(placed.items()):
             dst = self.captures[dst_id]
             for t in tables:
@@ -314,25 +319,33 @@ class TableScheduler:
                 if reg is not None and any(
                     boundary < ts <= catchup_to for ts in reg.ddl_ts
                 ):
+                    self.captures[dead_id] = dead  # undo the pop — no
+                    # mutation has happened yet
                     raise ValueError(
                         f"table {t!r} has a DDL barrier inside the catch-up "
                         f"range ({boundary}, {catchup_to}] — replay it "
                         "through a feed instead"
                     )
-                job = {
-                    "kind": "adopt",
-                    "table": t,
-                    "from": dead_id,
-                    "to": dst_id,
-                    "boundary": int(boundary),
-                    "catchup_to": int(catchup_to),
-                    "root": root,
-                    "status": ST_DELETED,  # source is gone by definition
-                }
-                self.jobs.append(job)
-                self._save()
-                self._finish_adopt(job, dst)
-                jobs.append(job)
+                planned.append((dst_id, t, root, boundary, catchup_to))
+        # pass 2 — execute (each job persisted before its catch-up, so a
+        # crash resumes through __init__/tick's ST_DELETED adopt path)
+        jobs = []
+        for dst_id, t, root, boundary, catchup_to in planned:
+            dst = self.captures[dst_id]
+            job = {
+                "kind": "adopt",
+                "table": t,
+                "from": dead_id,
+                "to": dst_id,
+                "boundary": int(boundary),
+                "catchup_to": int(catchup_to),
+                "root": root,
+                "status": ST_DELETED,  # source is gone by definition
+            }
+            self.jobs.append(job)
+            self._save()
+            self._finish_adopt(job, dst)
+            jobs.append(job)
         return jobs
 
     def _finish_adopt(self, job: dict, dst) -> None:
@@ -341,6 +354,11 @@ class TableScheduler:
 
         lake = LakeTable(dst.spark, job["root"])
         boundary, upto = job["boundary"], job["catchup_to"]
+        # register FIRST: the catch-up read and the future stream both need
+        # the adopted table's columns in the target's union stream schema
+        # (add_table seeds the registry; in-memory only, so a crash simply
+        # re-runs this job from the persisted ST_DELETED state)
+        dst.add_table(job["table"], lake, boundary_ts=boundary)
         if upto > boundary:
             # only ARRIVED events exist on disk; events in (boundary, upto]
             # still upstream arrive later through the target's stream —
@@ -364,7 +382,6 @@ class TableScheduler:
             replay_epoch(
                 lake, ev, f"adopt-{job['table']}-{boundary}-{upto}"
             )
-        dst.add_table(job["table"], lake, boundary_ts=boundary)
         job["status"] = ST_FINISHED
         self._save()
 
@@ -381,20 +398,34 @@ class TableScheduler:
             cid: cf.run_available() for cid, cf in sorted(self.captures.items())
         }
         for job in self.jobs:
+            if job["status"] in (ST_NONE, ST_DELETED) and (
+                job["from"] not in self.captures
+                or job["to"] not in self.captures
+            ):
+                if job.get("kind") == "adopt" and job["to"] in self.captures:
+                    pass  # adopt's source is gone by definition
+                else:
+                    # a participating capture was removed (e.g. by
+                    # adopt_orphans) — the reference DROPS jobs whose
+                    # capture disappeared (handleMoveTableJobs); wedging
+                    # every future tick on a KeyError would strand the rest
+                    job["status"] = ST_FINISHED
+                    job["note"] = "capture gone; job dropped"
+                    self._save()
+                    continue
             if job["status"] == ST_NONE:
                 src = self.captures[job["from"]]
                 dst = self.captures[job["to"]]
                 s_res = self._resolved(src)
                 d_res = self._resolved(dst)
-                if s_res is None:
+                if s_res is None or s_res < 0:
                     continue  # source never ran — nothing to hand off yet
                 if d_res is not None and d_res > s_res:
-                    raise RuntimeError(
-                        f"target capture {job['to']!r} frontier {d_res} is "
-                        f"ahead of source {job['from']!r} frontier {s_res}: "
-                        "it has already released (and dropped) events above "
-                        "the boundary — captures must run in lockstep"
-                    )
+                    # a file landed between the two sequential run_available
+                    # calls: the target consumed one more file than the
+                    # source. Not divergence — the source reads the same
+                    # file next tick. Defer the job until frontiers align.
+                    continue
                 job["boundary"] = int(s_res)
                 src.remove_table(job["table"], job["boundary"])
                 # hand the span map over clean: positions above the boundary
@@ -413,13 +444,20 @@ class TableScheduler:
                 self._save()
             if job["status"] == ST_DELETED:
                 dst = self.captures[job["to"]]
-                dst.add_table(
-                    job["table"],
-                    LakeTable(dst.spark, job["root"]),
-                    boundary_ts=job["boundary"],
-                )
-                job["status"] = ST_FINISHED
-                self._save()
+                if job.get("kind") == "adopt":
+                    # a crashed adoption resumes through the SAME path as
+                    # __init__: catch-up replay + add (all idempotent).
+                    # Driving it as a plain add would skip the catch-up and
+                    # silently lose the (boundary, catchup_to] range.
+                    self._finish_adopt(job, dst)
+                else:
+                    dst.add_table(
+                        job["table"],
+                        LakeTable(dst.spark, job["root"]),
+                        boundary_ts=job["boundary"],
+                    )
+                    job["status"] = ST_FINISHED
+                    self._save()
         return summaries
 
     @staticmethod
@@ -432,6 +470,9 @@ class TableScheduler:
         for name, t in cf.tables.items():
             if name in cf.stop_ts:
                 continue
+            # NOTE: -1 entries (never-reported span seeds) stay in the min
+            # — they correctly hold the frontier at "not ready"; tick()
+            # skips jobs while the resolved value is negative
             m = {int(k): int(v) for k, v in t.part_watermarks.items()}
             if m:
                 vals.append(min(m.values()))
