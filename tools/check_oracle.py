@@ -2,7 +2,13 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, schema
 (by sorted column names), and order-insensitive values.
 
-Usage: python tools/check_oracle.py [query ...]
+Usage: python tools/check_oracle.py [--twice] [query ...]
+
+--twice additionally evaluates each Spark query a second time after
+spark.catalog.clearCache() (simulating the driver's long 50-query session
+where cached plan fragments get evicted and recomputed) and compares the two
+Spark results value-for-value — the r2 `cdc_training_order` flake class:
+plans that pass a single oracle run but are not stable across re-execution.
 """
 
 from __future__ import annotations
@@ -57,7 +63,7 @@ def compare(name, spark_pdf, duck_pdf):
     return errs
 
 
-def main(only: list[str]) -> int:
+def main(only: list[str], twice: bool = False) -> int:
     import __spark_entry__ as entrymod
     from ticdc_spark.session import build_session
 
@@ -74,6 +80,16 @@ def main(only: list[str]) -> int:
         t0 = time.time()
         try:
             spdf = qs[name](spark, SF_DIR).toPandas()
+            if twice:
+                spark.catalog.clearCache()
+                spdf2 = qs[name](spark, SF_DIR).toPandas()
+                errs2 = compare(name, spdf, spdf2)
+                if errs2:
+                    print(f"FAIL {name}: NONDETERMINISTIC across re-execution:")
+                    for e in errs2:
+                        print(f"   {e}")
+                    failed.append(name)
+                    continue
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
@@ -100,4 +116,6 @@ def main(only: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    twice = "--twice" in argv
+    sys.exit(main([a for a in argv if a != "--twice"], twice=twice))
