@@ -863,12 +863,18 @@ def main() -> None:
         qtimes["cdc_replay_big"] = replay_big["sec"]
 
     qs = entrymod.queries()
+    qreps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))
     for name in [] if only_replay else BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)
         df.count()  # warm: plan + scan caches
-        t0 = time.time()
-        _noop(qs[name](spark, SF_DIR))
-        qtimes[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(qreps):  # best-of-N: sub-second rows are noise-bound
+            t0 = time.time()
+            _noop(qs[name](spark, SF_DIR))
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best = dt
+        qtimes[name] = round(best, 3)
 
     total = round(sum(qtimes.values()), 3)
     full = {
