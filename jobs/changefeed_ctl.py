@@ -29,7 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--admin-dir", required=True, help="feed registry dir")
+    p.add_argument(
+        "--admin-dir",
+        default=None,
+        help="feed registry dir (required for changefeed commands)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("pause", help="AdminStop: halt, keep checkpoint")
@@ -97,7 +101,57 @@ def main() -> int:
         "unsafe-show-metadata", help="dump every stored registry entry"
     )
 
+    # capture / processor keyspace reads (cmd/client_capture.go:34-57,
+    # cmd/client_processor.go:21-99) — over the scheduler state file +
+    # table manifests, no Spark session and no feed registry needed
+    sp = sub.add_parser(
+        "capture-list",
+        help="`cdc cli capture list` analog: captures + table counts",
+    )
+    sp.add_argument("--scheduler-state", required=True, help="TableScheduler state file")
+
+    sp = sub.add_parser(
+        "processor-list",
+        help="`cdc cli processor list` analog: every (capture, table)",
+    )
+    sp.add_argument("--scheduler-state", required=True)
+
+    sp = sub.add_parser(
+        "processor-query",
+        help="`cdc cli processor query` analog: a capture's per-table "
+        "positions (checkpoint ts, spans, schema version) from manifests",
+    )
+    sp.add_argument("--scheduler-state", required=True)
+    sp.add_argument("capture")
+    sp.add_argument("--table", default=None)
+
     args = p.parse_args()
+
+    if args.cmd in ("capture-list", "processor-list", "processor-query"):
+        from ticdc_spark.streaming.scheduler import (
+            capture_list,
+            processor_list,
+            processor_query,
+        )
+
+        try:
+            if args.cmd == "capture-list":
+                out = capture_list(args.scheduler_state)
+            elif args.cmd == "processor-list":
+                out = processor_list(args.scheduler_state)
+            else:
+                out = processor_query(
+                    args.scheduler_state, args.capture, table=args.table
+                )
+        except (KeyError, OSError) as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        print(json.dumps(out, indent=1, sort_keys=True))
+        return 0
+
+    if not args.admin_dir:
+        print("--admin-dir is required for changefeed commands", file=sys.stderr)
+        return 1
 
     from ticdc_spark.streaming.admin import FeedLifecycleError, FeedRegistry
 

@@ -412,3 +412,74 @@ def test_tick_resumes_crashed_adopt_with_catchup(spark, tmp_path):
     ))
     got = _lake_arrow(LakeTable(spark, str(tmp_path / j["table"])))
     assert not diff_tables(exp, got), "resumed adopt diverged"
+
+
+# ---------------------------------------------------------------------------
+# capture / processor CLI keyspace reads (cmd/client_capture.go:34-57,
+# cmd/client_processor.go:21-99 analogs) — Spark-free state-file reads
+
+
+def test_capture_processor_cli_reads(spark, tmp_path):
+    """capture_list / processor_list / processor_query read the persisted
+    assignment snapshot + table manifests without a Spark session, and
+    track a move: after tb moves c1→c2, the listing shows it stopped on c1
+    and live on c2, with its checkpoint at the post-move frontier."""
+    from ticdc_spark.streaming.scheduler import (
+        capture_list,
+        processor_list,
+        processor_query,
+    )
+
+    binlog, waves, ev = _mk_binlogs(tmp_path, n=1_000)
+    tables = {
+        t: LakeTable.create(spark, str(tmp_path / t), n_buckets=4)
+        for t in ("ta", "tb", "tc")
+    }
+    c1 = MultiTableChangeFeed(
+        {"ta": tables["ta"], "tb": tables["tb"]},
+        binlog, str(tmp_path / "ck1"), max_files_per_trigger=5,
+    )
+    c2 = MultiTableChangeFeed(
+        {"tc": tables["tc"]},
+        binlog, str(tmp_path / "ck2"), max_files_per_trigger=5,
+    )
+    state = str(tmp_path / "sched.json")
+    sched = TableScheduler({"c1": c1, "c2": c2}, state)
+
+    # registered at construction, before any tick (capture.go Register)
+    rows = capture_list(state)
+    assert rows == [
+        {"id": "c1", "n_tables": 2, "n_stopped": 0},
+        {"id": "c2", "n_tables": 1, "n_stopped": 0},
+    ]
+
+    _link_wave(binlog, waves[0])
+    sched.tick()
+    sched.move_table("tb", "c1", "c2")
+    sched.tick()
+    _link_wave(binlog, waves[1])
+    s = sched.tick()
+
+    rows = {r["id"]: r for r in capture_list(state)}
+    assert rows["c1"]["n_tables"] == 1 and rows["c1"]["n_stopped"] == 1
+    assert rows["c2"]["n_tables"] == 2
+
+    pl = processor_list(state)
+    assert {"capture": "c2", "table": "tb", "stopped": False} in pl
+    assert {"capture": "c1", "table": "tb", "stopped": True} in pl
+
+    q = processor_query(state, "c2", table="tb")
+    pos = q["tables"]["tb"]
+    assert pos["reachable"] and pos["stopped"] is False
+    assert pos["checkpoint_ts"] == s["c2"][-1]["resolved_ts"]
+    assert pos["n_spans"] >= 1 and pos["epochs_committed"] >= 1
+
+    # the stopped copy on c1 carries its stop boundary
+    q1 = processor_query(state, "c1", table="tb")
+    assert q1["tables"]["tb"]["stopped"] is True
+    assert q1["tables"]["tb"]["stop_ts"] is not None
+
+    with pytest.raises(KeyError):
+        processor_query(state, "nope")
+    with pytest.raises(KeyError):
+        processor_query(state, "c1", table="zzz")

@@ -178,6 +178,11 @@ class TableScheduler:
                         LakeTable(dst.spark, job["root"]),
                         boundary_ts=job["boundary"],
                     )
+        # persist the (possibly re-applied) assignment immediately so the
+        # capture/processor CLI sees a registered capture before its first
+        # tick — the reference registers captures in etcd at startup, not
+        # at first checkpoint (cdc/capture.go Register)
+        self._save()
 
     # -- introspection -----------------------------------------------------
     def workloads(self) -> dict[str, dict[str, float]]:
@@ -478,8 +483,119 @@ class TableScheduler:
                 vals.append(min(m.values()))
         return min(vals) if vals else None
 
+    def _assignment_snapshot(self) -> dict:
+        """The capture → table assignment as plain data (the etcd
+        /captures + /task/status keyspace analog, cdc/kv/etcd.go): enough
+        for `capture list` / `processor list|query` CLI reads WITHOUT a
+        Spark session — per-table positions are read from the lake tables'
+        own JSON manifests at query time, never duplicated here."""
+        snap: dict[str, dict] = {}
+        for cid, cf in self.captures.items():
+            snap[cid] = {
+                t: {
+                    "root": tbl.root,
+                    "stopped": t in cf.stop_ts,
+                    "stop_ts": cf.stop_ts.get(t),
+                }
+                for t, tbl in cf.tables.items()
+            }
+        return snap
+
     def _save(self) -> None:
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"jobs": self.jobs}, f, indent=1)
+            json.dump(
+                {"jobs": self.jobs, "captures": self._assignment_snapshot()},
+                f,
+                indent=1,
+            )
         os.replace(tmp, self.state_path)
+
+
+# -- Spark-free CLI reads (cdc cli capture/processor analogs) --------------
+#
+# The reference's `cdc cli capture list`, `processor list` and `processor
+# query` read the etcd keyspace (cmd/client_capture.go:34-57,
+# cmd/client_processor.go:21-99); our keyspace is the scheduler state file
+# plus each lake table's own JSON manifest — all plain files, so these
+# helpers (and the changefeed_ctl subcommands over them) need no Spark
+# session at all.
+
+
+def _load_state(state_path: str) -> dict:
+    with open(state_path) as f:
+        return json.load(f)
+
+
+def _table_position(root: str) -> dict:
+    """One table's replication position straight from its manifest files:
+    checkpoint_ts = min over span watermarks (the processor's CheckPointTs
+    fold, cdc/processor.go TaskPosition), plus span count and the last
+    committed epoch — O(1) file reads, no Spark."""
+    mdir = os.path.join(root, "_manifests")
+    try:
+        with open(os.path.join(mdir, "CURRENT")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{v:08d}.json")) as f:
+            m = json.load(f)
+    except OSError:
+        return {"reachable": False}
+    wm = {k: int(x) for k, x in m.get("part_watermarks", {}).items()}
+    return {
+        "reachable": True,
+        "manifest_version": v,
+        "checkpoint_ts": min(wm.values()) if wm else None,
+        "n_spans": len(wm),
+        "schema_version": m.get("schema_version"),
+        "epochs_committed": len(m.get("committed_epochs", [])),
+    }
+
+
+def capture_list(state_path: str) -> list[dict]:
+    """`cdc cli capture list` analog: one row per capture with its live /
+    stopped table counts (is-owner has no analog — the scheduler itself is
+    the single owner, documented n/a)."""
+    snap = _load_state(state_path).get("captures", {})
+    return [
+        {
+            "id": cid,
+            "n_tables": sum(1 for t in tbls.values() if not t["stopped"]),
+            "n_stopped": sum(1 for t in tbls.values() if t["stopped"]),
+        }
+        for cid, tbls in sorted(snap.items())
+    ]
+
+
+def processor_list(state_path: str) -> list[dict]:
+    """`cdc cli processor list` analog: every (capture, table) assignment."""
+    snap = _load_state(state_path).get("captures", {})
+    return [
+        {"capture": cid, "table": t, "stopped": info["stopped"]}
+        for cid, tbls in sorted(snap.items())
+        for t, info in sorted(tbls.items())
+    ]
+
+
+def processor_query(
+    state_path: str, capture_id: str, table: str | None = None
+) -> dict:
+    """`cdc cli processor query` analog: the capture's per-table positions
+    (checkpoint ts, span count, schema version, committed epochs) read from
+    each table's own manifest."""
+    snap = _load_state(state_path).get("captures", {})
+    if capture_id not in snap:
+        raise KeyError(
+            f"capture {capture_id!r} not in state file "
+            f"(have: {sorted(snap)})"
+        )
+    tbls = snap[capture_id]
+    names = [table] if table else sorted(tbls)
+    if table and table not in tbls:
+        raise KeyError(f"table {table!r} not assigned to {capture_id!r}")
+    out: dict[str, dict] = {}
+    for t in names:
+        info = tbls[t]
+        pos = _table_position(info["root"])
+        pos.update(stopped=info["stopped"], stop_ts=info["stop_ts"], root=info["root"])
+        out[t] = pos
+    return {"capture": capture_id, "tables": out}
