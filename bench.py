@@ -523,6 +523,36 @@ def bench_stream_mq(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_consumer_apply(spark, work_root: str, n_events: int) -> dict:
+    """The DOWNSTREAM leg: MQConsumer replays the open-protocol MQ archive
+    bench_stream_mq just wrote into a SECOND lake table (decode from_json at
+    the consumer's schema → per-partition frontier fold → LWW → idempotent
+    epoch merges) and the final state must equal the primary's — the
+    kafka_consumer end-to-end story priced, not just tested. Throughput is
+    events/sec over the same n_events the primary carried."""
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.consumer import MQConsumer
+
+    mq_dir = os.path.join(work_root, "mq_mq")
+    primary_dir = os.path.join(work_root, "mq_tbl")
+    down_dir = os.path.join(work_root, "mq_downstream")
+    shutil.rmtree(down_dir, ignore_errors=True)
+    t2 = LakeTable.create(spark, down_dir, n_buckets=64)
+    consumer = MQConsumer(spark, mq_dir, t2)
+    t0 = time.time()
+    stats = consumer.run_once()
+    dt = time.time() - t0
+    rows = t2.read().count()
+    primary_rows = LakeTable(spark, primary_dir).read().count()
+    return {
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(stats),
+        "final_rows": rows,
+        "matches_primary": rows == primary_rows,
+    }
+
+
 def bench_stream_mq_sized(spark, work_root: str, n_events: int) -> dict:
     """`cdc_stream_mq` with the batch-framed wire form (mq_framing='sized',
     reference defaults 16 events / 64 MiB per message): prices the
@@ -831,6 +861,7 @@ def main() -> None:
     keyless = None
     multi = None
     split = None
+    consumer = None
     if not only_replay:
         stream = bench_streaming(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_replay"] = stream["sec"]
@@ -842,6 +873,8 @@ def main() -> None:
         qtimes["cdc_stream_raw"] = raw["sec"]
         mq = bench_stream_mq(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_mq"] = mq["sec"]
+        consumer = bench_consumer_apply(spark, work_root, N_EVENTS)
+        qtimes["cdc_consumer_apply"] = consumer["sec"]
         mq_sized = bench_stream_mq_sized(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_mq_sized"] = mq_sized["sec"]
         oldval = bench_stream_old_value(spark, work_root, N_EVENTS)
@@ -889,6 +922,7 @@ def main() -> None:
         "replay_skew": skew,
         "stream_raw": raw,
         "stream_mq": mq,
+        "consumer_apply": consumer,
         "stream_mq_sized": mq_sized,
         "stream_old_value": oldval,
         "replay_big": replay_big,
