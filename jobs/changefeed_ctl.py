@@ -101,6 +101,14 @@ def main() -> int:
         "unsafe-show-metadata", help="dump every stored registry entry"
     )
 
+    sp = sub.add_parser(
+        "tso",
+        help="`cdc cli tso query` analog: the upstream's current ts — max "
+        "commit_ts across the binlog dir, from parquet FOOTER stats only "
+        "(no data read, no Spark)",
+    )
+    sp.add_argument("--binlog", required=True, help="binlog directory")
+
     # capture / processor keyspace reads (cmd/client_capture.go:34-57,
     # cmd/client_processor.go:21-99) — over the scheduler state file +
     # table manifests, no Spark session and no feed registry needed
@@ -126,6 +134,37 @@ def main() -> int:
     sp.add_argument("--table", default=None)
 
     args = p.parse_args()
+
+    if args.cmd == "tso":
+        # cmd/client_tso.go prints the PD TSO; our upstream clock is the
+        # binlog's committed frontier. Footer statistics only — O(files)
+        # metadata reads, zero row data.
+        import glob as _g
+
+        import pyarrow.parquet as _pq
+
+        mx, n_rows, n_files = None, 0, 0
+        for f in sorted(
+            _g.glob(os.path.join(args.binlog, "**", "*.parquet"), recursive=True)
+        ):
+            md = _pq.ParquetFile(f).metadata
+            n_files += 1
+            n_rows += md.num_rows
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if "commit_ts" not in idx:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["commit_ts"]).statistics
+                if st is not None and st.has_min_max:
+                    v = int(st.max)
+                    mx = v if mx is None else max(mx, v)
+        if n_files == 0:
+            print(f"no parquet files under {args.binlog!r}", file=sys.stderr)
+            return 1
+        print(json.dumps(
+            {"tso": mx, "n_files": n_files, "n_events": n_rows}, sort_keys=True
+        ))
+        return 0
 
     if args.cmd in ("capture-list", "processor-list", "processor-query"):
         from ticdc_spark.streaming.scheduler import (

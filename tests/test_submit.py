@@ -302,3 +302,28 @@ def test_spark_submit_derived_shards_and_profile(spark, tmp_path):
     prof = IncrementalProfile(t, "source", ("n_tok",))
     assert prof.meta["version"] == t.version
     assert prof.verify() == []
+
+
+def test_ctl_tso_query_footer_stats(spark, tmp_path):
+    """`changefeed_ctl.py tso` reports the binlog's committed frontier from
+    parquet footer statistics alone (cmd/client_tso.go analog)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ticdc_spark.testgen import BinlogSpec, write_binlog
+
+    binlog = str(tmp_path / "binlog")
+    write_binlog(
+        BinlogSpec(n_events=2_000, n_keys=200, seed=5), binlog, files_per_part=2
+    )
+    expected = pc.max(pq.read_table(binlog, columns=["commit_ts"])["commit_ts"]).as_py()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "changefeed_ctl.py"),
+         "tso", "--binlog", binlog],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["tso"] == expected
+    # file rows = data events + resolved heartbeat control rows
+    assert out["n_events"] >= 2_000 and out["n_files"] > 1
