@@ -146,7 +146,24 @@ streams) — a single-box artifact, not an engine property; real 4N scaling
 adds nodes (and memory channels), which this sandbox cannot.
 """
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve hand-written sections: everything from the first '## ' header
+    # the generator does NOT own stays appended after the generated block
+    # (this tool once clobbered the round-3 suite tables — never again)
+    bench_path = os.path.join(REPO, "BENCH.md")
+    OWNED = ("## Memory-bandwidth", "## Scaling", "## Appendix:")
+    tail_sections = ""
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            prev = f.read()
+        parts = prev.split("\n## ")
+        keep = [
+            "## " + p
+            for p in parts[1:]
+            if not ("## " + p).startswith(OWNED)
+        ]
+        if keep:
+            tail_sections = "\n" + "\n".join(keep)
+    with open(bench_path, "w") as f:
         f.write(
             f"""# BENCH — CDC replay throughput & scaling efficiency
 
@@ -181,7 +198,7 @@ Raw bench lines:
 ```json
 {os.linesep.join(json.dumps(results[c]) for c in levels)}
 ```
-"""
+{tail_sections}"""
         )
     print("wrote BENCH.md")
 
