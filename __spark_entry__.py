@@ -49,6 +49,8 @@ from ticdc_spark.functions.text import (
     bigram_nll_sql,
 )
 from ticdc_spark.pipeline.classifier import (
+    nb_calibration_sql as _nb_calibration_sql,
+    nb_eval_auc_sql as _nb_auc_sql,
     nb_score_sql as _nb_score_sql,
 )
 from ticdc_spark.functions.text import gopher_rules_sql as _gopher_sql
@@ -1380,6 +1382,23 @@ def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ticdc_spark.pipeline.classifier import nb_score
 
     return _longify(nb_score(_docs(spark, sf_dir), ("src0", "src1", "src2")))
+
+
+def q_text_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the NB quality score vs the source weak label —
+    Mann-Whitney with tie handling, folded over DISTINCT scores via the
+    deterministic range-partitioned prefix sum (no global rank window)."""
+    from ticdc_spark.pipeline.classifier import nb_eval_auc
+
+    return _longify(nb_eval_auc(_docs(spark, sf_dir), ("src0", "src1", "src2")))
+
+
+def q_text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-decile calibration: deterministic global rank -> 10 equal rank
+    slices -> per-slice positive fraction + mean score."""
+    from ticdc_spark.pipeline.classifier import nb_calibration
+
+    return _longify(nb_calibration(_docs(spark, sf_dir), ("src0", "src1", "src2")))
 
 
 def q_text_nll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3518,6 +3537,8 @@ FROM t
         "text_unigram_nll": unigram_nll_sql(),
         "text_bigram_nll": bigram_nll_sql(),
         "text_nb_quality": _nb_score_sql(("src0", "src1", "src2")),
+        "text_nb_auc": _nb_auc_sql(("src0", "src1", "src2")),
+        "text_nb_calibration": _nb_calibration_sql(("src0", "src1", "src2")),
         "text_gopher_rules": _gopher_sql(),
         "tokens_entropy": tokens_entropy_sql(
             "list_transform("
@@ -3907,6 +3928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "corpus_profile_incremental": q_corpus_profile_incremental,
         "text_nb_quality": q_text_nb_quality,
+        "text_nb_auc": q_text_nb_auc,
+        "text_nb_calibration": q_text_nb_calibration,
         "cdc_bucket_checksum": q_cdc_bucket_checksum,
         "corpus_token_budget": q_corpus_token_budget,
         "text_bigram_nll": q_text_bigram_nll,

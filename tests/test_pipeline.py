@@ -1493,3 +1493,56 @@ def test_incremental_nb_tracks_changelog(spark, tmp_path):
     ep([("y", "zork zork beta", "bad", "U", 40, 1)], "e4")
     assert check("post-truncate-incremental")["mode"] == "incremental"
     assert nb.prior() == 0.0  # 1 good, 1 bad
+
+
+def test_nb_eval_auc_matches_pure_python(spark):
+    """nb_eval_auc == the O(P*N) pairwise Mann-Whitney definition (ties
+    count 1/2) on the same scores; calibration deciles partition the rank
+    order into equal slices with the right positive fractions."""
+    from ticdc_spark.pipeline.classifier import (
+        nb_calibration,
+        nb_eval_auc,
+        nb_score,
+    )
+
+    rows = [
+        ("d0", "alpha beta gamma alpha", "good"),
+        ("d1", "beta gamma alpha beta beta", "good"),
+        ("d2", "zork quux blarg zork", "bad"),
+        ("d3", "quux blarg blarg zork quux", "bad"),
+        ("d4", "alpha zork beta quux", "bad"),
+        ("d5", "gamma alpha alpha", "good"),
+        ("d6", "beta beta zork", "bad"),
+        ("d7", "alpha gamma", "good"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    n_hash, alpha = 64, 0.5
+
+    scored = {
+        r["doc_id"]: r["nb_llr_mean"]
+        for r in nb_score(docs, ("good",), n_hash=n_hash, alpha=alpha).collect()
+    }
+    label = {d: 1 if s == "good" else 0 for d, _, s in rows}
+    pos = [scored[d] for d in scored if label[d]]
+    neg = [scored[d] for d in scored if not label[d]]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    expected_auc = round(num / (len(pos) * len(neg)), 6)
+
+    row = nb_eval_auc(docs, ("good",), n_hash=n_hash, alpha=alpha).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - expected_auc) < 1e-9
+
+    cal = {
+        r["bucket"]: r
+        for r in nb_calibration(
+            docs, ("good",), n_buckets=4, n_hash=n_hash, alpha=alpha
+        ).collect()
+    }
+    # 8 docs / 4 buckets: every bucket exactly 2 docs; fractions from the
+    # explicit (score, doc_id) order
+    order = sorted(scored, key=lambda d: (scored[d], d))
+    for b in range(4):
+        sl = order[2 * b : 2 * b + 2]
+        assert cal[b]["n_docs"] == 2
+        assert cal[b]["n_pos"] == sum(label[d] for d in sl)
+    assert sum(r["n_pos"] for r in cal.values()) == len(pos)

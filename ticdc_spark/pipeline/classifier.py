@@ -151,6 +151,183 @@ GROUP BY tk.doc_id
 """
 
 
+def nb_eval_auc(
+    docs: DataFrame,
+    pos_sources: tuple[str, ...] = ("src0",),
+    text_col: str = "text",
+    n_hash: int = N_HASH_DEFAULT,
+    alpha: float = ALPHA_DEFAULT,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Exact ROC-AUC of the NB quality score against the source weak label
+    (the filter-evaluation step every quality pipeline needs before trusting
+    a classifier's keep/drop decisions — Wenzek et al. 2020 validate their
+    LM filter the same way, against held-out labels).
+
+    Mann-Whitney with exact tie handling: AUC = P[score_pos > score_neg] +
+    ½·P[tie]. 100-TB shape: NOT a global rank window over docs — scores are
+    aggregated per DISTINCT value first (one map-side-combined shuffle,
+    output ≤ |distinct scores| rows), the exclusive negative prefix comes
+    from the deterministic range-partitioned prefix sum (pipeline.pack
+    machinery — no sampling, no single partition), and the final fold is
+
+        AUC = Σ_s  p_s · (cum_neg_below_s + n_s/2)  /  (P·N)
+
+    Scores are the round-6 ``nb_llr_mean`` values, already proven
+    bit-identical cross-engine by the `text_nb_quality` hash check — so tie
+    groups agree exactly with the DuckDB oracle.
+
+    Output: one row (n_pos, n_neg, n_scores, auc).
+    """
+    from .pack import _global_cumsum
+
+    scored = nb_score(docs, pos_sources, text_col, n_hash, alpha)
+    lab = docs.select(
+        "doc_id", F.col("source").isin(*pos_sources).cast("int").alias("pos")
+    )
+    per_score = (
+        scored.join(lab, "doc_id")
+        .groupBy(F.col("nb_llr_mean").alias("s"))
+        .agg(
+            F.sum("pos").alias("p"),
+            F.sum(F.lit(1) - F.col("pos")).alias("n"),
+        )
+    )
+    cum = _global_cumsum(per_score, "n", ["s"], range_partitions)
+    # inclusive cumsum − own n = negatives strictly below this score
+    contrib = cum.select(
+        "p",
+        "n",
+        (
+            F.col("p").cast("double")
+            * (
+                (F.col("_cum") - F.col("n")).cast("double")
+                + F.col("n").cast("double") / 2.0
+            )
+        ).alias("w"),
+    )
+    return contrib.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_scores"),
+        F.round(
+            F.sum("w") / (F.sum("p") * F.sum("n")).cast("double"), 6
+        ).alias("auc"),
+    )
+
+
+def nb_eval_auc_sql(
+    pos_sources: tuple[str, ...] = ("src0",),
+    n_hash: int = N_HASH_DEFAULT,
+    alpha: float = ALPHA_DEFAULT,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`nb_eval_auc` — same per-distinct-score fold
+    (window over distinct scores, small by construction)."""
+    score_sql = nb_score_sql(pos_sources, n_hash, alpha, table)
+    inlist = ", ".join(f"'{s}'" for s in pos_sources)
+    return f"""
+WITH scored AS ({score_sql}),
+lab AS (
+  SELECT doc_id, (source IN ({inlist}))::int AS pos FROM {table}
+),
+per_score AS (
+  SELECT s.nb_llr_mean AS s, sum(l.pos) AS p, sum(1 - l.pos) AS n
+  FROM scored s JOIN lab l USING (doc_id)
+  GROUP BY s.nb_llr_mean
+),
+cum AS (
+  SELECT p, n,
+         coalesce(sum(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per_score
+)
+SELECT sum(p)::bigint AS n_pos, sum(n)::bigint AS n_neg,
+       count(*)::bigint AS n_scores,
+       round(sum(p * (below + n / 2.0)) / (sum(p) * sum(n)), 6) AS auc
+FROM cum
+"""
+
+
+def nb_calibration(
+    docs: DataFrame,
+    pos_sources: tuple[str, ...] = ("src0",),
+    n_buckets: int = 10,
+    text_col: str = "text",
+    n_hash: int = N_HASH_DEFAULT,
+    alpha: float = ALPHA_DEFAULT,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Score-decile calibration table: rank every doc by (score, doc_id) —
+    the deterministic range-partitioned global rank, no single-partition
+    window — cut into ``n_buckets`` equal rank slices, report each slice's
+    positive fraction and mean score. A well-ordered filter shows frac_pos
+    rising monotonically with the decile; flat deciles mean the score
+    carries no signal there (where to put the keep threshold).
+
+    Output: (bucket, n_docs, n_pos, frac_pos, mean_score) × n_buckets.
+    """
+    from .pack import rank_by
+
+    scored = nb_score(docs, pos_sources, text_col, n_hash, alpha)
+    lab = docs.select(
+        "doc_id", F.col("source").isin(*pos_sources).cast("int").alias("pos")
+    )
+    base = scored.join(lab, "doc_id").select(
+        "doc_id", F.col("nb_llr_mean").alias("s"), "pos"
+    )
+    ranked = rank_by(base, ["s", "doc_id"], range_partitions)
+    n_total = ranked.agg(F.max("_rank").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            "s",
+            "pos",
+            F.expr(f"((_rank - 1) * {int(n_buckets)}) div _n")
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.round(F.sum("pos") / F.count("*"), 6).alias("frac_pos"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+        )
+    )
+
+
+def nb_calibration_sql(
+    pos_sources: tuple[str, ...] = ("src0",),
+    n_buckets: int = 10,
+    n_hash: int = N_HASH_DEFAULT,
+    alpha: float = ALPHA_DEFAULT,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`nb_calibration` — row_number over the same
+    (score, doc_id) total order, same integer bucket cut."""
+    score_sql = nb_score_sql(pos_sources, n_hash, alpha, table)
+    inlist = ", ".join(f"'{s}'" for s in pos_sources)
+    return f"""
+WITH scored AS ({score_sql}),
+lab AS (
+  SELECT doc_id, (source IN ({inlist}))::int AS pos FROM {table}
+),
+r AS (
+  SELECT s.nb_llr_mean AS s, l.pos,
+         row_number() OVER (ORDER BY s.nb_llr_mean, s.doc_id) AS rank,
+         count(*) OVER () AS n_total
+  FROM scored s JOIN lab l USING (doc_id)
+)
+SELECT (((rank - 1) * {int(n_buckets)}) // n_total)::int AS bucket,
+       count(*)::bigint AS n_docs, sum(pos)::bigint AS n_pos,
+       round(sum(pos) * 1.0 / count(*), 6) AS frac_pos,
+       round(avg(s), 6) AS mean_score
+FROM r
+GROUP BY 1
+"""
+
+
 class IncrementalNB:
     """CDC-maintained NB quality classifier over a documents LakeTable —
     the streaming sibling of :func:`nb_train`: the (h → cp, cn) count table
