@@ -327,3 +327,47 @@ def test_ctl_tso_query_footer_stats(spark, tmp_path):
     assert out["tso"] == expected
     # file rows = data events + resolved heartbeat control rows
     assert out["n_events"] >= 2_000 and out["n_files"] > 1
+
+def test_run_syncdiff_cli(spark, tmp_path):
+    """sync-diff job: identical tables exit 0; a diverged downstream exits 1,
+    flags the right bucket, and drill-down names the changed key."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.engine.replay import replay_binlog
+
+    binlog = write_binlog(
+        BinlogSpec(n_events=4_000, n_keys=400, seed=17), str(tmp_path / "binlog")
+    )
+    ev = open_binlog(spark, binlog)
+    a = LakeTable.create(spark, str(tmp_path / "a"), n_buckets=4)
+    b = LakeTable.create(spark, str(tmp_path / "b"), n_buckets=4)
+    replay_binlog(a, ev, n_epochs=2, epoch_prefix="a")
+    replay_binlog(b, ev, n_epochs=2, epoch_prefix="b")
+
+    def run(right, *extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_syncdiff.py"),
+             "--left", str(tmp_path / "a"), "--right", right,
+             "--buckets", "8", "--master", "local[2]", *extra],
+            capture_output=True, text=True,
+        )
+
+    proc = run(str(tmp_path / "b"))
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["match"] is True and out["divergent_buckets"] == []
+
+    # diverge one key downstream: an update the upstream never saw
+    victim = b.read().select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    mut = b.read().filter(F.col("doc_id") == victim).select(
+        "doc_id", F.lit("U").alias("op"),
+        F.lit(10_000_000).alias("commit_ts"), F.lit(0).cast("long").alias("seq"),
+        "tokens", F.lit(-1).cast("int").alias("n_tok"), "source",
+    )
+    b.merge_epoch(mut, "mutate", assume_deduped=True)
+
+    proc = run(str(tmp_path / "b"), "--drilldown")
+    assert proc.returncode == 1, (proc.stdout[-2000:], proc.stderr[-2000:])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["match"] is False and len(out["divergent_buckets"]) == 1
+    assert out["divergent_keys"] == [{"doc_id": victim, "kind": "value_diff"}]
