@@ -36,6 +36,32 @@ def main() -> int:
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    sp = sub.add_parser(
+        "create",
+        help="register a feed (cmd/client_changefeed.go changefeed create: "
+        "start-ts validated against the GC safepoint unless "
+        "--disable-gc-check; the running job picks the config up via "
+        "--admin-dir/--feed)",
+    )
+    sp.add_argument("feed")
+    sp.add_argument("--start-ts", type=int, default=None)
+    sp.add_argument("--target-ts", type=int, default=None)
+    sp.add_argument("--sink-uri", default=None)
+    sp.add_argument(
+        "--gc-table-root", action="append", default=[],
+        help="lake table root whose retained syncpoints bound start-ts "
+        "(repeatable); metadata-only read, no Spark",
+    )
+    sp.add_argument("--gc-safepoint-ts", type=int, default=None)
+    sp.add_argument(
+        "--disable-gc-check", action="store_true",
+        help="the reference's --disable-gc-check escape hatch",
+    )
+    sp.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="extra config fields (values parse as JSON when possible)",
+    )
+
     sp = sub.add_parser("pause", help="AdminStop: halt, keep checkpoint")
     sp.add_argument("feed")
     sp.add_argument("--error", default=None, help="record an operator error")
@@ -196,7 +222,34 @@ def main() -> int:
 
     reg = FeedRegistry(args.admin_dir)
     try:
-        if args.cmd == "pause":
+        if args.cmd == "create":
+            changes = {}
+            for kv in args.set:
+                k, _, v = kv.partition("=")
+                try:
+                    changes[k] = json.loads(v)
+                except ValueError:
+                    changes[k] = v
+            if args.target_ts is not None:
+                changes["target_ts"] = args.target_ts
+            if args.sink_uri is not None:
+                changes["sink_uri"] = args.sink_uri
+            gc_tables = []
+            if args.gc_table_root:
+                # metadata-only table handles: syncpoints/_mdir reads need
+                # no Spark session
+                from ticdc_spark.lake.table import LakeTable
+
+                gc_tables = [LakeTable(None, r) for r in args.gc_table_root]
+            out = reg.create(
+                args.feed,
+                start_ts=args.start_ts,
+                gc_tables=gc_tables,
+                gc_safepoint_ts=args.gc_safepoint_ts,
+                check_gc_safe_point=not args.disable_gc_check,
+                **changes,
+            )
+        elif args.cmd == "pause":
             out = reg.pause(args.feed, error=args.error)
         elif args.cmd == "resume":
             out = reg.resume(args.feed)

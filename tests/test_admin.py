@@ -392,6 +392,7 @@ def test_cli_stats_snapshot(spark, ws):
     one profileStatus snapshot — Count from the lineage TaskPosition rows,
     SinkGap = resolved - checkpoint, OPS over the lineage window."""
     import json as j
+    import json
     import subprocess
     import sys as _sys
 
@@ -446,6 +447,7 @@ def test_unsafe_reset_and_show_metadata(tmp_path):
 
 def test_unsafe_cli_roundtrip(tmp_path):
     import json as _json
+    import json
     import subprocess
     import sys as _sys
 
@@ -594,3 +596,52 @@ def test_supervisor_retries_rate_limits_and_fast_fails(tmp_path):
     assert out == {"doomed": "ran"} and "doomed" not in sup.fail_init_feeds
     assert calls["doomed"] == 2
     assert calls["steady"] >= 6  # healthy feed ran every full tick
+
+
+def test_ctl_create_subcommand(spark, tmp_path):
+    """`changefeed_ctl.py create` registers a feed, refuses duplicates and
+    below-safepoint start-ts (via --gc-table-root, Spark-free metadata
+    read), honors --disable-gc-check."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ctl = os.path.join(repo, "jobs", "changefeed_ctl.py")
+    admin = str(tmp_path / "feeds")
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    for e in range(4):
+        ch = spark.createDataFrame(
+            [(f"d{e}", [e], 1, "web", "I", 100 + e * 10, e)],
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, commit_ts long, seq long",
+        )
+        t.merge_epoch(ch, f"e{e}", watermarks={"0": 100 + e * 10})
+    t.expire_versions(keep_last=2)
+    from ticdc_spark.streaming.admin import table_gc_safepoint
+
+    floor = table_gc_safepoint(t)
+
+    def run(*extra):
+        return subprocess.run(
+            [_sys.executable, ctl, "--admin-dir", admin, "create", *extra],
+            capture_output=True, text=True,
+        )
+
+    ok = run("f1", "--start-ts", str(floor), "--target-ts", "99999",
+             "--sink-uri", "kafka://b/topic", "--gc-table-root", t.root)
+    assert ok.returncode == 0, ok.stderr
+    info = json.loads(ok.stdout)
+    assert info["state"] == "normal"
+    assert info["config"]["sink_uri"] == "kafka://b/topic"
+
+    dup = run("f1")
+    assert dup.returncode == 1 and "already exists" in dup.stderr
+
+    old = run("f2", "--start-ts", str(floor - 1), "--gc-table-root", t.root)
+    assert old.returncode == 1 and "GC safepoint" in old.stderr
+
+    forced = run("f2", "--start-ts", str(floor - 1),
+                 "--gc-table-root", t.root, "--disable-gc-check")
+    assert forced.returncode == 0, forced.stderr
