@@ -77,6 +77,8 @@ AUDIT = [
     "events_retention",
     "cdc_hot_keys",
     "cdc_snapshot_diff",
+    "text_nb_auc",
+    "text_nb_calibration",
 ]
 
 
