@@ -2939,8 +2939,8 @@ SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok * 10 <= tot * 3
         + """
 SELECT event_type AS source,
        count(*) AS n_docs,
-       sum(seq % 8 + 1) AS n_tok_sum,
-       sum((seq % 8 + 1) * (seq % 8 + 1)) AS n_tok_sq
+       cast(sum(seq % 8 + 1) AS BIGINT) AS n_tok_sum,
+       cast(sum((seq % 8 + 1) * (seq % 8 + 1)) AS BIGINT) AS n_tok_sq
 FROM ranked WHERE rn = 1 AND op != 'D'
 GROUP BY event_type
 """,
@@ -2986,7 +2986,7 @@ GROUP BY source, status
 WITH feed AS ({FEED_SQL}),
 c AS (
   SELECT doc_id, count(*) AS n_events,
-         sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+         cast(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
   FROM feed GROUP BY doc_id
 ), t AS (SELECT sum(n_events) AS tot FROM c)
 SELECT doc_id, {bucket_sql('doc_id', 16)} AS bucket, n_events, n_deletes,
@@ -3219,10 +3219,10 @@ r AS (
 ),
 o AS (SELECT *, sum(n_tok) OVER (ORDER BY rank) AS cum FROM r)
 SELECT doc_id, rank, n_tok,
-       (cum - n_tok) AS start_off,
-       (cum - n_tok) // 64 AS seq_id,
-       CASE WHEN (cum - n_tok) // 64 != (cum - 1) // 64
-            THEN 1 ELSE 0 END AS spans_boundary
+       cast(cum - n_tok AS BIGINT) AS start_off,
+       cast((cum - n_tok) // 64 AS BIGINT) AS seq_id,
+       cast(CASE WHEN (cum - n_tok) // 64 != (cum - 1) // 64
+            THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
 FROM o
 """,
         "cdc_tokens_final_state": f"""
@@ -3324,7 +3324,7 @@ k AS (
   FROM feed
 )
 SELECT part, rn // 16 AS msg_idx, count(*) AS n_events,
-       8 + sum(8 + klen) AS key_len
+       cast(8 + sum(8 + klen) AS BIGINT) AS key_len
 FROM k
 GROUP BY 1, 2
 """,
@@ -3810,28 +3810,28 @@ FROM documents GROUP BY source
 """,
         "corpus_profile": """
 SELECT 'doc_id' AS col, count(*) AS n_rows,
-       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       cast(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT doc_id) AS n_distinct,
        cast(min(doc_id) AS varchar) AS min_str,
        cast(max(doc_id) AS varchar) AS max_str
 FROM documents
 UNION ALL
 SELECT 'lang' AS col, count(*) AS n_rows,
-       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT lang) AS n_distinct,
        cast(min(lang) AS varchar) AS min_str,
        cast(max(lang) AS varchar) AS max_str
 FROM documents
 UNION ALL
 SELECT 'source' AS col, count(*) AS n_rows,
-       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       cast(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT source) AS n_distinct,
        cast(min(source) AS varchar) AS min_str,
        cast(max(source) AS varchar) AS max_str
 FROM documents
 UNION ALL
 SELECT 'n_chars' AS col, count(*) AS n_rows,
-       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       cast(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT n_chars) AS n_distinct,
        cast(min(n_chars) AS varchar) AS min_str,
        cast(max(n_chars) AS varchar) AS max_str

@@ -565,7 +565,7 @@ WITH t AS (
   SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok
 )
 SELECT doc_id,
-       sum(cnt) AS n_tok,
+       cast(sum(cnt) AS BIGINT) AS n_tok,
        count(*) AS n_distinct,
        round(count(*) * 1.0 / sum(cnt), 6) AS distinct_ratio,
        round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy,

@@ -209,7 +209,8 @@ def bpe_merges_oracle_sql(
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT rank, l AS "left", r AS "right", cnt FROM ({union}) ORDER BY rank
+SELECT cast(rank AS BIGINT) AS rank, l AS "left", r AS "right",
+       cast(cnt AS BIGINT) AS cnt FROM ({union}) ORDER BY rank
 """
     )
 
