@@ -626,7 +626,11 @@ def q_cdc_op_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("commit_ts").asc(), F.col("seq").asc(), op_rank_col().asc()
     )
     return feed.select(
-        "doc_id", "commit_ts", "seq", "op", F.row_number().over(w).alias("apply_rank")
+        "doc_id",
+        "commit_ts",
+        "seq",
+        "op",
+        F.row_number().over(w).cast("long").alias("apply_rank"),
     )
 
 
@@ -3762,7 +3766,7 @@ hits AS (
   GROUP BY doc_id
 )
 SELECT t.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
-       CASE WHEN coalesce(hits.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+       cast(CASE WHEN coalesce(hits.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM t LEFT JOIN hits USING (doc_id) WHERE NOT t.is_eval
 """,
         "tokens_oov_rate": f"""
@@ -3913,17 +3917,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver's correctness gate checks the FIRST ~50
-    # entries in dict order. 53 queries have never had a driver row (> the
-    # window), so the window holds 49 never-checked + cdc_training_order
-    # (the r2 red row, needs a green retest); the 4 never-checked left over
-    # are FAMILY-REDUNDANT picks (a sibling proves the machinery inside the
-    # window: corpus_shuffle ⊂ cdc_training_order/corpus_shards,
-    # dedup_span_trim ⊂ dup_spans, tokens_pack_sequences ⊂ pack/pack_bins
-    # sequences, boilerplate_strip ⊂ chunk dedup) sitting at positions
-    # 51-54 — first in line if the window is wider; all are locally green
-    # under tools/check_oracle.py --twice. See CORRECTNESS_r0{1,2}.json.
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every implemented query, unordered. queries() orders this by the
+    committed driver-coverage artifacts — no hand-maintained window."""
     return {
         # -- never driver-checked / changed this round --
         "text_gopher_rules": q_text_gopher_rules,
@@ -4050,3 +4046,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nll_buckets": q_text_nll_buckets,
         "text_pii": q_text_pii,
     }
+
+
+def _driver_history() -> dict[str, tuple[int, int]]:
+    """Per-query driver-gate history from the committed CORRECTNESS_r*.json
+    artifacts: name -> (last_checked_round, last_green_round), 0 = never.
+    A row is green only when rows+schema+hash all match."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, v in rows.items():
+            if not isinstance(v, dict):
+                continue
+            checked, green = hist.get(name, (0, 0))
+            checked = max(checked, rnd)
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+                green = max(green, rnd)
+            hist[name] = (checked, green)
+    return hist
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver's correctness gate checks the FIRST ~50
+    # entries in dict order. The order is DERIVED from the committed
+    # CORRECTNESS_r*.json artifacts (no hand-maintained window):
+    #   1. never driver-checked queries first,
+    #   2. then checked-but-never-green (red rows needing a retest),
+    #   3. then green queries, oldest green round first (coverage rotates),
+    # ties broken by name for determinism.
+    base = _registry()
+    hist = _driver_history()
+
+    def order_key(name: str):
+        checked, green = hist.get(name, (0, 0))
+        if checked == 0:
+            return (0, 0, name)
+        if green == 0:
+            return (1, checked, name)
+        return (2, green, name)
+
+    return {name: base[name] for name in sorted(base, key=order_key)}

@@ -672,15 +672,15 @@ SELECT doc_id, n_words::BIGINT AS n_words_g,
        round(mean_wl, 6) AS mean_wl_g,
        round(alpha_w * 1.0 / dw, 6) AS alpha_word_frac,
        round(n_req * 1.0, 6) AS n_required_sw,
-       r_word_count::INT AS r_word_count,
-       r_mean_word_len::INT AS r_mean_word_len,
-       r_symbol_ratio::INT AS r_symbol_ratio,
-       r_bullet_lines::INT AS r_bullet_lines,
-       r_ellipsis_lines::INT AS r_ellipsis_lines,
-       r_alpha_words::INT AS r_alpha_words,
-       r_stop_words::INT AS r_stop_words,
+       r_word_count::BIGINT AS r_word_count,
+       r_mean_word_len::BIGINT AS r_mean_word_len,
+       r_symbol_ratio::BIGINT AS r_symbol_ratio,
+       r_bullet_lines::BIGINT AS r_bullet_lines,
+       r_ellipsis_lines::BIGINT AS r_ellipsis_lines,
+       r_alpha_words::BIGINT AS r_alpha_words,
+       r_stop_words::BIGINT AS r_stop_words,
        (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
-        AND r_ellipsis_lines AND r_alpha_words AND r_stop_words)::INT
+        AND r_ellipsis_lines AND r_alpha_words AND r_stop_words)::BIGINT
          AS gopher_keep
 FROM r
 """

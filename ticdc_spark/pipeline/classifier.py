@@ -145,7 +145,7 @@ WITH tk AS (
 )
 SELECT tk.doc_id, count(*) AS n_terms,
        round(sum(model.llr) / count(*), 6) AS nb_llr_mean,
-       (any_value(prior.prior) + sum(model.llr) > 0)::int AS nb_pred
+       (any_value(prior.prior) + sum(model.llr) > 0)::BIGINT AS nb_pred
 FROM tk JOIN model USING (h) CROSS JOIN prior
 GROUP BY tk.doc_id
 """
@@ -319,7 +319,7 @@ r AS (
          count(*) OVER () AS n_total
   FROM scored s JOIN lab l USING (doc_id)
 )
-SELECT (((rank - 1) * {int(n_buckets)}) // n_total)::int AS bucket,
+SELECT (((rank - 1) * {int(n_buckets)}) // n_total)::BIGINT AS bucket,
        count(*)::bigint AS n_docs, sum(pos)::bigint AS n_pos,
        round(sum(pos) * 1.0 / count(*), 6) AS frac_pos,
        round(avg(s), 6) AS mean_score

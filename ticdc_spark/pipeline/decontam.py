@@ -575,7 +575,7 @@ h AS (
 )
 SELECT tr.doc_id,
        coalesce(h.n_hit_grams, 0) AS n_hit_grams,
-       CASE WHEN coalesce(h.n_hit_grams, 0) > 0 THEN 1 ELSE 0 END
+       (CASE WHEN coalesce(h.n_hit_grams, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
          AS contaminated
 FROM tr LEFT JOIN h USING (doc_id)
 """

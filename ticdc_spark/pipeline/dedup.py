@@ -857,7 +857,7 @@ SELECT t.doc_id,
        CASE WHEN (CASE WHEN coalesce(nw.n_windows, 0) > 0
                        THEN round(coalesce(nd.n_dup_windows, 0) * 1.0 / nw.n_windows, 6)
                        ELSE 0.0 END) > {frac_threshold}
-            THEN 1 ELSE 0 END AS flagged
+            THEN 1 ELSE 0 END::BIGINT AS flagged
 FROM t
 LEFT JOIN nw USING (doc_id)
 LEFT JOIN nd USING (doc_id)
