@@ -133,10 +133,12 @@ def attach_old_images(table: LakeTable, ready: DataFrame, pre_version: int) -> D
     """Attach old_<col>/had_old to every emitted event (enable-old-value).
     In-batch pre-images come from the apply-order lag window (operators.
     lww.with_old_image); each key's FIRST in-batch event takes its image
-    from the pre-batch snapshot instead, read bucket-pruned to the batch's
-    touched buckets (read_version_raw) — the lake-side analog of TiKV
-    handing TiCDC the old value with the write. A key absent from the
-    snapshot (true insert) keeps had_old = false.
+    from the pre-batch snapshot instead, read KEY-pruned to the batch's key
+    set (read_version_for_keys: per-file min/max + key-bloom sidecar file
+    skipping, semi-join before the collapse — read volume and collapse
+    shuffle ∝ the batch's keys, never touched-bucket size) — the lake-side
+    analog of TiKV handing TiCDC the old value with the write. A key absent
+    from the snapshot (true insert) keeps had_old = false.
 
     Requires the resolved-ts arrival contract (no events at or below the
     released frontier): reconstruction is sequence-sensitive, so
@@ -149,17 +151,34 @@ def attach_old_images(table: LakeTable, ready: DataFrame, pre_version: int) -> D
 
     key = table.key_col
     payload = [f["name"] for f in table.current_fields if f["name"] != key]
-    # touched buckets from the PRE-window plan: this distinct is its own
-    # job, and running it before with_old_image keeps the lag-window
-    # shuffle out of it (bucket id only needs the key column)
-    bids = [
-        r["b"]
-        for r in ready.select(table._bucket_expr(key).alias("b"))
-        .distinct()
-        .collect()
-    ]
+    # adaptive pre-image read. The key-pruned path (per-file key blooms +
+    # pre-collapse semi-join, read_version_for_keys) wins when the batch
+    # touches a small fraction of the snapshot — the 10^10-scale design
+    # point where change volume ≪ corpus: read volume and collapse shuffle
+    # become ∝ the batch's keys. A bulk batch touching most keys (backfill,
+    # the replay bench) would pay probe+broadcast overhead for no pruning,
+    # so it keeps the r3 bucket-pruned shape. ONE pre-window aggregation
+    # job prices the gate AND the bucket list (same cost as the r3
+    # touched-bucket distinct): events ≥ keys, so events*4 < snapshot rows
+    # guarantees the batch is genuinely sparse; the sparse branch's extra
+    # key-distinct is then ∝ the (small) batch by construction.
+    per_bucket = (
+        ready.groupBy(table._bucket_expr(key).alias("b")).count().collect()
+    )
+    n_events = sum(r["count"] for r in per_bucket)
+    pre_rows = table.version_rows(pre_version)
+    sparse = pre_rows is not None and n_events * 4 < pre_rows
+    if sparse:
+        # one distinct, localCheckpointed so the file-prune probe job and
+        # the semi-join read one materialization; the driver sees O(files)
+        # pruned indexes, never keys
+        keys_df = ready.select(F.col(key)).distinct().localCheckpoint(eager=True)
     ready = with_old_image(ready, payload, mark_first=True)
-    old = table.read_version_raw(pre_version, buckets=bids)
+    old = (
+        table.read_version_for_keys(pre_version, keys_df)
+        if sparse
+        else table.read_version_raw(pre_version, buckets=[r["b"] for r in per_bucket])
+    )
     # a batch DDL may have added columns the snapshot predates — their
     # pre-image is NULL by construction
     avail = [c for c in payload if c in old.columns]
@@ -314,6 +333,10 @@ class ChangeFeed:
                 "mq_old_value supports protocols: open, maxwell, canal-json"
             )
         self.mq_old_value = mq_old_value
+        if mq_old_value:
+            # pre-image reads are key-pruned via per-file key blooms; turn
+            # the sidecar on so every commit this feed makes is prunable
+            table.set_key_blooms(True)
         # MQ message framing: "row" = one message per event (the unframed
         # logical view); "sized" = the reference's ACTUAL kafka wire form —
         # open-protocol batch messages split greedily at max-batch-size

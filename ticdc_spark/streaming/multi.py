@@ -137,6 +137,10 @@ class MultiTableChangeFeed:
                 "mq_old_value supports protocols: open, maxwell, canal-json"
             )
         self.mq_old_value = mq_old_value
+        if mq_old_value:
+            # key-bloom sidecars make every table's pre-image reads prunable
+            for t in self.tables.values():
+                t.set_key_blooms(True)
         # batch-framed wire form (see ChangeFeed): one partition's frames
         # interleave every table's events; consumers unframe then route
         if mq_framing not in ("row", "sized"):
@@ -380,6 +384,8 @@ class MultiTableChangeFeed:
                             n_buckets=int(spec.get("n_buckets", 16)),
                             key_col=spec.get("key", "doc_id"),
                         )
+                    if self.mq_old_value:
+                        t.set_key_blooms(True)
                     self.tables[name] = t
                     # DML at commit_ts == create finished-ts decodes against
                     # the pre-create snapshot (no table) — excluded by the
