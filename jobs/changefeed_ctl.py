@@ -187,6 +187,15 @@ def main() -> int:
         if n_files == 0:
             print(f"no parquet files under {args.binlog!r}", file=sys.stderr)
             return 1
+        if mx is None:
+            # files exist but none carries commit_ts column statistics —
+            # the query is unanswerable; an explicit error, not {"tso":null}
+            print(
+                f"no commit_ts statistics in any parquet file under "
+                f"{args.binlog!r}",
+                file=sys.stderr,
+            )
+            return 1
         print(json.dumps(
             {"tso": mx, "n_files": n_files, "n_events": n_rows}, sort_keys=True
         ))
@@ -224,13 +233,35 @@ def main() -> int:
     try:
         if args.cmd == "create":
             changes = {}
+            # keys with dedicated flags/positional args must not ride in
+            # via --set: splatting them into reg.create(start_ts=..., **)
+            # would raise a bare TypeError (cmd/client_changefeed.go parses
+            # these from dedicated flags for the same reason)
+            reserved = {"start_ts", "gc_tables", "gc_safepoint_ts",
+                        "check_gc_safe_point", "target_ts", "sink_uri"}
             for kv in args.set:
                 k, _, v = kv.partition("=")
+                if k in reserved:
+                    print(
+                        f"--set {k}=... is not allowed: use the dedicated "
+                        f"--{k.replace('_', '-')} flag",
+                        file=sys.stderr,
+                    )
+                    return 1
                 try:
                     changes[k] = json.loads(v)
                 except ValueError:
                     changes[k] = v
             if args.target_ts is not None:
+                # verifyTargetTs (cmd/client_changefeed.go): a feed whose
+                # end precedes its start can never replicate anything
+                if args.start_ts is not None and args.target_ts <= args.start_ts:
+                    print(
+                        f"target-ts {args.target_ts} must be > start-ts "
+                        f"{args.start_ts}",
+                        file=sys.stderr,
+                    )
+                    return 1
                 changes["target_ts"] = args.target_ts
             if args.sink_uri is not None:
                 changes["sink_uri"] = args.sink_uri

@@ -5,8 +5,12 @@ The reference ecosystem gates every integration test on sync_diff_inspector
 gate as an operator-facing job over two lake-table roots: per-dispatch-bucket
 (count, XOR-of-row-hash, bounded-sum) signatures on both sides — ONE
 map-side-combined column-pruned scan per side, an N-row join — then optional
-key-level drill-down restricted to the divergent buckets (bucket-pruned
-reads; drill-down IO ∝ divergence, never table size).
+key-level drill-down restricted to the divergent buckets. When both sides
+share a key-bucketed layout (the normal replication pair), signature buckets
+ARE the physical dispatch buckets and the drill-down is a manifest-pruned
+read of only the flagged buckets' files: IO ∝ divergence, never table size.
+Mismatched layouts fall back to h60 signature buckets whose drill-down scans
+both tables (drilldown_pruned=false in the output).
 
     python jobs/run_syncdiff.py --left /lake/a --right /lake/b
     python jobs/run_syncdiff.py --left A --right B --drilldown --limit 20
@@ -26,19 +30,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _canonical_cols(table):
-    """Canonical string rendering of every replicated column, derived from
-    the table's own schema (arrays CSV-joined, everything else cast to
-    string) — both sides must share the schema for the diff to be
-    meaningful, which is checked before scanning."""
+    """UNAMBIGUOUS string rendering of every replicated column, derived
+    from the table's own schema — both sides must share the schema for the
+    diff to be meaningful, which is checked before scanning.
+
+    Unambiguous matters: row_signature joins these with '|', and concat_ws
+    silently drops NULLs, so without encoding {a:'x', b:NULL} and
+    {a:NULL, b:'x'} (or NULL vs '', or values containing '|') would
+    serialize identically and a divergent downstream could report
+    match=true. sync_diff_inspector encodes NULLs explicitly; so do we:
+    NULL → '\\N' (after escaping, a real value can never render as '\\N'),
+    '\\' → '\\\\' and '|' → '\\|' inside values so the separator cannot be
+    forged. Arrays render element-joined then escape as one value; a NULL
+    array is '\\N' (distinct from the empty array's '')."""
     from pyspark.sql import functions as F
 
+    def esc(col):
+        col = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+        return F.replace(col, F.lit("|"), F.lit("\\|"))
+
+    null = F.lit("\\N")
     cols = []
     for f in table.current_fields:
         c = F.col(f["name"])
         if f["type"].startswith("array"):
-            cols.append(F.concat_ws(",", c.cast("array<string>")))
+            rendered = F.concat_ws(",", c.cast("array<string>"))
         else:
-            cols.append(c.cast("string"))
+            rendered = c.cast("string")
+        cols.append(F.when(c.isNull(), null).otherwise(esc(rendered)))
     return cols
 
 
@@ -76,31 +95,57 @@ def main() -> int:
 
     cols = _canonical_cols(lt)
     key = lt.key_col
+    # signature buckets = the tables' PHYSICAL dispatch buckets when both
+    # sides share a key-bucketed layout: a flagged bucket is then a lake
+    # bucket, so the drill-down reads ONLY its files (manifest pruning —
+    # IO ∝ divergent buckets). Mismatched layouts fall back to h60
+    # signature buckets, whose drill-down must scan both tables
+    # (reported as drilldown_pruned=false).
+    pruned = (
+        lt.n_buckets == rt.n_buckets
+        and lt.bucket_col == lt.key_col
+        and rt.bucket_col == rt.key_col
+    )
+    n_buckets = lt.n_buckets if pruned else args.buckets
+    bucket_expr = lt._bucket_expr(key) if pruned else None
     div = checksum_diff(
-        lt.read(), rt.read(), key, cols, n_buckets=args.buckets
+        lt.read(), rt.read(), key, cols, n_buckets=n_buckets, bucket=bucket_expr
     ).collect()
-    out["n_buckets"] = args.buckets
+    out["n_buckets"] = n_buckets
+    out["drilldown_pruned"] = pruned
     out["divergent_buckets"] = sorted(int(r["bucket"]) for r in div)
     out["match"] = not div
 
     if div and args.drilldown:
         # drill into flagged buckets only: per-key signatures, full-outer
-        # anti-match — reads are restricted by the bucket predicate, which
-        # prunes to the flagged buckets' files on the lake layout
+        # anti-match
         from ticdc_spark.functions.hashing import h60
+        from ticdc_spark.model import SYS_DELETED
 
         flagged = [int(r["bucket"]) for r in div]
         sig = row_signature(cols)
 
-        def keyed(df):
-            return df.select(
-                F.col(key), (h60(key) % F.lit(args.buckets)).alias("b"), sig.alias("s")
-            ).filter(F.col("b").isin(flagged))
+        if pruned:
+            def keyed(t):
+                # manifest-pruned read of ONLY the flagged buckets' files
+                live = t.read_raw(buckets=flagged).filter(~F.col(SYS_DELETED))
+                return live.select(F.col(key), sig.alias("s"))
+        else:
+            def keyed(t):
+                return (
+                    t.read()
+                    .select(
+                        F.col(key),
+                        (h60(key) % F.lit(n_buckets)).alias("b"),
+                        sig.alias("s"),
+                    )
+                    .filter(F.col("b").isin(flagged))
+                )
 
-        a = keyed(lt.read()).select(
+        a = keyed(lt).select(
             F.col(key).alias("_lk"), F.col("s").alias("_ls")
         )
-        b = keyed(rt.read()).select(
+        b = keyed(rt).select(
             F.col(key).alias("_rk"), F.col("s").alias("_rs")
         )
         j = a.join(b, a["_lk"] == b["_rk"], "full_outer")

@@ -46,15 +46,23 @@ def state_checksum(
     key_col: str,
     cols: list[str | Column],
     n_buckets: int = 64,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Per-bucket (cnt, xor_sig, sum_sig) of the canonical row serialization.
     `cols` must include every replicated column in a canonical rendering
     (arrays joined, floats fixed-point) — the caller owns canonicalization
-    so both sides render identically."""
+    so both sides render identically.
+
+    bucket: optional bucket-id expression overriding the default
+    h60(key) % n_buckets. Passing the table's PHYSICAL dispatch-bucket
+    expression makes a flagged signature bucket identical to a lake bucket,
+    so a drill-down read of flagged buckets file-prunes (run_syncdiff);
+    the default stays h60 for oracle (DuckDB-twin) parity."""
     sig = row_signature(cols)
+    b = bucket if bucket is not None else (h60(key_col) % F.lit(n_buckets))
     return (
         df.select(
-            (h60(key_col) % F.lit(n_buckets)).alias("bucket"),
+            b.alias("bucket"),
             sig.alias("_sig"),
         )
         .groupBy("bucket")
@@ -72,12 +80,13 @@ def checksum_diff(
     key_col: str,
     cols: list[str | Column],
     n_buckets: int = 64,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Buckets where the two sides disagree — empty ⟺ consistent (at
     signature strength). Full outer join over ≤ n_buckets rows: a bucket
     present on one side only shows the other side's counts as 0."""
-    a = state_checksum(left, key_col, cols, n_buckets)
-    b = state_checksum(right, key_col, cols, n_buckets)
+    a = state_checksum(left, key_col, cols, n_buckets, bucket=bucket)
+    b = state_checksum(right, key_col, cols, n_buckets, bucket=bucket)
     sel = ["cnt", "xor_sig", "sum_sig"]
     a = a.select("bucket", *[F.col(c).alias(f"l_{c}") for c in sel])
     b = b.select("bucket", *[F.col(c).alias(f"r_{c}") for c in sel])

@@ -210,8 +210,12 @@ def nb_eval_auc(
         F.sum("p").cast("long").alias("n_pos"),
         F.sum("n").cast("long").alias("n_neg"),
         F.count("*").cast("long").alias("n_scores"),
-        F.round(
-            F.sum("w") / (F.sum("p") * F.sum("n")).cast("double"), 6
+        # single-class sample (no positives or no negatives): AUC is
+        # undefined — explicit NULL, mirrored in nb_eval_auc_sql so the
+        # oracle parity check cannot flake on degenerate pos_sources
+        F.when(
+            (F.sum("p") > 0) & (F.sum("n") > 0),
+            F.round(F.sum("w") / (F.sum("p") * F.sum("n")).cast("double"), 6),
         ).alias("auc"),
     )
 
@@ -244,7 +248,9 @@ cum AS (
 )
 SELECT sum(p)::bigint AS n_pos, sum(n)::bigint AS n_neg,
        count(*)::bigint AS n_scores,
-       round(sum(p * (below + n / 2.0)) / (sum(p) * sum(n)), 6) AS auc
+       CASE WHEN sum(p) > 0 AND sum(n) > 0
+            THEN round(sum(p * (below + n / 2.0)) / (sum(p) * sum(n)), 6)
+            END AS auc
 FROM cum
 """
 
