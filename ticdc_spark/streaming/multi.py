@@ -591,9 +591,15 @@ class MultiTableChangeFeed:
             # late check + data-DDL gating below, not by regressing the
             # global frontier (which would un-release released prefixes).
             # A universe part retired by EVERY table has left the stream —
-            # it must not re-pin the union at -1.
+            # it must not re-pin the union at -1. A STOPPED (moved-away)
+            # table contributes nothing: its slice is already bounded by
+            # stop_ts, and its post-stop spans (e.g. split children the
+            # TARGET owns) would otherwise enter the universe at the stop
+            # cap and wedge this capture's frontier there forever.
             u: dict[int, int] = {}
-            for m in maps.values():
+            for name, m in maps.items():
+                if name in self.stop_ts:
+                    continue
                 for p, v in m.items():
                     u[p] = max(u.get(p, -1), v)
             for p_ in range(self.n_parts or 0):
@@ -706,6 +712,14 @@ class MultiTableChangeFeed:
                     .collect()
                     if r["table"] in _known  # another capture's tables'
                     # topology is not this feed's business
+                    # a stopped (moved-away) table's post-stop topology
+                    # belongs to the TARGET capture's pipeline — applying
+                    # it here would commit to a manifest the target now
+                    # owns (the handoff race move_table used to forbid)
+                    and not (
+                        r["table"] in self.stop_ts
+                        and int(r["commit_ts"]) > int(self.stop_ts[r["table"]])
+                    )
                 ),
                 key=lambda r: (int(r["commit_ts"]), int(r["seq"])),
             )

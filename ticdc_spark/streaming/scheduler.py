@@ -206,13 +206,20 @@ class TableScheduler:
         src, dst = self.captures[src_id], self.captures[dst_id]
         if table not in src.tables or table in src.stop_ts:
             raise ValueError(f"{table!r} is not live on capture {src_id!r}")
-        if getattr(src, "dynamic_spans", False) or getattr(
+        if getattr(src, "dynamic_spans", False) != getattr(
             dst, "dynamic_spans", False
         ):
+            # dynamic→dynamic is safe since r4: the source skips a stopped
+            # table's post-stop topology (multi._process topo filter), so it
+            # never commits to a manifest the target owns — the race that
+            # used to forbid this entirely. A MIXED pair stays invalid: a
+            # static target would fail loudly on the first S/M row, and a
+            # static source can't have produced a span map the dynamic
+            # target expects to extend.
             raise ValueError(
-                "move_table across dynamic-span (split/merge) captures is "
-                "not supported: a retirement committed by the source after "
-                "the handoff clamp would race the target's span map"
+                "move_table needs matching span modes on both captures "
+                "(dynamic_spans must be equal); a mixed pair cannot hand "
+                "off a split/merge span universe"
             )
         if table in dst.tables:
             raise ValueError(f"{table!r} already on capture {dst_id!r}")
@@ -307,6 +314,37 @@ class TableScheduler:
         # a mid-loop refusal after some adopts committed would leave the
         # remaining orphans tracked nowhere (capture popped, no job record)
         planned = []
+        topo_ts: dict[str, list[int]] = {}
+        if getattr(dead, "dynamic_spans", False) and orphans:
+            # span mode must survive the adoption: a static target would
+            # fail loudly only when the NEXT topology row arrives — refuse
+            # up front instead
+            for dst_id in sorted(placed):
+                if placed[dst_id] and not getattr(
+                    self.captures[dst_id], "dynamic_spans", False
+                ):
+                    self.captures[dead_id] = dead
+                    raise ValueError(
+                        f"capture {dst_id!r} is static-span; adopting a "
+                        "dynamic-span table needs dynamic_spans=True"
+                    )
+            # topology rows in an orphan's catch-up range are unrecoverable:
+            # the dead capture never applied them (they're above its
+            # durable frontier) and the target's stream already released
+            # past them for a then-unassigned table — the flat catch-up
+            # scan applies data only. One column-pruned scan finds them.
+            from pyspark.sql import functions as F
+
+            any_dst = self.captures[sorted(placed)[0]]
+            rows = (
+                any_dst.spark.read.schema(any_dst._stream_schema())
+                .parquet(any_dst.binlog_dir)
+                .filter(F.col("op").isin(["S", "M"]) & F.col("table").isin(orphans))
+                .select("table", "commit_ts")
+                .collect()
+            )
+            for r in rows:
+                topo_ts.setdefault(r["table"], []).append(int(r["commit_ts"]))
         for dst_id, tables in sorted(placed.items()):
             dst = self.captures[dst_id]
             for t in tables:
@@ -330,6 +368,14 @@ class TableScheduler:
                         f"table {t!r} has a DDL barrier inside the catch-up "
                         f"range ({boundary}, {catchup_to}] — replay it "
                         "through a feed instead"
+                    )
+                if any(boundary < ts <= catchup_to for ts in topo_ts.get(t, [])):
+                    self.captures[dead_id] = dead
+                    raise ValueError(
+                        f"table {t!r} has a span split/merge inside the "
+                        f"catch-up range ({boundary}, {catchup_to}] — the "
+                        "flat scan cannot rebuild the span universe; "
+                        "replay it through a feed instead"
                     )
                 planned.append((dst_id, t, root, boundary, catchup_to))
         # pass 2 — execute (each job persisted before its catch-up, so a
@@ -399,6 +445,27 @@ class TableScheduler:
         already in force (the reference guards the add on the flushed
         checkpoint, changefeed.go:558-565). Phase 2 (deleted→finished) adds
         the table to the target at the same boundary."""
+        # resume leftover phase-2s BEFORE draining: a job crashed between
+        # phases has its boundary persisted, and files that arrived during
+        # the outage must meet the target with the table ALREADY assigned —
+        # draining first would release (and drop) the moved table's rows
+        # and topology while it is still nobody's business. The normal
+        # same-tick two-phase flow is unaffected (those jobs are ST_NONE
+        # here and execute after the drain at aligned frontiers).
+        for job in self.jobs:
+            if job["status"] == ST_DELETED and job["to"] in self.captures:
+                dst = self.captures[job["to"]]
+                if job.get("kind") == "adopt":
+                    self._finish_adopt(job, dst)
+                else:
+                    if job["table"] not in dst.tables:
+                        dst.add_table(
+                            job["table"],
+                            LakeTable(dst.spark, job["root"]),
+                            boundary_ts=job["boundary"],
+                        )
+                    job["status"] = ST_FINISHED
+                    self._save()
         summaries = {
             cid: cf.run_available() for cid, cf in sorted(self.captures.items())
         }
