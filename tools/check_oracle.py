@@ -49,6 +49,27 @@ def compare(name, spark_pdf, duck_pdf):
     if sc != dc:
         errs.append(f"columns spark={sc} duck={dc}")
         return errs
+    # RAW dtype-class parity BEFORE normalization: the driver hashes a less
+    # normalized representation than we do, so float64-vs-int64 (e.g. DuckDB
+    # sum(BIGINT)->HUGEINT->float64) hash-mismatches there even when values
+    # are numerically equal — the r3 red-row class. Int-width skew (int32 vs
+    # int64) is tolerated by the driver; a float/int CLASS split is not.
+    def _cls(dt):
+        s = str(dt)
+        if s.startswith("float"):
+            return "float"
+        if s.startswith(("int", "uint", "Int")) or s == "bool" or s == "boolean":
+            return "int"
+        return "other"
+
+    for c in sc:
+        a, b = _cls(spark_pdf[c].dtype), _cls(duck_pdf[c].dtype)
+        if a != b:
+            errs.append(
+                f"col {c}: raw dtype class spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} — driver hash would diverge; "
+                "CAST the oracle (or the Spark column) to align"
+            )
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:
