@@ -329,3 +329,141 @@ def test_mixed_span_mode_move_rejected(spark, tmp_path):
     sched.tick()
     with pytest.raises(ValueError, match="matching span modes"):
         sched.move_table("tb", "c1", "c2")
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_randomized_scheduler_topology_soak(spark, tmp_path, seed):
+    """Randomized soak over the full composition surface: waves of data +
+    heartbeats interleaved with random splits, random table moves between
+    two dynamic-span captures, and random owner crash-rebuilds (fresh
+    capture objects over the same checkpoints + scheduler state). Invariant
+    after the final wave: every table's lake state equals the sequential
+    LWW oracle of everything released — regardless of which capture applied
+    which slice or when the owner restarted."""
+    import random
+
+    rng = random.Random(seed)
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    names = ("ta", "tb", "tc")
+    _mk_tables(spark, tmp_path, names=names)
+
+    # per-table mirror of the span universe; data rows accumulated per table
+    live = {t: {0: True, 1: True} for t in names}
+    next_child = {t: 10 for t in names}
+    all_rows: dict[str, list] = {t: [] for t in names}
+    seq = 0
+    assign = {"ta": "c1", "tb": "c1", "tc": "c2"}
+
+    def mk_captures():
+        c1 = _feed(spark, tmp_path, [t for t, c in assign.items() if c == "c1"], "ck1")
+        c2 = _feed(spark, tmp_path, [t for t, c in assign.items() if c == "c2"], "ck2")
+        return {"c1": c1, "c2": c2}
+
+    sched = TableScheduler(mk_captures(), str(tmp_path / "sched.json"))
+    hb = 0
+    for wave in range(6):
+        base = 1000 * (wave + 1)
+        # maybe split one live span of one table (ts before this wave's data)
+        if rng.random() < 0.5:
+            t = rng.choice(names)
+            parent = rng.choice([p for p, ok in live[t].items() if ok])
+            c1_, c2_ = next_child[t], next_child[t] + 1
+            next_child[t] += 2
+            write_topology_events(
+                binlog, [("S", parent, [c1_, c2_], base + 5)], table=t,
+                fname=f"topo-{t}-{wave}.parquet",
+            )
+            live[t][parent] = False
+            live[t][c1_] = live[t][c2_] = True
+        # data on live spans
+        for t in names:
+            rows = []
+            for _ in range(rng.randrange(3, 9)):
+                seq += 1
+                op = rng.choice(["I", "I", "U", "D"])
+                doc = f"{t}_d{rng.randrange(0, 25)}"
+                toks = [rng.randrange(0, 9)] if op != "D" else None
+                p = rng.choice([p for p, ok in live[t].items() if ok])
+                rows.append(
+                    (base + 10 + rng.randrange(0, 200), seq, op, doc, toks, p)
+                )
+            if rows:
+                tbl = _write_data_rows_soak(binlog, rows, f"{t}-w{wave}.parquet", t)
+                all_rows[t].append(tbl)
+        # heartbeats pin this wave's frontier for every live span
+        hb = base + 400
+        for t in names:
+            write_resolved_events(
+                binlog,
+                {p: hb for p, ok in live[t].items() if ok},
+                table=t, fname=f"hb-{t}-{wave}.parquet",
+            )
+        s = sched.tick()
+        vals = [summ[-1]["resolved_ts"] for summ in s.values() if summ]
+        if vals:
+            last_res = max(vals)
+        # random move of a live table between captures. A move right
+        # after a crash-rebuild legitimately DEFERS (fresh captures have
+        # no resolved frontier yet) — the job stays queued and a later
+        # tick executes it, so the assignment mirror is derived from the
+        # scheduler's own job log, never assumed.
+        pending = {
+            j["table"] for j in sched.jobs if j["status"] != "finished"
+        }
+        if rng.random() < 0.5:
+            t = rng.choice([n for n in names if n not in pending] or names)
+            if t not in pending:
+                src = assign[t]
+                dst = "c2" if src == "c1" else "c1"
+                try:
+                    sched.move_table(t, src, dst)
+                except ValueError:
+                    pass  # stopped on src from a prior move this run
+                else:
+                    sched.tick()
+
+        def sync_assign():
+            for j in sched.jobs:
+                if j.get("kind") != "adopt" and j["status"] == "finished"                         and "note" not in j:
+                    assign[j["table"]] = j["to"]
+
+        sync_assign()
+        # random owner crash: rebuild captures + scheduler from disk
+        if rng.random() < 0.4:
+            sched = TableScheduler(mk_captures(), str(tmp_path / "sched.json"))
+            sync_assign()
+
+    s = sched.tick()
+    vals = [summ[-1]["resolved_ts"] for summ in s.values() if summ]
+    final = max(vals) if vals else last_res
+    assert final == hb
+    for t in names:
+        exp = apply_binlog(pa.concat_tables(all_rows[t]), upto_ts=final)
+        got = _lake_arrow(LakeTable(spark, str(tmp_path / t)))
+        assert not diff_tables(exp, got), (t, seed)
+
+
+def _write_data_rows_soak(out_dir, rows, fname, table):
+    # deletes carry no payload (D rows: tokens None)
+    cols = {
+        "commit_ts": pa.array([r[0] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "table": pa.array([table] * len(rows), pa.string()),
+        "op": pa.array([r[2] for r in rows], pa.string()),
+        "doc_id": pa.array([r[3] for r in rows], pa.string()),
+        "tokens": pa.array(
+            [r[4] for r in rows], pa.list_(pa.int32())
+        ),
+        "n_tok": pa.array(
+            [None if r[4] is None else len(r[4]) for r in rows], pa.int32()
+        ),
+        "source": pa.array(
+            [None if r[4] is None else "web" for r in rows], pa.string()
+        ),
+        "part": pa.array([r[5] for r in rows], pa.int32()),
+        "schema_version": pa.array([0] * len(rows), pa.int32()),
+    }
+    tbl = pa.table(cols)
+    pq.write_table(tbl, os.path.join(out_dir, fname))
+    return tbl

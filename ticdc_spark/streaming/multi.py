@@ -930,6 +930,22 @@ class MultiTableChangeFeed:
                 ),
                 default=None,
             )
+            if name in self.stop_ts:
+                # a stopped (moved-away) table whose batch rows all sit
+                # ABOVE stop_ts has a provably-empty slice set — and an
+                # "empty" merge would still bump the manifest version FROM
+                # THIS CAPTURE'S STALE COPY, clobbering the target
+                # capture's commits (both captures hold LakeTable objects
+                # on one root after a move; the last committer in a tick
+                # wins the CURRENT swap). Skip outright when empty…
+                if lo_evt is not None and lo_evt > int(self.stop_ts[name]):
+                    lo_evt = None
+                # …and for a legitimate ≤stop commit (crash-replayed
+                # redelivery), rebase on the CURRENT manifest first: the
+                # target may have committed since this capture's copy
+                # loaded, and epoch idempotence survives a refresh (the
+                # fresh manifest's committed_epochs is a superset)
+                table.refresh()
             committed_any = False
             for k, (slo, shi) in enumerate(slices):
                 provably_empty = (
@@ -1052,6 +1068,10 @@ class MultiTableChangeFeed:
                 # ahead of what it actually streamed
                 cap = int(self.stop_ts[name])
                 m = {p: min(int(v), cap) for p, v in m.items()}
+                # rebase on the CURRENT manifest: the target capture owns
+                # this table now — advancing from this capture's stale copy
+                # would clobber the target's commits at the CURRENT swap
+                t.refresh()
             cur = t.part_watermarks
             if any(int(v) > int(cur.get(str(p), -1)) for p, v in m.items()):
                 t.advance_watermarks(
