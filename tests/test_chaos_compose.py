@@ -79,7 +79,8 @@ def _feed(spark, tmp_path, tables, ck, **kw):
     return MultiTableChangeFeed(
         {n: LakeTable(spark, str(tmp_path / n)) for n in tables},
         str(tmp_path / "binlog"), str(tmp_path / ck),
-        n_parts=2, dynamic_spans=True, max_files_per_trigger=10, **kw,
+        n_parts=2, dynamic_spans=True, max_files_per_trigger=10,
+        spark=spark, **kw,
     )
 
 
@@ -331,7 +332,7 @@ def test_mixed_span_mode_move_rejected(spark, tmp_path):
         sched.move_table("tb", "c1", "c2")
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [4, 5, 7, 23])
 def test_randomized_scheduler_topology_soak(spark, tmp_path, seed):
     """Randomized soak over the full composition surface: waves of data +
     heartbeats interleaved with random splits, random table moves between

@@ -56,6 +56,7 @@ class MultiTableChangeFeed:
         table_root: str | None = None,
         n_parts: int | None = None,
         dynamic_spans: bool = False,
+        spark=None,
     ):
         """ddl_rows: the changefeed's single DDL stream, routed to tables by
         the `table` field (the owner's ddlJobHistory, cdc/changefeed.go:
@@ -89,10 +90,14 @@ class MultiTableChangeFeed:
         cannot carry two names/types, so widen/rename need raw).
         mode="raw": payload is a JSON string decoded per (table, version)
         by the mounter — every DDL kind supported."""
-        if not tables:
-            raise ValueError("need at least one table")
+        if not tables and spark is None:
+            # an EMPTY capture is a legal cluster member (the reference's
+            # idle capture waiting for the owner to assign tables) — but it
+            # needs an explicit SparkSession since there is no table to
+            # borrow one from
+            raise ValueError("need at least one table (or spark= for an empty capture)")
         self.tables = dict(tables)
-        self.spark = next(iter(tables.values())).spark
+        self.spark = spark if spark is not None else next(iter(tables.values())).spark
         self.binlog_dir = binlog_dir
         self.checkpoint_dir = checkpoint_dir
         self.pending_dir = os.path.join(checkpoint_dir, "pending")
@@ -347,6 +352,11 @@ class MultiTableChangeFeed:
 
         self.tables[name] = table
         self.boundaries[name] = boundary_ts
+        # a table that previously moved AWAY from this capture and now
+        # moves BACK is live again — a stale stop_ts would silently drop
+        # every event above the old stop forever (found by the randomized
+        # scheduler soak: move ping-pong lost all post-return data)
+        self.stop_ts.pop(name, None)
         # seed from the CURRENT schema, not the base version: a moved or
         # adopted table may have evolved (add_column …) before arriving —
         # seeding schemas["0"] would leave the feed's union stream schema
@@ -597,14 +607,20 @@ class MultiTableChangeFeed:
             # TARGET owns) would otherwise enter the universe at the stop
             # cap and wedge this capture's frontier there forever.
             u: dict[int, int] = {}
-            for name, m in maps.items():
-                if name in self.stop_ts:
-                    continue
-                for p, v in m.items():
+            live_tables = [n for n in maps if n not in self.stop_ts]
+            for name in live_tables:
+                for p, v in maps[name].items():
                     u[p] = max(u.get(p, -1), v)
+            # the static-universe backstop must also ignore stopped tables:
+            # a live table that retired part p (split/merge) must not have
+            # p re-pinned at -1 just because a STOPPED sibling never
+            # retired it — the sibling contributes nothing to the fold, so
+            # it cannot be the reason a part stays demanded (seed-5 soak:
+            # tb's post-split frontier wedged at -1 the first tick after
+            # ta moved away)
             for p_ in range(self.n_parts or 0):
-                if self.tables and all(
-                    p_ in retired_pos.get(n, {}) for n in self.tables
+                if live_tables and all(
+                    p_ in retired_pos.get(n, {}) for n in live_tables
                 ):
                     continue
                 u.setdefault(p_, -1)
@@ -1272,6 +1288,10 @@ class MultiTableChangeFeed:
         """Drain available binlog files. A feed whose admin state is not
         ``normal`` processes nothing (see ChangeFeed.run_available)."""
         self._stop_reason = None
+        if not self.tables and not self.create_specs:
+            # idle (empty) capture: consume NOTHING — the checkpoint must
+            # not advance past files a future add_table needs to stream
+            return self.batch_summaries
         if self.admin is not None and self.admin_feed:
             from .admin import STATE_NORMAL
 

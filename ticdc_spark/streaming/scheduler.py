@@ -172,12 +172,21 @@ class TableScheduler:
                     src.remove_table(job["table"], job["boundary"])
             if job["status"] == ST_FINISHED:
                 dst = self.captures.get(job["to"])
-                if dst is not None and job["table"] not in dst.tables:
-                    dst.add_table(
-                        job["table"],
-                        LakeTable(dst.spark, job["root"]),
-                        boundary_ts=job["boundary"],
-                    )
+                if dst is not None:
+                    if job["table"] not in dst.tables:
+                        dst.add_table(
+                            job["table"],
+                            LakeTable(dst.spark, job["root"]),
+                            boundary_ts=job["boundary"],
+                        )
+                    else:
+                        # ping-pong history (A→B then B→A): this job's
+                        # replay runs AFTER the earlier job stopped the
+                        # table on A — re-assert liveness on the final
+                        # owner or the table stays silently stopped and
+                        # drops everything above the stale stop forever
+                        dst.stop_ts.pop(job["table"], None)
+                        dst.boundaries[job["table"]] = job["boundary"]
         # persist the (possibly re-applied) assignment immediately so the
         # capture/processor CLI sees a registered capture before its first
         # tick — the reference registers captures in etcd at startup, not
@@ -223,10 +232,11 @@ class TableScheduler:
             )
         if table in dst.tables:
             raise ValueError(f"{table!r} already on capture {dst_id!r}")
-        if src.mode == "typed":
+        if src.mode == "typed" and dst.tables:
             # the target's typed stream schema must already cover the moved
             # table's payload columns (see module docstring); raw mode needs
-            # no check
+            # no check, nor does an EMPTY target capture (its union schema
+            # will simply BE the moved table's schema after the add)
             from ..lake.table import _parse_type_normalized
 
             src_cols = {
@@ -464,6 +474,9 @@ class TableScheduler:
                             LakeTable(dst.spark, job["root"]),
                             boundary_ts=job["boundary"],
                         )
+                    else:
+                        dst.stop_ts.pop(job["table"], None)
+                        dst.boundaries[job["table"]] = job["boundary"]
                     job["status"] = ST_FINISHED
                     self._save()
         summaries = {
