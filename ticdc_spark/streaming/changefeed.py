@@ -129,7 +129,12 @@ def advance_lake_schema(table: LakeTable, fields_next: list[dict], epoch_id: str
             table.update_schema(typ, spec, eid)
 
 
-def attach_old_images(table: LakeTable, ready: DataFrame, pre_version: int) -> DataFrame:
+def attach_old_images(
+    table: LakeTable,
+    ready: DataFrame,
+    pre_version: int,
+    n_events: int | None = None,
+) -> DataFrame:
     """Attach old_<col>/had_old to every emitted event (enable-old-value).
     In-batch pre-images come from the apply-order lag window (operators.
     lww.with_old_image); each key's FIRST in-batch event takes its image
@@ -156,16 +161,16 @@ def attach_old_images(table: LakeTable, ready: DataFrame, pre_version: int) -> D
     # touches a small fraction of the snapshot — the 10^10-scale design
     # point where change volume ≪ corpus: read volume and collapse shuffle
     # become ∝ the batch's keys. A bulk batch touching most keys (backfill,
-    # the replay bench) would pay probe+broadcast overhead for no pruning,
-    # so it keeps the r3 bucket-pruned shape. ONE pre-window aggregation
-    # job prices the gate AND the bucket list (same cost as the r3
-    # touched-bucket distinct): events ≥ keys, so events*4 < snapshot rows
-    # guarantees the batch is genuinely sparse; the sparse branch's extra
-    # key-distinct is then ∝ the (small) batch by construction.
-    per_bucket = (
-        ready.groupBy(table._bucket_expr(key).alias("b")).count().collect()
-    )
-    n_events = sum(r["count"] for r in per_bucket)
+    # the replay bench) would pay probe+broadcast overhead for no pruning:
+    # it reads the whole snapshot with ZERO extra jobs instead — a batch
+    # touching ≥25% of rows touches essentially every bucket, so
+    # bucket-level pruning could not pay for its own aggregation job. The
+    # gate count rides the caller's part_stats fold for free (n_events);
+    # events ≥ keys, so events*4 < snapshot rows guarantees the batch is
+    # genuinely sparse, and the sparse branch's key-distinct is then ∝ the
+    # (small) batch by construction.
+    if n_events is None:
+        n_events = ready.count()
     pre_rows = table.version_rows(pre_version)
     sparse = pre_rows is not None and n_events * 4 < pre_rows
     if sparse:
@@ -177,7 +182,7 @@ def attach_old_images(table: LakeTable, ready: DataFrame, pre_version: int) -> D
     old = (
         table.read_version_for_keys(pre_version, keys_df)
         if sparse
-        else table.read_version_raw(pre_version, buckets=[r["b"] for r in per_bucket])
+        else table.read_version_raw(pre_version)
     )
     # a batch DDL may have added columns the snapshot predates — their
     # pre-image is NULL by construction
@@ -931,7 +936,10 @@ class ChangeFeed:
 
             # 4c. optional MQ emission of the released prefix
             if self.mq_dir is not None:
-                self._emit_mq(ready, batch_id, resolved, executed_ddls, pre_version)
+                self._emit_mq(
+                    ready, batch_id, resolved, executed_ddls, pre_version,
+                    n_events=sum(int(r["cnt"]) for r in part_stats),
+                )
                 timings["mq"] = _time.time() - t0
                 t0 = _time.time()
             if self.expire_keep_last is not None and self.mq_old_value:
@@ -1056,8 +1064,10 @@ class ChangeFeed:
             winners, epoch_id, watermarks=watermarks, assume_deduped=True
         )
 
-    def _attach_old_images(self, ready: DataFrame, pre_version: int) -> DataFrame:
-        return attach_old_images(self.table, ready, pre_version)
+    def _attach_old_images(
+        self, ready: DataFrame, pre_version: int, n_events: int | None = None
+    ) -> DataFrame:
+        return attach_old_images(self.table, ready, pre_version, n_events=n_events)
 
     def _emit_mq(
         self,
@@ -1066,6 +1076,7 @@ class ChangeFeed:
         resolved: int,
         executed_ddls: list | None = None,
         pre_version: int | None = None,
+        n_events: int | None = None,
     ) -> None:
         """Write this batch's messages: data rows encoded per the codec
         (raw mode: the payload IS the value json; typed mode: to_json of the
@@ -1101,7 +1112,7 @@ class ChangeFeed:
             # feed-scoped registry, exactly like avro.go's re-register
             self._avro_registry = AvroSchemaRegistry()
         if self.mq_old_value:
-            ready = self._attach_old_images(ready, pre_version)
+            ready = self._attach_old_images(ready, pre_version, n_events=n_events)
         out = encode_mq(
             ready, self.table, self.mq_protocol, key_json, part,
             avro_registry=self._avro_registry, old_value=self.mq_old_value,

@@ -1096,7 +1096,11 @@ class MultiTableChangeFeed:
                 )
 
         if self.mq_dir is not None:
-            self._emit_mq(mq_tables, batch_id, resolved, pre_versions)
+            mq_counts = {}
+            for r in part_stats:
+                if r["cnt"] is not None:
+                    mq_counts[r["table"]] = mq_counts.get(r["table"], 0) + int(r["cnt"])
+            self._emit_mq(mq_tables, batch_id, resolved, pre_versions, mq_counts)
 
         # tail presence over the UNFILTERED stats: an unassigned table's
         # above-frontier rows must keep riding pending/ (move-table handoff)
@@ -1158,6 +1162,7 @@ class MultiTableChangeFeed:
         batch_id: int,
         resolved: int,
         pre_versions: dict | None = None,
+        mq_counts: dict | None = None,
     ) -> None:
         """Multi-table MQ emission: every table's released prefix encoded as
         Open-Protocol messages into ONE batch dir, rows routed by the
@@ -1203,7 +1208,10 @@ class MultiTableChangeFeed:
 
                 # a table created THIS batch has no pre-batch version —
                 # every key is a true insert against version 0
-                sl = attach_old_images(table, sl, pre_versions.get(name, 0))
+                sl = attach_old_images(
+                    table, sl, pre_versions.get(name, 0),
+                    n_events=(mq_counts or {}).get(name),
+                )
             outs.append(
                 encode_mq(
                     sl, table, self.mq_protocol, key_json, part_col,
