@@ -1553,7 +1553,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.lit("I").alias("op"),
             F.lit(e + 1).cast("long").alias("commit_ts"),
-            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("seq"),
+            # deterministic per-key seq WITHOUT a single-partition global
+            # window (each doc_id appears once per epoch, so any stable
+            # value works for the LWW tie-break; a global row_number would
+            # funnel the corpus through one partition at scale)
+            F.pmod(F.xxhash64("doc_id"), F.lit(1 << 62)).cast("long").alias("seq"),
             "text",
         )
         dd.process_epoch(chunk, f"ep{e}")
@@ -1839,7 +1843,11 @@ def q_decontam_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.lit("I").alias("op"),
             F.lit(e + 1).cast("long").alias("commit_ts"),
-            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("seq"),
+            # deterministic per-key seq WITHOUT a single-partition global
+            # window (each doc_id appears once per epoch, so any stable
+            # value works for the LWW tie-break; a global row_number would
+            # funnel the corpus through one partition at scale)
+            F.pmod(F.xxhash64("doc_id"), F.lit(1 << 62)).cast("long").alias("seq"),
             "text",
         )
         dc.process_epoch(chunk, f"ep{e}")

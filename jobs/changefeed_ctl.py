@@ -302,53 +302,15 @@ def main() -> int:
             if info is None:
                 print(f"changefeed {args.feed!r} not found", file=sys.stderr)
                 return 1
-            out = {
-                "feed": args.feed,
-                "state": info["state"],
-                "checkpoint_ts": info.get("checkpoint_ts"),
-            }
-            if args.lineage_dir:
-                import glob as _g
+            # shared with the HTTP /metrics exposition (admin.feed_stats)
+            from ticdc_spark.streaming.admin import feed_stats
 
-                import pyarrow.parquet as _pq
-
-                batch_dirs = sorted(
-                    _g.glob(os.path.join(args.lineage_dir, "batch-*"))
-                )
-                count = 0
-                resolved = None
-                for d in batch_dirs:
-                    t = _pq.read_table(d, columns=["event_count", "resolved_ts"])
-                    count += sum(t.column("event_count").to_pylist())
-                    m = max(t.column("resolved_ts").to_pylist(), default=None)
-                    if m is not None:
-                        resolved = m if resolved is None else max(resolved, m)
-                out["count"] = count
-                out["resolved_ts"] = resolved
-                # SinkGap analog: resolved - checkpoint (logical ts units)
-                if resolved is not None and info.get("checkpoint_ts") is not None:
-                    out["sink_gap"] = resolved - info["checkpoint_ts"]
-                # OPS over the lineage window, from batch-dir mtimes (the
-                # reference samples the count twice over wall time)
-                if len(batch_dirs) >= 2:
-                    span = os.path.getmtime(batch_dirs[-1]) - os.path.getmtime(
-                        batch_dirs[0]
-                    )
-                    if span > 0:
-                        out["ops"] = round(count / span, 1)
-                out["batches"] = len(batch_dirs)
-            if args.table_root:
-                # span universe straight from the manifest (no Spark job)
-                mdir = os.path.join(args.table_root, "_manifests")
-                with open(os.path.join(mdir, "CURRENT")) as f:
-                    v = int(f.read().strip())
-                with open(os.path.join(mdir, f"v{v:08d}.json")) as f:
-                    m = json.load(f)
-                wm = m.get("part_watermarks", {})
-                out["spans"] = {
-                    "live": {k: wm[k] for k in sorted(wm, key=int)},
-                    "retired": m.get("retired_parts", {}),
-                }
+            out = feed_stats(
+                reg,
+                args.feed,
+                lineage_dir=args.lineage_dir,
+                table_root=args.table_root,
+            )
         elif args.cmd == "query":
             out = reg.query(args.feed)
             if out is None:

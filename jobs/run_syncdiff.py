@@ -41,20 +41,31 @@ def _canonical_cols(table):
     match=true. sync_diff_inspector encodes NULLs explicitly; so do we:
     NULL → '\\N' (after escaping, a real value can never render as '\\N'),
     '\\' → '\\\\' and '|' → '\\|' inside values so the separator cannot be
-    forged. Arrays render element-joined then escape as one value; a NULL
-    array is '\\N' (distinct from the empty array's '')."""
+    forged. Arrays escape PER ELEMENT first ('\\' → '\\\\', ',' → '\\,',
+    NULL element → '\\N') and only then join with ',', so ['a,b'] vs
+    ['a','b'] and ['a',NULL] vs ['a'] render distinctly (concat_ws would
+    otherwise drop NULL elements and a raw ',' would forge the element
+    separator); a NULL array is '\\N' (distinct from the empty array's
+    '')."""
     from pyspark.sql import functions as F
 
     def esc(col):
         col = F.replace(col, F.lit("\\"), F.lit("\\\\"))
         return F.replace(col, F.lit("|"), F.lit("\\|"))
 
+    def esc_elem(x):
+        e = F.replace(x, F.lit("\\"), F.lit("\\\\"))
+        e = F.replace(e, F.lit(","), F.lit("\\,"))
+        return F.when(x.isNull(), F.lit("\\N")).otherwise(e)
+
     null = F.lit("\\N")
     cols = []
     for f in table.current_fields:
         c = F.col(f["name"])
         if f["type"].startswith("array"):
-            rendered = F.concat_ws(",", c.cast("array<string>"))
+            rendered = F.concat_ws(
+                ",", F.transform(c.cast("array<string>"), esc_elem)
+            )
         else:
             rendered = c.cast("string")
         cols.append(F.when(c.isNull(), null).otherwise(esc(rendered)))

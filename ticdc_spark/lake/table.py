@@ -676,9 +676,12 @@ class LakeTable:
         Correctness: blooms have no false negatives, so every file holding a
         requested key survives pruning; ride-along rows of other keys are
         dropped by the semi-join before they can influence any per-key
-        winner (a key's versions all live in its hash bucket's files, and
-        none of its files are pruned). Clean (compacted) buckets skip the
-        collapse as in read_raw. At 10^10-event scale this is the difference
+        winner (with bucket_col == key_col a key's versions all live in its
+        hash bucket's files; with a non-key bucket_col the probe consults
+        EVERY file's sidecars — the per-bucket index is meaningless for key
+        probes then — and all kept files collapse together). Clean
+        (compacted) buckets skip the collapse as in read_raw (key-bucketed
+        tables only). At 10^10-event scale this is the difference
         between an O(corpus-per-epoch) and an O(change-volume) pre-image
         read (VERDICT r3 structural item)."""
         import pandas as pd
@@ -713,10 +716,24 @@ class LakeTable:
             )
             if not entries:
                 return empty
-            kb = keys_df.select(
-                F.col(key).cast("string").alias("_k"),
-                self._bucket_expr(key).alias("_b"),
-            )
+            if self.bucket_col != key:
+                # physical buckets hash bucket_col, so a key's rows can live
+                # in ANY bucket — probing per-bucket metas by hash(key)
+                # would consult the wrong bucket and silently prune files
+                # that DO hold the key (had_old=false for live keys). Probe
+                # every file's [min,max]+bloom instead (still executor-side,
+                # still change-bound: pruning rides the sidecars, not the
+                # bucket index).
+                meta_by_bucket = {0: [m for lst in meta_by_bucket.values() for m in lst]}
+                kb = keys_df.select(
+                    F.col(key).cast("string").alias("_k"),
+                    F.lit(0).alias("_b"),
+                )
+            else:
+                kb = keys_df.select(
+                    F.col(key).cast("string").alias("_k"),
+                    self._bucket_expr(key).alias("_b"),
+                )
             bc = self.spark.sparkContext.broadcast(meta_by_bucket)
 
             def probe(batches):
@@ -759,8 +776,16 @@ class LakeTable:
             )
             kdf = keys_df.select(F.col(key)).distinct()
             parts = []
-            dirty_e = [entries[i][1] for i in needed if entries[i][0] not in clean]
-            clean_e = [entries[i][1] for i in needed if entries[i][0] in clean]
+            if self.bucket_col != key:
+                # a key's versions can span buckets, so clean-bucket rows
+                # and dirty-file rows of the SAME key must meet in one
+                # collapse — the per-bucket clean shortcut would emit two
+                # rows for such a key
+                dirty_e = [entries[i][1] for i in needed]
+                clean_e = []
+            else:
+                dirty_e = [entries[i][1] for i in needed if entries[i][0] not in clean]
+                clean_e = [entries[i][1] for i in needed if entries[i][0] in clean]
             dd = self._read_files(dirty_e)
             if dd is not None:
                 # the semi-join BEFORE collapse is what keeps the shuffle

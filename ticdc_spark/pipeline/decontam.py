@@ -111,12 +111,17 @@ def mix_sample(
     counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count("*").alias("n_docs")
     )
-    c_min = F.min("n_docs").over(Window.partitionBy())
+    # global min via broadcast crossJoin, not a partitionBy() window — the
+    # counts table is O(strata) rows either way, but this keeps the plan
+    # free of SinglePartition exchanges (and reuses the one counts shuffle)
+    c_min = F.col("_cmin")
     if alpha == 0.5:
         p = F.sqrt(c_min / F.col("n_docs"))
     else:
         p = F.pow(F.col("n_docs") / c_min, F.lit(alpha - 1.0))
-    with_thresh = counts.select(
+    with_thresh = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("n_docs").alias("_cmin")))
+    ).select(
         "stratum", "n_docs", F.floor(p * denom).cast("long").alias("keep_thresh")
     )
     kept = (

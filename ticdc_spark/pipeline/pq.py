@@ -334,7 +334,12 @@ def pq_search(
     books = pq_train(emb, m=m, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
     tabs = _query_tabs(queries, books, dim, id_col, vec_col)
-    joined = codes.crossJoin(tabs).filter(F.col("vec_id") != F.col("query_id"))
+    # explicit broadcast: tabs is O(queries × m·k) floats — tiny — and an
+    # implicit-only broadcast could tip into a real cartesian once the
+    # query table grows past autoBroadcastJoinThreshold at scale
+    joined = codes.crossJoin(F.broadcast(tabs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

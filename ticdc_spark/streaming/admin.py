@@ -405,6 +405,109 @@ class FeedRegistry:
         return {"deleted": deleted}
 
 
+# AdminJobType numbering (cdc/model/owner.go:43-47: None=0 Stop=1 Resume=2
+# Remove=3 Finish=4) — the wire vocabulary of the HTTP admin route and the
+# `admin_job_type` the registry records.
+ADMIN_JOB_TYPES = {
+    0: "none",
+    1: "stop",
+    2: "resume",
+    3: "remove",
+    4: "finish",
+}
+
+
+def apply_admin_job(
+    registry: FeedRegistry, feed: str, job_type: int, force: bool = False
+) -> dict[str, Any] | None:
+    """Dispatch a numeric AdminJob onto the registry — the single code path
+    behind both the CLI verbs and the HTTP POST /capture/owner/admin route
+    (cdc/http_handler.go:101-142 handleChangefeedAdmin → owner.EnqueueJob;
+    here the registry IS the owner's store, so the job applies directly).
+
+    Raises ValueError for an unknown job type, FeedLifecycleError for a
+    missing feed / invalid transition (the owner's own refusals)."""
+    kind = ADMIN_JOB_TYPES.get(int(job_type))
+    if kind is None:
+        raise ValueError(f"invalid admin job type: {job_type}")
+    if kind == "none":
+        return registry._require(feed)  # validates existence, mutates nothing
+    if kind == "stop":
+        return registry.pause(feed)
+    if kind == "resume":
+        return registry.resume(feed)
+    if kind == "remove":
+        out = registry.remove(feed, force=force)
+        if out is None and not force:
+            raise FeedLifecycleError(f"changefeed {feed!r} not found")
+        return out
+    return registry.finish(feed)
+
+
+def feed_stats(
+    registry: FeedRegistry,
+    feed: str,
+    lineage_dir: str | None = None,
+    table_root: str | None = None,
+) -> dict[str, Any] | None:
+    """`cdc cli changefeed statistics` analog, shared by the CLI and the
+    HTTP /metrics exposition: registry state + (with a lineage dir) event
+    count / resolved-ts / sink-gap / OPS from the TaskPosition rows +
+    (with a table root) the live/retired span universe. Metadata-only
+    reads — no Spark session. Returns None for an unknown feed."""
+    info = registry.query(feed)
+    if info is None:
+        return None
+    out: dict[str, Any] = {
+        "feed": feed,
+        "state": info["state"],
+        "checkpoint_ts": info.get("checkpoint_ts"),
+    }
+    if lineage_dir:
+        import glob as _g
+
+        import pyarrow.parquet as _pq
+
+        batch_dirs = sorted(_g.glob(os.path.join(lineage_dir, "batch-*")))
+        count = 0
+        resolved = None
+        for d in batch_dirs:
+            t = _pq.read_table(d, columns=["event_count", "resolved_ts"])
+            count += sum(t.column("event_count").to_pylist())
+            m = max(t.column("resolved_ts").to_pylist(), default=None)
+            if m is not None:
+                resolved = m if resolved is None else max(resolved, m)
+        out["count"] = count
+        out["resolved_ts"] = resolved
+        # SinkGap analog: resolved - checkpoint (logical ts units)
+        if resolved is not None and info.get("checkpoint_ts") is not None:
+            out["sink_gap"] = resolved - info["checkpoint_ts"]
+        # OPS over the lineage window, from batch-dir mtimes (the
+        # reference samples the count twice over wall time)
+        if len(batch_dirs) >= 2:
+            span = os.path.getmtime(batch_dirs[-1]) - os.path.getmtime(
+                batch_dirs[0]
+            )
+            if span > 0:
+                out["ops"] = round(count / span, 1)
+        out["batches"] = len(batch_dirs)
+    if table_root:
+        # span universe straight from the manifest (no Spark job)
+        import json as _json
+
+        mdir = os.path.join(table_root, "_manifests")
+        with open(os.path.join(mdir, "CURRENT")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{v:08d}.json")) as f:
+            m = _json.load(f)
+        wm = m.get("part_watermarks", {})
+        out["spans"] = {
+            "live": {k: wm[k] for k in sorted(wm, key=int)},
+            "retired": m.get("retired_parts", {}),
+        }
+    return out
+
+
 class FeedSupervisor:
     """The owner's per-tick feed-maintenance loop (owner.go:527-660
     ``loadChangeFeeds``) over a :class:`FeedRegistry`: every tick it decides,

@@ -351,6 +351,11 @@ class MultiTableChangeFeed:
         from .registry import SchemaRegistry
 
         self.tables[name] = table
+        if self.mq_old_value:
+            # mirror __init__ / the create-lifecycle path: a moved-in or
+            # adopted table must carry key blooms on its future commits or
+            # its sparse pre-image reads silently lose file pruning
+            table.set_key_blooms(True)
         self.boundaries[name] = boundary_ts
         # a table that previously moved AWAY from this capture and now
         # moves BACK is live again — a stale stop_ts would silently drop

@@ -102,6 +102,21 @@ def audit(name: str, plan: str) -> list[str]:
         findings.append("no WholeStageCodegen span")
     if "CartesianProduct" in plan:
         findings.append("CartesianProduct present")
+    # unpartitioned Window over corpus-scale input: a Window fed by an
+    # Exchange SinglePartition funnels the whole input through one task.
+    # Legitimate single-partition spans are bounded first (TakeOrdered /
+    # GlobalLimit compile the bound into the plan) — flag the rest.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        feeds_window = any("Window" in l for l in lines[max(0, i - 6): i])
+        bounded = any(
+            ("TakeOrderedAndProject" in l) or ("GlobalLimit" in l) or ("Limit" in l)
+            for l in lines[i:]
+        )
+        if feeds_window and not bounded:
+            findings.append("unpartitioned Window over unbounded input")
     for line in plan.splitlines():
         if "ReadSchema" in line and ("text" in line or "comment" in line):
             # full-text columns should only be read by text-processing queries
