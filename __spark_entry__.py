@@ -2281,6 +2281,42 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(meta)
 
 
+def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-container decode end-to-end: deterministic spec-valid
+    PNG / JPEG / GIF bytes per doc (pipeline/multimodal.make_{png,jpeg,gif}),
+    dimensions read back by the pure-Python header parsers
+    (parse_image_dims: IHDR chunk / SOF marker scan / logical screen
+    descriptor) inside the Arrow-batched mapInPandas decode — no image
+    library anywhere. The oracle recomputes the expected metadata
+    relationally, so a parser that misreads any of the three containers
+    hash-mismatches. sample_rate is dropped (all-NULL for images; its
+    pandas dtype is engine-dependent)."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"))
+
+    def pack(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                w, h = i % 512 + 1, i % 384 + 1
+                mk = (mm.make_png, mm.make_jpeg, mm.make_gif)[i % 3]
+                rows.append((str(i), mk(w, h)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.mapInPandas(
+        pack,
+        T.StructType(
+            [
+                T.StructField("media_id", T.StringType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return _longify(mm.decode_image_meta(media).drop("sample_rate"))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -3881,9 +3917,21 @@ SELECT q.query_id, coalesce(hit.n_hit, 0) AS n_hit,
        round(coalesce(hit.n_hit, 0) / 5.0, 6) AS recall_at_k
 FROM (SELECT DISTINCT query_id FROM brute) q LEFT JOIN hit USING (query_id)
 """,
+        "multimodal_image_dims": """
+SELECT cast(doc_id AS varchar) AS media_id,
+       'image' AS kind,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       (doc_id % 512 + 1)::BIGINT AS width,
+       (doc_id % 384 + 1)::BIGINT AS height,
+       1::BIGINT AS n_frames,
+       (CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 41 ELSE 14 END)::BIGINT AS n_bytes,
+       true AS valid
+FROM documents
+""",
         "multimodal_meta": """
 SELECT cast(doc_id AS varchar) AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       'tsmm' AS format,
        (16 * (doc_id % 32 + 1))::BIGINT AS width,
        (16 * (doc_id % 24 + 1))::BIGINT AS height,
        (doc_id % 100 + 1)::BIGINT AS n_frames,
@@ -4004,6 +4052,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_dims": q_multimodal_image_dims,
         "text_vocab_topk": q_text_vocab_topk,
         "cdc_final_state": q_cdc_final_state,
         "cdc_lww_window": q_cdc_lww_window,

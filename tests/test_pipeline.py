@@ -230,21 +230,74 @@ def test_media_roundtrip_decode(spark):
     assert not out["c"]["valid"] and out["c"]["kind"] is None
 
 
-def test_extract_features_requires_decoder_and_runs_with_fake(spark):
+def test_extract_features_default_and_injected_decoder(spark):
+    import math
+
     from ticdc_spark.pipeline import multimodal as mm
 
     media = spark.createDataFrame(
-        [("x", mm.pack_fake_media("x", 1, 0, 0, 1, 16000))],
+        [("x", mm.pack_fake_media("x", 1, 0, 0, 1, 16000)),
+         ("p", mm.make_png(320, 200))],
         "media_id string, content binary",
     )
-    with pytest.raises(NotImplementedError):
-        mm.extract_features(media).count()
+    # default decoder: real header dims + byte histogram, no library needed
+    rows = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    fx = rows["p"]["features"]
+    assert len(fx) == 16
+    assert abs(fx[0] - math.log1p(320)) < 1e-6
+    assert abs(fx[1] - math.log1p(200)) < 1e-6
+    assert abs(sum(fx[2:]) - 1.0) < 1e-6  # L1-normalized histogram
 
     def fake_decoder(b: bytes):
         return [float(len(b)), float(b[0])] + [0.0] * 14
 
     rows = mm.extract_features(media, decoder=fake_decoder).collect()
     assert len(rows[0]["features"]) == 16
+
+
+def test_parse_image_dims_real_containers():
+    from ticdc_spark.pipeline import multimodal as mm
+
+    assert mm.parse_image_dims(mm.make_png(640, 480)) == ("png", 640, 480)
+    assert mm.parse_image_dims(mm.make_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert mm.parse_image_dims(mm.make_gif(33, 7)) == ("gif", 33, 7)
+    # JPEG with fill bytes before markers and a progressive SOF2 frame
+    import struct as st
+
+    sof2 = st.pack(">BHHB", 8, 99, 77, 1) + bytes([1, 0x11, 0])
+    prog = (
+        b"\xff\xd8\xff\xff\xff\xe0" + st.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc2" + st.pack(">H", len(sof2) + 2) + sof2 + b"\xff\xd9"
+    )
+    assert mm.parse_image_dims(prog) == ("jpeg", 77, 99)
+    # corrupt / truncated / non-image inputs
+    assert mm.parse_image_dims(b"") is None
+    assert mm.parse_image_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
+    assert mm.parse_image_dims(mm.make_png(640, 480)[:20]) is None
+    assert mm.parse_image_dims(b"\xff\xd8\xff\xda\x00\x04ab") is None  # SOS first
+    assert mm.parse_image_dims(b"\xff\xd8" + b"garbage") is None
+    assert mm.parse_image_dims(b"GIF89a\x00\x00\x00\x00") is None  # zero dims
+    assert mm.parse_image_dims(b"not an image at all") is None
+
+
+def test_decode_image_meta_real_formats(spark):
+    from ticdc_spark.pipeline import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            ("png", mm.make_png(12, 34)),
+            ("jpg", mm.make_jpeg(56, 78)),
+            ("gif", mm.make_gif(90, 11)),
+            ("bad", b"\xff\xd8truncated"),
+        ],
+        "media_id string, content binary",
+    )
+    out = {r["media_id"]: r for r in mm.decode_image_meta(media).collect()}
+    assert out["png"]["format"] == "png" and (out["png"]["width"], out["png"]["height"]) == (12, 34)
+    assert out["jpg"]["format"] == "jpeg" and (out["jpg"]["width"], out["jpg"]["height"]) == (56, 78)
+    assert out["gif"]["format"] == "gif" and (out["gif"]["width"], out["gif"]["height"]) == (90, 11)
+    assert all(out[k]["kind"] == "image" and out[k]["valid"] for k in ("png", "jpg", "gif"))
+    assert not out["bad"]["valid"] and out["bad"]["format"] is None
 
 
 def test_frame_sample_plan(spark):
