@@ -644,6 +644,146 @@ def bench_stream_old_value(spark, work_root: str, n_events: int) -> dict:
     }
 
 
+def bench_stream_old_value_sparse(
+    spark,
+    work_root: str,
+    n_base: int = 1_000_000,
+    n_trickle: int = 64,
+    n_batches: int = 4,
+) -> dict:
+    """The SPARSE old-value path priced — the 10^10-scale design point where
+    per-batch change volume ≪ corpus. A bulk batch loads an n_base-event
+    snapshot (256 buckets), then n_batches trickle batches of n_trickle
+    updates each ride the key-pruned pre-image read
+    (lake.table.read_version_for_keys: per-file [min,max]+bloom probed
+    executor-side, pre-collapse semi-join). Reports wall vs an identically-
+    shaped plain-MQ run AND pruned-vs-total pre-image file counts — with 64
+    probe keys against 256 base buckets, ≥3/4 of base files must prune, and
+    later trickles bloom-prune earlier trickles' delta files too."""
+    import glob as g
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from ticdc_spark.lake.table import LakeTable
+    from ticdc_spark.streaming.changefeed import ChangeFeed
+    from ticdc_spark.testgen import (
+        BinlogSpec,
+        write_binlog_chunks,
+        write_resolved_events,
+    )
+
+    src = os.path.join(work_root, f"binlog_sp_{n_base}")
+    if not os.path.exists(os.path.join(src, "_DONE")):
+        shutil.rmtree(src, ignore_errors=True)
+        spec = BinlogSpec(
+            n_events=n_base,
+            n_keys=max(1000, n_base // 4),
+            seed=77,
+            n_parts=32,
+        )
+        write_binlog_chunks(spec, src, n_chunks=1, files_per_chunk=32)
+        # trickle chunks: n_trickle updates each on EXISTING keys, ts past
+        # the bulk frontier, plus a heartbeat row per part so the resolved
+        # frontier (min over parts) releases the whole trickle
+        base_files = sorted(g.glob(os.path.join(src, "chunk-00000", "*.parquet")))
+        t0 = _pq.read_table(base_files[0], columns=["doc_id", "commit_ts"])
+        hi = 0
+        for f in base_files:
+            t = _pq.read_table(f, columns=["commit_ts"])
+            hi = max(hi, int(pa.compute.max(t.column("commit_ts")).as_py()))
+        keys = t0.column("doc_id").to_pylist()[: n_trickle * n_batches]
+        rng = np.random.default_rng(7)
+        for b in range(n_batches):
+            ks = keys[b * n_trickle : (b + 1) * n_trickle]
+            ts0 = hi + 1 + b * (n_trickle + 10)
+            n = len(ks)
+            chunk = os.path.join(src, f"chunk-{b + 1:05d}")
+            os.makedirs(chunk, exist_ok=True)
+            toks = [rng.integers(0, 50000, size=32).tolist() for _ in ks]
+            cols = {
+                "commit_ts": pa.array(
+                    [ts0 + i for i in range(n)], pa.int64()
+                ),
+                "seq": pa.array(list(range(n)), pa.int64()),
+                "table": pa.array(["target_tokens"] * n, pa.string()),
+                "op": pa.array(["U"] * n, pa.string()),
+                "doc_id": pa.array(ks, pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+                "n_tok": pa.array([32] * n, pa.int32()),
+                "source": pa.array(["trickle"] * n, pa.string()),
+                "part": pa.array([i % 32 for i in range(n)], pa.int32()),
+                "schema_version": pa.array([0] * n, pa.int32()),
+            }
+            _pq.write_table(pa.table(cols), os.path.join(chunk, "data.parquet"))
+            write_resolved_events(
+                chunk, {p: ts0 + n for p in range(32)}, fname="hb.parquet"
+            )
+        open(os.path.join(src, "_DONE"), "w").write("ok")
+
+    def run(old_value: bool) -> tuple[float, LakeTable, list]:
+        tag = "ovs" if old_value else "ovs_plain"
+        tbl_dir = os.path.join(work_root, f"{tag}_tbl")
+        ckpt = os.path.join(work_root, f"{tag}_ckpt")
+        mq_dir = os.path.join(work_root, f"{tag}_mq")
+        for d in (tbl_dir, ckpt, mq_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        table = LakeTable.create(spark, tbl_dir, n_buckets=256)
+        wall = 0.0
+        # one run_available per chunk: batch 1 is the bulk load, batches
+        # 2..n+1 are the sparse trickles (the steady-state CDC shape)
+        chunks = sorted(g.glob(os.path.join(src, "chunk-*")))
+        live = os.path.join(work_root, f"{tag}_live")
+        shutil.rmtree(live, ignore_errors=True)
+        os.makedirs(live)
+        for k, ch in enumerate(chunks):
+            dst = os.path.join(live, os.path.basename(ch))
+            os.makedirs(dst, exist_ok=True)
+            for f in g.glob(os.path.join(ch, "*.parquet")):
+                os.link(f, os.path.join(dst, os.path.basename(f)))
+            cf = ChangeFeed(
+                table,
+                os.path.join(live, "chunk-*"),
+                checkpoint_dir=ckpt,
+                mode="typed",
+                mq_dir=mq_dir,
+                mq_partitions=32,
+                mq_protocol="open",
+                mq_old_value=old_value,
+            )
+            t0 = time.time()
+            cf.run_available()
+            wall += time.time() - t0
+        return wall, table, getattr(table, "preimage_stats", [])
+
+    # interleaved best-of-2 per mode: the first old-value pass carries the
+    # sparse path's one-time codegen/JIT warmup (measured ~1.6x the warm
+    # number), and a single ov-then-plain ordering would book that warmup
+    # entirely against the old-value side
+    sec_ov, tbl_ov, stats = run(True)
+    sec_plain, _, _ = run(False)
+    if os.environ.get("SPARK_GRAFT_BENCH_REPS", "2") != "1":
+        sec_ov2, tbl_ov, stats = run(True)
+        sec_plain = min(sec_plain, run(False)[0])
+        sec_ov = min(sec_ov, sec_ov2)
+    total = sum(s["files_total"] for s in stats)
+    read = sum(s["files_read"] for s in stats)
+    return {
+        "sec": round(sec_ov, 3),
+        "sec_plain": round(sec_plain, 3),
+        "ratio_vs_plain": round(sec_ov / sec_plain, 3) if sec_plain else None,
+        "n_base": n_base,
+        "n_trickle": n_trickle,
+        "n_batches": n_batches,
+        "sparse_reads": len(stats),
+        "pre_files_total": total,
+        "pre_files_read": read,
+        "prune_frac": round(1 - read / total, 3) if total else None,
+        "final_rows": tbl_ov.read().count(),
+    }
+
+
 def bench_incremental_dedup(spark, work_root: str, sf_dir: str) -> dict:
     """The incremental-dedup value proposition, measured: index a corpus
     once, then compare the cost of absorbing a 1% UPDATE EPOCH through the
@@ -854,6 +994,7 @@ def main() -> None:
     stream1 = None
     replay_big = None
     oldval = None
+    oldval_sparse = None
     mq = None
     mq_sized = None
     incded = None
@@ -879,6 +1020,8 @@ def main() -> None:
         qtimes["cdc_stream_mq_sized"] = mq_sized["sec"]
         oldval = bench_stream_old_value(spark, work_root, N_EVENTS)
         qtimes["cdc_stream_old_value"] = oldval["sec"]
+        oldval_sparse = bench_stream_old_value_sparse(spark, work_root)
+        qtimes["cdc_stream_old_value_sparse"] = oldval_sparse["sec"]
         incded = bench_incremental_dedup(spark, work_root, SF_DIR)
         qtimes["dedup_incremental_update"] = incded["incremental_epoch_sec"]
         incsh = bench_incremental_shards(spark, work_root)
@@ -897,17 +1040,30 @@ def main() -> None:
 
     qs = entrymod.queries()
     qreps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))
-    for name in [] if only_replay else BENCH_QUERIES:
-        df = qs[name](spark, SF_DIR)
-        df.count()  # warm: plan + scan caches
-        best = None
-        for _ in range(qreps):  # best-of-N: sub-second rows are noise-bound
+    names = [] if only_replay else BENCH_QUERIES
+    # INTERLEAVED best-of-N (tools/bench_interleaved.py protocol, wired in
+    # per VERDICT r4): trials round-robin across all queries so a transient
+    # box-load spike degrades one trial of many queries instead of every
+    # trial of one — the r4 driver run false-flagged 16 sub-3s rows whose
+    # code was untouched. Rows whose prior driver time was <3 s get a third
+    # trial (they're the noise-bound ones); multi-second rows keep 2.
+    prior_q = _prior_queries()
+    reps_of = {
+        n: (qreps + 1 if float(prior_q.get(n) or 0.0) < 3.0 else qreps)
+        for n in names
+    }
+    for name in names:  # warm: plan + JIT + parquet footer caches
+        qs[name](spark, SF_DIR).count()
+    trials: dict[str, list[float]] = {n: [] for n in names}
+    for rep in range(max(reps_of.values(), default=0)):
+        for name in names:
+            if rep >= reps_of[name]:
+                continue
             t0 = time.time()
             _noop(qs[name](spark, SF_DIR))
-            dt = time.time() - t0
-            if best is None or dt < best:
-                best = dt
-        qtimes[name] = round(best, 3)
+            trials[name].append(time.time() - t0)
+    for name in names:
+        qtimes[name] = round(min(trials[name]), 3)
 
     total = round(sum(qtimes.values()), 3)
     full = {
@@ -925,6 +1081,7 @@ def main() -> None:
         "consumer_apply": consumer,
         "stream_mq_sized": mq_sized,
         "stream_old_value": oldval,
+        "stream_old_value_sparse": oldval_sparse,
         "replay_big": replay_big,
         "incremental_dedup": incded,
         "incremental_shards": incsh,
@@ -961,12 +1118,43 @@ def main() -> None:
     spark.stop()
 
 
-def _regression_check(qtimes: dict, threshold: float = 1.2) -> list[dict]:
-    """Compare this run's per-query times against the prior driver-recorded
-    bench (env SPARK_GRAFT_BENCH_BASELINE, default the newest BENCH_r*.json
-    with a parsed queries map). Returns [{query, prior, now, ratio}] for
-    every query slower than threshold x prior — the round-2 verdict's
-    regression guard (task 4/10 of r1)."""
+def _queries_map_of(path: str) -> dict:
+    """Extract the per-query timing map from a driver BENCH_r*.json (which
+    wraps the bench stdout line) or from this repo's own output format."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if isinstance(doc.get("queries"), dict):
+        return doc["queries"]
+    if isinstance(doc.get("parsed"), dict) and isinstance(
+        doc["parsed"].get("queries"), dict
+    ):
+        return doc["parsed"]["queries"]
+    if isinstance(doc.get("tail"), str) and '"queries"' in doc["tail"]:
+        frag = doc["tail"]
+        try:
+            i = frag.index('"queries"')
+            j = frag.index("{", i)
+            depth, k = 0, j
+            while k < len(frag):
+                depth += frag[k] == "{"
+                depth -= frag[k] == "}"
+                k += 1
+                if depth == 0:
+                    break
+            return json.loads(frag[j:k])
+        except (ValueError, KeyError):
+            return {}
+    return {}
+
+
+def _prior_queries() -> dict:
+    """Per-row MIN over the LAST TWO driver-recorded benches (or the single
+    file in SPARK_GRAFT_BENCH_BASELINE). Min-of-two-runs is the r4 verdict's
+    guard fix: one noisy driver run must not become the baseline a clean
+    run 'regresses' against."""
     base_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     here = os.path.dirname(os.path.abspath(__file__))
     candidates = (
@@ -981,39 +1169,41 @@ def _regression_check(qtimes: dict, threshold: float = 1.2) -> list[dict]:
             reverse=True,
         )
     )
-    prior_q: dict = {}
+    merged: dict = {}
+    used = 0
     for cand in candidates:
-        try:
-            with open(cand) as f:
-                doc = json.load(f)
-            # driver files wrap the bench line: look for a queries map in
-            # the parsed doc or inside the raw tail text
-            if isinstance(doc.get("queries"), dict):
-                prior_q = doc["queries"]
-            elif isinstance(doc.get("parsed"), dict) and isinstance(
-                doc["parsed"].get("queries"), dict
-            ):
-                prior_q = doc["parsed"]["queries"]
-            elif isinstance(doc.get("tail"), str) and '"queries"' in doc["tail"]:
-                frag = doc["tail"]
-                i = frag.index('"queries"')
-                j = frag.index("{", i)
-                depth, k = 0, j
-                while k < len(frag):
-                    depth += frag[k] == "{"
-                    depth -= frag[k] == "}"
-                    k += 1
-                    if depth == 0:
-                        break
-                prior_q = json.loads(frag[j:k])
-            if prior_q:
-                break
-        except (OSError, ValueError, KeyError):
+        qmap = _queries_map_of(cand)
+        if not qmap:
             continue
+        for k, v in qmap.items():
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            merged[k] = min(merged.get(k, v), v)
+        used += 1
+        if used == 2:
+            break
+    return merged
+
+
+def _regression_check(
+    qtimes: dict, threshold: float = 1.2, floor_sec: float = 0.25
+) -> list[dict]:
+    """Flag [{query, prior, now, ratio}] for rows slower than threshold ×
+    prior AND more than floor_sec absolute — prior being the per-row MIN of
+    the last two driver runs (_prior_queries). The absolute floor keeps
+    ±0.2 s scheduler jitter on sub-second rows from reading as a
+    regression (r4: 16/61 false flags, all sub-3s, code untouched)."""
+    prior_q = _prior_queries()
     out = []
     for name, now in qtimes.items():
         prior = prior_q.get(name)
-        if prior and now > threshold * float(prior):
+        if (
+            prior
+            and now > threshold * float(prior)
+            and now - float(prior) > floor_sec
+        ):
             out.append(
                 {
                     "query": name,

@@ -774,6 +774,12 @@ class LakeTable:
             needed = sorted(
                 {int(r["idx"]) for r in kb.mapInPandas(probe, "idx long").distinct().collect()}
             )
+            # pruning telemetry (bench/debug): files the probe kept vs the
+            # version's total — driver-side O(1) bookkeeping, no data
+            self.preimage_stats = getattr(self, "preimage_stats", [])
+            self.preimage_stats.append(
+                {"files_total": len(entries), "files_read": len(needed)}
+            )
             kdf = keys_df.select(F.col(key)).distinct()
             parts = []
             if self.bucket_col != key:

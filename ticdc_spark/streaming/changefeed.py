@@ -169,6 +169,33 @@ def attach_old_images(
     # events ≥ keys, so events*4 < snapshot rows guarantees the batch is
     # genuinely sparse, and the sparse branch's key-distinct is then ∝ the
     # (small) batch by construction.
+    unioned = _pre_image_union(table, ready, pre_version, payload, n_events)
+    unioned = with_old_image(unioned, payload)
+    return unioned.filter(~F.col("_pre")).drop("_pre")
+
+
+def _pre_image_union(
+    table: LakeTable,
+    ready: DataFrame,
+    pre_version: int,
+    payload: list[str],
+    n_events: int | None,
+) -> DataFrame:
+    """Events + the pre-batch snapshot as pseudo-events, marked `_pre`.
+
+    The snapshot rides the SAME lag window as the in-batch events: each
+    live snapshot row enters as a pseudo-event at (commit_ts=-2^62, seq=0,
+    op='I') — below every real event, since arrival ts are nonnegative —
+    so a key's first real event lags straight onto its table image and a
+    true insert (no pseudo-row) lags onto nothing (had_old=false). This
+    replaces the former events⋈snapshot join: one Window stage, zero
+    join stages, and the snapshot rows pass through the key shuffle
+    once instead of being SMJ-copied onto every event of their key.
+    A batch DDL may have added columns the snapshot predates — their
+    pre-image is NULL by construction (type-cast NULL fills)."""
+    from ..model import SYS_DELETED
+
+    key = table.key_col
     if n_events is None:
         n_events = ready.count()
     pre_rows = table.version_rows(pre_version)
@@ -178,38 +205,92 @@ def attach_old_images(
         # the semi-join read one materialization; the driver sees O(files)
         # pruned indexes, never keys
         keys_df = ready.select(F.col(key)).distinct().localCheckpoint(eager=True)
-    ready = with_old_image(ready, payload, mark_first=True)
-    old = (
-        table.read_version_for_keys(pre_version, keys_df)
-        if sparse
-        else table.read_version_raw(pre_version)
+        old = table.read_version_for_keys(pre_version, keys_df)
+    else:
+        old = table.read_version_raw(pre_version)
+    types = {f["name"]: f["type"] for f in table.current_fields}
+    avail = set(old.columns)
+    pre_cols = []
+    for c in ready.columns:
+        if c == key:
+            pre_cols.append(F.col(key))
+        elif c == "commit_ts":
+            # far below any real commit-ts (the binlog contract keeps real
+            # ts nonnegative; −2^62 also survives any start_ts arithmetic)
+            pre_cols.append(F.lit(-(1 << 62)).cast("long").alias("commit_ts"))
+        elif c == "seq":
+            pre_cols.append(F.lit(0).cast("long").alias("seq"))
+        elif c == "op":
+            pre_cols.append(F.lit("I").alias("op"))
+        elif c in payload and c in avail:
+            pre_cols.append(F.col(c))
+        else:
+            t = types.get(c, dict(ready.dtypes).get(c, "string"))
+            pre_cols.append(F.lit(None).cast(t).alias(c))
+    pre_df = old.filter(~F.col(SYS_DELETED)).select(*pre_cols)
+    return ready.withColumn("_pre", F.lit(False)).unionByName(
+        pre_df.withColumn("_pre", F.lit(True))
     )
-    # a batch DDL may have added columns the snapshot predates — their
-    # pre-image is NULL by construction
-    avail = [c for c in payload if c in old.columns]
-    old_sel = (
-        old.filter(~F.col(SYS_DELETED))
-        .select(
-            F.col(key),
-            *[F.col(c).alias(f"_tbl_{c}") for c in avail],
-            F.lit(True).alias("_tbl_exists"),
-        )
+
+
+def attach_old_value_json(
+    table: LakeTable,
+    ready: DataFrame,
+    pre_version: int,
+    key_json,
+    part_col,
+    n_events: int | None = None,
+) -> DataFrame:
+    """Open-protocol old-value emission, serialize-once: an event's old
+    image IS its predecessor's after-image, so instead of carrying typed
+    old_<col> columns and re-encoding them (attach_old_images → encode_mq
+    would to_json every payload twice), serialize each row's after-image
+    ONCE before the lag window and LAG THE STRING. The window shuffle then
+    carries (key, ts, seq, op, value_json, key_json, partition) — payload
+    columns never cross it — and the post-window plan is a pure projection.
+    Output: (key_json, value_json, old_json, partition, _ots, _oseq), the
+    exact frame ChangeFeed._emit_mq writes for protocol='open'.
+
+    maxwell / canal-json keep the typed attach_old_images path — their old
+    images are structured fields of ONE value document, not a second
+    serialized copy, so there is nothing to share."""
+    from ..operators.lww import op_rank_col
+    from pyspark.sql import Window
+
+    key = table.key_col
+    payload = [f["name"] for f in table.current_fields if f["name"] != key]
+    unioned = _pre_image_union(table, ready, pre_version, payload, n_events)
+    vj = F.when(
+        F.col("op") != "D",
+        F.to_json(F.struct(*[F.col(c) for c in payload])),
     )
-    ready = ready.join(old_sel, key, "left")
-    first = F.col("first_in_batch")
-    for c in payload:
-        tbl_c = F.col(f"_tbl_{c}") if c in avail else F.lit(None)
-        ready = ready.withColumn(
-            f"old_{c}", F.when(first, tbl_c).otherwise(F.col(f"old_{c}"))
-        )
-    ready = ready.withColumn(
-        "had_old",
-        F.when(first, F.coalesce(F.col("_tbl_exists"), F.lit(False))).otherwise(
-            F.col("had_old")
+    narrow = unioned.select(
+        F.col(key),
+        "commit_ts",
+        "seq",
+        "op",
+        "_pre",
+        vj.alias("_vj"),
+        key_json.alias("key_json"),
+        part_col.alias("partition"),
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("commit_ts").asc(), F.col("seq").asc(), op_rank_col().asc()
+    )
+    prev_op = F.lag("op").over(w)
+    out = narrow.withColumn(
+        "old_json",
+        F.when(prev_op.isNull() | (prev_op == "D"), F.lit(None)).otherwise(
+            F.lag("_vj").over(w)
         ),
-    )
-    return ready.drop(
-        "first_in_batch", "_tbl_exists", *[f"_tbl_{c}" for c in avail]
+    ).filter(~F.col("_pre"))
+    return out.select(
+        "key_json",
+        F.col("_vj").alias("value_json"),
+        "partition",
+        "old_json",
+        F.col("commit_ts").alias("_ots"),
+        F.col("seq").alias("_oseq"),
     )
 
 
@@ -1111,12 +1192,24 @@ class ChangeFeed:
             # a DDL in any batch bumps the subject version in this
             # feed-scoped registry, exactly like avro.go's re-register
             self._avro_registry = AvroSchemaRegistry()
-        if self.mq_old_value:
-            ready = self._attach_old_images(ready, pre_version, n_events=n_events)
-        out = encode_mq(
-            ready, self.table, self.mq_protocol, key_json, part,
-            avro_registry=self._avro_registry, old_value=self.mq_old_value,
-        )
+        if self.mq_old_value and self.mq_protocol == "open":
+            # serialize-once path: lag the encoded after-image instead of
+            # typed old_<col> columns + a second to_json (see
+            # attach_old_value_json) — halves the encode work of the
+            # old-value leg
+            out = attach_old_value_json(
+                self.table, ready, pre_version, key_json, part,
+                n_events=n_events,
+            )
+        else:
+            if self.mq_old_value:
+                ready = self._attach_old_images(
+                    ready, pre_version, n_events=n_events
+                )
+            out = encode_mq(
+                ready, self.table, self.mq_protocol, key_json, part,
+                avro_registry=self._avro_registry, old_value=self.mq_old_value,
+            )
         batch_dir = os.path.join(self.mq_dir, f"batch-{batch_id:010d}")
         from .dispatch import identity_repartition
 

@@ -1208,22 +1208,35 @@ class MultiTableChangeFeed:
             key_json = F.to_json(
                 F.struct(*[F.col(c) for c in KEY_FIELDS])
             ).alias("key_json")
-            if self.mq_old_value:
-                from .changefeed import attach_old_images
+            if self.mq_old_value and self.mq_protocol == "open":
+                from .changefeed import attach_old_value_json
 
-                # a table created THIS batch has no pre-batch version —
-                # every key is a true insert against version 0
-                sl = attach_old_images(
-                    table, sl, pre_versions.get(name, 0),
-                    n_events=(mq_counts or {}).get(name),
+                # serialize-once path (see attach_old_value_json); a table
+                # created THIS batch has no pre-batch version — every key
+                # is a true insert against version 0
+                outs.append(
+                    attach_old_value_json(
+                        table, sl, pre_versions.get(name, 0), key_json,
+                        part_col, n_events=(mq_counts or {}).get(name),
+                    )
                 )
-            outs.append(
-                encode_mq(
-                    sl, table, self.mq_protocol, key_json, part_col,
-                    avro_registry=self._avro_registry,
-                    old_value=self.mq_old_value,
+            else:
+                if self.mq_old_value:
+                    from .changefeed import attach_old_images
+
+                    # a table created THIS batch has no pre-batch version —
+                    # every key is a true insert against version 0
+                    sl = attach_old_images(
+                        table, sl, pre_versions.get(name, 0),
+                        n_events=(mq_counts or {}).get(name),
+                    )
+                outs.append(
+                    encode_mq(
+                        sl, table, self.mq_protocol, key_json, part_col,
+                        avro_registry=self._avro_registry,
+                        old_value=self.mq_old_value,
+                    )
                 )
-            )
             for ver, ts in barriers:
                 ddl_msgs.append(
                     (name, ts, reg.fields(ver), reg.ddl_kinds[ver - 1],

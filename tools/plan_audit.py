@@ -43,6 +43,9 @@ AUDIT = [
     "ann_topk",
     "ann_ivf_topk",
     "ann_ivf_incremental",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "multimodal_image_dims",
     "decontam_incremental",
     "curate_corpus",
     "curate_decontaminate",
