@@ -132,18 +132,39 @@ def generate_binlog(spec: BinlogSpec) -> pa.Table:
         }
 
     # a single ListArray carries int32 value offsets, so one build() call
-    # must stay under 2^31 token values — segment large corpora and let the
-    # table's columns be chunked (every consumer reads chunked arrow fine)
+    # must stay under 2^31 token values — segment large corpora. Sort /
+    # shuffle SEGMENT-WISE too: a global sort_by/take over the chunked list
+    # column concatenates chunks internally and overflows the same int32
+    # offsets (pyarrow "offset overflow while concatenating arrays", hit at
+    # 10^8 events). Segments are contiguous commit-ts ranges and each
+    # tie-pair clone lands in its delete's own segment, so per-segment sort
+    # + concat IS the global sort; out_of_order shuffles within segments
+    # (arrival interleaving is what the shuffle models — a ~44M-row window
+    # is far beyond any real reorder horizon).
     max_vals = _MAX_LIST_VALUES
+    sort_keys = [
+        ("commit_ts", "ascending"),
+        ("seq", "ascending"),
+        ("op", "ascending"),
+    ]
     if total > max_vals:
         n_seg = int(np.ceil(total / max_vals))
         bounds = np.linspace(0, n, n_seg + 1, dtype=np.int64)
-        tbl = pa.concat_tables(
-            pa.table(build(np.arange(bounds[i], bounds[i + 1]), force_put=False))
-            for i in range(n_seg)
-        )
-    else:
-        tbl = pa.table(build(np.arange(n), force_put=False))
+        segs = []
+        for i in range(n_seg):
+            t = pa.table(
+                build(np.arange(bounds[i], bounds[i + 1]), force_put=False)
+            )
+            pp = pair_pos[(pair_pos >= bounds[i]) & (pair_pos < bounds[i + 1])]
+            if len(pp):
+                t = pa.concat_tables([t, pa.table(build(pp, force_put=True))])
+            if spec.out_of_order:
+                t = t.take(pa.array(rng.permutation(len(t))))
+            else:
+                t = t.sort_by(sort_keys)
+            segs.append(t)
+        return pa.concat_tables(segs)
+    tbl = pa.table(build(np.arange(n), force_put=False))
     if len(pair_pos):
         # regenerate fresh payload for the cloned puts so the winner is distinct
         extra = build(pair_pos, force_put=True)
