@@ -156,6 +156,17 @@ def main() -> int:
         "final_rows": table.read().count(),
     }
 
+    # -- phase 1.5: compact (the steady-state posture) ----------------------
+    # Without it every trickle's pre-image read pays ALL epochs' delta
+    # files in each probe-hit bucket (MOR read amplification — measured
+    # 15-49 s per 200-event trickle over 8 uncompacted bulk epochs);
+    # compaction folds each bucket to one tombstone-free file, so a hit
+    # bucket costs one file read. Production runs compaction continuously
+    # (compact_max_deltas); the soak does it once at the phase boundary.
+    t0 = time.time()
+    table.compact()
+    report_compact_sec = round(time.time() - t0, 1)
+
     # -- phase 2: trickle old-value batches against the big snapshot --------
     table.set_key_blooms(True)
     tdir = os.path.join(args.work, "trickle")
@@ -213,6 +224,7 @@ def main() -> int:
     rd = sum(s["files_read"] for s in stats)
     report.update(
         {
+            "compact_sec": report_compact_sec,
             "trickle_events": args.trickle * args.trickle_batches,
             "trickle_walls": trickle_walls,
             "pre_files_total": tot,
