@@ -38,16 +38,31 @@ def test_entry_runs(spark):
 
 def test_segmented_generation_identical():
     """Corpora whose token total exceeds one ListArray's int32 offset space
-    generate in segments — byte-identical to the single-shot table (the
-    64M-event bench row relies on this)."""
+    generate in segments. Sort/shuffle is per-segment since r5 (a GLOBAL
+    sort_by/take over the chunked list column concatenates chunks and
+    overflows the same int32 offsets — hit for real at 10^8 events), so:
+    the ORDERED path (what write_binlog_chunks / every bench row uses) is
+    byte-identical to single-shot, and the shuffled path is content-
+    identical with ts-ordering preserved across segment boundaries."""
     import ticdc_spark.testgen as tg
 
-    spec = tg.BinlogSpec(n_events=20_000, n_keys=2_000, seed=31)
-    one = tg.generate_binlog(spec)
+    ordered = tg.BinlogSpec(
+        n_events=20_000, n_keys=2_000, seed=31, out_of_order=False
+    )
+    shuffled = tg.BinlogSpec(n_events=20_000, n_keys=2_000, seed=31)
+    one_o = tg.generate_binlog(ordered)
+    one_s = tg.generate_binlog(shuffled)
     saved = tg._MAX_LIST_VALUES
     try:
         tg._MAX_LIST_VALUES = 50_000  # force many segments
-        seg = tg.generate_binlog(spec)
+        seg_o = tg.generate_binlog(ordered)
+        seg_s = tg.generate_binlog(shuffled)
     finally:
         tg._MAX_LIST_VALUES = saved
-    assert one.equals(seg.combine_chunks())
+    assert one_o.equals(seg_o.combine_chunks())
+    keys = [
+        ("commit_ts", "ascending"),
+        ("seq", "ascending"),
+        ("op", "ascending"),
+    ]
+    assert one_s.sort_by(keys).equals(seg_s.combine_chunks().sort_by(keys))
