@@ -555,15 +555,43 @@ def frame_sized_messages(
     )
 
     def _split(pdf: pd.DataFrame) -> pd.DataFrame:
+        import struct as _struct
+
         pdf = pdf.sort_values(["_o1", "_o2"], kind="mergesort")
-        ks = pdf["_k"].tolist()
-        vs = [None if pd.isna(v) else v for v in pdf["_v"]]
+        # encode ONCE; the split rule needs only byte lengths and the pack
+        # needs only the encoded bytes — the naive form (split over str +
+        # pack re-encoding) UTF-8-encoded every string twice and dominated
+        # the sized-framing overhead at 10^6-event batches
+        kenc = [k.encode("utf-8") for k in pdf["_k"]]
+        venc = [None if pd.isna(v) else v.encode("utf-8") for v in pdf["_v"]]
+        lens = [
+            len(k) + (0 if v is None else len(v)) + 16
+            for k, v in zip(kenc, venc)
+        ]
+        # the reference's greedy rule (json.go:394-399) over precomputed ints
+        bounds: list[list[int]] = []  # [start, bytes, n]
+        for i, add in enumerate(lens):
+            if (
+                not bounds
+                or bounds[-1][2] >= max_batch_size
+                or bounds[-1][1] + add > max_message_bytes
+            ):
+                bounds.append([i, 8, 0])  # 8B version head
+            bounds[-1][1] += add
+            bounds[-1][2] += 1
+        pq = _struct.Struct(">Q").pack
+        head = pq(BATCH_VERSION_1)
         out = []
-        for idx, (s, e) in enumerate(
-            split_open_protocol_sized(ks, vs, max_batch_size, max_message_bytes)
-        ):
-            kb, vb = pack_open_protocol_batch(ks[s:e], vs[s:e])
-            out.append((pdf["_grp"].iloc[0], idx, e - s, kb, vb))
+        grp = pdf["_grp"].iloc[0]
+        for idx, (s, _, n) in enumerate(bounds):
+            e = s + n
+            kb = head + b"".join(
+                pq(len(k)) + k for k in kenc[s:e]
+            )
+            vb = b"".join(
+                pq(0) if v is None else pq(len(v)) + v for v in venc[s:e]
+            )
+            out.append((grp, idx, n, kb, vb))
         return pd.DataFrame(
             out,
             columns=[group_col, "msg_idx", "n_events", "key_bytes", "value_bytes"],
