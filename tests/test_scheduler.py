@@ -483,3 +483,44 @@ def test_capture_processor_cli_reads(spark, tmp_path):
         processor_query(state, "nope")
     with pytest.raises(KeyError):
         processor_query(state, "c1", table="zzz")
+
+
+def test_owner_lock_serializes_admin_mutations(tmp_path):
+    """The embedded HTTP admin thread mutates the scheduler concurrently
+    with the driver's tick() loop — owner mutations serialize on
+    scheduler.lock (cdc/http_handler.go s.ownerLock analog): a move_table
+    issued while the lock is held (as tick holds it) blocks until release."""
+    import threading
+    import time as _t
+
+    from ticdc_spark.streaming.scheduler import TableScheduler
+
+    class _Tbl:
+        root = str(tmp_path / "r")
+
+    class _Cap:
+        binlog_dir = str(tmp_path)
+        mode = "raw"
+        dynamic_spans = False
+
+        def __init__(self, tables):
+            self.tables = dict(tables)
+            self.stop_ts = {}
+
+    sched = TableScheduler(
+        {"c1": _Cap({"t": _Tbl()}), "c2": _Cap({})},
+        str(tmp_path / "state.json"),
+    )
+    done = threading.Event()
+
+    def mover():
+        sched.move_table("t", "c1", "c2")
+        done.set()
+
+    with sched.lock:  # what tick() holds for its whole round
+        th = threading.Thread(target=mover, daemon=True)
+        th.start()
+        _t.sleep(0.3)
+        assert not done.is_set(), "move_table ran inside the owner's round"
+    th.join(timeout=5)
+    assert done.is_set() and sched.jobs[-1]["table"] == "t"

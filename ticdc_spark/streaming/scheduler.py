@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 
 from ..lake.table import LakeTable
 
@@ -126,6 +127,18 @@ def rebalance_plan(
     return sorted(moves)
 
 
+def _locked(fn):
+    """Serialize owner mutations on self.lock (ownerLock analog)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(self, *a, **k):
+        with self.lock:
+            return fn(self, *a, **k)
+
+    return wrap
+
+
 class TableScheduler:
     """Drives a set of capture feeds in lockstep and executes two-phase
     move-table jobs between their batches.
@@ -140,6 +153,11 @@ class TableScheduler:
             raise ValueError("captures must share one binlog dir")
         self.captures = dict(captures)
         self.state_path = state_path
+        # owner mutations serialize on this lock (cdc/http_handler.go's
+        # s.ownerLock analog): the embedded HTTP admin thread calls
+        # move_table/rebalance concurrently with the driver's tick()
+        # loop; RLock because rebalance() enqueues via move_table()
+        self.lock = threading.RLock()
         self.jobs: list[dict] = []
         if os.path.exists(state_path):
             with open(state_path) as f:
@@ -208,6 +226,7 @@ class TableScheduler:
         return skewness(self.workloads())
 
     # -- the two-phase move job (handleMoveTableJobs analog) ---------------
+    @_locked
     def move_table(self, table: str, src_id: str, dst_id: str) -> dict:
         """Enqueue a move job (status=none). Executed by the next tick()
         between batches — mirroring the owner, which only flips job states
@@ -269,6 +288,7 @@ class TableScheduler:
         self._save()
         return job
 
+    @_locked
     def rebalance(self) -> list[dict]:
         """Enqueue the moves of the deterministic rebalance plan
         (CalRebalanceOperates analog)."""
@@ -278,6 +298,7 @@ class TableScheduler:
         ]
 
     # -- capture failure (balanceOrphanTables analog) ------------------------
+    @_locked
     def adopt_orphans(self, dead_id: str) -> list[dict]:
         """A capture died: drop it and redistribute its live tables to the
         least-loaded surviving captures (balanceOrphanTables,
@@ -447,6 +468,7 @@ class TableScheduler:
         self._save()
 
     # -- lockstep driver ----------------------------------------------------
+    @_locked
     def tick(self) -> dict[str, list[dict]]:
         """One scheduling round: drain every capture's available binlog,
         then advance move jobs. Phase 1 (none→deleted) stops the table on
